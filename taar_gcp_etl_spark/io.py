@@ -1,0 +1,168 @@
+"""Sources and sinks.
+
+Maps the reference's storage surface (SURVEY.md §2.1) onto Spark-native I/O:
+  - fixture/table loading → columnar parquet scans (S5: BigQuery SQL scan,
+    reference taar_etl/taar_profile_bigtable.py:56-68)
+  - JSON.bz2 dual-write artifact sink (S11, taar_etl/taar_utils.py:32-63):
+    `latest` + dated snapshot, bzip2-compressed
+  - keyed serving table (S9 KV upsert sink,
+    taar_etl/taar_profile_bigtable.py:166-191): sha256 row key, key-prefix
+    partitioning to emulate BigTable row-key locality
+  - Avro source/sink (S7/S8, taar_etl/taar_profile_bigtable.py:112-132,181-184)
+    gated behind availability of spark-avro on the classpath.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scans are columnar and prunable —
+    Catalyst pushes projections and predicates into the scan, which at 100 TB
+    is the difference between reading ten columns and reading all of them.
+
+    The `events` fixture stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw nanos (legacy long) and truncate to
+    microseconds with integer division — the same truncation DuckDB applies,
+    so oracle comparisons stay exact. (Plain `/ 1000` would route through
+    double and lose precision above 2^53.)
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load the fixture star schema (TESTDATA.md) as DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_json_artifact(
+    df: DataFrame,
+    base_path: str,
+    name: str,
+    date: dt.date | None = None,
+    key_col: str | None = None,
+) -> None:
+    """Dual-write JSON artifact sink (S11, taar_etl/taar_utils.py:32-63).
+
+    Writes the artifact twice: `{base}/latest/{name}.json` and
+    `{base}/snapshot={YYYYMMDD}/{name}.json`, bzip2-compressed. When
+    ``key_col`` is given the artifact is the reference's map shape
+    ({key: record}); this is the ONE driver-side collection in the engine and
+    is bounded by catalog scale (SURVEY.md §7 hard part 1) — everything else
+    streams through `df.write`.
+    """
+    date = date or dt.date.today()
+    stamp = date.strftime("%Y%m%d")
+    if key_col is None:
+        for sub in ("latest", f"snapshot={stamp}"):
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .option("compression", "bzip2")
+                .json(f"{base_path}/{sub}/{name}")
+            )
+        return
+    # Map-shaped artifact {key: record}: JSON objects don't round-trip
+    # through df.write.json naturally; convert rows→map at the boundary
+    # (bounded: AMO-catalog scale, ~100k rows max).
+    import bz2
+
+    rows = df.toJSON().collect()
+    obj = {}
+    for r in rows:
+        rec = json.loads(r)
+        obj[rec[key_col]] = rec
+    payload = bz2.compress(json.dumps(obj, sort_keys=True).encode("utf-8"))
+    import os
+
+    for sub in ("latest", f"snapshot={stamp}"):
+        d = f"{base_path}/{sub}"
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/{name}.json.bz2", "wb") as fh:
+            fh.write(payload)
+
+
+def read_json_artifact(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON(.bz2) source (S12, taar_etl/taar_utils.py:66-76) — bzip2 is
+    transparent to Spark's text reader; explicit schema avoids an extra
+    inference pass over the data."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_serving_table(df: DataFrame, path: str, key_col: str = "key") -> None:
+    """Keyed serving table (S9, taar_etl/taar_profile_bigtable.py:295-329).
+
+    Partitions by the first 2 hex chars of the sha256 key — 256 balanced
+    buckets emulating BigTable row-key locality, so a point lookup or a
+    delete-by-key touches one partition directory instead of a full scan.
+    zlib cell compression in the reference is a storage codec → Parquet
+    compression here.
+    """
+    (
+        df.withColumn("key_prefix", F.substring(F.col(key_col), 1, 2))
+        .repartition("key_prefix")
+        .write.mode("overwrite")
+        .partitionBy("key_prefix")
+        .parquet(path)
+    )
+
+
+def avro_supported(spark: SparkSession) -> bool:
+    """spark-avro is an external module; probe once instead of failing mid-job."""
+    try:
+        spark.read.format("avro")
+        # Probing requires an actual load; do a cheap classloader check.
+        spark._jvm.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Table→Avro export (S7). Raises if spark-avro isn't on the classpath."""
+    df.write.format("avro").mode("overwrite").save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (S8)."""
+    return spark.read.format("avro").load(path)

@@ -1,0 +1,103 @@
+"""Join family (SURVEY.md §2.4, §2.11).
+
+Reference parity: J1 delete-by-key anti-join
+(taar_etl/taar_profile_bigtable.py:193-223), J2 key-addressed enrichment
+(taar_etl/taar_amodump.py:199-205), SET1 intersection-as-semi-join
+(taar_etl/taar_amowhitelist.py:100-113). The general matrix
+(inner/outer/semi/anti, non-equi) is §2.11.
+
+Scale notes: dimension-sized right sides are broadcast explicitly
+(`F.broadcast`) so the fact table never shuffles for the join; fact-fact
+joins are left to Catalyst's sort-merge with AQE skew splitting. A broadcast
+anti-join makes the GDPR delete a map-side filter over the serving table —
+no shuffle of 100 TB of profiles to delete a few thousand keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def anti_join_delete(
+    store: DataFrame, deletions: DataFrame, key: str | list[str],
+    broadcast_deletions: bool = True,
+) -> DataFrame:
+    """J1 — rewrite of the serving table dropping rows whose key appears in
+    the deletion set (taar_etl/taar_profile_bigtable.py:193-223,332-339).
+    The deletion set (opt-out requests over a lookback window) is tiny
+    relative to the store → broadcast it: the anti-join executes map-side."""
+    if broadcast_deletions:
+        deletions = F.broadcast(deletions)
+    return store.join(deletions, key, "left_anti")
+
+
+def enrich_left_join(
+    base: DataFrame, enrichment: DataFrame, key: str | list[str],
+    broadcast_enrichment: bool = False,
+) -> DataFrame:
+    """J2 — per-key enrichment merge (taar_etl/taar_amodump.py:199-205):
+    catalog LEFT JOIN first_dates ON guid. Broadcast when the enrichment is
+    dimension-sized."""
+    if broadcast_enrichment:
+        enrichment = F.broadcast(enrichment)
+    return base.join(enrichment, key, "left")
+
+
+def semi_intersection(
+    left: DataFrame, right: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """SET1 — featured ∩ whitelist; the reference computes it as a predicate
+    conjunction (taar_etl/taar_amowhitelist.py:100-113), the engine verifies
+    semi-join ≡ conjunction in tests."""
+    return left.join(right, key, "left_semi")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: Column,
+    range_cond: Column,
+) -> DataFrame:
+    """§2.11 — non-equi (theta) join with an equi component. Keeping an equi
+    key in the condition lets Catalyst plan a hash/sort-merge join on the key
+    and apply the range predicate as a post-join filter — without it this
+    degenerates to a broadcast-nested-loop. At scale, ALWAYS carry an equi
+    component (bucketize the range key if none exists naturally)."""
+    return left.join(right, equi & range_cond)
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_seconds: int,
+    extra_equi: list[str] | None = None,
+) -> DataFrame:
+    """§2.11 — interval join (point-in-range) without a native operator:
+    bucketize time into `bucket_seconds` buckets, explode each interval to
+    the buckets it overlaps, equi-join on bucket (+ any natural keys), then
+    filter exactly. Turns an O(n·m) nested loop into a standard shuffled
+    equi-join whose fan-out is interval_len/bucket_len."""
+    lb = left.withColumn(
+        "_bucket", (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(right_lo)) / bucket_seconds).cast("long"),
+                (F.unix_timestamp(F.col(right_hi)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    keys = ["_bucket"] + (extra_equi or [])
+    return (
+        lb.join(rb, keys)
+        .filter(
+            (F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) < F.col(right_hi))
+        )
+        .drop("_bucket")
+    )

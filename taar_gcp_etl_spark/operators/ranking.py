@@ -1,0 +1,81 @@
+"""Grouped counts, top-k, and pair-count operators.
+
+Reference parity:
+  A1  install ranking: GROUP BY key, COUNT(id)
+      (reference: taar_etl/taar_lite_guid_ranking.py:19-27)
+  O2  implicit top-k contract (only_guids_top_200.json,
+      taar_etl/taar_update_whitelist.py:19)
+  §2.10 grouped top-k per locale (top10_dict.json, README.md:102-105) and
+      coinstallation pair counts (guid_coinstallation.json, README.md:108-113)
+
+Scale notes: all of these are single-shuffle hash aggregates; Catalyst
+plans partial (map-side) aggregation before the exchange, so the shuffle
+carries one row per (partition × key), not per input row. Grouped top-k
+shuffles once on the partition key; coinstallation self-joins on the
+already-aggregated distinct (user, item) pairs, which is orders of magnitude
+smaller than the raw event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_count(
+    df: DataFrame, key: str | Column, count_col: str, alias: str = "install_count"
+) -> DataFrame:
+    """A1 — `SELECT key, count(x) FROM t GROUP BY key`
+    (taar_etl/taar_lite_guid_ranking.py:19-27)."""
+    return df.groupBy(key).agg(F.count(count_col).alias(alias))
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O2 — TakeOrdered: Spark plans orderBy+limit as a per-partition top-k
+    followed by a single-reducer merge of k rows — no global sort at scale.
+    Callers must pass a total order (include a unique tiebreaker) so results
+    are deterministic."""
+    return df.orderBy(*order).limit(k)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    partition_col: str,
+    order: list[Column],
+    k: int,
+    rank_alias: str = "rnk",
+) -> DataFrame:
+    """§2.10 — top-k per group (taar_locale top10_dict.json contract,
+    README.md:102-105): window row_number ≤ k. One shuffle on the partition
+    key; rank is computed within each partition without materializing a
+    global sort."""
+    w = Window.partitionBy(partition_col).orderBy(*order)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= k)
+    )
+
+
+def coinstall_pairs(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """§2.10 — coinstallation pair counts (guid_coinstallation.json contract,
+    README.md:108-113): for each group (client), every unordered pair of
+    distinct items it contains, counted across groups.
+
+    Plan shape: distinct (group, item) first — this is the big shuffle and it
+    shrinks the data to one row per membership — then an equi self-join on
+    the group key with an `<` predicate to emit each unordered pair once.
+    AQE handles skewed groups; at 100 TB, items/group is bounded (addons per
+    client), so the join fan-out per group is quadratic in a small constant.
+    """
+    pairs = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("pair_count"))
+    )

@@ -1,0 +1,111 @@
+"""Window-function and event-time-window operators (SURVEY.md §2.11, A7).
+
+The reference's nearest analogues are per-key "latest" selection (A7,
+taar_etl/taar_amodump.py:228-243 last-page/last-element) and the grouped
+top-k contract (§2.10). Everything here is a single shuffle on the partition
+key; event-time windows are batch `F.window`/`session_window` aggregations
+whose semantics are identical to the Structured Streaming versions
+(streaming/ holds the readStream variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_key_latest(
+    df: DataFrame, key: str, order: list[Column]
+) -> DataFrame:
+    """A7 generalized — latest row per key
+    (reference semantics: results[-1] / last page,
+    taar_etl/taar_amodump.py:228-243): row_number over desc order == 1.
+    Callers pass a total order for determinism."""
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def running_aggregates(
+    df: DataFrame, key: str, order: list[Column], carry: list[str], value: str
+) -> DataFrame:
+    """§2.11 — analytic window suite over one (key, order) window: running
+    sum, lag, lead, rank. One shuffle, one sort, all four computed in the
+    same window frame pass."""
+    w = Window.partitionBy(key).orderBy(*order)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        F.col(key),
+        *[F.col(c) for c in carry],
+        F.col(value),
+        F.sum(value).over(running).alias("running_sum"),
+        F.lag(value, 1).over(w).alias("prev_value"),
+        F.lead(value, 1).over(w).alias("next_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts: str, width: str, group_cols: list[str], aggs: list[Column]
+) -> DataFrame:
+    """§2.11 — tumbling event-time window: `F.window(ts, width)`. Batch
+    execution; same operator drives the streaming variant with a watermark."""
+    return (
+        df.groupBy(F.window(ts, width).alias("win"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .drop("win")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame, ts: str, width: str, slide: str, group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """§2.11 — sliding window: each event contributes to width/slide windows.
+    Spark expands the event into its windows before the aggregate — the
+    shuffle carries the fan-out, so keep width/slide small at scale."""
+    return (
+        df.groupBy(F.window(ts, width, slide).alias("win"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .drop("win")
+    )
+
+
+def session_window_agg(
+    df: DataFrame, ts: str, gap: str, group_cols: list[str], aggs: list[Column]
+) -> DataFrame:
+    """§2.11 — session windows with inactivity gap (`session_window`): a
+    session extends while consecutive events are < gap apart. Batch
+    execution; identical semantics to the streaming stateful version."""
+    return (
+        df.groupBy(F.session_window(ts, gap).alias("win"), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("win.start"))
+        .drop("win")
+    )
+
+
+def sessionize_gaps_and_islands(
+    df: DataFrame, key: str, ts: str, gap_seconds: int
+) -> DataFrame:
+    """Sessionization via lag + cumulative sum (the classic gaps-and-islands
+    rewrite) — kept alongside session_window because it (a) gives each event
+    its session id (session_window only aggregates) and (b) is the
+    SQL-expressible form the DuckDB oracle can verify."""
+    w = Window.partitionBy(key).orderBy(F.col(ts))
+    gap_flag = (
+        F.when(
+            F.unix_timestamp(F.col(ts))
+            - F.unix_timestamp(F.lag(ts, 1).over(w))
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(gap_flag).over(running))

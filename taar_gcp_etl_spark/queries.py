@@ -1,0 +1,581 @@
+"""Query registry — the correctness surface consumed by `__spark_entry__.py`.
+
+Each entry binds one operator family from SURVEY.md §2 to the driver fixture
+tables (TESTDATA.md) and pairs the PySpark plan with the ANSI-SQL oracle
+DuckDB runs over the same parquet. Column names and types are aligned on both
+sides (the driver hash-compares values after sorting columns by name).
+
+Float policy: any column produced by floating-point aggregation is rounded
+to a fixed number of decimals ON BOTH SIDES, so the comparison is exact by
+construction; raw double columns pass through untouched (bit-identical).
+Casts of double→bigint always go through FLOOR on both sides (Spark
+truncates, DuckDB rounds — floor makes them agree).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.functions import sha256_key
+from taar_gcp_etl_spark.operators import ranking, windows
+from taar_gcp_etl_spark.operators.joins import (
+    anti_join_delete,
+    enrich_left_join,
+    range_join,
+    semi_intersection,
+)
+from taar_gcp_etl_spark.operators.serving import pack_serving_rows
+
+
+from taar_gcp_etl_spark.io import read_table
+
+# Session confs the engine's semantics depend on, applied defensively at
+# query entry because the driver calls these with ITS OWN SparkSession:
+#   - UTC: naive-UTC datetime compares (taar_etl/taar_amowhitelist.py:89-91)
+#     and DuckDB-oracle timestamp parity;
+#   - ANSI off: BigQuery SAFE_CAST / permissive element_at semantics
+#     (taar_etl/taar_profile_bigtable.py:78);
+#   - nanosAsLong: the events fixture stores TIMESTAMP(NANOS).
+_SESSION_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _pin_session(spark: SparkSession) -> None:
+    for k, v in _SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not recognized on this Spark version — best effort
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session(spark)
+    return read_table(spark, sf_dir, name)
+
+
+def _r2(c: Column) -> Column:
+    return F.round(c, 2)
+
+
+def _r6(c: Column) -> Column:
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2.1-§2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_install_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + P2 — the taar_lite_guid_ranking job
+    (taar_etl/taar_lite_guid_ranking.py:19-27): date-partition filter then
+    grouped count. The date predicate pushes down to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ranking.grouped_count(
+        ev.filter(F.to_date("ts") == F.lit("2024-01-15")),
+        "event_type",
+        "user_id",
+        "install_count",
+    )
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — explicit top-k (only_guids_top_200 contract,
+    taar_etl/taar_update_whitelist.py:19): TakeOrdered, no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ranking.grouped_count(ev, "user_id", "event_id", "n_events")
+    return ranking.top_k(
+        counts, [F.desc("n_events"), F.asc("user_id")], 100
+    )
+
+
+def q_distinct_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — distinct opt-out ids over a date window
+    (taar_etl/taar_profile_bigtable.py:197-202)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "error")
+            & F.to_date("ts").between("2024-01-01", "2024-01-28")
+        )
+        .select("user_id")
+        .distinct()
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P5 analogue — conjunctive predicate + projection + rename +
+    floor-cast (SAFE_CAST parity, taar_etl/taar_profile_bigtable.py:76-91)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") >= 50000.0)
+        & (F.col("o_orderdate") <= F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("cust_id"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14/P8 — JSON field extraction + validity filter
+    (marshal/schema-on-read family, taar_etl/taar_amodump.py:255-291)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_id", "event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") > 50))
+    )
+
+
+def q_anti_join_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + F1 — GDPR delete as broadcast anti-join on sha256 keys
+    (taar_etl/taar_profile_bigtable.py:193-223,304-307): the serving store
+    never shuffles; the deletion set is broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    store = cust.select(
+        sha256_key(F.col("c_custkey").cast("string")).alias("key"),
+        "c_name",
+        "c_acctbal",
+    )
+    deletions = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(sha256_key(F.col("o_custkey").cast("string")).alias("key"))
+        .distinct()
+    )
+    return anti_join_delete(store, deletions, "key")
+
+
+def q_enrich_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + F11 — key-addressed enrichment with coalesce-to-default
+    (taar_etl/taar_amodump.py:199-205; null convention
+    taar_etl/taar_profile_bigtable.py:236-246). Dimension side broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return enrich_left_join(orders, cust, "o_custkey", broadcast_enrichment=True).select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("")).alias("cust_name"),
+        F.coalesce("c_mktsegment", F.lit("")).alias("segment"),
+    )
+
+
+def q_semi_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET1 — intersection via left-semi join
+    (taar_etl/taar_amowhitelist.py:100-113)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    open_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return semi_intersection(cust, open_orders, "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_serving_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + S9 — serving-row pack: sha256 key + compact-JSON payload
+    (taar_etl/taar_profile_bigtable.py:295-329). All codegen'd JVM
+    expressions — no Python in the row path."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return pack_serving_rows(ev, "event_id", ["user_id", "event_type"])
+
+
+def q_sorted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + O1 + P8 — distinct + validity filter + global ascending sort
+    (taar_etl/taar_update_whitelist.py:58-68)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.col("source").isNotNull() & ~F.col("source").isin("null", "")
+        )
+        .select("source")
+        .distinct()
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sibling-job contracts (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """taar_locale top-10-per-locale contract (README.md:102-105):
+    window row_number ≤ k per group, deterministic tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    )
+    return ranking.grouped_top_k(
+        counts, "event_type", [F.desc("n"), F.asc("user_id")], 5
+    )
+
+
+def q_coinstall_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """taar_lite coinstallation contract (README.md:108-113): unordered
+    pair counts over per-group distinct items."""
+    ev = _t(spark, sf_dir, "events")
+    return ranking.coinstall_pairs(ev, "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# General analytics surface (SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate (TPC-H Q1 shape): the canonical
+    multi-aggregate hash aggregation; partial aggregation makes the shuffle
+    carry 6 rows per map partition regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_per_key_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — latest row per key (taar_etl/taar_amodump.py:228-243 semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.per_key_latest(
+        ev, "user_id", [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — analytic windows: running sum / lag / lead / row_number in a
+    single window pass. Doubles rounded both sides."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = windows.running_aggregates(
+        ev, "user_id", [F.asc("ts"), F.asc("event_id")], ["event_id"], "value"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        _r6(F.col("running_sum")).alias("running_sum"),
+        "prev_value",
+        "next_value",
+        "rn",
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — CUBE grouping sets over the lineitem flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _r2(F.sum("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — ROLLUP hierarchy over order status → priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        _r2(F.sum("o_totalprice")).alias("sum_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — non-equi join with an equi anchor: the range predicate rides
+    on the orderkey hash join instead of a nested loop."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = range_join(
+        li,
+        o,
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60),
+    )
+    return joined.groupBy("l_returnflag").agg(F.count("*").alias("n_late"))
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — tumbling 1-day event-time windows (batch semantics identical
+    to the streaming variant in streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.tumbling_window_agg(
+        ev,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("n"), _r2(F.sum("value")).alias("sum_value")],
+    )
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — sessionization (30-min inactivity gap) via gaps-and-islands;
+    the session_window variant is equivalence-tested in tests/."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = windows.sessionize_gaps_and_islands(ev, "user_id", "ts", 1800)
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        _r2(F.sum("value")).alias("sum_value"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — exact interpolated percentiles (the approx variant is a
+    separate rows-only query; this one is oracle-checkable)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r6(F.percentile("value", 0.5)).alias("p50"),
+        _r6(F.percentile("value", 0.95)).alias("p95"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — approx_count_distinct (HLL++). No oracle: DuckDB's HLL is a
+    different sketch; the driver records the rows-only check, and tests/
+    assert the estimate is within rsd of exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — INTERSECT / EXCEPT / UNION ALL composition over order-status
+    key sets."""
+    o = _t(spark, sf_dir, "orders")
+
+    def keys(status: str) -> DataFrame:
+        return o.filter(F.col("o_orderstatus") == status).select("o_custkey")
+
+    both_of = keys("O").intersect(keys("F")).withColumn("tag", F.lit("o_and_f"))
+    # subtract = SQL EXCEPT (set difference); exceptAll would keep rows whose
+    # multiplicity in P merely exceeds that in O.
+    only_p = keys("P").subtract(keys("O")).withColumn("tag", F.lit("p_not_o"))
+    return both_of.unionByName(only_p)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "install_ranking": q_install_ranking,
+    "top_k": q_top_k,
+    "distinct_optout": q_distinct_optout,
+    "filter_project": q_filter_project,
+    "json_extract": q_json_extract,
+    "anti_join_delete": q_anti_join_delete,
+    "enrich_left_join": q_enrich_left_join,
+    "semi_intersection": q_semi_intersection,
+    "serving_pack": q_serving_pack,
+    "sorted_distinct": q_sorted_distinct,
+    "grouped_top_k": q_grouped_top_k,
+    "coinstall_pairs": q_coinstall_pairs,
+    "tpch_q1": q_tpch_q1,
+    "per_key_latest": q_per_key_latest,
+    "window_running": q_window_running,
+    "cube": q_cube,
+    "rollup": q_rollup,
+    "range_join": q_range_join,
+    "window_tumbling": q_window_tumbling,
+    "sessionize": q_sessionize,
+    "percentiles": q_percentiles,
+    "approx_distinct": q_approx_distinct,
+    "set_ops": q_set_ops,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "install_ranking": """
+        SELECT event_type, count(user_id) AS install_count
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        GROUP BY event_type
+    """,
+    "top_k": """
+        SELECT user_id, count(event_id) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 100
+    """,
+    "distinct_optout": """
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error'
+          AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-28'
+    """,
+    "filter_project": """
+        SELECT o_orderkey, o_custkey AS cust_id,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+               o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+          AND o_orderdate <= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    "json_extract": """
+        SELECT event_id, event_type, CAST(props->>'$.k' AS BIGINT) AS k
+        FROM events
+        WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+          AND CAST(props->>'$.k' AS BIGINT) > 50
+    """,
+    "anti_join_delete": """
+        SELECT sha256(CAST(c_custkey AS VARCHAR)) AS key, c_name, c_acctbal
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+    """,
+    "enrich_left_join": """
+        SELECT o_orderkey,
+               COALESCE(c_name, '') AS cust_name,
+               COALESCE(c_mktsegment, '') AS segment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    "semi_intersection": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_acctbal > 0 AND c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+    """,
+    "serving_pack": """
+        SELECT sha256(CAST(event_id AS VARCHAR)) AS key,
+               to_json(struct_pack(user_id := user_id,
+                                   event_type := event_type)) AS payload
+        FROM events WHERE event_type = 'signup'
+    """,
+    "sorted_distinct": """
+        SELECT DISTINCT source FROM documents
+        WHERE source IS NOT NULL AND source NOT IN ('null', '')
+        ORDER BY source
+    """,
+    "grouped_top_k": """
+        SELECT event_type, user_id, n, rnk FROM (
+            SELECT event_type, user_id, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY n DESC, user_id ASC
+                   ) AS INTEGER) AS rnk
+            FROM (
+                SELECT event_type, user_id, count(*) AS n
+                FROM events GROUP BY event_type, user_id
+            )
+        ) WHERE rnk <= 5
+    """,
+    "coinstall_pairs": """
+        WITH pairs AS (SELECT DISTINCT user_id AS g, event_type AS item
+                       FROM events)
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_count
+        FROM pairs a JOIN pairs b ON a.g = b.g AND a.item < b.item
+        GROUP BY a.item, b.item
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "per_key_latest": """
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM events
+        ) WHERE rn = 1
+    """,
+    "window_running": """
+        SELECT user_id, event_id, value,
+               ROUND(SUM(value) OVER w_run, 6) AS running_sum,
+               LAG(value, 1) OVER w AS prev_value,
+               LEAD(value, 1) OVER w AS next_value,
+               CAST(row_number() OVER w AS INTEGER) AS rn
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+               w_run AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "cube": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "range_join": """
+        SELECT l_returnflag, count(*) AS n_late
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+    """,
+    "window_tumbling": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+               count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   )) > 1800 THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), ids AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, MIN(ts) AS session_start,
+               count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM ids GROUP BY user_id, session_id
+    """,
+    "percentiles": """
+        SELECT event_type,
+               ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+               ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+        FROM events GROUP BY event_type
+    """,
+    "set_ops": """
+        SELECT o_custkey, 'o_and_f' AS tag FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        UNION ALL
+        SELECT o_custkey, 'p_not_o' AS tag FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+    """,
+}

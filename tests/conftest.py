@@ -1,0 +1,35 @@
+"""Shared fixtures: one local SparkSession per test run, DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from taar_gcp_etl_spark.io import TABLE_NAMES  # noqa: E402
+from taar_gcp_etl_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="taar-spark-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for sf, prefix in ((SF_SMOKE, ""),):
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {prefix}{t} AS "
+                f"SELECT * FROM '{sf}/{t}.parquet'"
+            )
+    yield con
