@@ -57,6 +57,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan a DataFrame out to the session's full parallelism when the scan
+    produced fewer partitions (small local files arrive as one split, which
+    serializes CPU-heavy per-row operators like hashing onto one core).
+    At cluster scale input splits >> cores and this is a no-op — the
+    repartition only fires when the scan under-splits.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register_views: bool = True
 ) -> dict[str, DataFrame]:

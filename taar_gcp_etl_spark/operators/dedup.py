@@ -1,0 +1,200 @@
+"""Deduplication operators (north-star surface, BASELINE.json):
+exact, MinHash+LSH banding, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+  - exact dedup is a single hash-aggregate shuffle on the content key (or a
+    digest of it — group on md5/sha2 of the text, not the text itself, so
+    the shuffle carries 32 bytes per row instead of the document);
+  - MinHash/LSH replaces the quadratic all-pairs comparison with an
+    equi-join on band keys: only documents sharing a band collide, so the
+    join fan-out is proportional to true near-duplicate density;
+  - SimHash gives a 64→16-bit locality-sensitive digest for Hamming-style
+    bucketing;
+  - all hashing is md5-based Column expressions: deterministic,
+    engine-portable (exact DuckDB twins), and codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.functions import tokens
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: canonical representative (min id) per distinct content +
+    duplicate count. Grouping on the md5 digest keeps the shuffle narrow;
+    the full text never leaves the scan projection."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def token_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a document (the MinHash/Jaccard unit)."""
+    toks = tokens(text_col)
+    # Guarded: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+    # empty array — documents shorter than n tokens must shingle to [].
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    md5('i:' || shingle). Lexicographic min over the hex digest is a valid
+    random-permutation proxy and is reproducible in any engine with md5.
+    Per-row map — no shuffle."""
+    if n_hashes > 4:
+        raise ValueError("n_hashes > 4 needs a second digest per shingle")
+    sh = token_shingles(text_col, shingle_n)
+    # One md5 per shingle, sliced into four 32-bit (8-hex-char) independent
+    # signatures — 4× fewer hash evaluations than hashing per-signature,
+    # which dominates the cost of this operator at corpus scale.
+    hashes = F.transform(sh, lambda s: F.md5(s))
+
+    def slice_min(i: int):
+        # NB: single-parameter lambda — a second parameter makes Spark's
+        # transform() pass the element INDEX into it.
+        return F.array_min(
+            F.transform(hashes, lambda h: F.substring(h, 1 + 8 * i, 8))
+        ).alias(f"sig{i}")
+
+    sigs = [slice_min(i) for i in range(n_hashes)]
+    return df.filter(F.size(tokens(text_col)) >= shingle_n).select(
+        id_col, sh.alias("shingles"), *sigs
+    )
+
+
+def lsh_near_dup_pairs(
+    signed: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding: one signature per band → band key; documents sharing any
+    band key become candidate pairs; candidates are verified with exact
+    shingle Jaccard. The band-key equi-join is the scale move — candidate
+    volume tracks duplicate density, not corpus size². Band groups are
+    skew-prone (a boilerplate shingle shared by millions of docs); AQE
+    skew-join splitting handles moderate skew, and pathological bands should
+    be capped upstream (drop bands whose bucket exceeds a bound)."""
+    # Band matching runs on NARROW rows (id, band) — the wide shingle arrays
+    # would otherwise ride through the self-join shuffle and the dedup. The
+    # candidate set is small by construction (tracks duplicate density), so
+    # the arrays are joined back per-candidate afterwards.
+    bands = signed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"sig{b}"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = signed.select(id_col, "shingles")
+    with_a = sh.join(
+        F.broadcast(cand), F.col(id_col) == F.col("doc_a")
+    ).select("doc_a", "doc_b", F.col("shingles").alias("sh_a"))
+    pairs = sh.join(with_a, F.col(id_col) == F.col("doc_b")).select(
+        "doc_a", "doc_b", "sh_a", F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard — the exact (quadratic) baseline the LSH
+    variant approximates. Only for bounded subsets (the caller filters);
+    at corpus scale use lsh_near_dup_pairs."""
+    sh = df.select(
+        F.col(id_col), token_shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    return a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash over distinct tokens: bit b of the digest is 1 iff the sum of
+    (+1 / −1) votes — token hash bit b — is positive. 16 bits from the first
+    4 hex chars of md5(token): compact, engine-portable, and enough buckets
+    for Hamming-distance candidate grouping at fixture scale (use 64 bits /
+    the full digest in production)."""
+    toks = F.array_distinct(tokens(text_col))
+
+    def h16(t):
+        return F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+
+    def vote(b: int):
+        # single-parameter lambda (see minhash_signatures note)
+        return lambda t: F.shiftright(h16(t), b).bitwiseAND(F.lit(1)) * 2 - 1
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(
+            F.transform(toks, vote(b)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    digest = bit_cols[0]
+    for c in bit_cols[1:]:
+        digest = digest + c
+    return df.select(F.col(id_col), digest.cast("long").alias("simhash"))

@@ -1,0 +1,123 @@
+"""Similarity-search operators (north-star surface, BASELINE.json):
+brute-force cosine top-k baseline + bucketed (LSH/IVF-style) ANN variant.
+
+Design for 100 TB:
+  - brute force is exact but O(queries × corpus): keep the query side small
+    and broadcast it, so the corpus never shuffles — each corpus partition
+    scores locally and only k rows per partition survive the top-k;
+  - the bucketed variant assigns every vector a coarse bucket key
+    (hyperplane sign pattern); neighbors are searched only inside the
+    query's bucket via an equi-join on the key — probe cost drops by the
+    bucket fan-out at some recall cost (standard IVF/LSH trade);
+  - dot products are `zip_with` + `aggregate` Column expressions (JVM,
+    codegen'd); for very wide vectors a Pandas-UDF BLAS path would win —
+    measured at 64 dims, the built-in expressions are faster than the
+    Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus, score
+    every pair, keep k per query. Ranking uses the ROUNDED score with an id
+    tie-break so results are deterministic and engine-portable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def sign_bucket(vec: Column, n_planes: int = 4) -> Column:
+    """Coarse LSH bucket: sign pattern of the first n dimensions (axis-
+    aligned hyperplanes — deterministic and engine-portable; random
+    hyperplanes would be drawn from a seeded generator in production)."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+) -> DataFrame:
+    """ANN via sign-bucket LSH: equi-join query and corpus on the bucket key,
+    then exact cosine top-k inside the bucket. The equi-join shuffles on the
+    bucket key instead of broadcasting the corpus — at 100 TB this is the
+    difference between scoring everything and scoring ~1/2^n_planes of it."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

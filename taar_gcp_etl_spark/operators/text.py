@@ -1,0 +1,104 @@
+"""Text-analysis operators (north-star surface, BASELINE.json).
+
+All pure Column expressions over the `documents` table — whole-stage
+codegen'd, no Python in the row path, embarrassingly parallel (no shuffle:
+these are per-row maps, so they scale linearly with input splits).
+
+The shared primitive is whitespace tokenization (functions.tokens). Hash
+choices are md5-based so every operator has an exact DuckDB-oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.functions import tokens
+
+# Small closed-class stopword sets used by the quality/lang-id heuristics.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+
+
+def _stop_ratio(toks: Column, stops: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return hits / F.size(toks)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + quality scoring: whitespace token count, a BPE-ish
+    subword count (runs of letters/digits/punctuation as separate units),
+    character count, average token length, stopword ratio, punctuation
+    ratio. One pass, one projection."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    # BPE-ish unit count: split on letter/digit/space boundaries so
+    # punctuation and digit runs count as their own units.
+    bpe_units = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.col(text_col)), r"([^a-z0-9\s]+|[0-9]+)", r" $1 "
+                ),
+                r"\s+",
+            ),
+            lambda t: t != "",
+        )
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        bpe_units.alias("n_units"),
+        F.length(text_col).alias("n_chars"),
+        F.round(F.length(text_col) / n_tokens, 6).alias("avg_token_len"),
+        F.round(_stop_ratio(toks, STOPWORDS_EN), 6).alias("stopword_ratio"),
+        F.round(
+            F.coalesce(
+                F.length(F.regexp_replace(text_col, r"[^.,!?;:]", ""))
+                / F.length(text_col),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword-set hit ratios per candidate language,
+    argmax with deterministic tie-break toward 'en', 'und' (undetermined)
+    when no set fires. N-gram/stopword scoring is the classic cheap lang-id;
+    per-row map, no shuffle."""
+    toks = tokens(text_col)
+    en = _stop_ratio(toks, STOPWORDS_EN)
+    de = _stop_ratio(toks, STOPWORDS_DE)
+    return df.select(
+        "doc_id",
+        F.round(en, 6).alias("score_en"),
+        F.round(de, 6).alias("score_de"),
+        F.when((en == 0) & (de == 0), "und")
+        .when(en >= de, "en")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Document fingerprint: min-hash over rolling k-gram token windows
+    (winnowing-style — the minimum md5 of all k-token shingles is a stable,
+    order-insensitive content fingerprint). Documents shorter than k tokens
+    fingerprint as NULL."""
+    toks = tokens(text_col)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            )
+        ),
+    )
+    return df.select(
+        "doc_id",
+        F.when(F.size(toks) >= k, F.array_min(shingle_hashes)).alias(
+            "fingerprint"
+        ),
+    )

@@ -30,7 +30,7 @@ from taar_gcp_etl_spark.operators.joins import (
 from taar_gcp_etl_spark.operators.serving import pack_serving_rows
 
 
-from taar_gcp_etl_spark.io import read_table
+from taar_gcp_etl_spark.io import ensure_parallelism, read_table
 
 # Session confs the engine's semantics depend on, applied defensively at
 # query entry because the driver calls these with ITS OWN SparkSession:
@@ -57,6 +57,12 @@ def _pin_session(spark: SparkSession) -> None:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _pin_session(spark)
     return read_table(spark, sf_dir, name)
+
+
+def _wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table feeding a CPU-bound per-row operator (hashing, vector math):
+    fan out to full parallelism if the local scan under-split the file."""
+    return ensure_parallelism(_t(spark, sf_dir, name))
 
 
 def _r2(c: Column) -> Column:
@@ -376,6 +382,92 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# North-star operators: text analysis / dedup / similarity (BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents."""
+    from taar_gcp_etl_spark.operators.text import text_stats
+
+    return text_stats(_wide(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic."""
+    from taar_gcp_etl_spark.operators.text import language_id
+
+    return language_id(_wide(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-gram min-hash document fingerprint."""
+    from taar_gcp_etl_spark.operators.text import fingerprint
+
+    return fingerprint(_wide(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-digest hash aggregate."""
+    from taar_gcp_etl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (4 hashes over 3-token shingles)."""
+    from taar_gcp_etl_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_wide(spark, sf_dir, "documents")).select(
+        "doc_id", "sig0", "sig1", "sig2", "sig3"
+    )
+
+
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.5."""
+    from taar_gcp_etl_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    signed = minhash_signatures(_wide(spark, sf_dir, "documents"))
+    return lsh_near_dup_pairs(signed, jaccard_threshold=0.5)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard on a bounded subset (doc_id < 64) —
+    the quadratic baseline the LSH variant approximates."""
+    from taar_gcp_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    return ngram_jaccard_pairs(docs)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash digest per document."""
+    from taar_gcp_etl_spark.operators.dedup import simhash
+
+    return simhash(_wide(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for a small query set (vec_id < 5)."""
+    from taar_gcp_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (sign-LSH) approximate nearest neighbors, top-2 per query
+    (vec_id < 20) within the query's bucket."""
+    from taar_gcp_etl_spark.operators.similarity import cosine_topk_bucketed
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -403,7 +495,51 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "approx_distinct": q_approx_distinct,
     "set_ops": q_set_ops,
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_near_dup": q_lsh_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "ann_bucketed": q_ann_bucketed,
 }
+
+# DuckDB building blocks shared by the text/dedup oracle SQL.
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_SHINGLES3 = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "list_transform(generate_series(1, len(t)-2), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [] END)"
+)
+_EN = "('the','a','of','and','to','in','is','it','for','on')"
+_DE = "('der','die','das','und','ist','ein','zu','mit')"
+
+_SIMHASH_TERMS = " + ".join(
+    "(CASE WHEN list_sum(list_transform(toks, t -> "
+    "CASE WHEN ((('0x' || substr(md5(t), 1, 4))::BIGINT >> {b}) & 1) = 1 "
+    "THEN 1 ELSE -1 END)) > 0 THEN {v} ELSE 0 END)".format(b=b, v=1 << b)
+    for b in range(16)
+)
+
+_COS = (
+    "ROUND(list_sum(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)), "
+    "i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 4)"
+)
+
+_BUCKET = (
+    "((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) + "
+    "(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) + "
+    "(CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + "
+    "(CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END))"
+)
 
 ORACLE_SQL: dict[str, str] = {
     "install_ranking": """
@@ -577,5 +713,137 @@ ORACLE_SQL: dict[str, str] = {
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
+    """,
+    "text_stats": f"""
+        WITH toked AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(
+                   string_split_regex(
+                       trim(regexp_replace(lower(text),
+                            '([^a-z0-9\\s]+|[0-9]+)', ' \\1 ', 'g')),
+                       '\\s+'),
+                   x -> x != '')) AS INTEGER) AS n_units,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               ROUND(length(text) / CAST(len(t) AS DOUBLE), 6)
+                   AS avg_token_len,
+               ROUND(len(list_filter(t, x -> x IN {_EN}))
+                     / CAST(len(t) AS DOUBLE), 6) AS stopword_ratio,
+               ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+        FROM toked
+    """,
+    "language_id": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   len(list_filter(t, x -> x IN {_EN}))
+                       / CAST(len(t) AS DOUBLE) AS en,
+                   len(list_filter(t, x -> x IN {_DE}))
+                       / CAST(len(t) AS DOUBLE) AS de
+            FROM toked
+        )
+        SELECT doc_id, ROUND(en, 6) AS score_en, ROUND(de, 6) AS score_de,
+               CASE WHEN en = 0 AND de = 0 THEN 'und'
+                    WHEN en >= de THEN 'en' ELSE 'de' END AS predicted_lang
+        FROM scored
+    """,
+    "fingerprint": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(t) >= 4 THEN
+                   list_min(list_transform(generate_series(1, len(t)-3),
+                       i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3])))
+               END AS fingerprint
+        FROM toked
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "minhash_signatures": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toked WHERE len(t) >= 3)
+        SELECT doc_id,
+               list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS sig0,
+               list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS sig1,
+               list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS sig2,
+               list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS sig3
+        FROM sh
+    """,
+    "lsh_near_dup": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toked WHERE len(t) >= 3),
+        sig AS (SELECT doc_id, s,
+                   list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS s0,
+                   list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS s1,
+                   list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS s2,
+                   list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS s3
+                FROM sh),
+        bands AS (SELECT doc_id, s,
+                     unnest(['0:' || s0, '1:' || s1,
+                             '2:' || s2, '3:' || s3]) AS band
+                  FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                     / (len(sa.s) + len(sb.s)
+                        - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+              >= 0.5
+    """,
+    "ngram_jaccard": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                       WHERE doc_id < 64),
+        sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toked),
+        nz AS (SELECT * FROM sh WHERE len(s) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    """,
+    "simhash": f"""
+        WITH toked AS (SELECT doc_id,
+                              list_distinct({_TOKS}) AS toks
+                       FROM documents)
+        SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+        FROM toked
+    """,
+    "cosine_topk": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS cos
+            FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+            JOIN embeddings c ON c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS INTEGER) AS rnk FROM scored
+        ) WHERE rnk <= 3
+    """,
+    "ann_bucketed": f"""
+        WITH withb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket
+                       FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS cos
+            FROM (SELECT * FROM withb WHERE vec_id < 20) q
+            JOIN withb c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS INTEGER) AS rnk FROM scored
+        ) WHERE rnk <= 2
     """,
 }
