@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from taar_gcp_etl_spark.functions import try_long
 
@@ -118,10 +119,55 @@ def webextension_any_predicate(current_version: str = "current_version") -> Colu
     )
 
 
-def marshal(df: DataFrame, schema) -> DataFrame:
-    """P12 — schema projection: keep only declared fields, recursively;
-    missing → null, unknown → dropped, scalars coerced
-    (reference: taar_etl/taar_amodump.py:255-291). `from_json` over the
-    declared StructType reproduces exactly this permissive-coercion contract.
+def _stringly(dtype: T.DataType) -> T.DataType:
+    """Structural twin of a schema with every scalar leaf as StringType —
+    lets from_json capture values verbatim so coercion is a separate,
+    SAFE_CAST-semantics pass (marshal's Python-constructor casts,
+    taar_etl/taar_amodump.py:290-291, null out instead of raising)."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _stringly(f.dataType)) for f in dtype.fields]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_stringly(dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return T.MapType(T.StringType(), _stringly(dtype.valueType))
+    return T.StringType()
+
+
+def _coerce(col: Column, dtype: T.DataType) -> Column:
+    """Recursive elementwise coercion (taar_etl/taar_amodump.py:278-291):
+    structs rebuild only declared fields, arrays/maps coerce elementwise,
+    scalars try_cast (NULL on failure)."""
+    if isinstance(dtype, T.StructType):
+        rebuilt = F.struct(
+            *[
+                _coerce(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        return F.when(col.isNull(), F.lit(None).cast(dtype)).otherwise(rebuilt)
+    if isinstance(dtype, T.ArrayType):
+        elem = dtype.elementType
+        return F.transform(col, lambda x: _coerce(x, elem))
+    if isinstance(dtype, T.MapType):
+        vt = dtype.valueType
+        return F.transform_values(col, lambda _k, v: _coerce(v, vt))
+    return col.try_cast(dtype)
+
+
+def marshal(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """P12 — schema projection + coercion, the reference's `marshal`
+    (taar_etl/taar_amodump.py:255-291): unknown keys dropped (only declared
+    fields parsed), missing keys null (Undefined sentinel), scalars
+    constructor-cast ("123" → 123) with SAFE_CAST nulling where the
+    reference's bare int()/float() would raise.
     Input: a DataFrame with a single JSON string column named `raw`."""
-    return df.select(F.from_json(F.col("raw"), schema).alias("rec")).select("rec.*")
+    raw = F.from_json(F.col("raw"), _stringly(schema)).alias("rec")
+    coerced = df.select(raw).select(
+        *[
+            _coerce(F.col(f"rec.{f.name}"), f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    return coerced

@@ -1,0 +1,41 @@
+"""Data-quality gate operators (SURVEY.md §2.3 A4/A5).
+
+The reference guards artifact emission with runtime assertions; the engine
+keeps them as explicit operators so pipelines fail loudly before writing.
+Gates use `limit(n+1).count()` / `isEmpty()` — bounded actions, never a full
+count of a 100 TB table just to check a threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class ShortWhitelistError(RuntimeError):
+    """A4 — distinct-count threshold gate tripped
+    (reference: taar_etl/taar_update_whitelist.py:22-24,70-73)."""
+
+
+class EmptyWhitelistError(RuntimeError):
+    """A5 — empty-result gate tripped (reference: taar_etl/taar_utils.py:95-96)."""
+
+
+def require_min_rows(
+    df: DataFrame, minimum: int, allow_short: bool = False
+) -> DataFrame:
+    """A4 — raise ShortWhitelistError if df has fewer than `minimum` rows
+    (taar_etl/taar_update_whitelist.py:70-73; --allow-shortlist escape hatch
+    at :84). Counts at most minimum rows — not the whole table."""
+    if not allow_short and df.limit(minimum).count() < minimum:
+        raise ShortWhitelistError(
+            f"quality gate: fewer than {minimum} rows"
+        )
+    return df
+
+
+def require_non_empty(df: DataFrame) -> DataFrame:
+    """A5 — raise EmptyWhitelistError on empty input
+    (taar_etl/taar_utils.py:95-96: 'Empty AMO whitelist detected')."""
+    if df.isEmpty():
+        raise EmptyWhitelistError("quality gate: empty result")
+    return df

@@ -1,0 +1,93 @@
+"""Streaming event-time pipelines.
+
+The reference is batch-only (daily Airflow tasks, README.md:137-140); the
+engine adds the streaming execution of the same windowed operators: identical
+`F.window`/`session_window` aggregations driven by `readStream`, with
+watermarks bounding state. A watermark of W means events later than W behind
+the max seen event-time are dropped — that is the late-data contract.
+
+Scale notes: streaming state lives in the state store keyed by
+(window, group); watermark eviction keeps it bounded. shuffle partitions
+size the state store parallelism — set before the first micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over event parquet/json drops (the local stand-in
+    for Kafka; swapping source = swapping this function)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of operators.windows.tumbling_window_agg — same
+    aggregation, plus a watermark so closed windows emit and their state is
+    evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows (inactivity gap) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+):
+    """Drive a streaming aggregation to completion against the current file
+    set (memory sink; processAllAvailable makes it synchronous — the local
+    smoke path, not a production sink)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

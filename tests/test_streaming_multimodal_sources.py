@@ -1,0 +1,153 @@
+"""Streaming equivalence, multimodal plumbing, and REST-source tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.io import read_table
+from taar_gcp_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    media_stats,
+)
+from taar_gcp_etl_spark.operators.windows import (
+    session_window_agg,
+    sessionize_gaps_and_islands,
+    tumbling_window_agg,
+)
+from taar_gcp_etl_spark.sources.rest import fetch_urls, fetch_with_retry
+from taar_gcp_etl_spark.streaming import jobs as stream_jobs
+from tests.conftest import SF_SMOKE
+
+
+class TestStreamingEquivalence:
+    def test_streaming_tumbling_equals_batch(self, spark, tmp_path):
+        """The streaming tumbling aggregation must produce exactly the batch
+        result once all data is processed (same operator, same semantics —
+        SURVEY.md §2.11 streaming posture)."""
+        # re-write events as a clean parquet dir (the fixture is TIMESTAMP_NANOS
+        # which the streaming file source cannot read)
+        events = read_table(spark, SF_SMOKE, "events")
+        src = str(tmp_path / "events_stream")
+        events.repartition(4).write.parquet(src)
+
+        stream = stream_jobs.read_event_stream(spark, src, max_files_per_trigger=2)
+        agg = stream_jobs.tumbling_counts(stream)
+        stream_jobs.run_to_memory(agg, "tumbling_out", output_mode="complete")
+        got = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+
+        batch = tumbling_window_agg(
+            events,
+            "ts",
+            "1 day",
+            ["event_type"],
+            [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        )
+        want = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in batch.collect()
+        }
+        assert got == want
+
+    def test_session_window_equals_gaps_and_islands(self, spark):
+        """session_window(ts, gap) must partition events identically to the
+        lag+cumsum islands construction (the oracle-checkable form)."""
+        events = read_table(spark, SF_SMOKE, "events")
+        sw = session_window_agg(
+            events, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")]
+        )
+        got = {
+            (r.user_id, r.session_start): r.n
+            for r in sw.select("user_id", "session_start", "n").collect()
+        }
+        gi = (
+            sessionize_gaps_and_islands(events, "user_id", "ts", 1800)
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"), F.count("*").alias("n"))
+        )
+        want = {(r.user_id, r.session_start): r.n for r in gi.collect()}
+        assert got == want
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            Row(
+                media_id=1,
+                kind="image",
+                content=bytes([10, 20, 30, 40]),
+                meta=Row(mime="image/png", width=2, height=2, duration_ms=None),
+            ),
+            Row(
+                media_id=2,
+                kind="video",
+                content=bytes(range(64)),
+                meta=Row(mime="video/mp4", width=16, height=9, duration_ms=3500),
+            ),
+            Row(media_id=3, kind="image", content=None, meta=None),
+        ]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_media_stats_column_only(self, media):
+        got = {r.media_id: r for r in media_stats(media).collect()}
+        assert got[1].n_bytes == 4
+        assert got[1].sha256 == hashlib.sha256(bytes([10, 20, 30, 40])).hexdigest()
+        assert got[3].n_bytes is None  # null content propagates
+
+    def test_extract_features_batch_shape(self, media):
+        got = {r.media_id: r for r in extract_features(media).collect()}
+        assert len(got[2].feat) == 8
+        assert got[1].feat[0] == pytest.approx(10 / 255)
+        assert got[3].feat is None  # null-content row survives as null
+        assert got[2].sha256 == hashlib.sha256(bytes(range(64))).hexdigest()
+
+    def test_frame_sample_fanout(self, media):
+        frames = frame_sample_plan(media, every_ms=1000).collect()
+        # 3500ms video sampled at 1000ms → ts 0,1000,2000,3000
+        assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+class TestRestSource:
+    def test_fetch_urls_offline(self, spark):
+        def fake(url):
+            if url.endswith("bad"):
+                raise OSError("boom")
+            return 200, f"body-of-{url}"
+
+        urls = spark.createDataFrame(
+            [("u/1",), ("u/2",), ("u/bad",)], ["url"]
+        )
+        got = {r.url: r for r in fetch_urls(urls, workers=2, fetcher=fake).collect()}
+        assert got["u/1"].body == "body-of-u/1" and got["u/1"].status == 200
+        assert got["u/bad"].status is None and "boom" in got["u/bad"].error
+
+    def test_retry_union_dedups(self, spark, tmp_path):
+        """SET2 — first pass fails flaky urls, retry pass succeeds; union
+        must contain each url exactly once."""
+        marker = str(tmp_path / "seen-flaky")
+
+        def flaky(url):
+            # closures are re-pickled per task, so in-memory state won't
+            # survive — a filesystem marker does (local mode, one machine)
+            import os
+
+            if url.endswith("flaky") and not os.path.exists(marker):
+                open(marker, "w").close()
+                raise OSError("transient")
+            return 200, f"ok-{url}"
+
+        urls = spark.createDataFrame(
+            [("u/a",), ("u/flaky",), ("u/b",)], ["url"]
+        )
+        out = fetch_with_retry(urls, workers=2, fetcher=flaky).collect()
+        assert sorted(r.url for r in out) == ["u/a", "u/b", "u/flaky"]
+        assert all(r.status == 200 for r in out)
