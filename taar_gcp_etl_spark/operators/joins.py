@@ -67,6 +67,66 @@ def range_join(
     return left.join(right, equi & range_cond)
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+) -> DataFrame:
+    """§2.11 — backward as-of join: for each left row, the value of the most
+    recent right row with right_ts <= left_ts on the same key (ties: the
+    right row at the exact timestamp matches).
+
+    Spark lacks a native as-of operator; the scalable rewrite is
+    union + last-value window: tag both sides, union on (key, ts), sort
+    within key with right rows first at equal ts, carry the last non-null
+    right value forward, keep left rows. ONE shuffle on the key — the same
+    cost as the sort-merge join an engine with native as-of would run — and
+    no per-group pandas (merge_asof) round-trip.
+    """
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        F.col(right_val).alias("_rv"),
+    )
+    lcols = [c for c in left.columns]
+    l = left.select(  # noqa: E741
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+    )
+    unioned = l.unionByName(
+        r.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c != key
+                else F.col(key)
+                for c in lcols
+            ],
+            "_ts",
+            "_is_right",
+            "_rv",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("_ts"), F.desc("_is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("_filled", F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_is_right") == 0)
+        .drop("_ts", "_is_right", "_rv")
+        .withColumnRenamed("_filled", right_val)
+    )
+
+
 def bucketed_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -79,3 +79,35 @@ def coinstall_pairs(
         .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
         .agg(F.count("*").alias("pair_count"))
     )
+
+
+def coinstall_rates(
+    df: DataFrame, group_col: str, item_col: str, round_to: int = 6
+) -> DataFrame:
+    """§2.10 — the actual guid_coinstallation.json contract: conditional
+    rates P(item_b | item_a) over ORDERED pairs (README.md:108-113 — 'rate
+    of other addons that are installed along side each addon').
+
+    rate(a→b) = groups containing both a and b / groups containing a.
+    The denominator table is small (one row per item) → broadcast join onto
+    the pair counts; no second shuffle of the pair table."""
+    memb = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    a, b = memb.alias("a"), memb.alias("b")
+    ordered_pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("pair_count"))
+    )
+    item_counts = memb.groupBy(F.col("item").alias("item_a")).agg(
+        F.count("*").alias("a_count")
+    )
+    return ordered_pairs.join(F.broadcast(item_counts), "item_a").select(
+        "item_a",
+        "item_b",
+        F.round(F.col("pair_count") / F.col("a_count"), round_to).alias("rate"),
+    )

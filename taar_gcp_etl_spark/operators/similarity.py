@@ -72,6 +72,30 @@ def cosine_topk_bruteforce(
     )
 
 
+def donor_clusters(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """§2.10 — the taar_similarity donors.json contract (README.md:96-100):
+    cluster profile feature vectors into donor groups. Spark ML KMeans
+    (seeded for reproducibility — cluster IDs are stable for a fixed seed
+    and input). Returns (id, cluster). Not SQL-expressible → rows-only
+    correctness check; tests assert determinism and cluster-count bounds."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feat)
+    return model.transform(feat).select(
+        id_col, F.col("prediction").alias("cluster")
+    )
+
+
 def sign_bucket(vec: Column, n_planes: int = 4) -> Column:
     """Coarse LSH bucket: sign pattern of the first n dimensions (axis-
     aligned hyperplanes — deterministic and engine-portable; random

@@ -381,6 +381,117 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both_of.unionByName(only_p)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — backward as-of join: for each purchase event, the event_id of
+    the user's most recent error at-or-before it (union + last-value window,
+    one shuffle; oracle = DuckDB's native ASOF JOIN)."""
+    from taar_gcp_etl_spark.operators.joins import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_event_id"))
+    )
+    return asof_join_backward(
+        left, right, "user_id", "ts", "ts", "error_event_id"
+    ).select("event_id", "user_id", "ts", "error_event_id")
+
+
+def q_coinstall_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — guid_coinstallation.json contract: P(item_b | item_a)."""
+    ev = _t(spark, sf_dir, "events")
+    return ranking.coinstall_rates(ev, "user_id", "event_type")
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — pivot: per-user column per event_type with summed value.
+    Explicit value list keeps the plan single-pass (no distinct-scan)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — unpivot/melt: customer balance metrics to long form."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("c_nation_d")).unpivot(
+        "c_custkey", ["c_acctbal", "c_nation_d"], "metric", "val"
+    )
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — sliding event-time windows (1 day width, 12 h slide): each
+    event lands in 2 windows."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.sliding_window_agg(
+        ev,
+        "ts",
+        "1 day",
+        "12 hours",
+        ["event_type"],
+        [F.count("*").alias("n")],
+    )
+    return out.select("window_start", "event_type", "n")
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — ranking/analytic window suite: rank, dense_rank, ntile,
+    first/last over a range frame, all in one window pass."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_quantity"), F.asc("l_linenumber")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(2).over(w).alias("half"),
+        F.first("l_quantity").over(w).alias("min_qty"),
+        _r2(
+            F.sum("l_extendedprice").over(
+                Window.partitionBy("l_orderkey").orderBy(F.asc("l_quantity"), F.asc("l_linenumber")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+        ).alias("order_total"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — scalar-function parity sampler: date reformat (F10), C-style
+    format (F13), regexp extraction (F12-adjacent), split + element_at
+    (F17), concat, json get (F14)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    path = F.concat("event_type", F.lit("/"), F.col("user_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd").alias("yyyymmdd"),
+        F.format_string("%s-%05d", "event_type", "user_id").alias("tagged"),
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_re"),
+        path.alias("path"),
+        F.element_at(F.split(path, "/"), 2).cast("long").alias("path_user"),
+    )
+
+
+def q_donor_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — taar_similarity donors contract: seeded KMeans clusters over
+    embeddings. Iterative ML — not SQL-expressible → rows-only check."""
+    from taar_gcp_etl_spark.operators.similarity import donor_clusters
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    return donor_clusters(emb, k=8)
+
+
 # ---------------------------------------------------------------------------
 # North-star operators: text analysis / dedup / similarity (BASELINE.json)
 # ---------------------------------------------------------------------------
@@ -495,6 +606,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles": q_percentiles,
     "approx_distinct": q_approx_distinct,
     "set_ops": q_set_ops,
+    "asof_join": q_asof_join,
+    "coinstall_rates": q_coinstall_rates,
+    "pivot": q_pivot,
+    "unpivot": q_unpivot,
+    "window_sliding": q_window_sliding,
+    "window_ranks": q_window_ranks,
+    "scalar_functions": q_scalar_functions,
+    "donor_clusters": q_donor_clusters,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
@@ -713,6 +832,88 @@ ORACLE_SQL: dict[str, str] = {
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
+    """,
+    "asof_join": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, max(event_id) AS error_event_id
+              FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, l.ts, r.error_event_id
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "coinstall_rates": """
+        WITH memb AS (SELECT DISTINCT user_id AS g, event_type AS item
+                      FROM events),
+        pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                         count(*) AS pair_count
+                  FROM memb a JOIN memb b
+                    ON a.g = b.g AND a.item != b.item
+                  GROUP BY a.item, b.item),
+        ic AS (SELECT item AS item_a, count(*) AS a_count
+               FROM memb GROUP BY item)
+        SELECT item_a, item_b,
+               ROUND(pair_count / CAST(a_count AS DOUBLE), 6) AS rate
+        FROM pairs JOIN ic USING (item_a)
+    """,
+    "pivot": """
+        SELECT user_id,
+               ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2)
+                   AS click,
+               ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 2)
+                   AS view,
+               ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2)
+                   AS purchase,
+               ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 2)
+                   AS signup,
+               ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 2)
+                   AS error
+        FROM events GROUP BY user_id
+    """,
+    "unpivot": """
+        SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_nation_d' AS metric,
+               CAST(c_nationkey AS DOUBLE) AS val
+        FROM customer
+    """,
+    "window_sliding": """
+        SELECT window_start, event_type, count(*) AS n FROM (
+            SELECT event_type,
+                   unnest([
+                       TIMESTAMP '1970-01-01 00:00:00'
+                           + to_seconds(CAST(FLOOR(epoch(ts)/43200)*43200
+                                             AS BIGINT)),
+                       TIMESTAMP '1970-01-01 00:00:00'
+                           + to_seconds(CAST(FLOOR(epoch(ts)/43200)*43200
+                                             - 43200 AS BIGINT))
+                   ]) AS window_start
+            FROM events
+        ) GROUP BY window_start, event_type
+    """,
+    "window_ranks": """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               CAST(ntile(2) OVER w AS INTEGER) AS half,
+               first_value(l_quantity) OVER w AS min_qty,
+               ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey), 2)
+                   AS order_total
+        FROM lineitem WHERE l_orderkey < 200
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_quantity ASC, l_linenumber ASC)
+    """,
+    "scalar_functions": """
+        SELECT event_id,
+               strftime(ts, '%Y%m%d') AS yyyymmdd,
+               printf('%s-%05d', event_type, user_id) AS tagged,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_re,
+               event_type || '/' || CAST(user_id AS VARCHAR) AS path,
+               CAST(string_split(
+                   event_type || '/' || CAST(user_id AS VARCHAR), '/'
+               )[2] AS BIGINT) AS path_user
+        FROM events WHERE event_id < 500
     """,
     "text_stats": f"""
         WITH toked AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)

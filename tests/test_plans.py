@@ -1,0 +1,86 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale properties the engine
+promises — pushdown, pruning, broadcast dimension joins, partial aggregation,
+no cartesian products — checked against the actual Catalyst output, so a
+regression that silently de-optimizes a plan fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from taar_gcp_etl_spark.plans import (
+    has_partial_aggregate,
+    has_pushed_filter,
+    join_strategies,
+    scan_read_schema,
+)
+from taar_gcp_etl_spark.queries import SPARK_QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2/P5-family predicates must reach the parquet reader."""
+    df = SPARK_QUERIES["filter_project"](spark, SF_SMOKE)
+    assert has_pushed_filter(df, "o_orderstatus")
+    assert has_pushed_filter(df, "o_totalprice")
+
+
+def test_projection_prunes_scan(spark):
+    """The orders scan must read only the referenced columns, not all six."""
+    df = SPARK_QUERIES["filter_project"](spark, SF_SMOKE)
+    cols = scan_read_schema(df)
+    assert "o_orderkey" in cols
+    assert "o_totalprice" in cols
+    assert "o_orderstatus" in cols  # needed by the filter
+    assert "o_orderdate" in cols
+    # pruned:
+    assert "o_comment" not in cols
+
+
+def test_dimension_join_is_broadcast(spark):
+    """J2 enrichment joins a dimension — must be BroadcastHashJoin, never a
+    shuffle of the fact side."""
+    df = SPARK_QUERIES["enrich_left_join"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies
+
+
+def test_anti_join_delete_is_broadcast(spark):
+    """J1 GDPR delete must broadcast the deletion set (map-side anti-join —
+    the 100 TB serving store never shuffles)."""
+    df = SPARK_QUERIES["anti_join_delete"](spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_aggregate_is_partial(spark):
+    """A1 grouped count must plan map-side partial aggregation — the shuffle
+    carries one row per (partition × key), not per input row."""
+    df = SPARK_QUERIES["install_ranking"](spark, SF_SMOKE)
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q1_partial_aggregate(spark):
+    df = SPARK_QUERIES["tpch_q1"](spark, SF_SMOKE)
+    assert has_partial_aggregate(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "install_ranking",
+        "tpch_q1",
+        "coinstall_pairs",
+        "lsh_near_dup",
+        "anti_join_delete",
+        "range_join",
+        "sessionize",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    """No query may degenerate to CartesianProduct/BroadcastNestedLoop —
+    the plans that die first at scale. (cosine_topk is deliberately exempt:
+    its query side is a bounded broadcast.)"""
+    df = SPARK_QUERIES[name](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
