@@ -26,8 +26,11 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="taar-spark-bench", cpus=cpus)
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged for startup.
+    # JVM/codegen/scan warmup so q1 isn't charged for startup: one trivial
+    # plan + one real parquet scan (initializes the vectorized reader and
+    # filesystem client).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():

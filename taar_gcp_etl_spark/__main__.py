@@ -1,0 +1,91 @@
+"""CLI dispatcher — job-name parity with the reference's
+`python -m taar_etl.<job>` entry points (Dockerfile:27, bin/run:4-6):
+
+    python -m taar_gcp_etl_spark guid_ranking --input events.parquet \\
+        --date 2024-01-15 --out /tmp/artifacts
+    python -m taar_gcp_etl_spark amowhitelist --catalog catalog.json \\
+        --out /tmp/artifacts
+    python -m taar_gcp_etl_spark profile_serving --clients clients.parquet \\
+        --date 2024-01-01 --serving /tmp/serving
+
+Inputs are parquet/JSON paths instead of BigQuery/GCS handles — the job
+semantics (SURVEY.md §3) are identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="taar_gcp_etl_spark")
+    sub = parser.add_subparsers(dest="job", required=True)
+
+    p = sub.add_parser("guid_ranking")
+    p.add_argument("--input", required=True)
+    p.add_argument("--date", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--top-k", type=int, default=None)
+
+    p = sub.add_parser("amowhitelist")
+    p.add_argument("--catalog", required=True, help="catalog parquet/json path")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("update_whitelist")
+    p.add_argument("--editorial", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--allow-shortlist", action="store_true")
+
+    p = sub.add_parser("profile_serving")
+    p.add_argument("--clients", required=True)
+    p.add_argument("--date", required=True)
+    p.add_argument("--serving", required=True)
+    p.add_argument("--sample-rate", type=float, default=1.0)
+
+    args = parser.parse_args(argv)
+
+    from taar_gcp_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"taar-{args.job}")
+    try:
+        if args.job == "guid_ranking":
+            from taar_gcp_etl_spark.jobs import guid_ranking
+
+            guid_ranking.run(
+                spark.read.parquet(args.input), args.date, args.out, k=args.top_k
+            )
+        elif args.job == "amowhitelist":
+            from taar_gcp_etl_spark.jobs import amowhitelist
+
+            reader = (
+                spark.read.parquet
+                if args.catalog.endswith(".parquet")
+                else spark.read.json
+            )
+            amowhitelist.run(reader(args.catalog), args.out)
+        elif args.job == "update_whitelist":
+            from taar_gcp_etl_spark.jobs import update_whitelist
+
+            update_whitelist.run(
+                spark.read.json(args.editorial),
+                args.out,
+                allow_shortlist=args.allow_shortlist,
+            )
+        elif args.job == "profile_serving":
+            from taar_gcp_etl_spark.jobs.profile_serving import (
+                build_profiles,
+                write_serving,
+            )
+
+            profiles = build_profiles(
+                spark.read.parquet(args.clients), args.date, args.sample_rate
+            )
+            write_serving(profiles, args.serving)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

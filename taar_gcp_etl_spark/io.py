@@ -160,16 +160,15 @@ def write_serving_table(df: DataFrame, path: str, key_col: str = "key") -> None:
 
 
 def avro_supported(spark: SparkSession) -> bool:
-    """spark-avro is an external module; probe once instead of failing mid-job."""
+    """spark-avro is an external module; probe once instead of failing
+    mid-job. A load of a nonexistent path distinguishes 'source missing'
+    (FAILED_TO_FIND_DATA_SOURCE) from 'source present, path absent'."""
     try:
-        spark.read.format("avro")
-        # Probing requires an actual load; do a cheap classloader check.
-        spark._jvm.Class.forName(  # type: ignore[union-attr]
-            "org.apache.spark.sql.avro.AvroFileFormat"
-        )
+        spark.read.format("avro").load("/nonexistent/__avro_probe__")
         return True
-    except Exception:
-        return False
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc)
+        return "Failed to find data source" not in msg
 
 
 def write_avro(df: DataFrame, path: str) -> None:

@@ -492,6 +492,103 @@ def q_donor_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return donor_clusters(emb, k=8)
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — explicit GROUPING SETS through the SQL API (S5 posture: the
+    engine's SQL surface is the same Catalyst plan as the DataFrame API)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — full outer join: per-customer open vs finished order counts;
+    either side may be missing."""
+    o = _t(spark, sf_dir, "orders")
+
+    def per_status(status: str, alias: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    return (
+        per_status("P", "n_pending")
+        .join(per_status("F", "n_finished"), "o_custkey", "full")
+        .select(
+            "o_custkey",
+            F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
+            F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+        )
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star dedup family — embedding-cosine near-duplicate pairs:
+    sign-bucket LSH candidates (equi-join, no all-pairs) verified with exact
+    cosine ≥ threshold. Same shape as MinHash-LSH but in vector space."""
+    from taar_gcp_etl_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        sign_bucket,
+    )
+
+    emb = _wide(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.45)
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text pipeline — C4-style quality gate: per-document keep
+    decision from cheap heuristics (length, token stats, stopword density).
+    The row-level filter a 100 TB pretraining corpus runs before anything
+    expensive; all Column expressions, no shuffle."""
+    from taar_gcp_etl_spark.functions import tokens
+
+    docs = _wide(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    avg_len = F.length("text") / n_tokens
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to"))
+    ) / n_tokens
+    keep = (
+        (n_tokens >= 20)
+        & (avg_len >= 3.0)
+        & (avg_len <= 12.0)
+        & (stop_ratio >= 0.01)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        keep.alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star operators: text analysis / dedup / similarity (BASELINE.json)
 # ---------------------------------------------------------------------------
@@ -614,6 +711,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_ranks": q_window_ranks,
     "scalar_functions": q_scalar_functions,
     "donor_clusters": q_donor_clusters,
+    "grouping_sets": q_grouping_sets,
+    "full_outer_join": q_full_outer_join,
+    "embedding_near_dup": q_embedding_near_dup,
+    "quality_filter": q_quality_filter,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
@@ -832,6 +933,46 @@ ORACLE_SQL: dict[str, str] = {
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "full_outer_join": """
+        WITH p AS (SELECT o_custkey, count(*) AS n_pending FROM orders
+                   WHERE o_orderstatus = 'P' GROUP BY o_custkey),
+        f AS (SELECT o_custkey, count(*) AS n_finished FROM orders
+              WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        SELECT o_custkey,
+               COALESCE(n_pending, 0) AS n_pending,
+               COALESCE(n_finished, 0) AS n_finished
+        FROM p FULL OUTER JOIN f USING (o_custkey)
+    """,
+    "embedding_near_dup": f"""
+        WITH e AS (SELECT vec_id, embedding, {_BUCKET} AS bucket
+                   FROM embeddings)
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_COS} AS cos
+        FROM e q JOIN e c
+          ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+        WHERE {_COS} >= 0.45
+    """,
+    "quality_filter": f"""
+        WITH toked AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(len(t) AS INTEGER) AS n_tokens,
+                     length(text) / CAST(len(t) AS DOUBLE) AS avg_len,
+                     len(list_filter(t,
+                         x -> x IN ('the','a','of','and','to')))
+                         / CAST(len(t) AS DOUBLE) AS stop_ratio
+              FROM toked)
+        SELECT doc_id, n_tokens,
+               ROUND(avg_len, 6) AS avg_token_len,
+               ROUND(stop_ratio, 6) AS stop_ratio,
+               (n_tokens >= 20 AND avg_len >= 3.0 AND avg_len <= 12.0
+                AND stop_ratio >= 0.01) AS keep
+        FROM m
     """,
     "asof_join": """
         WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -19,7 +19,11 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="taar-spark-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    s = get_spark(
+        app_name="taar-spark-tests",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"),
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/taar-spark-warehouse"},
+    )
     yield s
 
 
