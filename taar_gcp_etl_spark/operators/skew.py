@@ -1,0 +1,67 @@
+"""Skew-mitigation operators (SURVEY.md §4; 100 TB posture).
+
+AQE's skew-join splitting handles moderate skew automatically; these are the
+explicit tools for pathological keys (one key = 30% of a 100 TB table):
+
+  - salted_grouped_agg: two-phase aggregation through a salted key. Works
+    for any algebraic aggregate (sum/count/min/max) — phase 1 aggregates
+    (key, salt), phase 2 merges partials per key. The hot key's rows spread
+    over `salt_buckets` reducers instead of one.
+  - salted_join: replicate the SMALL side per salt bucket, salt the big
+    side's hot keys — every reducer gets 1/salt_buckets of the hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
+    """Uniform pseudo-random salt derived from a seeded rand — deterministic
+    per run seed, uniform across rows."""
+    return df.withColumn(
+        col_name, (F.rand(seed=42) * buckets).cast("int")
+    )
+
+
+def salted_grouped_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted sum/count: groupBy(key, salt) partial → groupBy(key)
+    merge. Identical result to a direct groupBy, but the first (heavy)
+    shuffle distributes each key over `buckets` reducers."""
+    partial = (
+        with_salt(df, buckets)
+        .groupBy(key, "_salt")
+        .agg(
+            F.sum(agg_col).alias("_psum"),
+            F.count("*").alias("_pcnt"),
+        )
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").alias(f"sum_{agg_col}"),
+        F.sum("_pcnt").alias("n_rows"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skewed equi-join: salt the big side, replicate the small side once
+    per salt bucket (explode), join on (key, salt). The small side grows
+    ×buckets — use only when it is genuinely small and a broadcast join is
+    not possible (e.g., the small side exceeds the broadcast threshold but
+    the big side's key distribution is pathological)."""
+    big_s = with_salt(big, buckets)
+    small_r = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))),
+    )
+    return big_s.join(small_r, [key, "_salt"]).drop("_salt")

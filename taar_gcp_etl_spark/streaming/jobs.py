@@ -76,6 +76,54 @@ def session_counts(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    totals that persist across micro-batches (the arbitrary-state escape
+    hatch for operators windowed aggregation can't express — e.g. lifetime
+    counters, per-key ML state, cross-batch sessionization with side
+    outputs).
+
+    State = (n_events, sum_value) per user_id; each batch emits the updated
+    running totals for the users it touched. State lives in the state store
+    keyed by user — bounded by the user universe, evicted here only by
+    timeout policy (none: lifetime counters)."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ):

@@ -1,0 +1,115 @@
+"""Scale-feature tests: salting correctness, bucketed co-located joins
+(shuffle elimination visible in the plan), approx-aggregate tolerances."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.io import read_table
+from taar_gcp_etl_spark.operators.skew import salted_grouped_agg, salted_join
+from taar_gcp_etl_spark.plans import formatted_plan
+from tests.conftest import SF_SMOKE
+
+
+class TestSalting:
+    def test_salted_agg_equals_direct(self, spark):
+        """Salted two-phase aggregation must be value-identical to the
+        direct groupBy (longs — exact)."""
+        ev = read_table(spark, SF_SMOKE, "events").withColumn(
+            "v", F.col("event_id") % 97
+        )
+        direct = {
+            r.event_type: (r.s, r.n)
+            for r in ev.groupBy("event_type")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        }
+        salted = {
+            r.event_type: (r.sum_v, r.n_rows)
+            for r in salted_grouped_agg(ev, "event_type", "v").collect()
+        }
+        assert salted == direct
+
+    def test_salted_join_equals_plain(self, spark):
+        ev = read_table(spark, SF_SMOKE, "events")
+        dim = spark.createDataFrame(
+            [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+            ["event_type", "type_id"],
+        )
+        plain = sorted(
+            (r.event_id, r.type_id)
+            for r in ev.join(dim, "event_type").select("event_id", "type_id").collect()
+        )
+        salted = sorted(
+            (r.event_id, r.type_id)
+            for r in salted_join(ev, dim, "event_type", buckets=4)
+            .select("event_id", "type_id")
+            .collect()
+        )
+        assert salted == plain
+
+
+class TestBucketing:
+    def test_bucketed_join_eliminates_shuffle(self, spark, tmp_path):
+        """Two tables bucketed on the join key must sort-merge join with NO
+        Exchange on either side — the co-located join that saves the
+        dominant shuffle of a 100 TB fact-fact join."""
+        orders = read_table(spark, SF_SMOKE, "orders")
+        lineitem = read_table(spark, SF_SMOKE, "lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_orders")
+        )
+        (
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("b_lineitem")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"), "o_orderkey"
+            )
+            plan = formatted_plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join must not shuffle"
+            # sanity: result is right
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestApproxAggregates:
+    def test_approx_count_distinct_within_rsd(self, spark):
+        ev = read_table(spark, SF_SMOKE, "events")
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        approx = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.01).alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(1, 0.05 * n)
+
+    def test_percentile_approx_close_to_exact(self, spark):
+        ev = read_table(spark, SF_SMOKE, "events")
+        row = ev.agg(
+            F.percentile_approx("value", 0.5, 10000).alias("ap"),
+            F.percentile("value", 0.5).alias("ex"),
+        ).collect()[0]
+        assert row.ap == pytest.approx(row.ex, rel=0.05)

@@ -57,6 +57,47 @@ class TestStreamingEquivalence:
         }
         assert got == want
 
+    def test_stateful_running_totals(self, spark, tmp_path):
+        """applyInPandasWithState — state persists across micro-batches: the
+        final running totals must equal the batch groupBy, with each user's
+        state accumulated over multiple file-triggered batches."""
+        events = read_table(spark, SF_SMOKE, "events")
+        src = str(tmp_path / "events_state")
+        events.repartition(4).write.parquet(src)
+
+        stream = stream_jobs.read_event_stream(spark, src, max_files_per_trigger=1)
+        totals = stream_jobs.running_user_totals(stream)
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("state_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # update mode emits one row per touched user per batch — the LAST
+        # emission per user is the lifetime total
+        final = spark.sql(
+            """
+            SELECT user_id, n_events, sum_value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC
+                ) rn FROM state_out
+            ) WHERE rn = 1
+            """
+        )
+        got = {r.user_id: (r.n_events, r.sum_value) for r in final.collect()}
+        want = {
+            r.user_id: (r.n, r.s)
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("s"),
+            )
+            .collect()
+        }
+        assert got == want
+
     def test_session_window_equals_gaps_and_islands(self, spark):
         """session_window(ts, gap) must partition events identically to the
         lag+cumsum islands construction (the oracle-checkable form)."""
