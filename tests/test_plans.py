@@ -64,6 +64,32 @@ def test_tpch_q1_partial_aggregate(spark):
     assert has_partial_aggregate(df)
 
 
+def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
+    """P2 at scale: on a date-partitioned table the submission-date predicate
+    must become a PartitionFilter (non-matching directories never opened) —
+    the reference's BigQuery date-partition pruning, reproduced on parquet
+    (taar_etl/taar_lite_guid_ranking.py:25)."""
+    from pyspark.sql import functions as F
+
+    from taar_gcp_etl_spark.io import read_table
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    ev = read_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    ev.write.partitionBy("event_date").parquet(path)
+
+    df = spark.read.parquet(path).filter(
+        F.col("event_date") == "2024-01-15"
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "2024-01-15" in plan or "event_date" in plan
+    # the scan must report only the matching partition's files
+    assert df.count() > 0
+
+
 @pytest.mark.parametrize(
     "name",
     [

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): the composed Spark operators must
+agree with straightforward single-node Python reference implementations on
+randomized inputs — catching edge cases fixed fixtures miss (empty groups,
+ties, all-null sides)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.operators.joins import asof_join_backward
+from taar_gcp_etl_spark.operators.windows import sessionize_gaps_and_islands
+
+TS0 = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 10_000),  # seconds offset
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=events_strategy, right=events_strategy)
+def test_asof_join_matches_reference(spark, left, right):
+    """asof_join_backward == per-row 'max right ts <= left ts' lookup."""
+    lrows = [
+        (i, k, TS0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    # dedup right per (key, ts) as the operator contract requires
+    rmap = {}
+    for i, (k, s) in enumerate(right):
+        rmap[(k, s)] = max(rmap.get((k, s), -1), i + 1000)
+    rrows = [
+        (k, TS0 + dt.timedelta(seconds=s), v) for (k, s), v in rmap.items()
+    ]
+    ldf = spark.createDataFrame(lrows, ["lid", "k", "ts"]) if lrows else None
+    if ldf is None:
+        return
+    rdf = spark.createDataFrame(rrows, ["k", "rts", "rv"]) if rrows else (
+        spark.createDataFrame([], "k int, rts timestamp, rv long")
+    )
+    got = {
+        r.lid: r.rv
+        for r in asof_join_backward(ldf, rdf, "k", "ts", "rts", "rv").collect()
+    }
+    for lid, k, ts in lrows:
+        cands = [v for (rk, rts, v) in rrows if rk == k and rts <= ts]
+        best = max(
+            (v for (rk, rts, v) in rrows if rk == k and rts <= ts),
+            key=lambda v: max(
+                rts for (rk, rts, vv) in rrows if rk == k and vv == v
+            ),
+            default=None,
+        )
+        # reference: value of the LATEST right row at-or-before ts
+        latest_ts = max(
+            (rts for (rk, rts, v) in rrows if rk == k and rts <= ts),
+            default=None,
+        )
+        want = None
+        if latest_ts is not None:
+            want = next(
+                v
+                for (rk, rts, v) in rrows
+                if rk == k and rts == latest_ts
+            )
+        assert got[lid] == want, (lid, k, ts, got[lid], want, cands, best)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=events_strategy)
+def test_sessionize_matches_reference(spark, events):
+    """gaps-and-islands sessionization == linear scan reference."""
+    rows = [
+        (i, k, TS0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(events)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["eid", "k", "ts"])
+    out = sessionize_gaps_and_islands(df, "k", "ts", gap_seconds=600)
+    got = {
+        (r.k, r.session_id): r.n
+        for r in out.groupBy("k", "session_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # reference: sort per key, break when gap > 600
+    want: dict[tuple[int, int], int] = {}
+    bykey: dict[int, list[dt.datetime]] = {}
+    for _, k, ts in rows:
+        bykey.setdefault(k, []).append(ts)
+    for k, tss in bykey.items():
+        tss.sort()
+        sid = 0
+        prev = None
+        for ts in tss:
+            if prev is not None and (ts - prev).total_seconds() > 600:
+                sid += 1
+            want[(k, sid)] = want.get((k, sid), 0) + 1
+            prev = ts
+    assert got == want

@@ -118,6 +118,27 @@ class TestStreamingEquivalence:
         assert got == want
 
 
+class TestForeachBatchSink:
+    def test_stream_to_serving_table(self, spark, tmp_path):
+        """foreachBatch serving sink: after the stream drains, the store
+        holds one packed row per source event, key-prefix partitioned."""
+        events = read_table(spark, SF_SMOKE, "events")
+        src = str(tmp_path / "ev_src")
+        events.repartition(3).write.parquet(src)
+        serving = str(tmp_path / "serving")
+        q = stream_jobs.stream_to_serving_table(
+            stream_jobs.read_event_stream(spark, src, max_files_per_trigger=1),
+            serving,
+            str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        store = spark.read.parquet(serving)
+        assert store.count() == events.count()
+        assert set(store.columns) == {"key", "payload", "key_prefix"}
+        assert store.select("key").distinct().count() == events.count()
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):
