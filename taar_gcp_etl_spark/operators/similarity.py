@@ -90,10 +90,16 @@ def donor_clusters(
     feat = df.select(
         F.col(id_col), array_to_vector(_as_double(F.col(vec_col))).alias("features")
     )
-    model = KMeans(k=k, seed=seed, maxIter=20).fit(feat)
-    return model.transform(feat).select(
-        id_col, F.col("prediction").alias("cluster")
-    )
+    # KMeans re-scans the features every iteration — cache the vectorized
+    # relation or each pass re-reads parquet + re-converts arrays.
+    feat = feat.cache()
+    try:
+        model = KMeans(k=k, seed=seed, maxIter=20, tol=1e-4).fit(feat)
+        return model.transform(feat).select(
+            id_col, F.col("prediction").alias("cluster")
+        )
+    finally:
+        feat.unpersist(blocking=False)
 
 
 def sign_bucket(vec: Column, n_planes: int = 4) -> Column:

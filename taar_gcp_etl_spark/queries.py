@@ -492,6 +492,66 @@ def q_donor_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return donor_clusters(emb, k=8)
 
 
+def q_count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — exact distinct counts per group + ordered string aggregation
+    (deterministic collect: sort before concat — collect_list order is not
+    defined across partitions)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.collect_set(F.col("user_id") % 10)),
+        ).alias("user_digits"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — statistical aggregates: stddev/variance (sample), correlation
+    and covariance between price and quantity per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        _r6(F.var_samp("l_discount")).alias("var_disc"),
+        _r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        _r6(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — max_by/arg-max: per event_type, the user with the highest
+    summed value (deterministic: ties broken toward the smaller user_id via
+    a packed struct ordering)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    # max_by with an explicit tiebreak: order by (total, -user_id)
+    return per_user.groupBy("event_type").agg(
+        F.max_by(
+            "user_id", F.struct(F.col("total"), -F.col("user_id"))
+        ).alias("top_user"),
+        F.max("total").alias("top_total"),
+    )
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7/F7-F10 — calendar decomposition + month truncation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — explicit GROUPING SETS through the SQL API (S5 posture: the
     engine's SQL surface is the same Catalyst plan as the DataFrame API)."""
@@ -711,6 +771,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_ranks": q_window_ranks,
     "scalar_functions": q_scalar_functions,
     "donor_clusters": q_donor_clusters,
+    "count_distinct_agg": q_count_distinct_agg,
+    "stats_agg": q_stats_agg,
+    "arg_max": q_arg_max,
+    "date_parts": q_date_parts,
     "grouping_sets": q_grouping_sets,
     "full_outer_join": q_full_outer_join,
     "embedding_near_dup": q_embedding_near_dup,
@@ -933,6 +997,44 @@ ORACLE_SQL: dict[str, str] = {
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
+    """,
+    "count_distinct_agg": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events,
+               string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ','
+                          ORDER BY CAST(user_id % 10 AS VARCHAR)) AS user_digits
+        FROM events GROUP BY event_type
+    """,
+    "stats_agg": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(var_samp(l_discount), 6) AS var_disc,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 6)
+                   AS cov_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "arg_max": """
+        WITH per_user AS (
+            SELECT event_type, user_id, ROUND(SUM(value), 2) AS total
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id AS top_user, total AS top_total FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY total DESC, user_id ASC
+            ) AS rn FROM per_user
+        ) WHERE rn = 1
+    """,
+    "date_parts": """
+        SELECT event_id,
+               CAST(year(ts) AS INTEGER) AS y,
+               CAST(month(ts) AS INTEGER) AS mo,
+               CAST(day(ts) AS INTEGER) AS d,
+               CAST(hour(ts) AS INTEGER) AS h,
+               CAST(minute(ts) AS INTEGER) AS mi,
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start
+        FROM events WHERE event_id < 300
     """,
     "grouping_sets": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
