@@ -102,6 +102,67 @@ def donor_clusters(
         feat.unpersist(blocking=False)
 
 
+def likelihood_curves(
+    clustered: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bins: int = 20,
+) -> DataFrame:
+    """§2.10 — the taar_similarity lr_curves.json contract (README.md:96-100):
+    score distributions for same-donor-cluster vs cross-cluster pairs, the
+    numerator/denominator curves of the likelihood ratio.
+
+    Plan: join cluster assignments onto vectors, self-join WITHIN cluster
+    for the same-cluster curve (equi-join on cluster id — never all-pairs;
+    quadratic only in cluster size, so at corpus scale sample each cluster
+    first), and a deterministic adjacent-pair sample of cross-cluster pairs
+    for the denominator; bucket the cosine scores into `n_bins` histogram
+    bins. The cross-pair ordering uses a global window — fine at donor-set
+    scale (the reference's donor set is a sample), replace with a
+    per-cluster representative join beyond that. Output:
+    (bin, same_cluster, n)."""
+    v = vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    ).join(clustered, id_col)
+    a, b = v.alias("a"), v.alias("b")
+    same = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.lit(True).alias("same_cluster"),
+        )
+    )
+    # cross-cluster denominator: pair i with i+1 in a cluster-interleaved
+    # ordering — a cheap deterministic sample, not all pairs
+    w = Window.orderBy(F.col("cluster"), F.col(id_col))
+    seq = v.withColumn("_rn", F.row_number().over(w))
+    s1, s2 = seq.alias("s1"), seq.alias("s2")
+    cross = (
+        s1.join(s2, F.col("s2._rn") == F.col("s1._rn") + 1)
+        .filter(F.col("s1.cluster") != F.col("s2.cluster"))
+        .select(
+            F.round(cosine(F.col("s1.v"), F.col("s2.v")), 6).alias("cos"),
+            F.lit(False).alias("same_cluster"),
+        )
+    )
+    pairs = same.unionByName(cross)
+    binned = pairs.withColumn(
+        "bin",
+        F.least(
+            F.floor((F.col("cos") + 1.0) / 2.0 * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    return binned.groupBy("bin", "same_cluster").agg(
+        F.count("*").alias("n")
+    )
+
+
 def sign_bucket(vec: Column, n_planes: int = 4) -> Column:
     """Coarse LSH bucket: sign pattern of the first n dimensions (axis-
     aligned hyperplanes — deterministic and engine-portable; random

@@ -552,6 +552,20 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_donor_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — lr_curves.json contract: same-cluster vs cross-cluster
+    similarity histograms over the donor clustering. Iterative-ML upstream
+    → rows-only check (determinism asserted in tests)."""
+    from taar_gcp_etl_spark.operators.similarity import (
+        donor_clusters,
+        likelihood_curves,
+    )
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    clustered = donor_clusters(emb, k=8)
+    return likelihood_curves(clustered, emb)
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — explicit GROUPING SETS through the SQL API (S5 posture: the
     engine's SQL surface is the same Catalyst plan as the DataFrame API)."""
@@ -771,6 +785,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_ranks": q_window_ranks,
     "scalar_functions": q_scalar_functions,
     "donor_clusters": q_donor_clusters,
+    "donor_curves": q_donor_curves,
     "count_distinct_agg": q_count_distinct_agg,
     "stats_agg": q_stats_agg,
     "arg_max": q_arg_max,

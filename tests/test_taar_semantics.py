@@ -259,6 +259,45 @@ class TestGatesAndArtifacts:
         got = [r.guid for r in out.collect()]
         assert len(got) == 120 and got == sorted(got)
 
+    def test_corrupt_json_tolerance(self, spark):
+        """P10 bad-record tolerance: corrupt JSON rows null out (PERMISSIVE
+        marshal), they never kill the pipeline
+        (taar_etl/taar_amodump.py:206-208 skip-and-log)."""
+        raw = spark.createDataFrame(
+            [
+                ('{"guid": "ok@x"}',),
+                ("{not json at all",),
+                ('{"guid": 42}',),  # wrong type → coerced to string
+                ("",),
+            ],
+            ["raw"],
+        )
+        out = marshal(raw, AMO_ADDON).collect()
+        assert len(out) == 4  # every row survives
+        got = [r.guid for r in out]
+        assert "ok@x" in got and "42" in got
+        assert got.count(None) == 2  # the two corrupt rows
+
+    def test_donor_curves_deterministic(self, spark):
+        from taar_gcp_etl_spark.io import read_table
+        from taar_gcp_etl_spark.operators.similarity import (
+            donor_clusters,
+            likelihood_curves,
+        )
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        clustered = donor_clusters(emb, k=4)
+        a = sorted(
+            (r.bin, r.same_cluster, r.n)
+            for r in likelihood_curves(clustered, emb).collect()
+        )
+        b = sorted(
+            (r.bin, r.same_cluster, r.n)
+            for r in likelihood_curves(clustered, emb).collect()
+        )
+        assert a == b and len(a) > 0
+        assert any(s for _, s, _ in a) and any(not s for _, s, _ in a)
+
     def test_amodump_job(self, spark, tmp_path):
         raw = spark.createDataFrame(
             [
