@@ -31,6 +31,9 @@ def main() -> None:
     # filesystem client).
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from taar_gcp_etl_spark.io import read_table
+
+    read_table(spark, sf_dir, "events").count()
 
     timings: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():

@@ -127,6 +127,54 @@ def asof_join_backward(
     )
 
 
+def asof_join_cogroup_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_val: str,
+) -> DataFrame:
+    """As-of join via cogrouped applyInPandas (pd.merge_asof per key group)
+    — the Pandas-UDF escape-hatch formulation of asof_join_backward, kept as
+    the reference point for when semantics outgrow the union+window trick
+    (nearest-direction, tolerance windows, multi-column asof).
+
+    Same single shuffle on the key, plus the Arrow transfer cost — measured
+    slower than the native rewrite at fixture scale; prefer
+    asof_join_backward unless merge_asof-only semantics are needed."""
+    import pandas as pd
+
+    out_fields = left.schema.fields + [right.schema[right_val]]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    )
+    lcols = list(left.columns)
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=lcols + [right_val])
+        ldf = ldf.sort_values(left_ts)
+        if rdf.empty:
+            ldf[right_val] = None
+            return ldf
+        rdf = rdf.sort_values(right_ts).drop(columns=[key])
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        )
+        return merged[lcols + [right_val]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
 def bucketed_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -483,13 +483,27 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# donor_clusters and donor_curves share the (expensive, iterative) KMeans
+# fit; memoize the cached assignments per (session, sf_dir) so the second
+# query reuses them instead of re-fitting. Deterministic (seeded), so
+# correctness is unaffected by query order.
+_CLUSTER_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taar_gcp_etl_spark.operators.similarity import donor_clusters
+
+    key = (id(spark), sf_dir)
+    if key not in _CLUSTER_MEMO:
+        emb = _wide(spark, sf_dir, "embeddings")
+        _CLUSTER_MEMO[key] = donor_clusters(emb, k=8).cache()
+    return _CLUSTER_MEMO[key]
+
+
 def q_donor_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — taar_similarity donors contract: seeded KMeans clusters over
     embeddings. Iterative ML — not SQL-expressible → rows-only check."""
-    from taar_gcp_etl_spark.operators.similarity import donor_clusters
-
-    emb = _wide(spark, sf_dir, "embeddings")
-    return donor_clusters(emb, k=8)
+    return _clusters(spark, sf_dir)
 
 
 def q_count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,14 +570,10 @@ def q_donor_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — lr_curves.json contract: same-cluster vs cross-cluster
     similarity histograms over the donor clustering. Iterative-ML upstream
     → rows-only check (determinism asserted in tests)."""
-    from taar_gcp_etl_spark.operators.similarity import (
-        donor_clusters,
-        likelihood_curves,
-    )
+    from taar_gcp_etl_spark.operators.similarity import likelihood_curves
 
     emb = _wide(spark, sf_dir, "embeddings")
-    clustered = donor_clusters(emb, k=8)
-    return likelihood_curves(clustered, emb)
+    return likelihood_curves(_clusters(spark, sf_dir), emb)
 
 
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

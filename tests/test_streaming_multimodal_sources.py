@@ -118,6 +118,94 @@ class TestStreamingEquivalence:
         assert got == want
 
 
+class TestLateData:
+    def test_watermark_drops_late_events_in_append_mode(self, spark, tmp_path):
+        """Late-data contract: with a 30-min watermark in append mode, a
+        window only emits once the watermark passes its end, and an event
+        arriving after that is DROPPED (never re-emits the closed window).
+        Batch boundaries are controlled explicitly: file 1 advances the
+        watermark far past the early window, file 2 delivers a very late
+        event into that window."""
+        import datetime as dt
+
+        src = tmp_path / "late_src"
+        src.mkdir()
+        schema = stream_jobs.EVENTS_SCHEMA
+
+        def write_file(name, rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        t0 = dt.datetime(2024, 1, 1, 0, 5)
+        tlate = dt.datetime(2024, 1, 1, 12, 0)
+        # batch 1: events in the 00:00 window + one at 12:00 that pushes the
+        # watermark to 11:30, far past the 00:00-01:00 window's end
+        write_file("b1", [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, t0, 2, "click", 1.0, "{}"),
+            (3, tlate, 3, "click", 1.0, "{}"),
+        ])
+        stream = stream_jobs.read_event_stream(spark, str(src), 999)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_out")
+            .start()
+        )
+        q.processAllAvailable()
+        # batch 2: a very late event back in the (closed) 00:00 window
+        write_file("b2", [(4, t0, 9, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # batch 3: advance watermark again so anything pending could flush
+        write_file("b3", [(5, tlate + dt.timedelta(hours=2), 9, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        q.stop()
+        out = {r.ws: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+        # the 00:00 window emitted with the ON-TIME count only — the late
+        # event never bumped it to 3
+        assert out[dt.datetime(2024, 1, 1, 0, 0)] == 2
+
+
+class TestCogroupAsof:
+    def test_cogroup_asof_equals_native(self, spark):
+        """The pandas merge_asof formulation must agree with the native
+        union+window as-of join on real data."""
+        from taar_gcp_etl_spark.operators.joins import (
+            asof_join_backward,
+            asof_join_cogroup_pandas,
+        )
+
+        ev = read_table(spark, SF_SMOKE, "events")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("err_id"))
+        )
+        native = {
+            r.event_id: r.err_id
+            for r in asof_join_backward(
+                left, right, "user_id", "ts", "ts", "err_id"
+            ).collect()
+        }
+        pandas_ver = {
+            r.event_id: r.err_id
+            for r in asof_join_cogroup_pandas(
+                left, right, "user_id", "ts", "ts", "err_id"
+            ).collect()
+        }
+        assert pandas_ver == native and len(native) > 0
+
+
 class TestForeachBatchSink:
     def test_stream_to_serving_table(self, spark, tmp_path):
         """foreachBatch serving sink: after the stream drains, the store
