@@ -153,6 +153,11 @@ def write_serving_table(df: DataFrame, path: str, key_col: str = "key") -> None:
     (
         df.withColumn("key_prefix", F.substring(F.col(key_col), 1, 2))
         .repartition("key_prefix")
+        # sort must LEAD with the partition column: the file writer requires
+        # task data ordered by partition cols and re-sorts (non-stably,
+        # destroying any other order) unless the existing ordering already
+        # satisfies that — (key_prefix, key) does, (key) alone does not
+        .sortWithinPartitions("key_prefix", key_col)
         .write.mode("overwrite")
         .partitionBy("key_prefix")
         .parquet(path)
