@@ -576,6 +576,28 @@ def q_donor_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return likelihood_curves(_clusters(spark, sf_dir), emb)
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — MERGE/upsert semantics (last-write-wins, the S9 KV-upsert
+    rewrite): a deterministic update batch (every 3rd customer gets a
+    balance bump and a segment change) merged into the customer store."""
+    from taar_gcp_etl_spark.operators.merge import upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    return upsert(cust, updates, "c_custkey").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — explicit GROUPING SETS through the SQL API (S5 posture: the
     engine's SQL surface is the same Catalyst plan as the DataFrame API)."""
@@ -800,6 +822,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_agg": q_stats_agg,
     "arg_max": q_arg_max,
     "date_parts": q_date_parts,
+    "upsert": q_upsert,
     "grouping_sets": q_grouping_sets,
     "full_outer_join": q_full_outer_join,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1060,6 +1083,22 @@ ORACLE_SQL: dict[str, str] = {
                CAST(minute(ts) AS INTEGER) AS mi,
                CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start
         FROM events WHERE event_id < 300
+    """,
+    "upsert": """
+        WITH updates AS (
+            SELECT c_custkey, c_name,
+                   ROUND(c_acctbal + 100.0, 2) AS c_acctbal,
+                   'UPDATED' AS c_mktsegment
+            FROM customer WHERE c_custkey % 3 = 0
+        )
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal,
+               c_mktsegment
+        FROM (
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+            UNION ALL
+            SELECT * FROM updates
+        )
     """,
     "grouping_sets": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,

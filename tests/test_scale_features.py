@@ -88,6 +88,46 @@ class TestBucketing:
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+class TestMergeScd2:
+    def test_scd2_versioning(self, spark):
+        import datetime as dt
+
+        from taar_gcp_etl_spark.operators.merge import scd2_apply
+
+        t1 = dt.datetime(2024, 1, 1)
+        t2 = dt.datetime(2024, 6, 1)
+        dim = spark.createDataFrame(
+            [
+                ("c1", "BUILDING", t1, None, True),
+                ("c2", "AUTO", t1, None, True),
+                ("c3", "OLD", t1, t1, False),  # historical row carries over
+                ("c3", "FURNITURE", t1, None, True),
+            ],
+            "k string, segment string, valid_from timestamp, "
+            "valid_to timestamp, is_current boolean",
+        )
+        updates = spark.createDataFrame(
+            [
+                ("c1", t2, "MACHINERY"),  # changed → close + new version
+                ("c2", t2, "AUTO"),  # unchanged → no-op
+                ("c9", t2, "NEW"),  # brand-new key → insert
+            ],
+            "k string, eff timestamp, segment string",
+        )
+        out = scd2_apply(dim, updates, "k", "eff", ["segment"])
+        rows = {
+            (r.k, r.segment): (r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()
+        }
+        assert rows[("c1", "BUILDING")] == (t1, t2, False)  # closed
+        assert rows[("c1", "MACHINERY")] == (t2, None, True)  # new version
+        assert rows[("c2", "AUTO")] == (t1, None, True)  # untouched
+        assert rows[("c3", "OLD")] == (t1, t1, False)  # history preserved
+        assert rows[("c3", "FURNITURE")] == (t1, None, True)
+        assert rows[("c9", "NEW")] == (t2, None, True)  # insert
+        assert len(rows) == 6
+
+
 class TestApproxAggregates:
     def test_approx_count_distinct_within_rsd(self, spark):
         ev = read_table(spark, SF_SMOKE, "events")
