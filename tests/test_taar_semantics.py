@@ -298,6 +298,29 @@ class TestGatesAndArtifacts:
         assert a == b and len(a) > 0
         assert any(s for _, s, _ in a) and any(not s for _, s, _ in a)
 
+    def test_locale_top_job(self, spark, tmp_path):
+        """§2.10 top10_dict.json: {locale: [ordered top-k guids]}."""
+        from taar_gcp_etl_spark.jobs import locale_top
+
+        rows = []
+        for loc, addons in (
+            ("en-US", ["a1"] * 5 + ["a2"] * 3 + ["a3"] * 1),
+            ("de", ["a2"] * 4 + ["a9"] * 2),
+        ):
+            for i, a in enumerate(addons):
+                rows.append((loc, a, f"c{loc}{a}{i}"))
+        clients = spark.createDataFrame(
+            rows, ["locale", "addon_id", "client_id"]
+        )
+        out = locale_top.run(
+            clients, str(tmp_path), k=2, date=dt.date(2026, 8, 13)
+        )
+        got = {r.locale: r.top_addons for r in out.collect()}
+        assert got == {"en-US": ["a1", "a2"], "de": ["a2", "a9"]}
+        p = tmp_path / "latest" / "top10_dict.json.bz2"
+        obj = json.loads(bz2.decompress(p.read_bytes()))
+        assert obj == {"en-US": ["a1", "a2"], "de": ["a2", "a9"]}
+
     def test_amodump_job(self, spark, tmp_path):
         raw = spark.createDataFrame(
             [
