@@ -43,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--serving", required=True)
     p.add_argument("--sample-rate", type=float, default=1.0)
 
+    p = sub.add_parser("locale_top")
+    p.add_argument("--clients", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--top-k", type=int, default=10)
+
     args = parser.parse_args(argv)
 
     from taar_gcp_etl_spark.session import get_spark
@@ -82,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.clients), args.date, args.sample_rate
             )
             write_serving(profiles, args.serving)
+        elif args.job == "locale_top":
+            from taar_gcp_etl_spark.jobs import locale_top
+
+            locale_top.run(
+                spark.read.parquet(args.clients), args.out, k=args.top_k
+            )
     finally:
         spark.stop()
     return 0

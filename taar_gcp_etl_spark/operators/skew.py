@@ -13,7 +13,7 @@ explicit tools for pathological keys (one key = 30% of a 100 TB table):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

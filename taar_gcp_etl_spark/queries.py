@@ -778,6 +778,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_wide(spark, sf_dir, "documents"))
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star fingerprinting — winnowing sketch: (doc_id, hash) rows in
+    inverted-index shape; cross-doc matches become an equi-join."""
+    from taar_gcp_etl_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_wide(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-digest hash aggregate."""
     from taar_gcp_etl_spark.operators.dedup import exact_dedup
@@ -889,6 +897,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
+    "winnow": q_winnow,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_near_dup": q_lsh_near_dup,
@@ -1351,6 +1360,24 @@ ORACLE_SQL: dict[str, str] = {
                                 || ' ' || t[i+3])))
                END AS fingerprint
         FROM toked
+    """,
+    "winnow": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        h AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 4 THEN
+                     list_transform(generate_series(1, len(t)-3),
+                         i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  || ' ' || t[i+3]))
+                 ELSE [] END AS hs
+              FROM toked),
+        m AS (SELECT doc_id,
+                 CASE WHEN len(hs) >= 5 THEN
+                     list_transform(generate_series(1, len(hs)-4),
+                         i -> list_min(hs[i:i+4]))
+                 WHEN len(hs) > 0 THEN [list_min(hs)]
+                 ELSE [] END AS mins
+              FROM h)
+        SELECT doc_id, unnest(list_distinct(mins)) AS winnow_hash FROM m
     """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,

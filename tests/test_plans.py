@@ -64,6 +64,18 @@ def test_tpch_q1_partial_aggregate(spark):
     assert has_partial_aggregate(df)
 
 
+def test_tpch_q5_dimension_chain_broadcasts(spark):
+    """The 5-way snowflake must broadcast every dimension: exactly one
+    sort-merge/shuffled join (orders⋈lineitem) may shuffle."""
+    df = SPARK_QUERIES["tpch_q5"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 4
+    assert strategies.count("SortMergeJoin") + strategies.count(
+        "ShuffledHashJoin"
+    ) <= 1
+    assert "CartesianProduct" not in strategies
+
+
 def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
     """P2 at scale: on a date-partitioned table the submission-date predicate
     must become a PartitionFilter (non-matching directories never opened) —
