@@ -633,6 +633,22 @@ def q_donor_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return likelihood_curves(_clusters(spark, sf_dir), emb)
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — fixed-width histogram per group (floor binning): the
+    aggregation shape behind distribution dashboards; one partial-agg
+    shuffle regardless of bin count."""
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / 50).cast("int")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            _r2(F.min("value")).alias("lo"),
+            _r2(F.max("value")).alias("hi"),
+        )
+    )
+
+
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — MERGE/upsert semantics (last-write-wins, the S9 KV-upsert
     rewrite): a deterministic update batch (every 3rd customer gets a
@@ -889,6 +905,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_agg": q_stats_agg,
     "arg_max": q_arg_max,
     "date_parts": q_date_parts,
+    "histogram": q_histogram,
     "upsert": q_upsert,
     "grouping_sets": q_grouping_sets,
     "full_outer_join": q_full_outer_join,
@@ -1178,6 +1195,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(minute(ts) AS INTEGER) AS mi,
                CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start
         FROM events WHERE event_id < 300
+    """,
+    "histogram": """
+        SELECT event_type,
+               CAST(FLOOR(value / 50) AS INTEGER) AS bin,
+               count(*) AS n,
+               ROUND(MIN(value), 2) AS lo,
+               ROUND(MAX(value), 2) AS hi
+        FROM events
+        GROUP BY event_type, CAST(FLOOR(value / 50) AS INTEGER)
     """,
     "upsert": """
         WITH updates AS (

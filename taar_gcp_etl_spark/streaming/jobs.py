@@ -124,6 +124,91 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_with_close_events(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Stateful sessionizer with SIDE OUTPUTS: per-user session state carried
+    across micro-batches; when a batch shows a gap larger than `gap_seconds`
+    (or extends a session), the operator emits CLOSED-session records —
+    the streaming twin of gaps-and-islands that windowed aggregation can't
+    express (it needs to emit the previous session the moment a new one
+    starts, regardless of watermark).
+
+    State = (session_start_epoch, last_ts_epoch, n_events) per user. Events
+    within a batch are sorted locally; sessions closed within or across
+    batches are emitted with status='closed'; the still-open tail session is
+    emitted each batch with status='open' (downstream dedups on latest).
+
+    Arrival contract: batches must be event-time ordered ACROSS batches per
+    key (within-batch disorder is fine — each batch sorts locally). That is
+    the standard log/Kafka-per-key ordering; arbitrarily late events need a
+    watermark-buffered variant (buffer in state until watermark, then fold),
+    which trades latency for disorder tolerance."""
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import datetime as dt
+
+        import pandas as pd
+
+        def to_us(ts):
+            return int(ts.value // 1000)  # pandas Timestamp ns → µs
+
+        def to_ts(us):
+            return dt.datetime.utcfromtimestamp(us / 1_000_000)
+
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(pdf["ts"])
+        for ts in sorted(ts_list):
+            us = to_us(ts)
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last > gap_us:
+                closed.append((key[0], to_ts(start), to_ts(last), n, "closed"))
+                start, last, n = us, us, 1
+            else:
+                last, n = us, n + 1
+        state.update((start, last, n))
+        rows = closed + (
+            [(key[0], to_ts(start), to_ts(last), n, "open")]
+            if start is not None
+            else []
+        )
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_start", "session_end", "n_events", "status"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stream_to_serving_table(
     events: DataFrame, serving_path: str, checkpoint: str
 ):

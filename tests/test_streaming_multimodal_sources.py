@@ -98,6 +98,50 @@ class TestStreamingEquivalence:
         }
         assert got == want
 
+    def test_stateful_sessionizer_with_close_events(self, spark, tmp_path):
+        """Side-output sessionizer: closed+open sessions across micro-batches
+        must reconstruct exactly the batch gaps-and-islands sessions."""
+        events = read_table(spark, SF_SMOKE, "events")
+        src = tmp_path / "sess_src"
+        src.mkdir()
+        stream = stream_jobs.read_event_stream(spark, str(src), 999)
+        out = stream_jobs.sessionize_with_close_events(stream, 1800)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sess_out")
+            .start()
+        )
+        # deliver in event-time-ordered batches (the operator's arrival
+        # contract): one week per micro-batch
+        for wk in range(5):
+            lo, hi = f"2024-01-{1+wk*7:02d}", f"2024-01-{min(1+(wk+1)*7, 31):02d}"
+            batch = events.filter(
+                (F.col("ts") >= lo) & (F.col("ts") < hi)
+            )
+            batch.coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+        q.stop()
+        # reconstruct: all closed sessions + the final 'open' emission per
+        # user (the open session re-emits each batch; keep the last state =
+        # max n_events per (user, session_start))
+        final = spark.sql(
+            """
+            SELECT user_id, session_start, max(n_events) AS n
+            FROM sess_out GROUP BY user_id, session_start
+            """
+        )
+        got = {
+            (r.user_id, r.session_start): r.n for r in final.collect()
+        }
+        batch = (
+            sessionize_gaps_and_islands(events, "user_id", "ts", 1800)
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"), F.count("*").alias("n"))
+        )
+        want = {(r.user_id, r.session_start): r.n for r in batch.collect()}
+        assert got == want
+
     def test_session_window_equals_gaps_and_islands(self, spark):
         """session_window(ts, gap) must partition events identically to the
         lag+cumsum islands construction (the oracle-checkable form)."""
