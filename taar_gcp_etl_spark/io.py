@@ -59,14 +59,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Fan a DataFrame out to the session's full parallelism when the scan
-    produced fewer partitions (small local files arrive as one split, which
+    produced fewer splits (small local files arrive as one split, which
     serializes CPU-heavy per-row operators like hashing onto one core).
     At cluster scale input splits >> cores and this is a no-op — the
     repartition only fires when the scan under-splits.
+
+    Split estimate = input file count from the read relation — cheap plan
+    metadata, unlike df.rdd.getNumPartitions() which builds the whole RDD
+    plan on every call. Files larger than maxPartitionBytes produce MORE
+    splits than files, so this under-counts only in the direction that adds
+    a harmless repartition of an already-parallel scan — and only when the
+    file count is below core count, i.e. small inputs where the extra
+    exchange is noise.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file-backed plan: leave as-is
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -172,8 +184,23 @@ def avro_supported(spark: SparkSession) -> bool:
         spark.read.format("avro").load("/nonexistent/__avro_probe__")
         return True
     except Exception as exc:  # noqa: BLE001
+        # Spark 3 raises 'Failed to find data source'; Spark 4 raises error
+        # class DATA_SOURCE_NOT_FOUND ('Failed to find the data source').
+        error_class = None
+        for attr in ("getCondition", "getErrorClass"):
+            try:
+                error_class = getattr(exc, attr)()
+                break
+            except Exception:  # noqa: BLE001
+                continue
+        if error_class is not None and "DATA_SOURCE_NOT_FOUND" in str(error_class):
+            return False
         msg = str(exc)
-        return "Failed to find data source" not in msg
+        return (
+            "Failed to find data source" not in msg
+            and "DATA_SOURCE_NOT_FOUND" not in msg
+            and "Failed to find the data source" not in msg
+        )
 
 
 def write_avro(df: DataFrame, path: str) -> None:

@@ -137,10 +137,12 @@ def lsh_near_dup_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # Threshold on the UNROUNDED ratio (rounding only the projected output):
+    # a pair at 0.4999996 must fail here exactly as it does in the oracle.
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        pairs.withColumn("_j", inter / union)
+        .filter(F.col("_j") >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
     )
 
 

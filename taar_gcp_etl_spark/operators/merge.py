@@ -12,8 +12,29 @@ partition overwrite).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _one_row_per_key(
+    updates: DataFrame, keys: list[str], order_by: Column | None
+) -> DataFrame:
+    """Collapse an update batch to exactly one row per key so the merge's
+    last-write-wins contract holds even when a batch carries several versions
+    of the same key. Winner = greatest `order_by` (e.g. an effective/ingest
+    timestamp); without one, the greatest non-key-column struct — arbitrary
+    but deterministic. Window shuffles only the update batch (small side)."""
+    if order_by is None:
+        non_key = [c for c in updates.columns if c not in keys]
+        if not non_key:
+            return updates.dropDuplicates(keys)
+        order_by = F.struct(*[F.col(c) for c in non_key])
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_by))
+    return (
+        updates.withColumn("_merge_rn", F.row_number().over(w))
+        .filter(F.col("_merge_rn") == 1)
+        .drop("_merge_rn")
+    )
 
 
 def upsert(
@@ -21,12 +42,17 @@ def upsert(
     updates: DataFrame,
     key: str | list[str],
     broadcast_updates: bool = True,
+    order_by: Column | None = None,
 ) -> DataFrame:
     """Last-write-wins merge (the S9 BigTable upsert semantic,
     taar_etl/taar_profile_bigtable.py:295-329: one version kept, newest
     wins): updated rows replace stored rows with the same key, new keys
-    insert, untouched rows carry over."""
+    insert, untouched rows carry over. Update batches containing several
+    rows per key are pre-collapsed to the winner (greatest `order_by`, or a
+    deterministic tiebreak when none is given) so exactly one version
+    survives."""
     keys = [key] if isinstance(key, str) else key
+    updates = _one_row_per_key(updates, keys, order_by)
     right = updates.select(*keys)
     if broadcast_updates:
         right = F.broadcast(right)
@@ -55,7 +81,13 @@ def scd2_apply(
 
     One broadcast join against the update batch + a union — no window over
     the dimension, so the rewrite cost is O(store) scan, not O(store log
-    store)."""
+    store). Update batches with several rows per key are pre-collapsed to the
+    latest effective row (window over the small update side only), otherwise
+    the left join would fan each dimension row out per matching update and
+    emit multiple 'current' versions."""
+    updates = _one_row_per_key(
+        updates, [key], F.struct(F.col(effective_col), *[F.col(c) for c in tracked_cols])
+    )
     upd = F.broadcast(
         updates.select(
             F.col(key),

@@ -541,17 +541,23 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # donor_clusters and donor_curves share the (expensive, iterative) KMeans
-# fit; memoize the cached assignments per (session, sf_dir) so the second
-# query reuses them instead of re-fitting. Deterministic (seeded), so
-# correctness is unaffected by query order.
-_CLUSTER_MEMO: dict[tuple[int, str], DataFrame] = {}
+# fit; memoize the cached assignments per (application, sf_dir) so the second
+# query reuses them instead of re-fitting. Keyed by applicationId (not
+# id(session) — a GC'd session's id can be reused by a live one) and evicted
+# whenever the application changes, so stale DataFrames bound to a stopped
+# session are never returned and the memo doesn't grow for the process
+# lifetime. Deterministic (seeded), so correctness is unaffected by order.
+_CLUSTER_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taar_gcp_etl_spark.operators.similarity import donor_clusters
 
-    key = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _CLUSTER_MEMO:
+        for stale in [k for k in _CLUSTER_MEMO if k[0] != app_id]:
+            del _CLUSTER_MEMO[stale]
         emb = _wide(spark, sf_dir, "embeddings")
         _CLUSTER_MEMO[key] = donor_clusters(emb, k=8).cache()
     return _CLUSTER_MEMO[key]

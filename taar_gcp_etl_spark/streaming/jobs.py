@@ -209,27 +209,43 @@ def sessionize_with_close_events(
     )
 
 
+def write_serving_epoch(
+    batch_df: DataFrame, epoch_id: int, serving_path: str
+) -> None:
+    """Idempotent per-epoch serving write: the batch lands under its own
+    epoch_id partition with DYNAMIC partition overwrite, so a micro-batch
+    replayed after a failure between write and checkpoint commit overwrites
+    exactly its previous output instead of appending duplicates. Only the
+    partitions present in the batch are replaced — other epochs' data is
+    untouched."""
+    from taar_gcp_etl_spark.operators.serving import pack_serving_rows
+
+    packed = pack_serving_rows(batch_df, "event_id", ["user_id", "event_type"])
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        packed.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .withColumn("key_prefix", F.substring("key", 1, 2))
+        .write.mode("overwrite")
+        .partitionBy("epoch_id", "key_prefix")
+        .parquet(serving_path)
+    )
+
+
 def stream_to_serving_table(
     events: DataFrame, serving_path: str, checkpoint: str
 ):
     """Streaming serving-table maintenance via foreachBatch: each micro-batch
-    is packed (sha256 key + JSON payload) and appended to the key-prefix-
-    partitioned store. foreachBatch + checkpointing gives exactly-once batch
-    boundaries (a replayed batch overwrites the same epoch's output); the
-    batch body reuses the SAME pack/write operators as the batch job —
-    streaming is an execution mode here, not a second implementation."""
-    from taar_gcp_etl_spark.operators.serving import pack_serving_rows
+    is packed (sha256 key + JSON payload) and written to the store partitioned
+    by (epoch_id, key_prefix). foreachBatch alone is at-least-once; the
+    per-epoch dynamic partition overwrite (write_serving_epoch) makes the
+    write idempotent, which together with checkpointing yields effective
+    exactly-once output. The batch body reuses the SAME pack/write operators
+    as the batch job — streaming is an execution mode here, not a second
+    implementation."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        packed = pack_serving_rows(batch_df, "event_id", ["user_id", "event_type"])
-        from pyspark.sql import functions as FF
-
-        (
-            packed.withColumn("key_prefix", FF.substring("key", 1, 2))
-            .write.mode("append")
-            .partitionBy("key_prefix")
-            .parquet(serving_path)
-        )
+        write_serving_epoch(batch_df, epoch_id, serving_path)
 
     return (
         events.writeStream.foreachBatch(write_batch)

@@ -127,6 +127,50 @@ class TestMergeScd2:
         assert rows[("c9", "NEW")] == (t2, None, True)  # insert
         assert len(rows) == 6
 
+    def test_upsert_duplicate_update_keys_last_write_wins(self, spark):
+        from taar_gcp_etl_spark.operators.merge import upsert
+
+        store = spark.createDataFrame(
+            [("k1", 1, 100), ("k2", 1, 200)], "k string, v int, ts int"
+        )
+        updates = spark.createDataFrame(
+            [("k1", 2, 300), ("k1", 3, 400), ("k3", 9, 350)],
+            "k string, v int, ts int",
+        )
+        out = upsert(store, updates, "k", order_by=F.col("ts"))
+        rows = {r.k: r.v for r in out.collect()}
+        assert rows == {"k1": 3, "k2": 1, "k3": 9}  # one version per key
+        assert out.count() == 3
+        # no order_by: still exactly one row per key, deterministically
+        out2 = upsert(store, updates, "k")
+        assert out2.count() == 3
+        assert out2.filter(F.col("k") == "k1").count() == 1
+
+    def test_scd2_duplicate_update_keys_single_current(self, spark):
+        import datetime as dt
+
+        from taar_gcp_etl_spark.operators.merge import scd2_apply
+
+        t1, t2, t3 = (
+            dt.datetime(2024, 1, 1),
+            dt.datetime(2024, 6, 1),
+            dt.datetime(2024, 9, 1),
+        )
+        dim = spark.createDataFrame(
+            [("c1", "BUILDING", t1, None, True)],
+            "k string, segment string, valid_from timestamp, "
+            "valid_to timestamp, is_current boolean",
+        )
+        updates = spark.createDataFrame(
+            [("c1", t2, "MACHINERY"), ("c1", t3, "AUTO")],
+            "k string, eff timestamp, segment string",
+        )
+        out = scd2_apply(dim, updates, "k", "eff", ["segment"]).collect()
+        current = [r for r in out if r.is_current]
+        assert len(out) == 2  # closed original + ONE new version, no fan-out
+        assert len(current) == 1
+        assert (current[0].segment, current[0].valid_from) == ("AUTO", t3)
+
 
 class TestApproxAggregates:
     def test_approx_count_distinct_within_rsd(self, spark):

@@ -267,8 +267,19 @@ class TestForeachBatchSink:
         q.stop()
         store = spark.read.parquet(serving)
         assert store.count() == events.count()
-        assert set(store.columns) == {"key", "payload", "key_prefix"}
+        assert set(store.columns) == {"key", "payload", "key_prefix", "epoch_id"}
         assert store.select("key").distinct().count() == events.count()
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """A replayed micro-batch (same epoch_id) overwrites its own epoch
+        partition instead of appending — the failure-between-write-and-
+        checkpoint-commit case."""
+        events = read_table(spark, SF_SMOKE, "events").limit(50)
+        serving = str(tmp_path / "serving_replay")
+        stream_jobs.write_serving_epoch(events, 7, serving)
+        first = spark.read.parquet(serving).count()
+        stream_jobs.write_serving_epoch(events, 7, serving)  # replay
+        assert spark.read.parquet(serving).count() == first == 50
 
 
 class TestMultimodal:
