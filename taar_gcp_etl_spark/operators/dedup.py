@@ -86,19 +86,43 @@ def minhash_signatures(
     )
 
 
+def drop_hot_bands(
+    bands: DataFrame, band_col: str = "band", max_band_size: int | None = 1000
+) -> DataFrame:
+    """Cap pathological LSH buckets before a band self-join: a boilerplate
+    band shared by b documents contributes b² candidate pairs — one viral
+    header at corpus scale is a quadratic blowup AQE can split but not
+    shrink. Bands over `max_band_size` are dropped entirely (standard
+    LSH-dedup practice: a bucket that hot is boilerplate, not near-dup
+    signal — its members still pair through their other, discriminative
+    bands). Cost: one extra aggregate on the narrow (id, band) rows; the
+    hot-band list is tiny by construction → broadcast anti-join."""
+    if max_band_size is None:
+        return bands
+    hot = (
+        bands.groupBy(band_col)
+        .count()
+        .filter(F.col("count") > max_band_size)
+        .select(band_col)
+    )
+    return bands.join(F.broadcast(hot), band_col, "left_anti")
+
+
 def lsh_near_dup_pairs(
     signed: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 4,
     jaccard_threshold: float = 0.5,
+    max_band_size: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: one signature per band → band key; documents sharing any
     band key become candidate pairs; candidates are verified with exact
     shingle Jaccard. The band-key equi-join is the scale move — candidate
     volume tracks duplicate density, not corpus size². Band groups are
-    skew-prone (a boilerplate shingle shared by millions of docs); AQE
-    skew-join splitting handles moderate skew, and pathological bands should
-    be capped upstream (drop bands whose bucket exceeds a bound)."""
+    skew-prone (a boilerplate shingle shared by millions of docs): AQE
+    skew-join splitting handles moderate skew, and bands larger than
+    `max_band_size` are dropped before the self-join (drop_hot_bands), which
+    bounds the worst band's contribution at max_band_size² candidates."""
     # Band matching runs on NARROW rows (id, band) — the wide shingle arrays
     # would otherwise ride through the self-join shuffle and the dedup. The
     # candidate set is small by construction (tracks duplicate density), so
@@ -114,6 +138,7 @@ def lsh_near_dup_pairs(
             )
         ).alias("band"),
     )
+    bands = drop_hot_bands(bands, "band", max_band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

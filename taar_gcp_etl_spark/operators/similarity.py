@@ -116,12 +116,13 @@ def likelihood_curves(
     Plan: join cluster assignments onto vectors, self-join WITHIN cluster
     for the same-cluster curve (equi-join on cluster id — never all-pairs;
     quadratic only in cluster size, so at corpus scale sample each cluster
-    first), and a deterministic adjacent-pair sample of cross-cluster pairs
-    for the denominator; bucket the cosine scores into `n_bins` histogram
-    bins. The cross-pair ordering uses a global window — fine at donor-set
-    scale (the reference's donor set is a sample), replace with a
-    per-cluster representative join beyond that. Output:
-    (bin, same_cluster, n)."""
+    first), and a deterministic cross-cluster sample for the denominator:
+    rank vectors WITHIN each cluster (partitioned window — every window in
+    this module is partitioned; a global orderBy would funnel all donors
+    through one task) and equi-join rank r of cluster c with rank r of
+    cluster c+1. Sample size = Σ min(|c|,|c+1|) over adjacent cluster pairs,
+    fully parallel on the (cluster, rank) key. Output: (bin, same_cluster,
+    n)."""
     v = vectors.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
     ).join(clustered, id_col)
@@ -137,14 +138,18 @@ def likelihood_curves(
             F.lit(True).alias("same_cluster"),
         )
     )
-    # cross-cluster denominator: pair i with i+1 in a cluster-interleaved
-    # ordering — a cheap deterministic sample, not all pairs
-    w = Window.orderBy(F.col("cluster"), F.col(id_col))
+    # cross-cluster denominator: rank-r of cluster c pairs with rank-r of
+    # cluster c+1 — a cheap deterministic sample, not all pairs, computed
+    # with a PER-CLUSTER window so no single task sees the whole donor set
+    w = Window.partitionBy("cluster").orderBy(F.col(id_col))
     seq = v.withColumn("_rn", F.row_number().over(w))
     s1, s2 = seq.alias("s1"), seq.alias("s2")
     cross = (
-        s1.join(s2, F.col("s2._rn") == F.col("s1._rn") + 1)
-        .filter(F.col("s1.cluster") != F.col("s2.cluster"))
+        s1.join(
+            s2,
+            (F.col("s2.cluster") == F.col("s1.cluster") + 1)
+            & (F.col("s2._rn") == F.col("s1._rn")),
+        )
         .select(
             F.round(cosine(F.col("s1.v"), F.col("s2.v")), 6).alias("cos"),
             F.lit(False).alias("same_cluster"),

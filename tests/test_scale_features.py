@@ -172,6 +172,70 @@ class TestMergeScd2:
         assert (current[0].segment, current[0].valid_from) == ("AUTO", t3)
 
 
+class TestLshHotBandCap:
+    def test_boilerplate_band_is_dropped(self, spark):
+        """A synthetic viral band (every doc shares sig0) must be excluded
+        from candidate generation, bounding the self-join at max_band_size²
+        per band; discriminative bands still pair their docs."""
+        from taar_gcp_etl_spark.operators.dedup import lsh_near_dup_pairs
+
+        n = 40
+        rows = [
+            # same shingle set pairwise only for (0,1): sig1..3 unique
+            # elsewhere; sig0 identical EVERYWHERE (the boilerplate band)
+            (i, ["a b c", "d e f"] if i < 2 else [f"x{i} y z", f"q{i} r s"],
+             "HOT",
+             "s1_near" if i < 2 else f"s1_{i}",
+             "s2_near" if i < 2 else f"s2_{i}",
+             "s3_near" if i < 2 else f"s3_{i}")
+            for i in range(n)
+        ]
+        signed = spark.createDataFrame(
+            rows,
+            "doc_id long, shingles array<string>, sig0 string, sig1 string,"
+            " sig2 string, sig3 string",
+        )
+        # cap below the hot band's size: only sig1..3 bands generate pairs
+        out = lsh_near_dup_pairs(signed, max_band_size=10).collect()
+        assert {(r.doc_a, r.doc_b) for r in out} == {(0, 1)}
+        # uncapped: the hot band generates all C(40,2) candidates, but only
+        # the true near-dup pair survives jaccard verification
+        uncapped = lsh_near_dup_pairs(signed, max_band_size=None).collect()
+        assert {(r.doc_a, r.doc_b) for r in uncapped} == {(0, 1)}
+
+    def test_candidate_volume_bounded(self, spark):
+        """Direct check on the band stage: with the cap, no candidate pairs
+        come from the hot band at all."""
+        from taar_gcp_etl_spark.operators.dedup import drop_hot_bands
+
+        bands = spark.createDataFrame(
+            [(i, "HOT") for i in range(50)] + [(1, "b1"), (2, "b1")],
+            "doc_id long, band string",
+        )
+        kept = drop_hot_bands(bands, max_band_size=10)
+        assert kept.count() == 2
+        assert {r.band for r in kept.collect()} == {"b1"}
+
+
+class TestNoGlobalWindows:
+    def test_no_unpartitioned_window_in_package(self):
+        """Every Window in the engine must be partitioned: a Window.orderBy
+        without partitionBy is a single-task global sort — the one plan shape
+        that cannot scale past one executor (VERDICT r1 §wrong-1)."""
+        import pathlib
+        import re
+
+        pkg = pathlib.Path("taar_gcp_etl_spark")
+        offenders = []
+        for path in pkg.rglob("*.py"):
+            src = path.read_text()
+            # Window.orderBy(...) directly on the class (not on a
+            # Window.partitionBy(...) spec object) is the global-sort shape
+            for m in re.finditer(r"Window\s*\.\s*orderBy\s*\(", src):
+                offenders.append(f"{path}:{src[:m.start()].count(chr(10))+1}")
+        assert not offenders, f"unpartitioned windows: {offenders}"
+
+
 class TestApproxAggregates:
     def test_approx_count_distinct_within_rsd(self, spark):
         ev = read_table(spark, SF_SMOKE, "events")
