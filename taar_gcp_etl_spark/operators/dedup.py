@@ -193,6 +193,133 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full 64-bit SimHash as two 32-bit words (simhash_hi, simhash_lo) —
+    the production variant of `simhash` (two unsigned-32 words instead of
+    one 64-bit value keeps every intermediate inside a signed BIGINT, so the
+    digest is bit-identical across engines with no overflow edge cases).
+
+    Plan shape: ONE pass over the token array — per token, md5 is computed
+    once and unrolled into a 64-element ±1 vote vector; `aggregate` folds
+    the votes into a 64-int sum array; bit b of the digest is 1 iff
+    votes[b] > 0. O(tokens × 64) adds per row, zero shuffle."""
+    toks = F.array_distinct(tokens(text_col))
+    hashed = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
+        ),
+    )
+
+    def bit_votes(s: Column) -> Column:
+        # unrolled: b is a Python int, so shift amounts are static
+        return F.array(
+            *[
+                (
+                    F.shiftright(s["hi"] if b >= 32 else s["lo"], b % 32)
+                    .bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                ).cast("long")
+                for b in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(acc, bit_votes(s), lambda a, x: a + x),
+    )
+
+    # materialize votes once via an intermediate projection; the two word
+    # columns then read 64 array elements instead of re-folding the tokens
+    with_votes = df.select(F.col(id_col), votes.alias("_votes"))
+    votes_col = F.col("_votes")
+
+    def word_from(lo_bit: int) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out + F.when(
+                F.element_at(votes_col, lo_bit + b + 1) > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        return out
+
+    return with_votes.select(
+        id_col,
+        word_from(32).alias("simhash_hi"),
+        word_from(0).alias("simhash_lo"),
+    )
+
+
+def simhash_hamming_pairs(
+    digests: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_band_size: int | None = 1000,
+) -> DataFrame:
+    """Hamming-neighbor pairing over 64-bit SimHash digests: split the
+    digest into four 16-bit bands; by pigeonhole, any pair within Hamming
+    distance 3 agrees exactly on at least one band (and near-dup pairs at
+    larger distances almost always do), so candidates come from an equi-join
+    on (band_index, band_value) — never all-pairs. Candidates are verified
+    with the exact popcount Hamming distance. Hot bands (a band value shared
+    by a boilerplate cohort) are capped exactly like MinHash-LSH bands."""
+    hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
+    bands = digests.select(
+        id_col,
+        F.explode(
+            F.array(
+                F.concat(F.lit("0:"), F.shiftright(hi, 16).bitwiseAND(F.lit(0xFFFF))),
+                F.concat(F.lit("1:"), hi.bitwiseAND(F.lit(0xFFFF))),
+                F.concat(F.lit("2:"), F.shiftright(lo, 16).bitwiseAND(F.lit(0xFFFF))),
+                F.concat(F.lit("3:"), lo.bitwiseAND(F.lit(0xFFFF))),
+            )
+        ).alias("band"),
+    )
+    bands = drop_hot_bands(bands, "band", max_band_size)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    da = digests.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+    )
+    db = digests.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+    )
+    joined = cand.join(da, "doc_a").join(db, "doc_b")
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        joined.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -8,7 +8,40 @@ count of a 100 TB table just to check a threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# C4-style corpus-quality thresholds (the quality_filter rulepack). Kept as
+# DATA — a one-row config table joined onto the corpus — so a deployment can
+# version rulepacks per snapshot or A/B them without code changes.
+DEFAULT_QUALITY_RULES = {
+    "min_tokens": 20,
+    "min_avg_len": 3.0,
+    "max_avg_len": 12.0,
+    "min_stop_ratio": 0.01,
+}
+
+RULEPACK_SCHEMA = (
+    "min_tokens int, min_avg_len double, max_avg_len double, "
+    "min_stop_ratio double"
+)
+
+
+def default_rulepack(spark: SparkSession) -> DataFrame:
+    """The quality-filter threshold table (one row). In production this is a
+    small versioned table read from storage; the defaults reproduce the r1
+    literal thresholds exactly."""
+    r = DEFAULT_QUALITY_RULES
+    return spark.createDataFrame(
+        [
+            (
+                r["min_tokens"],
+                r["min_avg_len"],
+                r["max_avg_len"],
+                r["min_stop_ratio"],
+            )
+        ],
+        RULEPACK_SCHEMA,
+    )
 
 
 class ShortWhitelistError(RuntimeError):

@@ -90,7 +90,9 @@ def coinstall_rates(
 
     rate(a→b) = groups containing both a and b / groups containing a.
     The denominator table is small (one row per item) → broadcast join onto
-    the pair counts; no second shuffle of the pair table."""
+    the pair counts; no second shuffle of the pair table. The raw pair_count
+    rides along in the output, so this one query also carries the
+    pair-counts contract (coinstall_pairs is its unordered projection)."""
     memb = df.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("item")
     ).distinct()
@@ -109,5 +111,6 @@ def coinstall_rates(
     return ordered_pairs.join(F.broadcast(item_counts), "item_a").select(
         "item_a",
         "item_b",
+        "pair_count",
         F.round(F.col("pair_count") / F.col("a_count"), round_to).alias("rate"),
     )

