@@ -48,6 +48,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--top-k", type=int, default=10)
 
+    p = sub.add_parser(
+        "amodump",
+        help="catalog ingestion: raw addon JSON + recorded versions-endpoint"
+        " fetches (url,status,body) -> extended_addons_database artifact",
+    )
+    p.add_argument("--raw", required=True, help="raw addon records, one JSON per line")
+    p.add_argument(
+        "--versions",
+        required=True,
+        help="recorded versions fetches: parquet/json with url,status,body",
+    )
+    p.add_argument("--out", required=True)
+
     args = parser.parse_args(argv)
 
     from taar_gcp_etl_spark.session import get_spark
@@ -93,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
             locale_top.run(
                 spark.read.parquet(args.clients), args.out, k=args.top_k
             )
+        elif args.job == "amodump":
+            from taar_gcp_etl_spark.jobs import amodump
+
+            raw = spark.read.text(args.raw).withColumnRenamed("value", "raw")
+            reader = (
+                spark.read.parquet
+                if args.versions.endswith(".parquet")
+                else spark.read.json
+            )
+            amodump.run_end_to_end(raw, reader(args.versions), args.out)
     finally:
         spark.stop()
     return 0

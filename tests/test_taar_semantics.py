@@ -321,6 +321,101 @@ class TestGatesAndArtifacts:
         obj = json.loads(bz2.decompress(p.read_bytes()))
         assert obj == {"en-US": ["a1", "a2"], "de": ["a2", "a9"]}
 
+    def test_amodump_end_to_end_from_recorded_fetches(self, spark, tmp_path):
+        """S2 end-to-end: recorded versions-endpoint pages → first_dates →
+        artifact, with the reference's exact extraction semantics
+        (taar_etl/taar_amodump.py:228-243): page_count probe, last-page
+        selection, results[-1].files[0].created, percent-decoded guid."""
+
+        def page(created_list, page_count=1):
+            return json.dumps(
+                {
+                    "page_count": page_count,
+                    "results": [
+                        {"files": [{"created": c}, {"created": "IGNORED"}]}
+                        for c in created_list
+                    ],
+                }
+            )
+
+        base = "https://addons.mozilla.org/api/v4/addons/addon"
+        fetched = spark.createDataFrame(
+            [
+                # single page: created comes from the LAST result's files[0]
+                (f"{base}/a@x/versions/", 200,
+                 page(["2019-01-01T00:00:00", "2018-06-01T00:00:00"]), None),
+                # 3 pages: page-1 probe says page_count=3 → page-3 row wins
+                (f"{base}/b@x/versions/", 200,
+                 page(["2024-01-01T00:00:00"], page_count=3), None),
+                (f"{base}/b@x/versions/?page=3", 200,
+                 page(["2015-03-03T00:00:00"], page_count=3), None),
+                # percent-encoded guid in the URL decodes (reference :199-201)
+                (f"{base}/c%40x/versions/", 200,
+                 page(["2017-07-07T00:00:00"]), None),
+                # failed fetch → no first_create_date (P9 drops the addon)
+                (f"{base}/d@x/versions/", 500, None, "server error"),
+            ],
+            "url string, status int, body string, error string",
+        )
+        fd = {
+            r.guid: r.first_create_date
+            for r in amodump.first_dates_from_fetches(fetched).collect()
+        }
+        assert fd == {
+            "a@x": "2018-06-01T00:00:00",  # last result, first file
+            "b@x": "2015-03-03T00:00:00",  # from page 3, not the probe page
+            "c@x": "2017-07-07T00:00:00",  # decoded guid
+        }
+
+        raw = spark.createDataFrame(
+            [(_addon(g, first_create_date=None),) for g in
+             ("a@x", "b@x", "c@x", "d@x")],
+            ["raw"],
+        )
+        out = amodump.run_end_to_end(
+            raw, fetched, str(tmp_path), date=dt.date(2026, 8, 13)
+        )
+        assert guids(out) == ["a@x", "b@x", "c@x"]  # d@x dropped (P9)
+
+    def test_amodump_two_phase_fetch_with_injected_fetcher(self, spark):
+        """Online S2 path fully offline: the fake fetcher serves page-1
+        probes AND the derived ?page=N last-page URL — proving the two-phase
+        fan-out constructs the right second-phase URLs."""
+        base = "https://addons.mozilla.org/api/v4/addons/addon"
+        pages = {
+            f"{base}/one@x/versions/": json.dumps(
+                {"page_count": 1,
+                 "results": [{"files": [{"created": "2020-05-05T00:00:00"}]}]}
+            ),
+            f"{base}/multi@x/versions/": json.dumps(
+                {"page_count": 2,
+                 "results": [{"files": [{"created": "2024-09-09T00:00:00"}]}]}
+            ),
+            f"{base}/multi@x/versions/?page=2": json.dumps(
+                {"page_count": 2,
+                 "results": [{"files": [{"created": "2012-12-12T00:00:00"}]}]}
+            ),
+        }
+
+        def fake_fetcher(url):
+            if url not in pages:
+                raise OSError(f"unexpected url {url}")
+            return 200, pages[url]
+
+        catalog = spark.createDataFrame(
+            [("one@x",), ("multi@x",)], ["guid"]
+        )
+        fd = {
+            r.guid: r.first_create_date
+            for r in amodump.fetch_first_dates(
+                catalog, fetcher=fake_fetcher, workers=2
+            ).collect()
+        }
+        assert fd == {
+            "one@x": "2020-05-05T00:00:00",
+            "multi@x": "2012-12-12T00:00:00",
+        }
+
     def test_amodump_job(self, spark, tmp_path):
         raw = spark.createDataFrame(
             [
