@@ -204,10 +204,107 @@ def avro_supported(spark: SparkSession) -> bool:
 
 
 def write_avro(df: DataFrame, path: str) -> None:
-    """Table→Avro export (S7). Raises if spark-avro isn't on the classpath."""
-    df.write.format("avro").mode("overwrite").save(path)
+    """Table→Avro export (S7, taar_etl/taar_profile_bigtable.py:112-132).
+
+    Prefers the spark-avro connector (``org.apache.spark:spark-avro_2.13:
+    <spark-version>`` — add via spark.jars.packages) when present; otherwise
+    falls back to the in-repo OCF codec (avro_ocf): each partition
+    serializes its rows to one container file inside ``path`` via
+    mapInPandas — fully distributed, one file per partition, deflate codec,
+    interop-tested against the Avro Java library."""
+    if avro_supported(df.sparkSession):
+        df.write.format("avro").mode("overwrite").save(path)
+        return
+    _write_avro_fallback(df, path)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro scan (S8)."""
-    return spark.read.format("avro").load(path)
+    """Avro scan (S8, taar_etl/taar_profile_bigtable.py:181-184). Connector
+    when present; else binaryFile source + Arrow-batched OCF decode (the
+    schema comes from the first file's header — one small driver-side head
+    read, the row decode is executor-side)."""
+    if avro_supported(spark):
+        return spark.read.format("avro").load(path)
+    return _read_avro_fallback(spark, path)
+
+
+def _write_avro_fallback(df: DataFrame, path: str) -> None:
+    import os
+
+    from taar_gcp_etl_spark.avro_ocf import avro_schema_for, encode_ocf
+
+    avro_schema = avro_schema_for(df.schema)
+    colnames = df.columns
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(batches):
+        import os
+        import uuid
+
+        import pandas as pd
+
+        def norm(v):
+            # pandas nulls arrive as None / NaN / NaT depending on dtype
+            if v is None:
+                return None
+            try:
+                if pd.isna(v):
+                    return None
+            except (TypeError, ValueError):
+                pass  # non-scalar (bytes/bytearray) — not a null
+            if isinstance(v, pd.Timestamp):
+                return v.to_pydatetime()
+            return v
+
+        rows: list[dict] = []
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                rows.append({k: norm(v) for k, v in rec.items()})
+        if rows:
+            fname = f"part-{uuid.uuid4().hex}.avro"
+            content = encode_ocf(rows, avro_schema, sync_seed=fname.encode())
+            with open(os.path.join(path, fname), "wb") as fh:
+                fh.write(content)
+            yield pd.DataFrame({"path": [fname], "n": [len(rows)]})
+
+    # the collected result is one tiny row per partition (bounded), not data
+    df.select(*colnames).mapInPandas(
+        write_partition, schema="path string, n long"
+    ).collect()
+
+
+def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
+    import glob
+    import os
+
+    from taar_gcp_etl_spark.avro_ocf import (
+        decode_ocf,
+        spark_schema_for,
+    )
+
+    files = sorted(glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(files[0], "rb") as fh:
+        head = fh.read()
+    file_schema, _ = decode_ocf(head)
+    spark_schema = spark_schema_for(file_schema)
+    names = [f.name for f in spark_schema.fields]
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[dict] = []
+            for content in pdf["content"]:
+                _, rows = decode_ocf(bytes(content))
+                out.extend(rows)
+            yield pd.DataFrame(out, columns=names)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(decode, schema=spark_schema)
+    )

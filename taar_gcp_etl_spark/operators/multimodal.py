@@ -80,23 +80,29 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                content = row["content"]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_bytes": len(content) if content is not None else 0,
-                        "sha256": hashlib.sha256(content).hexdigest()
-                        if content is not None
-                        else None,
-                        "feat": _decode_image_stub(content)
-                        if content is not None
-                        else None,
-                    }
-                )
-            yield pd.DataFrame(out)
+            content = pdf["content"]
+            # column-at-a-time over the Arrow batch — no row loop; the
+            # decode call is the only per-element work (batched through the
+            # codec when a real decoder replaces the stub)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": content.map(
+                        lambda c: len(c) if c is not None else 0
+                    ),
+                    "sha256": content.map(
+                        lambda c: hashlib.sha256(c).hexdigest()
+                        if c is not None
+                        else None
+                    ),
+                    "feat": content.map(
+                        lambda c: _decode_image_stub(c)
+                        if c is not None
+                        else None
+                    ),
+                }
+            )
 
     return df.select("media_id", "kind", "content").mapInPandas(
         run, schema=FEATURES_SCHEMA

@@ -39,19 +39,77 @@ def test_ctas_and_drop(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS tmp_profiles_test")  # not_found_ok parity
 
 
-def test_avro_roundtrip_or_gated(spark, tmp_path):
-    """S7/S8 — Avro export + scan; the spark-avro module is external, so the
-    engine probes availability instead of failing mid-pipeline."""
+def test_avro_roundtrip(spark, tmp_path):
+    """S7/S8 — Avro export + scan. Runs on EITHER path: the spark-avro
+    connector when present, else the in-repo OCF fallback codec (avro_ocf)
+    — distributed write (one container file per partition via mapInPandas)
+    and binaryFile-source read."""
     df = read_table(spark, SF_SMOKE, "region")
-    if not avro_supported(spark):
-        with pytest.raises(Exception, match="(?i)avro"):
-            write_avro(df, str(tmp_path / "r.avro"))
-        pytest.skip("spark-avro not on classpath — probe behaved correctly")
     write_avro(df, str(tmp_path / "r.avro"))
     back = read_avro(spark, str(tmp_path / "r.avro"))
+    assert back.schema == df.schema
     assert sorted(r.r_name for r in back.collect()) == sorted(
         r.r_name for r in df.collect()
     )
+
+
+def test_avro_roundtrip_all_scalar_types(spark, tmp_path):
+    """The fallback codec must cover the engine's scalar surface: strings,
+    longs, ints, doubles, booleans, binary, timestamps, and nulls in every
+    column."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("s", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("raw", T.BinaryType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = [
+        ("é中", -(2**40), 7, -0.5, True, b"\x00\x01", dt.datetime(2024, 1, 15, 12, 30, 0, 123456)),
+        (None, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(2)
+    write_avro(df, str(tmp_path / "t.avro"))
+    back = read_avro(spark, str(tmp_path / "t.avro"))
+    assert back.schema == schema
+    got = sorted(
+        [tuple(r) for r in back.collect()], key=lambda t: (t[0] is None, t)
+    )
+    want = sorted(rows, key=lambda t: (t[0] is None, t))
+    assert got == want
+
+
+def test_avro_fallback_interops_with_java_avro(spark, tmp_path):
+    """Files written by the fallback codec must be readable by the REAL
+    Avro Java library (on the classpath) — the OCF format contract, not
+    just a self-roundtrip."""
+    import glob
+
+    if avro_supported(spark):
+        pytest.skip("connector present — fallback not exercised")
+    df = read_table(spark, SF_SMOKE, "region")
+    path = str(tmp_path / "interop.avro")
+    write_avro(df, path)
+    jvm = spark._jvm
+    names = []
+    for fname in glob.glob(path + "/*.avro"):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(fname),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while reader.hasNext():
+            rec = reader.next()
+            names.append(str(rec.get("r_name")))
+        reader.close()
+    assert sorted(names) == sorted(r.r_name for r in df.collect())
 
 
 def test_url_decode_parity(spark):
