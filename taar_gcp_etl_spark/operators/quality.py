@@ -29,18 +29,17 @@ RULEPACK_SCHEMA = (
 def default_rulepack(spark: SparkSession) -> DataFrame:
     """The quality-filter threshold table (one row). In production this is a
     small versioned table read from storage; the defaults reproduce the r1
-    literal thresholds exactly."""
+    literal thresholds exactly. Built as plan-side literals (range(1) +
+    lit), NOT createDataFrame — a Python-list DataFrame plans as a
+    Python-RDD scan whose broadcast costs a py4j round-trip per query."""
+    from pyspark.sql import functions as F
+
     r = DEFAULT_QUALITY_RULES
-    return spark.createDataFrame(
-        [
-            (
-                r["min_tokens"],
-                r["min_avg_len"],
-                r["max_avg_len"],
-                r["min_stop_ratio"],
-            )
-        ],
-        RULEPACK_SCHEMA,
+    return spark.range(1).select(
+        F.lit(r["min_tokens"]).cast("int").alias("min_tokens"),
+        F.lit(r["min_avg_len"]).cast("double").alias("min_avg_len"),
+        F.lit(r["max_avg_len"]).cast("double").alias("max_avg_len"),
+        F.lit(r["min_stop_ratio"]).cast("double").alias("min_stop_ratio"),
     )
 
 

@@ -873,26 +873,44 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs)
 
 
+# The simhash digest feeds two registry queries (the digest itself and the
+# Hamming pairing); memoize the cached digests per (application, sf_dir) —
+# same lifecycle discipline as _CLUSTER_MEMO. ~64 md5+fold passes per
+# document make this the most expensive shared subcomputation after KMeans.
+_SIMHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash64_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taar_gcp_etl_spark.operators.dedup import simhash64
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _SIMHASH_MEMO:
+        for stale in [k for k in _SIMHASH_MEMO if k[0] != app_id]:
+            del _SIMHASH_MEMO[stale]
+        _SIMHASH_MEMO[key] = simhash64(
+            _wide(spark, sf_dir, "documents")
+        ).cache()
+    return _SIMHASH_MEMO[key]
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 64-bit SimHash digest per document, as two unsigned-32 words
     (engine-portable — no signed-overflow edge cases). Supersedes the r1
     16-bit variant (operators.dedup.simhash, kept for small-bucket use)."""
-    from taar_gcp_etl_spark.operators.dedup import simhash64
-
-    return simhash64(_wide(spark, sf_dir, "documents"))
+    return _simhash64_cached(spark, sf_dir)
 
 
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-neighbor near-dup pairs over the 64-bit SimHash: banded
     (4×16-bit) candidate join — exact for distance ≤ 3 by pigeonhole —
     verified with popcount distance. Hot bands capped like MinHash-LSH
-    (cap mirrored in the oracle SQL so both engines stay in lockstep)."""
-    from taar_gcp_etl_spark.operators.dedup import (
-        simhash64,
-        simhash_hamming_pairs,
-    )
+    (cap mirrored in the oracle SQL so both engines stay in lockstep).
+    Reuses the memoized digest relation — the digest is computed once per
+    (session, corpus) however many downstream queries consume it."""
+    from taar_gcp_etl_spark.operators.dedup import simhash_hamming_pairs
 
-    digests = simhash64(_wide(spark, sf_dir, "documents"))
+    digests = _simhash64_cached(spark, sf_dir)
     return simhash_hamming_pairs(digests, max_hamming=3, max_band_size=1000)
 
 
