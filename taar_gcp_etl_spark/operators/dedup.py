@@ -207,10 +207,17 @@ def simhash64(
     one 64-bit value keeps every intermediate inside a signed BIGINT, so the
     digest is bit-identical across engines with no overflow edge cases).
 
-    Plan shape: ONE pass over the token array — per token, md5 is computed
-    once and unrolled into a 64-element ±1 vote vector; `aggregate` folds
-    the votes into a 64-int sum array; bit b of the digest is 1 iff
-    votes[b] > 0. O(tokens × 64) adds per row, zero shuffle."""
+    Plan shape: the per-token (hi, lo) md5 words are materialized ONCE in
+    an intermediate projection; bit b of the digest is then an independent
+    scalar fold `popcount_b = aggregate(hashed, 0, acc + bit_b)` with
+    `2·popcount_b > n_tokens` as the majority vote (identical to the
+    textbook ±1 vote sum: Σ±1 > 0 ⟺ 2·popcount − n > 0). 64 scalar folds
+    look more expensive than one array fold, but the array formulation
+    (zip_with over a fresh 64-element vote vector per token) generates one
+    enormous codegen unit whose Janino compile alone costs ~4 s, and
+    allocates 64-long arrays per token at runtime: measured 5.1 s cold /
+    1.3 s warm vs 1.0 s / 0.9 s for this shape at sf0.1. O(tokens × 64)
+    adds per row either way, zero shuffle."""
     toks = F.array_distinct(tokens(text_col))
     hashed = F.transform(
         toks,
@@ -223,41 +230,30 @@ def simhash64(
             .alias("lo"),
         ),
     )
-
-    def bit_votes(s: Column) -> Column:
-        # unrolled: b is a Python int, so shift amounts are static
-        return F.array(
-            *[
-                (
-                    F.shiftright(s["hi"] if b >= 32 else s["lo"], b % 32)
-                    .bitwiseAND(F.lit(1))
-                    * 2
-                    - 1
-                ).cast("long")
-                for b in range(64)
-            ]
-        )
-
-    votes = F.aggregate(
-        hashed,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, s: F.zip_with(acc, bit_votes(s), lambda a, x: a + x),
+    base = df.select(
+        F.col(id_col), hashed.alias("_h"), F.size(hashed).alias("_n")
     )
 
-    # materialize votes once via an intermediate projection; the two word
-    # columns then read 64 array elements instead of re-folding the tokens
-    with_votes = df.select(F.col(id_col), votes.alias("_votes"))
-    votes_col = F.col("_votes")
+    def popcount_bit(b: int) -> Column:
+        # unrolled: b is a Python int, so shift amounts are static
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.shiftright(s["hi"] if b >= 32 else s["lo"], b % 32).bitwiseAND(
+                F.lit(1)
+            ),
+        )
 
     def word_from(lo_bit: int) -> Column:
         out = F.lit(0).cast("long")
         for b in range(32):
             out = out + F.when(
-                F.element_at(votes_col, lo_bit + b + 1) > 0, F.lit(1 << b)
+                popcount_bit(lo_bit + b) * 2 > F.col("_n"), F.lit(1 << b)
             ).otherwise(F.lit(0))
         return out
 
-    return with_votes.select(
+    return base.select(
         id_col,
         word_from(32).alias("simhash_hi"),
         word_from(0).alias("simhash_lo"),
