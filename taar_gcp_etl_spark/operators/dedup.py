@@ -64,26 +64,44 @@ def minhash_signatures(
     """MinHash signature per document: sig_i = min over shingles of
     md5('i:' || shingle). Lexicographic min over the hex digest is a valid
     random-permutation proxy and is reproducible in any engine with md5.
-    Per-row map — no shuffle."""
+    Per-row map — no shuffle.
+
+    The shingle array and the per-shingle md5 array are each materialized
+    in their own projection before the four slice-min folds read them:
+    whole-stage codegen does NOT common-subexpression-eliminate across
+    higher-order-function lambdas (nor reliably across two uses of the same
+    expensive array expression in one Project), so inlining
+    `transform(shingles, md5)` into each fold re-hashes every shingle once
+    per signature — measured 40 s inlined / 21 s one-projection / 8.5 s
+    this shape on the sf0.1 corpus at matched parallelism. CollapseProject
+    keeps the split because the referenced arrays are expensive and
+    multiply-referenced."""
     if n_hashes > 4:
         raise ValueError("n_hashes > 4 needs a second digest per shingle")
     sh = token_shingles(text_col, shingle_n)
     # One md5 per shingle, sliced into four 32-bit (8-hex-char) independent
     # signatures — 4× fewer hash evaluations than hashing per-signature,
     # which dominates the cost of this operator at corpus scale.
-    hashes = F.transform(sh, lambda s: F.md5(s))
+    shingled = df.filter(F.size(tokens(text_col)) >= shingle_n).select(
+        id_col, sh.alias("shingles")
+    )
+    base = shingled.select(
+        id_col,
+        "shingles",
+        F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("_hashes"),
+    )
 
     def slice_min(i: int):
         # NB: single-parameter lambda — a second parameter makes Spark's
         # transform() pass the element INDEX into it.
         return F.array_min(
-            F.transform(hashes, lambda h: F.substring(h, 1 + 8 * i, 8))
+            F.transform(
+                F.col("_hashes"), lambda h: F.substring(h, 1 + 8 * i, 8)
+            )
         ).alias(f"sig{i}")
 
     sigs = [slice_min(i) for i in range(n_hashes)]
-    return df.filter(F.size(tokens(text_col)) >= shingle_n).select(
-        id_col, sh.alias("shingles"), *sigs
-    )
+    return base.select(id_col, "shingles", *sigs)
 
 
 def drop_hot_bands(
@@ -118,6 +136,7 @@ def lsh_near_dup_pairs(
     n_bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_band_size: int | None = 1000,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """LSH banding: one signature per band → band key; documents sharing any
     band key become candidate pairs; candidates are verified with exact
@@ -126,7 +145,20 @@ def lsh_near_dup_pairs(
     skew-prone (a boilerplate shingle shared by millions of docs): AQE
     skew-join splitting handles moderate skew, and bands larger than
     `max_band_size` are dropped before the self-join (drop_hot_bands), which
-    bounds the worst band's contribution at max_band_size² candidates."""
+    bounds the worst band's contribution at max_band_size² candidates.
+
+    `signed` is consumed by THREE subtrees (band explode + the two
+    candidate shingle joins); unpersisted, the upstream shingle+md5
+    pipeline re-executes per subtree. With the signature hashing now
+    single-pass (see minhash_signatures) the recompute dominates:
+    persisting MEMORY_AND_DISK measured 20 s → 10.5 s at sf0.1. At corpus
+    scale this is the standard MinHashLSH trade — the persisted projection
+    is (id, shingles, 4×8-char sigs), disk-backed, freed by the caller via
+    `spark.catalog.clearCache()` or session teardown."""
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
     # Band matching runs on NARROW rows (id, band) — the wide shingle arrays
     # would otherwise ride through the self-join shuffle and the dedup. The
     # candidate set is small by construction (tracks duplicate density), so
