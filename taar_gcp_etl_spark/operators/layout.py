@@ -1,0 +1,128 @@
+"""Physical-layout operators: compaction, sorted writes, Z-order keys.
+
+The reference delegates physical layout to its warehouses (BigQuery
+manages storage; Bigtable is key-sorted by construction —
+taar_etl/taar_profile_bigtable.py:112-132 relies on the store's own
+ordering). A standalone parquet lake has to manage layout itself, and at
+100 TB layout IS performance:
+
+  - **small files**: a streaming sink or an over-partitioned job leaves
+    thousands of KB-sized files; each costs a task + an open + a footer
+    read. Compaction rewrites a directory into ~target-sized files.
+  - **range-partitioned sorted write**: a global sort order lets min/max
+    row-group statistics prune scans (ORDER BY layout = poor-man's
+    primary index). `repartitionByRange` gives disjoint file ranges;
+    `sortWithinPartitions` orders rows inside each file.
+  - **Z-order key**: a single sort can only serve one leading column;
+    interleaving the bits of several columns yields a space-filling-curve
+    key whose sort clusters ALL interleaved dimensions — every one of
+    them gets usable min/max pruning from the same file order.
+
+All three are plain DataFrame/write-API compositions — no custom
+commit protocol; rewrites go to a NEW directory and the swap is the
+caller's (atomic-rename / manifest) concern.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count. Sizing reads the SOURCE byte size from the files
+    themselves (input_file_name + metadata would need a scan anyway; the
+    `_metadata` column's file_size is per-row, so distinct file paths are
+    aggregated — one cheap column-pruned pass). Parquet re-encodes with
+    roughly source compression, so source bytes ≈ dest bytes is the
+    standard first-order estimate (Delta OPTIMIZE does the same).
+
+    At scale: the rewrite is one shuffle (coalesce would skip it but can
+    under-parallelize the read and produces unsorted output; a full
+    repartition also re-balances skewed inputs)."""
+    meta = (
+        spark.read.parquet(src)
+        .select(F.col("_metadata.file_path"), F.col("_metadata.file_size"))
+        .distinct()
+        .agg(F.sum("file_size").alias("bytes"))
+        .collect()[0]
+    )
+    total_bytes = meta["bytes"] or 1
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dest)
+    return n_files
+
+
+def sorted_range_write(
+    df: DataFrame, dest: str, sort_cols: list[str], n_files: int
+) -> None:
+    """Globally-ordered parquet write: disjoint per-file key ranges
+    (repartitionByRange samples the key distribution, so skewed keys still
+    split evenly) + in-file ordering. A reader filtering on a sort_cols
+    prefix prunes whole files via footer min/max before touching data."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the top `bits` bits of each
+    column's 0..2^bits-1 rank proxy into one BIGINT sort key. Sorting by
+    it clusters every interleaved dimension at once — multi-column min/max
+    pruning from a single file order (the Delta/Iceberg OPTIMIZE ZORDER
+    primitive, expressed as a pure Column).
+
+    Caller maps each column onto a bounded non-negative integer first
+    (e.g. `F.hash(c) & ((1<<bits)-1)` for categoricals, or a scaled
+    min-max for numerics); this function only interleaves. Pure bit
+    arithmetic — codegen'd, no UDF, no shuffle of its own."""
+    ncols = len(cols)
+    if ncols * bits > 63:
+        raise ValueError("interleaved width must fit a signed BIGINT")
+    cs = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            # source bit b of column i → output bit b*ncols + i
+            out = out + (
+                F.shiftright(c, b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (b * ncols + i)).cast("long")
+            )
+    return out
+
+
+def minmax_scale_to_bits(
+    c: Column | str, lo: float, hi: float, bits: int = 16
+) -> Column:
+    """Map a numeric column onto the 0..2^bits-1 integer domain zorder_key
+    expects (bounds supplied by the caller — at scale they come from table
+    stats, not a per-write scan)."""
+    col = F.col(c) if isinstance(c, str) else c
+    span = (hi - lo) or 1.0
+    scaled = (col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(
+        float((1 << bits) - 1)
+    )
+    return F.least(
+        F.greatest(F.round(scaled).cast("long"), F.lit(0).cast("long")),
+        F.lit((1 << bits) - 1).cast("long"),
+    )

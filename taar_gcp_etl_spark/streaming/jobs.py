@@ -209,6 +209,58 @@ def sessionize_with_close_events(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_wm: str = "1 hour",
+    right_wm: str = "1 hour",
+    lookback: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the enrichment-at-ingest
+    twin of the batch J2 left join: each left event pairs with the right
+    events of the same key whose timestamp falls in
+    [left.ts - lookback, left.ts].
+
+    Both sides carry watermarks and the join predicate carries a closed
+    event-time interval; together those let the state store evict a
+    buffered row as soon as the other side's watermark passes the end of
+    its match window — without both, stream-stream join state grows
+    unboundedly. That eviction bound is the whole 100 TB posture: state is
+    O(rate × (watermark + lookback)) per key, independent of stream
+    length. (No cross-reference operator: the reference is batch-only —
+    this extends its J2 semantics, README.md:137-140.)"""
+    lt = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", left_wm)
+    rt = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", right_wm)
+    return lt.join(
+        rt,
+        F.expr(
+            f"""
+            l_key = r_key AND
+            r_ts BETWEEN l_ts - {lookback} AND l_ts
+            """
+        ),
+    ).select(
+        F.col("l_key").alias(key),
+        "l_event_id",
+        "l_ts",
+        "r_event_id",
+        "r_ts",
+        "r_value",
+    )
+
+
 def write_serving_epoch(
     batch_df: DataFrame, epoch_id: int, serving_path: str
 ) -> None:

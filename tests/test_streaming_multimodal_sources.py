@@ -250,6 +250,56 @@ class TestCogroupAsof:
         assert pandas_ver == native and len(native) > 0
 
 
+class TestStreamStreamJoin:
+    def test_interval_join_equals_batch(self, spark, tmp_path):
+        """The watermarked stream-stream interval join must converge to the
+        batch interval-join result once both streams drain: each 'view'
+        event pairs with same-user 'click' events at most 1 hour older."""
+        events = read_table(spark, SF_SMOKE, "events")
+        views = events.filter(F.col("event_type") == "view")
+        clicks = events.filter(F.col("event_type") == "click")
+        vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+        views.repartition(2).write.parquet(vsrc)
+        clicks.repartition(2).write.parquet(csrc)
+
+        joined = stream_jobs.stream_stream_interval_join(
+            stream_jobs.read_event_stream(spark, vsrc, 999),
+            stream_jobs.read_event_stream(spark, csrc, 999),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.user_id, r.l_event_id, r.r_event_id)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+
+        want = {
+            (r.user_id, r.l_event_id, r.r_event_id)
+            for r in views.alias("l")
+            .join(
+                clicks.alias("r"),
+                F.expr(
+                    "l.user_id = r.user_id AND "
+                    "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts"
+                ),
+            )
+            .select(
+                F.col("l.user_id").alias("user_id"),
+                F.col("l.event_id").alias("l_event_id"),
+                F.col("r.event_id").alias("r_event_id"),
+            )
+            .collect()
+        }
+        assert len(want) > 0
+        assert got == want
+
+
 class TestForeachBatchSink:
     def test_stream_to_serving_table(self, spark, tmp_path):
         """foreachBatch serving sink: after the stream drains, the store
