@@ -138,7 +138,10 @@ def _enc_value(v: Any, typ: Any, out: bytearray) -> None:
         if typ.get("logicalType") == "timestamp-micros":
             if isinstance(v, dt.datetime):
                 epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-                v = int((v - epoch).total_seconds() * 1_000_000)
+                # integer timedelta arithmetic — total_seconds() is a float
+                # and rounds microseconds for dates past ~2240
+                d = v - epoch
+                v = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
             out += _zigzag(int(v))
             return
         typ = typ["type"]
@@ -230,9 +233,11 @@ def encode_ocf(
     return bytes(out)
 
 
-def decode_ocf(content: bytes) -> tuple[dict, list[dict]]:
-    """Parse one OCF file → (avro schema, rows as dicts)."""
-    buf = io.BytesIO(content)
+def _read_ocf_meta(buf: io.BytesIO) -> tuple[dict, str, bytes]:
+    """Parse the OCF magic + file-metadata map; returns
+    (avro schema, codec, sync marker) with `buf` positioned at the first
+    data block. Only the header bytes are consumed — schema sniffing does
+    not require decoding any rows."""
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file")
     meta: dict[str, bytes] = {}
@@ -251,6 +256,20 @@ def decode_ocf(content: bytes) -> tuple[dict, list[dict]]:
     sync = buf.read(16)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync
+
+
+def decode_ocf_header(content: bytes) -> dict:
+    """Schema from an OCF prefix (header only — no row decode, no need for
+    the full file: any prefix that covers the metadata map suffices)."""
+    schema, _, _ = _read_ocf_meta(io.BytesIO(content))
+    return schema
+
+
+def decode_ocf(content: bytes) -> tuple[dict, list[dict]]:
+    """Parse one OCF file → (avro schema, rows as dicts)."""
+    buf = io.BytesIO(content)
+    schema, codec, sync = _read_ocf_meta(buf)
     ftypes = [(f["name"], f["type"]) for f in schema["fields"]]
     rows: list[dict] = []
     while True:

@@ -229,6 +229,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _write_avro_fallback(df: DataFrame, path: str) -> None:
+    import glob
     import os
 
     from taar_gcp_etl_spark.avro_ocf import avro_schema_for, encode_ocf
@@ -236,58 +237,63 @@ def _write_avro_fallback(df: DataFrame, path: str) -> None:
     avro_schema = avro_schema_for(df.schema)
     colnames = df.columns
     os.makedirs(path, exist_ok=True)
+    # mode("overwrite") semantics: clear previous output so a re-run
+    # replaces rather than accumulates (the connector path does the same)
+    for stale in glob.glob(os.path.join(path, "*.avro")):
+        os.remove(stale)
 
     def write_partition(batches):
         import os
-        import uuid
 
-        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
 
-        def norm(v):
-            # pandas nulls arrive as None / NaN / NaT depending on dtype
-            if v is None:
-                return None
-            try:
-                if pd.isna(v):
-                    return None
-            except (TypeError, ValueError):
-                pass  # non-scalar (bytes/bytearray) — not a null
-            if isinstance(v, pd.Timestamp):
-                return v.to_pydatetime()
-            return v
-
+        # Arrow batches, NOT pandas: pandas coerces int64-with-nulls to
+        # float64, silently rounding longs past 2^53; to_pylist() keeps
+        # exact ints / None / datetime values.
         rows: list[dict] = []
-        for pdf in batches:
-            for rec in pdf.to_dict("records"):
-                rows.append({k: norm(v) for k, v in rec.items()})
+        for batch in batches:
+            rows.extend(batch.to_pylist())
         if rows:
-            fname = f"part-{uuid.uuid4().hex}.avro"
+            # deterministic per-partition name: a retried or speculative
+            # task overwrites its own file instead of adding a duplicate
+            pid = TaskContext.get().partitionId()
+            fname = f"part-{pid:05d}.avro"
             content = encode_ocf(rows, avro_schema, sync_seed=fname.encode())
             with open(os.path.join(path, fname), "wb") as fh:
                 fh.write(content)
-            yield pd.DataFrame({"path": [fname], "n": [len(rows)]})
+            yield pa.RecordBatch.from_pydict(
+                {"path": [fname], "n": [len(rows)]}
+            )
 
     # the collected result is one tiny row per partition (bounded), not data
-    df.select(*colnames).mapInPandas(
+    df.select(*colnames).mapInArrow(
         write_partition, schema="path string, n long"
     ).collect()
 
 
 def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
-    import glob
-    import os
-
     from taar_gcp_etl_spark.avro_ocf import (
         decode_ocf,
+        decode_ocf_header,
         spark_schema_for,
     )
 
-    files = sorted(glob.glob(os.path.join(path, "*.avro")))
-    if not files:
+    # Schema sniff through the binaryFile source (works on any
+    # Hadoop-visible path, not just the driver's local filesystem) and a
+    # header-only parse — no row decode on the driver. binaryFile does
+    # materialize the first file's bytes; only the header is parsed.
+    head_rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .limit(1)
+        .collect()
+    )
+    if not head_rows:
         raise FileNotFoundError(f"no .avro files under {path}")
-    with open(files[0], "rb") as fh:
-        head = fh.read()
-    file_schema, _ = decode_ocf(head)
+    file_schema = decode_ocf_header(bytes(head_rows[0]["content"]))
     spark_schema = spark_schema_for(file_schema)
     names = [f.name for f in spark_schema.fields]
 

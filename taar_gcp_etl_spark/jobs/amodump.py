@@ -60,12 +60,15 @@ VERSIONS_PAGE_SCHEMA = T.StructType(
 
 def versions_urls(catalog: DataFrame, guid_col: str = "guid") -> DataFrame:
     """S2 fan-out input: one versions-endpoint URL per catalog guid
-    (taar_etl/taar_amodump.py:134-135)."""
+    (taar_etl/taar_amodump.py:134-135). The guid is percent-ENCODED into
+    the path — the exact inverse of parse_versions_fetches' url_decode, so
+    guids with reserved characters ('@', '+', '%') survive the
+    build-URL → fetch → parse-URL roundtrip byte-identical."""
     return catalog.select(
         F.col(guid_col).alias("guid"),
         F.concat(
             F.lit(VERSIONS_URL.split("{guid}")[0]),
-            F.col(guid_col),
+            F.url_encode(F.col(guid_col)),
             F.lit(VERSIONS_URL.split("{guid}")[1]),
         ).alias("url"),
     )
@@ -146,7 +149,9 @@ def fetch_first_dates(
         .select(
             F.concat(
                 F.lit(VERSIONS_URL.split("{guid}")[0]),
-                F.col("guid"),
+                # guid column is the DECODED value — re-encode so the
+                # last-page URL hits the same endpoint as the probe
+                F.url_encode(F.col("guid")),
                 F.lit(VERSIONS_URL.split("{guid}")[1]),
                 F.lit("?page="),
                 F.col("page_count").cast("string"),

@@ -154,11 +154,16 @@ def lsh_near_dup_pairs(
     persisting MEMORY_AND_DISK measured 20 s → 10.5 s at sf0.1. At corpus
     scale this is the standard MinHashLSH trade — the persisted projection
     is (id, shingles, 4×8-char sigs), disk-backed, freed by the caller via
-    `spark.catalog.clearCache()` or session teardown."""
+    `unpersist()` / `spark.catalog.clearCache()` / session teardown. A
+    caller that already persisted `signed` keeps its own storage level and
+    lifecycle — the guard never re-persists; loops over many corpora
+    should unpersist after the action, or memoize one relation per corpus
+    as queries.py does."""
     if persist_signatures:
         from pyspark import StorageLevel
 
-        signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
+        if signed.storageLevel == StorageLevel.NONE:
+            signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
     # Band matching runs on NARROW rows (id, band) — the wide shingle arrays
     # would otherwise ride through the self-join shuffle and the dedup. The
     # candidate set is small by construction (tracks duplicate density), so
@@ -250,20 +255,28 @@ def simhash64(
     allocates 64-long arrays per token at runtime: measured 5.1 s cold /
     1.3 s warm vs 1.0 s / 0.9 s for this shape at sf0.1. O(tokens × 64)
     adds per row either way, zero shuffle."""
-    toks = F.array_distinct(tokens(text_col))
-    hashed = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-            .cast("long")
-            .alias("hi"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
-            .cast("long")
-            .alias("lo"),
-        ),
+    # Staged projections so each expensive array is computed exactly once
+    # (same no-CSE-across-lambdas reality as minhash_signatures): tokens →
+    # one md5 per token → (hi, lo) words sliced from that digest; _n comes
+    # from the token array, which needs no hashing at all.
+    toked = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("_t")
     )
-    base = df.select(
-        F.col(id_col), hashed.alias("_h"), F.size(hashed).alias("_n")
+    digested = toked.select(
+        id_col,
+        F.transform(F.col("_t"), lambda t: F.md5(t)).alias("_m"),
+        F.size(F.col("_t")).alias("_n"),
+    )
+    base = digested.select(
+        id_col,
+        F.transform(
+            F.col("_m"),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+                F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+            ),
+        ).alias("_h"),
+        "_n",
     )
 
     def popcount_bit(b: int) -> Column:

@@ -844,23 +844,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (4 hashes over 3-token shingles)."""
+# The signed (id, shingles, sigs) relation feeds two registry queries and
+# is persisted inside lsh_near_dup_pairs; memoize it per (application,
+# corpus) so repeated registry invocations reuse ONE cached relation
+# instead of leaking a new persisted copy per call — same lifecycle
+# discipline as _SIMHASH_MEMO / _CLUSTER_MEMO.
+_MINHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_signed_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taar_gcp_etl_spark.operators.dedup import minhash_signatures
 
-    return minhash_signatures(_wide(spark, sf_dir, "documents")).select(
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _MINHASH_MEMO:
+        for stale in [k for k in _MINHASH_MEMO if k[0] != app_id]:
+            del _MINHASH_MEMO[stale]
+        _MINHASH_MEMO[key] = minhash_signatures(
+            _wide(spark, sf_dir, "documents")
+        )
+    return _MINHASH_MEMO[key]
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (4 hashes over 3-token shingles)."""
+    return _minhash_signed_cached(spark, sf_dir).select(
         "doc_id", "sig0", "sig1", "sig2", "sig3"
     )
 
 
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.5."""
-    from taar_gcp_etl_spark.operators.dedup import (
-        lsh_near_dup_pairs,
-        minhash_signatures,
-    )
+    from taar_gcp_etl_spark.operators.dedup import lsh_near_dup_pairs
 
-    signed = minhash_signatures(_wide(spark, sf_dir, "documents"))
+    signed = _minhash_signed_cached(spark, sf_dir)
     return lsh_near_dup_pairs(signed, jaccard_threshold=0.5)
 
 
@@ -1530,8 +1547,13 @@ ORACLE_SQL: dict[str, str] = {
                      unnest(['0:' || s0, '1:' || s1,
                              '2:' || s2, '3:' || s3]) AS band
                   FROM sig),
+        -- hot-band cap mirrored from drop_hot_bands(max_band_size=1000)
+        -- so both engines drop the same boilerplate buckets
+        kept AS (SELECT * FROM bands WHERE band NOT IN (
+                     SELECT band FROM bands
+                     GROUP BY band HAVING count(*) > 1000)),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bands a JOIN bands b
+                 FROM kept a JOIN kept b
                    ON a.band = b.band AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b,
                ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)

@@ -273,12 +273,14 @@ def write_serving_epoch(
     from taar_gcp_etl_spark.operators.serving import pack_serving_rows
 
     packed = pack_serving_rows(batch_df, "event_id", ["user_id", "event_type"])
-    spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         packed.withColumn("epoch_id", F.lit(int(epoch_id)))
         .withColumn("key_prefix", F.substring("key", 1, 2))
         .write.mode("overwrite")
+        # per-writer option, NOT spark.conf.set: a session-level setting
+        # would silently change the semantics of every later
+        # overwrite-partitioned write in the same session
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch_id", "key_prefix")
         .parquet(serving_path)
     )

@@ -380,20 +380,28 @@ class TestGatesAndArtifacts:
     def test_amodump_two_phase_fetch_with_injected_fetcher(self, spark):
         """Online S2 path fully offline: the fake fetcher serves page-1
         probes AND the derived ?page=N last-page URL — proving the two-phase
-        fan-out constructs the right second-phase URLs."""
+        fan-out constructs the right second-phase URLs. Guids are
+        percent-ENCODED into both phases' URLs (the parse side decodes), so
+        reserved characters — '@', and critically '+' which url_decode maps
+        to a space — roundtrip byte-identical; the 'plus+x' guid fails
+        without symmetric encoding."""
         base = "https://addons.mozilla.org/api/v4/addons/addon"
         pages = {
-            f"{base}/one@x/versions/": json.dumps(
+            f"{base}/one%40x/versions/": json.dumps(
                 {"page_count": 1,
                  "results": [{"files": [{"created": "2020-05-05T00:00:00"}]}]}
             ),
-            f"{base}/multi@x/versions/": json.dumps(
+            f"{base}/multi%40x/versions/": json.dumps(
                 {"page_count": 2,
                  "results": [{"files": [{"created": "2024-09-09T00:00:00"}]}]}
             ),
-            f"{base}/multi@x/versions/?page=2": json.dumps(
+            f"{base}/multi%40x/versions/?page=2": json.dumps(
                 {"page_count": 2,
                  "results": [{"files": [{"created": "2012-12-12T00:00:00"}]}]}
+            ),
+            f"{base}/plus%2Bx/versions/": json.dumps(
+                {"page_count": 1,
+                 "results": [{"files": [{"created": "2019-01-01T00:00:00"}]}]}
             ),
         }
 
@@ -403,7 +411,7 @@ class TestGatesAndArtifacts:
             return 200, pages[url]
 
         catalog = spark.createDataFrame(
-            [("one@x",), ("multi@x",)], ["guid"]
+            [("one@x",), ("multi@x",), ("plus+x",)], ["guid"]
         )
         fd = {
             r.guid: r.first_create_date
@@ -414,6 +422,7 @@ class TestGatesAndArtifacts:
         assert fd == {
             "one@x": "2020-05-05T00:00:00",
             "multi@x": "2012-12-12T00:00:00",
+            "plus+x": "2019-01-01T00:00:00",
         }
 
     def test_amodump_job(self, spark, tmp_path):
