@@ -1,0 +1,69 @@
+"""Composed corpus-cleaning pipeline: stage attrition + invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.io import read_table
+from taar_gcp_etl_spark.jobs import clean_corpus
+from taar_gcp_etl_spark.operators.quality import default_rulepack
+from taar_gcp_etl_spark.operators.text import language_id
+from tests.conftest import SF_SMOKE
+
+
+class TestCleanCorpus:
+    def test_every_doc_labeled_once_and_counts_reconcile(self, spark):
+        docs = read_table(spark, SF_SMOKE, "documents")
+        cleaned, report = clean_corpus.run(spark, SF_SMOKE)
+        stages = {r.stage: r["count"] for r in report.collect()}
+
+        assert sum(stages.values()) == docs.count()
+        labeled = clean_corpus.label_corpus(docs, default_rulepack(spark))
+        assert labeled.select("doc_id").distinct().count() == docs.count()
+        assert stages.get("kept", 0) == cleaned.count() > 0
+
+    def test_stage_counts_match_independent_filters(self, spark):
+        docs = read_table(spark, SF_SMOKE, "documents")
+        _, report = clean_corpus.run(spark, SF_SMOKE)
+        stages = {r.stage: r["count"] for r in report.collect()}
+
+        lang = language_id(docs)
+        n_lang_dropped = lang.filter(
+            F.col("predicted_lang") != "en"
+        ).count()
+        assert stages.get("language", 0) == n_lang_dropped
+
+        # exact-dup drops = survivors minus distinct texts among survivors
+        en_ids = lang.filter(F.col("predicted_lang") == "en").select("doc_id")
+        # quality stage evaluated only on language survivors
+        assert stages.get("quality", 0) <= en_ids.count()
+
+    def test_cleaned_corpus_has_no_duplicates(self, spark):
+        from taar_gcp_etl_spark.operators.dedup import (
+            lsh_near_dup_pairs,
+            minhash_signatures,
+        )
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        cleaned, _ = clean_corpus.run(spark, SF_SMOKE)
+
+        # no two kept docs share content
+        assert (
+            cleaned.select("text").distinct().count() == cleaned.count()
+        )
+
+        # no kept pair remains from the near-dup pair set over the
+        # pre-near-dup survivor universe (greedy doc_b removal guarantee)
+        labeled = clean_corpus.label_corpus(docs, default_rulepack(spark))
+        uniq = labeled.filter(
+            F.col("drop_stage").isNull()
+            | (F.col("drop_stage") == "near_dup")
+        ).select("doc_id", "text")
+        pairs = lsh_near_dup_pairs(minhash_signatures(uniq)).collect()
+        kept = {r.doc_id for r in cleaned.select("doc_id").collect()}
+        both_kept = [
+            (p.doc_a, p.doc_b)
+            for p in pairs
+            if p.doc_a in kept and p.doc_b in kept
+        ]
+        assert both_kept == []
