@@ -88,6 +88,30 @@ def test_tpch_q17_decorrelates_scalar_subquery(spark):
     assert has_partial_aggregate(df)
 
 
+def test_tpch_q7_nation_pair_broadcasts(spark):
+    """Q7's two nation dimensions must broadcast (the OR'd pair predicate
+    must not force a nested loop); the fact-fact joins may shuffle."""
+    df = SPARK_QUERIES["tpch_q7"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q20_nested_semi_joins(spark):
+    """Q20's two IN levels must plan as semi-joins (no decorrelated
+    re-scan, no nested loop)."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["tpch_q20"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
 def test_tpch_q22_not_exists_is_anti_join(spark):
     """NOT EXISTS must plan as an anti-join (broadcast or shuffled), never a
     nested loop per customer row."""
