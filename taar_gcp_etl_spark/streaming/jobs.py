@@ -209,6 +209,27 @@ def sessionize_with_close_events(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup at ingest — the streaming twin of operators.dedup
+    .exact_dedup: keep the first arrival per key, drop re-deliveries.
+
+    Uses dropDuplicatesWithinWatermark, so the state store holds each key
+    only until the watermark passes its event time — state is
+    O(rate × watermark), independent of stream length. Plain
+    dropDuplicates on a stream never evicts (unbounded state); the
+    within-watermark variant is the only shape that survives an unbounded
+    ingest feed. The trade: a duplicate arriving later than the watermark
+    delay is emitted again — at-ingest dedup bounds re-delivery windows,
+    not adversarial replays (the batch exact_dedup downstream stays the
+    backstop, same layering as a 100 TB pipeline)."""
+    keyed = events.withWatermark("ts", watermark)
+    return keyed.dropDuplicatesWithinWatermark(key_cols or ["event_id"])
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

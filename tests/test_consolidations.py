@@ -85,16 +85,19 @@ class TestFoldedOperators:
 class TestRegistryBudget:
     def test_first_50_entries_are_oracle_checkable(self):
         """Driver-contract invariant: the correctness artifact records the
-        first 50 registry entries, so every oracle-checkable query must sit
-        in the first 50 slots and rows-only queries last (VERDICT r1
-        next-1)."""
+        first 50 registry entries, so every one of the first 50 slots must
+        be oracle-checkable (VERDICT r1 next-1). Overflow entries (51+) may
+        be oracle-paired too — locally verified by test_oracle — but must
+        be ordered oracle-paired first, rows-only last, so a larger driver
+        budget covers the strongest checks first."""
         from taar_gcp_etl_spark.queries import ORACLE_SQL, SPARK_QUERIES
 
         names = list(SPARK_QUERIES)
         assert all(n in ORACLE_SQL for n in names[:50]), [
             n for n in names[:50] if n not in ORACLE_SQL
         ]
-        assert all(n not in ORACLE_SQL for n in names[50:]), names[50:]
+        tail_flags = [n in ORACLE_SQL for n in names[50:]]
+        assert tail_flags == sorted(tail_flags, reverse=True), names[50:]
         assert not set(ORACLE_SQL) - set(names)
 
 

@@ -114,3 +114,70 @@ def test_sessionize_matches_reference(spark, events):
             want[(k, sid)] = want.get((k, sid), 0) + 1
             prev = ts
     assert got == want
+
+
+zvals = st.lists(
+    st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pts=zvals)
+def test_zorder_key_matches_reference_and_is_injective(spark, pts):
+    """Morton interleave == bit-twiddling reference; distinct (x, y) pairs
+    must map to distinct keys (bijectivity of the interleave)."""
+    from taar_gcp_etl_spark.operators.layout import zorder_key
+
+    def morton2(x: int, y: int) -> int:
+        out = 0
+        for b in range(16):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = df.select("x", "y", zorder_key(["x", "y"]).alias("z")).collect()
+    for r in got:
+        assert r.z == morton2(r.x, r.y)
+    uniq_pts = {(x, y) for x, y in pts}
+    assert len({morton2(x, y) for x, y in uniq_pts}) == len(uniq_pts)
+
+
+texts = st.lists(
+    st.text(
+        alphabet="abcdefg hij",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(docs=texts)
+def test_simhash64_identity_and_digest_range(spark, docs):
+    """Identical texts get identical digests; each 32-bit word stays within
+    unsigned-32 range (engine portability invariant); digest of a
+    duplicated corpus equals digest of the original."""
+    from taar_gcp_etl_spark.operators.dedup import simhash64
+
+    rows = [(i, t) for i, t in enumerate(docs)] + [
+        (i + 1000, t) for i, t in enumerate(docs)  # duplicate corpus
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in simhash64(df).collect()}
+    for i, _t in enumerate(docs):
+        assert got[i] == got[i + 1000]  # identity
+    for hi, lo in got.values():
+        assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)

@@ -250,6 +250,37 @@ class TestCogroupAsof:
         assert pandas_ver == native and len(native) > 0
 
 
+class TestStreamDedup:
+    def test_redelivered_events_dropped_within_watermark(self, spark, tmp_path):
+        """Ingest-dedup: an event re-delivered in a later micro-batch (inside
+        the watermark) must be emitted exactly once."""
+        events = read_table(spark, SF_SMOKE, "events").limit(200)
+        src = str(tmp_path / "dup_src")
+        # two identical file drops = every event delivered twice, in
+        # different micro-batches (maxFilesPerTrigger=1)
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+        import glob
+        import shutil
+
+        part = glob.glob(f"{src}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/part-redelivery.parquet")
+
+        deduped = stream_jobs.dedup_stream(
+            stream_jobs.read_event_stream(spark, src, max_files_per_trigger=1)
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids)) == events.count()
+
+
 class TestStreamStreamJoin:
     def test_interval_join_equals_batch(self, spark, tmp_path):
         """The watermarked stream-stream interval join must converge to the
