@@ -61,10 +61,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser(
+        "clean_corpus",
+        help="training-corpus cleaning: language -> quality -> exact dedup"
+        " -> LSH near-dup, writes cleaned parquet + attrition report JSON",
+    )
+    p.add_argument("--sf-dir", required=True, help="dir with documents.parquet")
+    p.add_argument("--out", required=True, help="cleaned corpus parquet dir")
+    p.add_argument("--report", required=True, help="attrition report JSON path")
+    p.add_argument("--lang", default="en")
+    p.add_argument("--jaccard", type=float, default=0.5)
+
     args = parser.parse_args(argv)
 
     from taar_gcp_etl_spark.session import get_spark
 
+    # only stop a session this process created: under getOrCreate an
+    # embedding host (tests, a notebook) may own the active session, and
+    # stopping it out from under the host breaks every later query
+    from pyspark.sql import SparkSession
+
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"taar-{args.job}")
     try:
         if args.job == "guid_ranking":
@@ -106,6 +123,21 @@ def main(argv: list[str] | None = None) -> int:
             locale_top.run(
                 spark.read.parquet(args.clients), args.out, k=args.top_k
             )
+        elif args.job == "clean_corpus":
+            import json as _json
+
+            from taar_gcp_etl_spark.jobs import clean_corpus
+
+            cleaned, report = clean_corpus.run(
+                spark,
+                args.sf_dir,
+                target_lang=args.lang,
+                jaccard_threshold=args.jaccard,
+            )
+            cleaned.write.mode("overwrite").parquet(args.out)
+            stages = {r.stage: r["count"] for r in report.collect()}
+            with open(args.report, "w") as fh:
+                _json.dump(stages, fh, sort_keys=True)
         elif args.job == "amodump":
             from taar_gcp_etl_spark.jobs import amodump
 
@@ -117,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             amodump.run_end_to_end(raw, reader(args.versions), args.out)
     finally:
-        spark.stop()
+        if not pre_existing:
+            spark.stop()
     return 0
 
 

@@ -67,3 +67,31 @@ class TestCleanCorpus:
             if p.doc_a in kept and p.doc_b in kept
         ]
         assert both_kept == []
+
+
+class TestCleanCorpusCli:
+    def test_cli_writes_corpus_and_report(self, spark, tmp_path):
+        """`python -m taar_gcp_etl_spark clean_corpus` — parquet out +
+        attrition JSON, totals reconciling with the input corpus."""
+        import json
+
+        from taar_gcp_etl_spark.__main__ import main
+
+        out = str(tmp_path / "cleaned")
+        report = str(tmp_path / "report.json")
+        rc = main(
+            [
+                "clean_corpus",
+                "--sf-dir",
+                SF_SMOKE,
+                "--out",
+                out,
+                "--report",
+                report,
+            ]
+        )
+        assert rc == 0
+        stages = json.load(open(report))
+        docs = read_table(spark, SF_SMOKE, "documents")
+        assert sum(stages.values()) == docs.count()
+        assert stages["kept"] > 0
