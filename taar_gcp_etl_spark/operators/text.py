@@ -63,6 +63,38 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher/C4-style repetition signal: fraction of n-gram occurrences
+    that are repeats of an earlier n-gram in the same document
+    (1 - distinct/total). Boilerplate, template spam, and looping
+    generations score high; clean prose scores near 0. Pure Column map —
+    zero shuffle, linear in tokens (same 100 TB posture as text_stats).
+    Documents shorter than n tokens score 0 over 0 grams → 0.0."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    based = df.select("doc_id", grams.alias("_g"))
+    n_total = F.size(F.col("_g"))
+    n_distinct = F.size(F.array_distinct(F.col("_g")))
+    return based.select(
+        "doc_id",
+        n_total.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        F.round(
+            F.when(n_total > 0, 1 - n_distinct / n_total).otherwise(0.0), 6
+        ).alias("repeat_ratio"),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic: stopword-set hit ratios per candidate language,
     argmax with deterministic tie-break toward 'en', 'und' (undetermined)

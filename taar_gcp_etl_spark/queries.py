@@ -887,6 +887,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_wide(spark, sf_dir, "documents"))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate 3-gram ratio per document
+    (boilerplate/template detector). Pure Column map, zero shuffle."""
+    from taar_gcp_etl_spark.operators.text import repetition_stats
+
+    return repetition_stats(_wide(spark, sf_dir, "documents"))
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language-ID heuristic."""
     from taar_gcp_etl_spark.operators.text import language_id
@@ -1099,6 +1107,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordered before the rows-only tail so a larger budget covers them ---
     "tpch_q7": q_tpch_q7,
     "tpch_q20": q_tpch_q20,
+    "repetition": q_repetition,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1431,6 +1440,22 @@ ORACLE_SQL: dict[str, str] = {
             GROUP BY l.l_suppkey, l.l_partkey
             HAVING SUM(l.l_quantity) > 50)
         ORDER BY s.s_name
+    """,
+    "repetition": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        g AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                     list_transform(generate_series(1, len(t)-2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE [] END AS gs
+              FROM toked)
+        SELECT doc_id,
+               CAST(len(gs) AS INTEGER) AS n_grams,
+               CAST(len(list_distinct(gs)) AS INTEGER) AS n_distinct_grams,
+               ROUND(CASE WHEN len(gs) > 0 THEN
+                   1 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                   ELSE 0.0 END, 6) AS repeat_ratio
+        FROM g
     """,
     "tpch_q22": """
         SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,

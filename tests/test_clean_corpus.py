@@ -95,3 +95,23 @@ class TestCleanCorpusCli:
         docs = read_table(spark, SF_SMOKE, "documents")
         assert sum(stages.values()) == docs.count()
         assert stages["kept"] > 0
+
+
+class TestRepetition:
+    def test_repetition_detects_looping_text(self, spark):
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.text import repetition_stats
+
+        rows = [
+            Row(doc_id=1, text="spam ham eggs " * 20),  # pure loop
+            Row(doc_id=2, text="the quick brown fox jumps over a lazy dog"),
+            Row(doc_id=3, text="too short"),  # < n tokens -> 0 grams
+        ]
+        got = {
+            r.doc_id: r
+            for r in repetition_stats(spark.createDataFrame(rows)).collect()
+        }
+        assert got[1].repeat_ratio > 0.9
+        assert got[2].repeat_ratio == 0.0
+        assert got[3].n_grams == 0 and got[3].repeat_ratio == 0.0
