@@ -209,9 +209,14 @@ def write_avro(df: DataFrame, path: str) -> None:
     Prefers the spark-avro connector (``org.apache.spark:spark-avro_2.13:
     <spark-version>`` — add via spark.jars.packages) when present; otherwise
     falls back to the in-repo OCF codec (avro_ocf): each partition
-    serializes its rows to one container file inside ``path`` via
-    mapInPandas — fully distributed, one file per partition, deflate codec,
-    interop-tested against the Avro Java library."""
+    serializes its rows to one container file inside ``path``, one file per
+    partition, deflate codec, interop-tested against the Avro Java library.
+
+    Fallback caveat: partition files are written with plain ``open()`` from
+    executor tasks into a driver-created directory, so the fallback requires
+    a filesystem shared between driver and executors (local mode, NFS). On
+    a cluster with object storage, use the spark-avro connector — that is
+    why ``avro_supported`` is checked first."""
     if avro_supported(df.sparkSession):
         df.write.format("avro").mode("overwrite").save(path)
         return
@@ -298,19 +303,34 @@ def _read_avro_fallback(spark: SparkSession, path: str) -> DataFrame:
     names = [f.name for f in spark_schema.fields]
 
     def decode(batches):
-        import pandas as pd
+        # Arrow arrays per column, NOT a pandas DataFrame: pandas coerces
+        # int64-with-nulls to float64, silently rounding longs past 2^53 on
+        # read-back (the write path avoids pandas for the same reason —
+        # this keeps the fallback roundtrip symmetric and exact).
+        import pyarrow as pa
 
-        for pdf in batches:
-            out: list[dict] = []
-            for content in pdf["content"]:
-                _, rows = decode_ocf(bytes(content))
-                out.extend(rows)
-            yield pd.DataFrame(out, columns=names)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(spark_schema)
+        for batch in batches:
+            rows: list[dict] = []
+            for content in batch.column(0):
+                _, decoded = decode_ocf(content.as_py())
+                rows.extend(decoded)
+            if rows:
+                cols = [
+                    pa.array(
+                        [r.get(name) for r in rows],
+                        type=arrow_schema.field(i).type,
+                    )
+                    for i, name in enumerate(names)
+                ]
+                yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .load(path)
         .select("content")
-        .mapInPandas(decode, schema=spark_schema)
+        .mapInArrow(decode, schema=spark_schema)
     )

@@ -102,8 +102,12 @@ def label_corpus(
         jaccard_threshold=jaccard_threshold,
     )
     near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    # plain (shuffle) left join, NOT a broadcast: near_dups is the full
+    # near-duplicate id set — commonly 20-40% of a web-scale corpus — so a
+    # broadcast hint here is O(corpus) driver memory. Let AQE pick the
+    # strategy; at fixture scale it still broadcasts on its own.
     labeled_tail = uniq.join(
-        F.broadcast(near_dups.withColumn("_nd", F.lit(True))),
+        near_dups.withColumn("_nd", F.lit(True)),
         id_col,
         "left",
     ).select(

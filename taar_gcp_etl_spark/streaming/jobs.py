@@ -237,11 +237,17 @@ def stream_stream_interval_join(
     left_wm: str = "1 hour",
     right_wm: str = "1 hour",
     lookback: str = "INTERVAL 1 HOUR",
+    how: str = "leftOuter",
 ) -> DataFrame:
     """Watermarked stream-stream interval join — the enrichment-at-ingest
     twin of the batch J2 left join: each left event pairs with the right
     events of the same key whose timestamp falls in
-    [left.ts - lookback, left.ts].
+    [left.ts - lookback, left.ts]; a left event with no match is emitted
+    with null right-side columns once the watermark passes the end of its
+    match window (leftOuter is legal precisely because both watermarks and
+    the event-time interval are present — Spark requires them to bound
+    when an unmatched row can be declared final). Pass ``how='inner'`` to
+    drop unmatched left events instead.
 
     Both sides carry watermarks and the join predicate carries a closed
     event-time interval; together those let the state store evict a
@@ -272,6 +278,7 @@ def stream_stream_interval_join(
             r_ts BETWEEN l_ts - {lookback} AND l_ts
             """
         ),
+        how,
     ).select(
         F.col("l_key").alias(key),
         "l_event_id",

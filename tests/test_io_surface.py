@@ -87,6 +87,24 @@ def test_avro_roundtrip_all_scalar_types(spark, tmp_path):
     assert got == want
 
 
+def test_avro_roundtrip_exact_longs_with_nulls(spark, tmp_path):
+    """Regression: nullable long columns must roundtrip EXACTLY. A pandas
+    DataFrame built from list-of-dicts coerces int64-with-null to float64,
+    rounding values past 2^53 ((1<<60)+1 -> 1.152921504606847e+18); the
+    read fallback therefore builds pyarrow arrays per column instead."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("n", T.LongType())])
+    vals = [((1 << 60) + 1,), ((1 << 62) + 7,), (None,), (-(1 << 60) - 3,)]
+    df = spark.createDataFrame(vals, schema).repartition(2)
+    write_avro(df, str(tmp_path / "big.avro"))
+    back = read_avro(spark, str(tmp_path / "big.avro"))
+    assert back.schema == schema
+    got = sorted((r.n for r in back.collect()), key=lambda v: (v is None, v))
+    want = sorted((v[0] for v in vals), key=lambda v: (v is None, v))
+    assert got == want
+
+
 def test_avro_fallback_interops_with_java_avro(spark, tmp_path):
     """Files written by the fallback codec must be readable by the REAL
     Avro Java library (on the classpath) — the OCF format contract, not

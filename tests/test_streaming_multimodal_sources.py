@@ -283,9 +283,14 @@ class TestStreamDedup:
 
 class TestStreamStreamJoin:
     def test_interval_join_equals_batch(self, spark, tmp_path):
-        """The watermarked stream-stream interval join must converge to the
-        batch interval-join result once both streams drain: each 'view'
-        event pairs with same-user 'click' events at most 1 hour older."""
+        """The watermarked stream-stream LEFT OUTER interval join must
+        converge to the batch left-join result once both streams drain:
+        each 'view' event pairs with same-user 'click' events at most
+        1 hour older, and a view with no such click is emitted with null
+        right-side columns. Outer results only flush when the watermark
+        passes the end of their match window, so after the real files a
+        far-future sentinel event is appended to both streams to advance
+        the watermark past every real event."""
         events = read_table(spark, SF_SMOKE, "events")
         views = events.filter(F.col("event_type") == "view")
         clicks = events.filter(F.col("event_type") == "click")
@@ -304,10 +309,27 @@ class TestStreamStreamJoin:
             .start()
         )
         q.processAllAvailable()
+        # watermark-advancing sentinel on both sides (far future, unique
+        # user so it matches nothing real)
+        sentinel = events.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            *[
+                F.col(c)
+                for c in events.columns
+                if c not in ("event_id", "user_id", "ts")
+            ],
+            (F.col("ts") + F.expr("INTERVAL 1000 HOURS")).alias("ts"),
+        ).select(*events.columns)
+        sentinel.coalesce(1).write.mode("append").parquet(vsrc)
+        sentinel.coalesce(1).write.mode("append").parquet(csrc)
+        q.processAllAvailable()
         q.stop()
         got = {
             (r.user_id, r.l_event_id, r.r_event_id)
-            for r in spark.sql("SELECT * FROM ssj_out").collect()
+            for r in spark.sql(
+                "SELECT * FROM ssj_out WHERE user_id != -1"
+            ).collect()
         }
 
         want = {
@@ -319,6 +341,7 @@ class TestStreamStreamJoin:
                     "l.user_id = r.user_id AND "
                     "r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts"
                 ),
+                "left",
             )
             .select(
                 F.col("l.user_id").alias("user_id"),
@@ -328,6 +351,8 @@ class TestStreamStreamJoin:
             .collect()
         }
         assert len(want) > 0
+        unmatched = {t for t in want if t[2] is None}
+        assert len(unmatched) > 0, "fixture should have unmatched views"
         assert got == want
 
 
