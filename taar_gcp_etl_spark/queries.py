@@ -463,20 +463,6 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("l_returnflag").agg(F.count("*").alias("n_late"))
 
 
-def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 — tumbling 1-day event-time windows (batch semantics identical
-    to the streaming variant in streaming/)."""
-    ev = _t(spark, sf_dir, "events")
-    out = windows.tumbling_window_agg(
-        ev,
-        "ts",
-        "1 day",
-        ["event_type"],
-        [F.count("*").alias("n"), _r2(F.sum("value")).alias("sum_value")],
-    )
-    return out.select("window_start", "event_type", "n", "sum_value")
-
-
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — sessionization (30-min inactivity gap) via gaps-and-islands;
     the session_window variant is equivalence-tested in tests/."""
@@ -489,13 +475,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 — exact interpolated percentiles (the approx variant is a
-    separate rows-only query; this one is oracle-checkable)."""
+def q_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — per-group aggregate profile (r3 registry fold of the
+    standalone percentiles + count_distinct_agg queries — same table, same
+    grouping, one pass): exact interpolated percentiles (the approx
+    variant is a separate rows-only query), exact distinct counts, and
+    ordered string aggregation (sort before concat — collect_set order is
+    not defined across partitions)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         _r6(F.percentile("value", 0.5)).alias("p50"),
         _r6(F.percentile("value", 0.95)).alias("p95"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.collect_set(F.col("user_id") % 10)),
+        ).alias("user_digits"),
     )
 
 
@@ -552,39 +548,38 @@ def q_coinstall_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.coinstall_rates(ev, "user_id", "event_type")
 
 
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 — pivot: per-user column per event_type with summed value.
-    Explicit value list keeps the plan single-pass (no distinct-scan)."""
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — pivot AND unpivot in one plan (r3 registry fold: the two
+    standalone queries shared a slot budget): events pivot per-user into
+    one column per event_type (explicit value list keeps the plan
+    single-pass, no distinct-scan), then unpivot/melt back to long form —
+    nulls preserved, so absent (user, kind) combinations surface as null
+    rows exactly like the wide form."""
     ev = _t(spark, sf_dir, "events")
     kinds = ["click", "view", "purchase", "signup", "error"]
-    return (
+    wide = (
         ev.groupBy("user_id")
         .pivot("event_type", kinds)
         .agg(F.round(F.sum("value"), 2))
     )
+    return wide.unpivot("user_id", kinds, "metric", "val")
 
 
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 — unpivot/melt: customer balance metrics to long form."""
-    c = _t(spark, sf_dir, "customer")
-    return c.select("c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("c_nation_d")).unpivot(
-        "c_custkey", ["c_acctbal", "c_nation_d"], "metric", "val"
-    )
-
-
-def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 — sliding event-time windows (1 day width, 12 h slide): each
-    event lands in 2 windows."""
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — event-time windows, tumbling AND sliding, one query (r3
+    registry fold): 1-day tumbling windows plus 1-day/12-h sliding windows
+    (each event lands in 2), discriminated by a `kind` column. Batch
+    semantics identical to the streaming variants in streaming/."""
     ev = _t(spark, sf_dir, "events")
-    out = windows.sliding_window_agg(
-        ev,
-        "ts",
-        "1 day",
-        "12 hours",
-        ["event_type"],
-        [F.count("*").alias("n")],
+    aggs = [F.count("*").alias("n"), _r2(F.sum("value")).alias("sum_value")]
+    tumb = windows.tumbling_window_agg(ev, "ts", "1 day", ["event_type"], aggs)
+    slide = windows.sliding_window_agg(
+        ev, "ts", "1 day", "12 hours", ["event_type"], aggs
     )
-    return out.select("window_start", "event_type", "n")
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    return tumb.select(F.lit("tumbling").alias("kind"), *cols).unionByName(
+        slide.select(F.lit("sliding").alias("kind"), *cols)
+    )
 
 
 def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,21 +666,6 @@ def q_donor_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — taar_similarity donors contract: seeded KMeans clusters over
     embeddings. Iterative ML — not SQL-expressible → rows-only check."""
     return _clusters(spark, sf_dir)
-
-
-def q_count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 — exact distinct counts per group + ordered string aggregation
-    (deterministic collect: sort before concat — collect_list order is not
-    defined across partitions)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count("*").alias("n_events"),
-        F.concat_ws(
-            ",",
-            F.array_sort(F.collect_set(F.col("user_id") % 10)),
-        ).alias("user_digits"),
-    )
 
 
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,7 +1030,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last. r1→r2 consolidation to stay inside that budget: coinstall_pairs ⊂
 # coinstall_rates (pair_count column), cube+rollup ⊂ grouping_sets (CUBE set
 # list), date_parts ⊂ scalar_functions, fingerprint ⊂ winnow (min hash);
-# the folded operators remain implemented and unit-tested.
+# the folded operators remain implemented and unit-tested. r2→r3
+# consolidation (frees 3 slots for tpch_q7/tpch_q20/repetition):
+# pivot+unpivot ⊂ pivot_unpivot (one plan, roundtrip),
+# window_tumbling+window_sliding ⊂ event_windows (kind column),
+# percentiles+count_distinct_agg ⊂ agg_profile (same table+grouping).
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "install_ranking": q_install_ranking,
     "top_k": q_top_k,
@@ -1073,18 +1057,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running": q_window_running,
     "grouping_sets": q_grouping_sets,
     "range_join": q_range_join,
-    "window_tumbling": q_window_tumbling,
+    "event_windows": q_event_windows,
     "sessionize": q_sessionize,
-    "percentiles": q_percentiles,
+    "agg_profile": q_agg_profile,
     "set_ops": q_set_ops,
     "asof_join": q_asof_join,
-    "pivot": q_pivot,
-    "unpivot": q_unpivot,
-    "window_sliding": q_window_sliding,
+    "pivot_unpivot": q_pivot_unpivot,
     "window_ranks": q_window_ranks,
     "scalar_functions": q_scalar_functions,
-    "count_distinct_agg": q_count_distinct_agg,
     "stats_agg": q_stats_agg,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q20": q_tpch_q20,
+    "repetition": q_repetition,
     "arg_max": q_arg_max,
     "histogram": q_histogram,
     "upsert": q_upsert,
@@ -1102,12 +1086,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_hamming": q_simhash_hamming,
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
-    # --- oracle-paired overflow (entries 51+): locally verified by
-    # tests/test_oracle.py; outside the driver's 50-row artifact budget,
-    # ordered before the rows-only tail so a larger budget covers them ---
-    "tpch_q7": q_tpch_q7,
-    "tpch_q20": q_tpch_q20,
-    "repetition": q_repetition,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1304,10 +1282,27 @@ ORACLE_SQL: dict[str, str] = {
          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         GROUP BY l_returnflag
     """,
-    "window_tumbling": """
-        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+    "event_windows": """
+        SELECT 'tumbling' AS kind,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
                count(*) AS n, ROUND(SUM(value), 2) AS sum_value
-        FROM events GROUP BY 1, 2
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sliding' AS kind, window_start, event_type,
+               count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   unnest([
+                       TIMESTAMP '1970-01-01 00:00:00'
+                           + to_seconds(CAST(FLOOR(epoch(ts)/43200)*43200
+                                             AS BIGINT)),
+                       TIMESTAMP '1970-01-01 00:00:00'
+                           + to_seconds(CAST(FLOOR(epoch(ts)/43200)*43200
+                                             - 43200 AS BIGINT))
+                   ]) AS window_start
+            FROM events
+        ) GROUP BY window_start, event_type
     """,
     "sessionize": """
         WITH flagged AS (
@@ -1328,10 +1323,14 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM ids GROUP BY user_id, session_id
     """,
-    "percentiles": """
+    "agg_profile": """
         SELECT event_type,
                ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
-               ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+               ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events,
+               string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ','
+                          ORDER BY CAST(user_id % 10 AS VARCHAR)) AS user_digits
         FROM events GROUP BY event_type
     """,
     "set_ops": """
@@ -1346,14 +1345,6 @@ ORACLE_SQL: dict[str, str] = {
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
-    """,
-    "count_distinct_agg": """
-        SELECT event_type,
-               count(DISTINCT user_id) AS n_users,
-               count(*) AS n_events,
-               string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ','
-                          ORDER BY CAST(user_id % 10 AS VARCHAR)) AS user_digits
-        FROM events GROUP BY event_type
     """,
     "stats_agg": """
         SELECT l_returnflag,
@@ -1527,41 +1518,30 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(pair_count / CAST(a_count AS DOUBLE), 6) AS rate
         FROM pairs JOIN ic USING (item_a)
     """,
-    "pivot": """
-        SELECT user_id,
-               ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2)
-                   AS click,
-               ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 2)
-                   AS view,
-               ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2)
-                   AS purchase,
-               ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 2)
-                   AS signup,
-               ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 2)
-                   AS error
-        FROM events GROUP BY user_id
-    """,
-    "unpivot": """
-        SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val
-        FROM customer
+    "pivot_unpivot": """
+        WITH wide AS (
+            SELECT user_id,
+                   ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2)
+                       AS click,
+                   ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 2)
+                       AS view,
+                   ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2)
+                       AS purchase,
+                   ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 2)
+                       AS signup,
+                   ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 2)
+                       AS error
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'click' AS metric, click AS val FROM wide
         UNION ALL
-        SELECT c_custkey, 'c_nation_d' AS metric,
-               CAST(c_nationkey AS DOUBLE) AS val
-        FROM customer
-    """,
-    "window_sliding": """
-        SELECT window_start, event_type, count(*) AS n FROM (
-            SELECT event_type,
-                   unnest([
-                       TIMESTAMP '1970-01-01 00:00:00'
-                           + to_seconds(CAST(FLOOR(epoch(ts)/43200)*43200
-                                             AS BIGINT)),
-                       TIMESTAMP '1970-01-01 00:00:00'
-                           + to_seconds(CAST(FLOOR(epoch(ts)/43200)*43200
-                                             - 43200 AS BIGINT))
-                   ]) AS window_start
-            FROM events
-        ) GROUP BY window_start, event_type
+        SELECT user_id, 'view', view FROM wide
+        UNION ALL
+        SELECT user_id, 'purchase', purchase FROM wide
+        UNION ALL
+        SELECT user_id, 'signup', signup FROM wide
+        UNION ALL
+        SELECT user_id, 'error', error FROM wide
     """,
     "window_ranks": """
         SELECT l_orderkey, l_linenumber, l_quantity,
