@@ -937,13 +937,28 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(signed, jaccard_threshold=0.5)
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard on a bounded subset (doc_id < 64) —
-    the quadratic baseline the LSH variant approximates."""
-    from taar_gcp_etl_spark.operators.dedup import ngram_jaccard_pairs
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end (r3; folds the standalone
+    ngram_jaccard registry entry — the exact all-pairs Jaccard stage is
+    this query's edge source, so the driver still value-checks it): pairs
+    at Jaccard >= 0.5 over a bounded subset are closed into connected
+    components (transitively linked near-dups get ONE canonical
+    representative — the decision step a dedup pipeline actually needs);
+    every document is labeled, canonical = component min id."""
+    from taar_gcp_etl_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
 
-    docs = _wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
-    return ngram_jaccard_pairs(docs)
+    docs = _wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    pairs = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    labels = connected_components(pairs)
+    cluster = F.coalesce("cluster_id", F.col("doc_id"))
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_canonical"),
+    )
 
 
 # The simhash digest feeds two registry queries (the digest itself and the
@@ -1081,7 +1096,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_near_dup": q_lsh_near_dup,
-    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "simhash_hamming": q_simhash_hamming,
     "cosine_topk": q_cosine_topk,
@@ -1671,16 +1686,31 @@ ORACLE_SQL: dict[str, str] = {
               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
               >= 0.5
     """,
-    "ngram_jaccard": f"""
-        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents
-                       WHERE doc_id < 64),
+    "dedup_clusters": f"""
+        WITH RECURSIVE toked AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                                 WHERE doc_id < 256),
         sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toked),
-        nz AS (SELECT * FROM sh WHERE len(s) > 0)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / (len(a.s) + len(b.s)
-                        - len(list_intersect(a.s, b.s))), 6) AS jaccard
-        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        nz AS (SELECT * FROM sh WHERE len(s) > 0),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.5
+        ),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        labels AS (SELECT node, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY node)
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+               (COALESCE(l.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d
+        LEFT JOIN labels l ON l.node = d.doc_id
     """,
     "simhash": _SIMHASH64,
     "simhash_hamming": f"""

@@ -166,3 +166,72 @@ class TestIvf:
         r_ivf = len(ivf & exact) / len(exact)
         r_sign = len(sign & exact) / len(exact)
         assert r_ivf >= r_sign, f"IVF {r_ivf:.2f} < sign-bucket {r_sign:.2f}"
+
+
+class TestConnectedComponents:
+    """dedup_clusters (r3): min-label propagation + pointer doubling over a
+    near-dup edge list. The registry query folds the old ngram_jaccard
+    entry — its all-pairs Jaccard stage is the edge source, pinned below."""
+
+    def _labels(self, spark, edges, **kw):
+        from taar_gcp_etl_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return {
+            r.doc_id: r.cluster_id
+            for r in connected_components(df, **kw).collect()
+        }
+
+    def test_chain_clique_and_disjoint(self, spark):
+        """A transitive chain, a separate clique, and a disjoint pair must
+        each collapse to their min id."""
+        got = self._labels(
+            spark,
+            [
+                (1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+                (10, 11), (10, 12), (11, 12),    # clique {10,11,12}
+                (20, 21),                        # pair
+            ],
+        )
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20,
+        }
+
+    def test_long_chain_converges(self, spark):
+        """Pointer doubling must close a 64-node chain well inside the
+        iteration cap (O(log n) rounds, not O(n))."""
+        edges = [(i, i + 1) for i in range(64)]
+        got = self._labels(spark, edges, max_iter=10)
+        assert set(got.values()) == {0}
+        assert len(got) == 65
+
+    def test_edges_are_ngram_jaccard_pairs(self, spark):
+        """Containment (ngram_jaccard fold): the cluster query's edge set
+        is exactly ngram_jaccard_pairs >= 0.5 — every edge's endpoints
+        share a cluster, and docs in distinct clusters share no edge."""
+        from taar_gcp_etl_spark.operators.dedup import ngram_jaccard_pairs
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES
+
+        docs = read_table(spark, SF_SMOKE, "documents").filter(
+            F.col("doc_id") < 256
+        )
+        edges = {
+            (r.doc_a, r.doc_b)
+            for r in ngram_jaccard_pairs(docs)
+            .filter(F.col("jaccard") >= 0.5)
+            .collect()
+        }
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in SPARK_QUERIES["dedup_clusters"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert edges, "fixture should contain near-dup edges"
+        for a, b in edges:
+            assert labels[a] == labels[b]
+        # a canonical doc is its own cluster id
+        for doc, lbl in labels.items():
+            assert labels[lbl] == lbl
