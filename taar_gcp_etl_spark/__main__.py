@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--report", required=True, help="attrition report JSON path")
     p.add_argument("--lang", default="en")
     p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument(
+        "--near-dup-mode",
+        choices=["greedy", "components"],
+        default="greedy",
+        help="greedy: drop doc_b of each pair; components: connected-"
+        "component closure, keep one canonical doc per cluster",
+    )
 
     args = parser.parse_args(argv)
 
@@ -133,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.sf_dir,
                 target_lang=args.lang,
                 jaccard_threshold=args.jaccard,
+                near_dup_mode=args.near_dup_mode,
             )
             cleaned.write.mode("overwrite").parquet(args.out)
             stages = {r.stage: r["count"] for r in report.collect()}

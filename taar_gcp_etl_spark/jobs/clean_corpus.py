@@ -36,15 +36,21 @@ def label_corpus(
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup_mode: str = "greedy",
 ) -> DataFrame:
     """Label every document with the first pipeline stage that drops it
     (NULL = kept): 'language' → 'quality' → 'exact_dup' → 'near_dup'.
 
-    Exact dedup keeps the min-id representative per content digest; near
-    dedup greedily keeps the lower id of each LSH-verified pair (the
-    standard one-pass approximation of connected-component dedup — a
-    full CC pass is an iterative join the corpus rarely needs)."""
+    Exact dedup keeps the min-id representative per content digest. Near
+    dedup has two modes: 'greedy' (default) keeps the lower id of each
+    LSH-verified pair — one pass, no iteration, but on a chain a~b~c it
+    drops BOTH b and c even though c may not resemble a; 'components'
+    closes the pair set into connected components (operators.dedup
+    .connected_components, O(log diameter) iterative joins) and keeps
+    exactly one canonical doc — the component min id — per cluster, the
+    decision an at-scale dedup actually wants."""
     from taar_gcp_etl_spark.operators.dedup import (
+        connected_components,
         exact_dedup,
         lsh_near_dup_pairs,
         minhash_signatures,
@@ -101,7 +107,15 @@ def label_corpus(
         id_col=id_col,
         jaccard_threshold=jaccard_threshold,
     )
-    near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    if near_dup_mode == "components":
+        # transitive closure: drop every non-canonical member, keep the
+        # component min — exactly one survivor per near-dup cluster
+        cc = connected_components(pairs, "doc_a", "doc_b", id_col)
+        near_dups = cc.filter(F.col(id_col) != F.col("cluster_id")).select(
+            id_col
+        )
+    else:
+        near_dups = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     # plain (shuffle) left join, NOT a broadcast: near_dups is the full
     # near-duplicate id set — commonly 20-40% of a web-scale corpus — so a
     # broadcast hint here is O(corpus) driver memory. Let AQE pick the
@@ -128,6 +142,7 @@ def run(
     sf_dir: str,
     target_lang: str = "en",
     jaccard_threshold: float = 0.5,
+    near_dup_mode: str = "greedy",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cleaned corpus, attrition report). The report has one row
     per drop stage plus a 'kept' row — counts over the single labeled
@@ -141,6 +156,7 @@ def run(
         default_rulepack(spark),
         target_lang=target_lang,
         jaccard_threshold=jaccard_threshold,
+        near_dup_mode=near_dup_mode,
     )
     cleaned = labeled.filter(F.col("drop_stage").isNull()).select(
         "doc_id", "text"

@@ -115,3 +115,56 @@ class TestRepetition:
         assert got[1].repeat_ratio > 0.9
         assert got[2].repeat_ratio == 0.0
         assert got[3].n_grams == 0 and got[3].repeat_ratio == 0.0
+
+
+class TestComponentsMode:
+    def test_components_mode_keeps_one_canonical_per_cluster(self, spark):
+        """near_dup_mode='components': every near-dup component keeps
+        EXACTLY its min-id member; greedy mode can only keep fewer or the
+        same documents (it drops doc_b of every pair, including chain
+        tails that components mode may keep)."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            connected_components,
+            lsh_near_dup_pairs,
+            minhash_signatures,
+        )
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        rules = default_rulepack(spark)
+        cc_labeled = clean_corpus.label_corpus(
+            docs, rules, near_dup_mode="components"
+        )
+        greedy_labeled = clean_corpus.label_corpus(docs, rules)
+
+        # rebuild the same pair universe the pipeline saw
+        uniq = cc_labeled.filter(
+            F.col("drop_stage").isNull() | (F.col("drop_stage") == "near_dup")
+        ).select("doc_id", "text")
+        pairs = lsh_near_dup_pairs(minhash_signatures(uniq))
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs).collect()
+        }
+        assert labels, "fixture should contain near-dup pairs"
+
+        kept_cc = {
+            r.doc_id
+            for r in cc_labeled.filter(F.col("drop_stage").isNull()).collect()
+        }
+        # per component: the canonical (min id) survives, others dropped
+        import collections
+
+        comp = collections.defaultdict(set)
+        for node, lbl in labels.items():
+            comp[lbl].add(node)
+        for lbl, members in comp.items():
+            assert lbl in kept_cc
+            assert not (members - {lbl}) & kept_cc
+
+        kept_greedy = {
+            r.doc_id
+            for r in greedy_labeled.filter(
+                F.col("drop_stage").isNull()
+            ).collect()
+        }
+        assert kept_greedy <= kept_cc
