@@ -1,0 +1,78 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random `df.sample()` is unusable for a reproducible 100 TB corpus build:
+re-running the job must select the SAME rows (resumable shards, A/B-able
+ablations, and an oracle can't check a nondeterministic sample). Both
+operators here key the decision on an md5 hash of a stable row key —
+engine-portable (exact DuckDB twins, same trick as the dedup family),
+uniform, and independent of partitioning / execution order.
+
+Scale design:
+  - `stratified_sample` is a broadcast join against a tiny per-stratum
+    rate table plus a pure Column predicate — zero shuffle on the corpus;
+    Catalyst pushes the projection into the scan and the filter runs
+    inside whole-stage codegen.
+  - `deterministic_take_n` ranks by hash within each stratum — one
+    shuffle on the stratum key, the same exchange any per-stratum
+    aggregation would need. For strata too hot for a single partition,
+    pre-filter with `stratified_sample` at a rate that overshoots n, then
+    take-n over the survivors (documented two-phase shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = HASH_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets): first 8 hex chars of
+    md5(key) as an integer, mod buckets. Stable across runs, engines, and
+    partitionings — DuckDB twin:
+    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % buckets."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str,
+    key_col: str,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic rate sampling: keep a row iff
+    hash_bucket(key) < rate(stratum) × buckets. `rates` is a
+    (strata_col, rate) table — thresholds as DATA, broadcast in, so a
+    corpus rebalance is a config change, not a code change. A stratum
+    absent from `rates` is dropped (rate 0)."""
+    keep = hash_bucket(F.col(key_col), buckets) < (
+        F.col("rate") * F.lit(buckets)
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(keep)
+        .drop("rate")
+    )
+
+
+def deterministic_take_n(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order —
+    the deterministic replacement for per-group reservoir sampling. Ties
+    on the bucket break by key for full determinism."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key_col), buckets).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

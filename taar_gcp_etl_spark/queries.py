@@ -399,6 +399,77 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: a group-by-HAVING subquery
+    feeding a semi-join (orders whose lineitems sum past a threshold),
+    then re-joined to lineitem/customer for the detail aggregate. The
+    HAVING relation is small after aggregation, so Catalyst broadcasts
+    the semi-join side; the lineitem scan is shared between the filter
+    aggregate and the detail aggregate but pruned to two columns in the
+    first pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            big, orders["o_orderkey"] == big["l_orderkey"], "left_semi"
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(_r2(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers-who-kept-orders-waiting: a correlated
+    EXISTS (another supplier in the same order) AND a correlated NOT
+    EXISTS (no OTHER supplier was late), both against the same fact
+    table, decorrelated to one left-semi and one left-anti self-join on
+    the order key. 'Late' maps to l_returnflag = 'R' — the fixture has no
+    receipt/commit dates (taar fixture schema), which preserves the
+    distinctive semi+anti self-join planning shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    waiting = (
+        l1.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — uncorrelated scalar subquery (global average
     balance, computed once and broadcast as a literal-like filter) plus
@@ -893,6 +964,25 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_wide(spark, sf_dir, "documents"))
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (r3): per-stratum keep rates as a
+    broadcast DATA table, membership decided by an md5 hash bucket of the
+    row key — reproducible across runs/engines/partitionings (plain
+    df.sample() can't be oracle-checked and can't resume a shard). Pure
+    Column predicate: zero shuffle on the corpus. Strata absent from the
+    rate table (here: 'error') drop entirely."""
+    from taar_gcp_etl_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    rates = spark.createDataFrame(
+        [("click", 0.25), ("view", 0.05), ("purchase", 1.0), ("signup", 0.5)],
+        "event_type string, rate double",
+    )
+    return stratified_sample(ev, rates, "event_type", "event_id").select(
+        "event_id", "event_type", "user_id"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-digest hash aggregate."""
     from taar_gcp_etl_spark.operators.dedup import exact_dedup
@@ -1097,10 +1187,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_near_dup": q_lsh_near_dup,
     "dedup_clusters": q_dedup_clusters,
-    "simhash": q_simhash,
+    "sample_stratified": q_sample_stratified,
     "simhash_hamming": q_simhash_hamming,
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
+    # --- oracle-paired overflow (entries 51+): locally verified by
+    # tests/test_oracle.py; outside the driver's 50-row artifact budget,
+    # ordered before the rows-only tail so a larger budget covers them.
+    # simhash (the bare 64-bit digest) moved here in r3 — its values still
+    # gate the driver-checked simhash_hamming pairing, which bands and
+    # popcounts the same memoized digest relation ---
+    "simhash": q_simhash,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q21": q_tpch_q21,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1462,6 +1561,42 @@ ORACLE_SQL: dict[str, str] = {
                    1 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
                    ELSE 0.0 END, 6) AS repeat_ratio
         FROM g
+    """,
+    "tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    "tpch_q21": """
+        SELECT s.s_name, n.n_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name, n.n_name
+    """,
+    "sample_stratified": """
+        WITH rates(event_type, rate) AS (VALUES
+            ('click', 0.25), ('view', 0.05),
+            ('purchase', 1.0), ('signup', 0.5))
+        SELECT e.event_id, e.event_type, e.user_id
+        FROM events e JOIN rates r ON e.event_type = r.event_type
+        WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10000 < r.rate * 10000
     """,
     "tpch_q22": """
         SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,

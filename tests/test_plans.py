@@ -172,3 +172,44 @@ def test_no_cartesian_products(spark, name):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies
     assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_tpch_q18_having_semi_join_broadcasts(spark):
+    """Q18's HAVING relation (orders past the quantity threshold) is tiny
+    after aggregation — the semi-join against orders must broadcast, and
+    the detail side must keep partial aggregation."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["tpch_q18"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q21_semi_and_anti_self_joins(spark):
+    """Q21's EXISTS/NOT EXISTS pair must plan as one left-semi and one
+    left-anti join on the order key — never a per-row re-scan."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["tpch_q21"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_sample_stratified_no_shuffle_on_fact(spark):
+    """The stratified sample is a broadcast join + codegen'd predicate:
+    the events fact must reach the filter without an exchange (zero
+    corpus shuffle is the operator's whole design)."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["sample_stratified"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert set(strategies) == {"BroadcastHashJoin"}
+    # no shuffle exchange anywhere: the only exchange is the broadcast
+    plan = formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan

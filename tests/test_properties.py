@@ -181,3 +181,68 @@ def test_simhash64_identity_and_digest_range(spark, docs):
         assert got[i] == got[i + 1000]  # identity
     for hi, lo in got.values():
         assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+
+class TestSampling:
+    """Deterministic sampling operators (operators/sampling.py)."""
+
+    def test_stratified_sample_deterministic_and_rate_shaped(self, spark):
+        from taar_gcp_etl_spark.io import read_table
+        from taar_gcp_etl_spark.operators.sampling import stratified_sample
+        from tests.conftest import SF_SMOKE
+
+        ev = read_table(spark, SF_SMOKE, "events")
+        rates = spark.createDataFrame(
+            [("click", 0.3), ("view", 0.0), ("purchase", 1.0)],
+            "event_type string, rate double",
+        )
+        a = stratified_sample(ev, rates, "event_type", "event_id")
+        b = stratified_sample(ev, rates, "event_type", "event_id")
+        ids_a = sorted(r.event_id for r in a.collect())
+        assert ids_a == sorted(r.event_id for r in b.collect())
+
+        by_type = {
+            r.event_type: r.n
+            for r in a.groupBy("event_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        totals = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        assert "view" not in by_type                 # rate 0.0
+        assert by_type["purchase"] == totals["purchase"]  # rate 1.0
+        frac = by_type["click"] / totals["click"]    # rate 0.3 ± noise
+        assert 0.15 < frac < 0.45
+        assert "error" not in by_type                # stratum absent → drop
+
+    def test_take_n_exact_counts_and_determinism(self, spark):
+        from taar_gcp_etl_spark.io import read_table
+        from taar_gcp_etl_spark.operators.sampling import (
+            deterministic_take_n,
+        )
+        from tests.conftest import SF_SMOKE
+
+        ev = read_table(spark, SF_SMOKE, "events")
+        take = deterministic_take_n(ev, "event_type", "event_id", 7)
+        counts = {
+            r.event_type: r.n
+            for r in take.groupBy("event_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        totals = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        for t, total in totals.items():
+            assert counts.get(t, 0) == min(7, total)
+        again = deterministic_take_n(ev, "event_type", "event_id", 7)
+        assert sorted(r.event_id for r in take.collect()) == sorted(
+            r.event_id for r in again.collect()
+        )
