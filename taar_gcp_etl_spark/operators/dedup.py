@@ -496,3 +496,133 @@ def connected_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per-corpus-document count of n-token
+    shingles that also appear anywhere in the benchmark/eval set (the
+    standard train-test-overlap gate — GPT-3 used 13-grams, Gopher 8-grams;
+    a document with any overlap is quarantined before training).
+
+    Scale shape: the benchmark gram set is DISTINCT-ed and BROADCAST — eval
+    suites are bounded (thousands of documents, ≪ broadcast limit) while
+    the corpus is the 100 TB side, so the corpus never shuffles: explode,
+    map-side hash-lookup against the broadcast set, partial-agg back to one
+    row per document. If the benchmark ever outgrew a broadcast, the same
+    plan degrades gracefully to a shuffle equi-join on the gram key (drop
+    the hint); a Bloom filter over gram hashes is the intermediate step.
+
+    The probe key is a 64-bit md5 prefix of the gram, not the gram string:
+    broadcast rows are a fixed 16 hex chars instead of n unbounded tokens
+    (~7× smaller for 8-grams of English text — the difference between a
+    benchmark suite fitting the broadcast limit or not), and the same
+    truncation on both engines keeps the oracle in lockstep. Collision
+    odds at 2^-64 per pair are far below any training-data materiality.
+
+    Documents shorter than n tokens have no grams and are excluded (no
+    basis for a ratio). Output: (id, n_grams, n_overlap, overlap_ratio).
+    """
+
+    def gram_keys(df: DataFrame) -> Column:
+        return F.transform(
+            token_shingles(text_col, n), lambda g: F.substring(F.md5(g), 1, 16)
+        )
+
+    c = corpus.select(
+        F.col(id_col), F.explode(gram_keys(corpus)).alias("gram")
+    )
+    b = (
+        benchmark.select(F.explode(gram_keys(benchmark)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = c.join(F.broadcast(b), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias(
+                "overlap_ratio"
+            ),
+        )
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 20,
+) -> DataFrame:
+    """Segment-level exact dedup (the paragraph/line-dedup stage of
+    CCNet/RefinedWeb): split every document into fixed-width token segments,
+    keep only the globally FIRST occurrence of each distinct segment
+    (ordered by (doc id, position) — deterministic), and reassemble each
+    document from its surviving segments in original order. Boilerplate
+    repeated across documents (headers, footers, navigation chrome)
+    disappears from every copy but the first.
+
+    With newline-structured text, split on the delimiter instead of token
+    windows — the pipeline below is identical from the explode on.
+
+    Scale shape: two linear shuffles, no self-join —
+      1. exchange on the segment hash for the first-occurrence window
+         (row_number over partitionBy(segment); grouping on md5(segment)
+         keeps the exchange narrow, the text rides along once);
+      2. exchange on doc id to reassemble.
+    Candidate volume is corpus-linear (each segment appears once per
+    occurrence, never paired). Output: (id, n_segments, n_kept,
+    cleaned_text).
+    """
+    toks = tokens(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    # sequence(0, -1) yields a DESCENDING [0, -1], not [] — guard empties.
+    segs = F.when(
+        n_segs > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy(
+        F.col(id_col), F.col("pos")
+    )
+    ranked = rows.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )

@@ -983,6 +983,62 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (r3): per-document email/IP/phone hit
+    counts and the redacted text. The fixture corpus contains no PII, so
+    BOTH engines first augment the text with synthetic spans derived
+    deterministically from doc_id — the detection, counting, and ordered
+    redaction machinery is what the oracle checks. Pure Column map, zero
+    shuffle (runs at scan speed at 100 TB)."""
+    from taar_gcp_etl_spark.operators.pii import pii_stats
+
+    docs = _wide(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin@test.org ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_stats(aug)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r3): 8-gram train-test overlap — every
+    corpus document scored by how many of its 8-token shingles appear in
+    the benchmark set (here: doc_id % 10 == 0 plays the eval suite). The
+    benchmark gram set is distinct-ed and broadcast; the corpus side never
+    shuffles (explode → map-side probe → partial agg)."""
+    from taar_gcp_etl_spark.operators.dedup import benchmark_overlap
+
+    docs = _wide(spark, sf_dir, "documents")
+    return benchmark_overlap(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=8,
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        "overlap_ratio",
+    )
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup (r3): CCNet/RefinedWeb-style paragraph/line
+    dedup — 20-token segments, keep the globally first occurrence of each
+    distinct segment, reassemble documents. Two linear shuffles (segment
+    hash, then doc id); candidate volume is corpus-linear."""
+    from taar_gcp_etl_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(_wide(spark, sf_dir, "documents"), seg_tokens=20)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-digest hash aggregate."""
     from taar_gcp_etl_spark.operators.dedup import exact_dedup
@@ -1170,12 +1226,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_unpivot": q_pivot_unpivot,
     "window_ranks": q_window_ranks,
     "scalar_functions": q_scalar_functions,
-    "stats_agg": q_stats_agg,
     "tpch_q7": q_tpch_q7,
     "tpch_q20": q_tpch_q20,
     "repetition": q_repetition,
-    "arg_max": q_arg_max,
-    "histogram": q_histogram,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "segment_dedup": q_segment_dedup,
     "upsert": q_upsert,
     "full_outer_join": q_full_outer_join,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1196,10 +1252,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordered before the rows-only tail so a larger budget covers them.
     # simhash (the bare 64-bit digest) moved here in r3 — its values still
     # gate the driver-checked simhash_hamming pairing, which bands and
-    # popcounts the same memoized digest relation ---
+    # popcounts the same memoized digest relation. arg_max / histogram /
+    # stats_agg moved here in r3 to make room for the pii_redact /
+    # decontaminate / segment_dedup LLM-pipeline queries: their aggregate
+    # shapes stay exercised in-budget by agg_profile, grouping_sets, and
+    # event_windows ---
     "simhash": q_simhash,
     "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
+    "arg_max": q_arg_max,
+    "histogram": q_histogram,
+    "stats_agg": q_stats_agg,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1256,6 +1319,38 @@ _BUCKET = (
     "(CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) + "
     "(CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) + "
     "(CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END))"
+)
+
+# PII oracle: the regex constants come from operators.pii (single source of
+# truth with the Spark side); patterns contain `{2,}` so this is plain
+# concatenation, not an f-string. RE2 (DuckDB) and Java regex (Spark) agree
+# on this restricted dialect — see operators/pii.py.
+from taar_gcp_etl_spark.operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+_PII_ORACLE = (
+    """
+    WITH aug AS (SELECT doc_id,
+        text || ' contact user' || doc_id
+             || '@example.com or admin@test.org ip 10.0.'
+             || (doc_id % 256) || '.7 tel +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents)
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '"""
+    + EMAIL_RE
+    + """')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(t, '"""
+    + IPV4_RE
+    + """')) AS INTEGER) AS n_ips,
+        CAST(len(regexp_extract_all(t, '"""
+    + PHONE_RE
+    + """')) AS INTEGER) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(t,
+            '""" + EMAIL_RE + """', '<EMAIL>', 'g'),
+            '""" + IPV4_RE + """', '<IP>', 'g'),
+            '""" + PHONE_RE + """', '<PHONE>', 'g') AS redacted
+    FROM aug
+"""
 )
 
 ORACLE_SQL: dict[str, str] = {
@@ -1778,6 +1873,45 @@ ORACLE_SQL: dict[str, str] = {
         SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    "pii_redact": _PII_ORACLE,
+    "decontaminate": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (SELECT doc_id, list_transform(
+            list_distinct(CASE WHEN len(t) >= 8 THEN
+                list_transform(generate_series(1, len(t)-7),
+                    i -> array_to_string(t[i:i+7], ' '))
+                ELSE [] END),
+            g -> substr(md5(g), 1, 16)) AS g FROM toked),
+        bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams
+                  WHERE doc_id % 10 = 0),
+        corpus AS (SELECT doc_id, unnest(g) AS gram FROM grams
+                   WHERE doc_id % 10 != 0)
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap,
+               ROUND(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS overlap_ratio
+        FROM corpus c LEFT JOIN bench b USING (gram) GROUP BY c.doc_id
+    """,
+    "segment_dedup": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        segs AS (SELECT doc_id,
+            list_transform(
+                generate_series(0, CAST(ceil(len(t)/20.0) AS INT)-1),
+                i -> array_to_string(t[i*20+1:i*20+20], ' ')) AS ss
+            FROM toked),
+        rows_ AS (SELECT doc_id, i AS pos, ss[i] AS seg
+                  FROM segs, UNNEST(generate_series(1, len(ss))) AS u(i)),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY seg ORDER BY doc_id, pos) AS rn
+                   FROM rows_)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                   ORDER BY pos), '') AS cleaned_text
+        FROM ranked GROUP BY doc_id
     """,
     "minhash_signatures": f"""
         WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),

@@ -1,0 +1,118 @@
+"""Corpus-hygiene operators (r3): PII redaction, benchmark decontamination,
+segment-level dedup — crafted-fixture semantics plus the plan shapes that
+matter at corpus scale (broadcast benchmark set, no self-joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.operators.dedup import benchmark_overlap, segment_dedup
+from taar_gcp_etl_spark.operators.pii import pii_stats
+
+
+class TestPii:
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.co and c.d+x@e.org ip 10.0.0.7 tel +1-555-0001"),
+                (2, "no pii here at all"),
+                (3, "two ips 1.2.3.4 then 5.6.7.8"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in pii_stats(df).collect()}
+        assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (2, 1, 1)
+        assert rows[1].redacted == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+        assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_phones) == (0, 0, 0)
+        assert rows[2].redacted == "no pii here at all"
+        assert rows[3].n_ips == 2
+        assert rows[3].redacted == "two ips <IP> then <IP>"
+
+    def test_email_rule_wins_over_ip_inside_address(self, spark):
+        # digits-and-dots inside an email domain must NOT be re-redacted as
+        # an IP fragment: email replacement runs first and consumes the span
+        df = spark.createDataFrame(
+            [(1, "x user@10.0.0.7.example.com y")], "doc_id long, text string"
+        )
+        red = pii_stats(df).first().redacted
+        assert red == "x <EMAIL> y"
+
+    def test_zero_shuffle_plan(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        plan = pii_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestBenchmarkOverlap:
+    def _fixture(self, spark):
+        toks = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 10 tokens → 3 8-grams
+        return spark.createDataFrame(
+            [
+                (1, toks),  # identical to benchmark doc → all grams overlap
+                (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8"),  # disjoint, 2 grams
+                (3, "short doc"),  # < 8 tokens → no grams → excluded
+            ],
+            "doc_id long, text string",
+        ), spark.createDataFrame([(100, toks)], "doc_id long, text string")
+
+    def test_overlap_counts(self, spark):
+        corpus, bench = self._fixture(spark)
+        rows = {r.doc_id: r for r in benchmark_overlap(corpus, bench).collect()}
+        assert set(rows) == {1, 2}  # doc 3 has no grams
+        assert (rows[1].n_grams, rows[1].n_overlap) == (3, 3)
+        assert rows[1].overlap_ratio == 1.0
+        assert (rows[2].n_grams, rows[2].n_overlap) == (2, 0)
+        assert rows[2].overlap_ratio == 0.0
+
+    def test_benchmark_side_broadcasts(self, spark):
+        corpus, bench = self._fixture(spark)
+        plan = (
+            benchmark_overlap(corpus, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the corpus (100 TB side) must never shuffle for the probe: the
+        # benchmark gram set broadcasts, corpus-side exchange only for the
+        # final per-doc aggregation
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestSegmentDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        # seg width 3: doc1 = [A B], doc2 = [B C] (B duplicated), doc3 = [A]
+        a, b, c = "a1 a2 a3", "b1 b2 b3", "c1 c2 c3"
+        df = spark.createDataFrame(
+            [(1, f"{a} {b}"), (2, f"{b} {c}"), (3, a)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r for r in segment_dedup(df, seg_tokens=3).collect()
+        }
+        assert (rows[1].n_segments, rows[1].n_kept) == (2, 2)
+        assert rows[1].cleaned_text == f"{a} {b}"
+        # doc2 keeps only the novel segment C, in original order
+        assert (rows[2].n_segments, rows[2].n_kept) == (2, 1)
+        assert rows[2].cleaned_text == c
+        # doc3's A was already claimed by doc1 → empty survivor text
+        assert (rows[3].n_segments, rows[3].n_kept) == (1, 0)
+        assert rows[3].cleaned_text == ""
+
+    def test_partial_tail_segment(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x1 x2 x3 x4")], "doc_id long, text string"
+        )
+        r = segment_dedup(df, seg_tokens=3).first()
+        assert r.n_segments == 2  # [x1 x2 x3] + [x4]
+        assert r.cleaned_text == "x1 x2 x3 x4"
+
+    def test_no_self_join(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            segment_dedup(df, seg_tokens=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # window + reagg only, corpus-linear
