@@ -213,3 +213,25 @@ def test_sample_stratified_no_shuffle_on_fact(spark):
     # no shuffle exchange anywhere: the only exchange is the broadcast
     plan = formatted_plan(df)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_tpch_q4_exists_semi_join_with_pruned_scan(spark):
+    """Q4's EXISTS decorrelates to a left-semi probe; the quarter filter
+    must reach the orders scan (partition-prunable at 100 TB) and the
+    probe side must project only the join key."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["tpch_q4"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q14_part_broadcasts(spark):
+    """Q14 joins one month of fact to the part dimension: the dimension
+    must broadcast (fact never shuffles for the join) and the month
+    filter must reach the lineitem scan."""
+    df = SPARK_QUERIES["tpch_q14"](spark, SF_SMOKE)
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert has_pushed_filter(df, "l_shipdate")
