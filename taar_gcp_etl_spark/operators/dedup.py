@@ -435,9 +435,26 @@ def connected_components(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Symmetrize with a single scan: exploding both directions per edge row
+    # keeps ONE pass over the (often expensive) upstream pair lineage —
+    # a union of e with its own reversal would execute that lineage once
+    # per branch before the persist materializes.
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
     sym = sym.persist()
 
     # label(n) = min(n, min neighbor) — the first propagation round, fused

@@ -327,3 +327,79 @@ def cosine_topk_bucketed(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    pair_salt: int = 8,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are clustered with seeded KMeans
+    (donor_index — one MLlib fit, reused if the session already built an
+    IVF index), near-duplicate pairs are searched ONLY within a cluster,
+    and transitive duplicate groups collapse to one canonical doc.
+
+    Returns (id_col, cluster, dup_group, is_canonical): dup_group is the
+    connected component's minimum id (docs with no near-dup form their own
+    singleton group), is_canonical marks the one row per group to keep.
+
+    Plan (100 TB posture): the within-cluster pair join is an equi-join on
+    (cluster, salt) — never all-pairs across the corpus. The cluster key
+    alone has only k distinct values, so a plain equi-join would hash the
+    quadratic pair work onto ≤ k reducers; a deterministic id-hash salt on
+    one side, exploded 0..pair_salt-1 on the other, spreads it over
+    k × pair_salt reducers (same shape as skew.salted_join, but
+    deterministic so results are reproducible). At real scale k is chosen
+    ∝ corpus size (SemDeDup uses ~100k clusters for billions of docs) so
+    each cluster's quadratic term stays bounded; vectors are L2-normalized
+    once before the join, so each pair costs a single dot product.
+    Iterative KMeans upstream → rows-only correctness contract
+    (determinism + synthetic-fixture tests). Pass `assignments`
+    (id_col, cluster) to reuse an existing donor_index fit."""
+    if assignments is None:
+        assignments, _ = donor_index(
+            corpus, k=k, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    v = _l2_normalized(
+        corpus, _as_double(F.col(vec_col)), "v", id_col
+    ).join(assignments, id_col)
+    a = v.withColumn(
+        "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(pair_salt))
+    ).alias("a")
+    b = v.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(pair_salt - 1)))
+    ).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(_dot(F.col("a.v"), F.col("b.v")), 6) >= F.lit(threshold)
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("dup_a"),
+            F.col(f"b.{id_col}").alias("dup_b"),
+        )
+    )
+    from taar_gcp_etl_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, "dup_a", "dup_b", id_col=id_col)
+    labeled = v.select(F.col(id_col), "cluster").join(
+        comp.withColumnRenamed("cluster_id", "_grp"), id_col, "left"
+    )
+    grp = F.coalesce(F.col("_grp"), F.col(id_col).cast("long"))
+    return labeled.select(
+        F.col(id_col),
+        F.col("cluster"),
+        grp.alias("dup_group"),
+        (grp == F.col(id_col).cast("long")).alias("is_canonical"),
+    )

@@ -195,3 +195,36 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+def vocab_top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary builder: (token, n_occurrences, n_docs) for the
+    top_n most frequent tokens — the seed statistic for BPE/unigram
+    tokenizer training and TF-IDF weighting over a training corpus.
+
+    Plan (100 TB posture): explode is a Generate over already-scanned rows
+    (no shuffle); the occurrence count and document frequency come from a
+    TWO-LEVEL aggregate — groupBy(token, doc) partial first, then
+    groupBy(token) — instead of count(DISTINCT doc) in one pass, which
+    Catalyst plans as an Expand that doubles every exploded row before the
+    first shuffle. Both levels get map-side partial aggregation; the wide
+    (token, doc) shuffle carries only narrow (string, long) rows. The
+    top-n is a TakeOrdered (k·partitions driver merge), never a global
+    sort. Ordering key (n_occurrences DESC, token) is total, so the
+    selected set is deterministic and engine-portable."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", id_col).agg(F.count("*").alias("tf"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    ).limit(top_n)

@@ -1235,6 +1235,32 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis — corpus vocabulary builder: top-1000
+    tokens by total occurrence with document frequency (the seed statistic
+    for BPE/unigram tokenizer training and TF-IDF weighting). Two-level
+    aggregate: groupBy(token, doc) partial then groupBy(token) — avoids the
+    Expand row-doubling of count(DISTINCT) over exploded rows."""
+    from taar_gcp_etl_spark.operators.text import vocab_top_tokens
+
+    return vocab_top_tokens(_wide(spark, sf_dir, "documents"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star dedup — SemDeDup-style semantic near-dup collapse:
+    KMeans-cluster embeddings (memoized donor_index fit), within-cluster
+    salted pair join at cosine ≥ 0.95, connected components → one
+    canonical doc per duplicate group. Iterative-ML upstream → rows-only
+    check; synthetic-fixture + determinism tests in
+    tests/test_consolidations.py."""
+    from taar_gcp_etl_spark.operators.similarity import semantic_dedup
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.95, assignments=_clusters(spark, sf_dir)
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with learned (KMeans) centroids as the coarse quantizer —
     reuses the memoized donor_index fit; nprobe=2 of 8 cells. Iterative-ML
@@ -1336,11 +1362,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "arg_max": q_arg_max,
     "histogram": q_histogram,
     "stats_agg": q_stats_agg,
+    "vocab": q_vocab,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
     "donor_curves": q_donor_curves,
     "ann_ivf": q_ann_ivf,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 # DuckDB building blocks shared by the text/dedup oracle SQL.
@@ -1627,6 +1655,22 @@ ORACLE_SQL: dict[str, str] = {
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
+    """,
+    "vocab": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        per_doc AS (
+            SELECT token, doc_id, count(*) AS tf
+            FROM toks WHERE token <> '' GROUP BY token, doc_id
+        )
+        SELECT token,
+               CAST(sum(tf) AS BIGINT) AS n_occurrences,
+               count(*) AS n_docs
+        FROM per_doc
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token
+        LIMIT 1000
     """,
     "stats_agg": """
         SELECT l_returnflag,

@@ -235,3 +235,92 @@ class TestConnectedComponents:
         # a canonical doc is its own cluster id
         for doc, lbl in labels.items():
             assert labels[lbl] == lbl
+
+
+class TestSemanticDedup:
+    """SemDeDup-style embedding dedup (rows-only registry entry): cluster →
+    within-cluster pair join → connected components → one canonical doc."""
+
+    def test_exact_copies_collapse(self, spark):
+        """Planted exact duplicates must land in one dup_group whose
+        canonical is the minimum id; unique vectors stay singletons."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.similarity import semantic_dedup
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(20, 8))
+        rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+        # ids 100..104 are exact copies of ids 0..4
+        rows += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r.vec_id: (r.dup_group, r.is_canonical)
+            for r in semantic_dedup(df, k=4, threshold=0.999).collect()
+        }
+        assert len(got) == 25
+        for i in range(5):
+            assert got[i] == (i, True)
+            assert got[100 + i] == (i, False)
+        for i in range(5, 20):
+            assert got[i] == (i, True)
+
+    def test_registry_query_invariants(self, spark):
+        """Fixture-corpus run: deterministic across invocations; dup_group
+        is always a member's min id; exactly one canonical per group;
+        canonical iff dup_group == own id."""
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES
+
+        q = SPARK_QUERIES["semantic_dedup"]
+        rows1 = {tuple(r) for r in q(spark, SF_SMOKE).collect()}
+        rows2 = {tuple(r) for r in q(spark, SF_SMOKE).collect()}
+        assert rows1 == rows2 and rows1
+        by_group: dict[int, list[tuple]] = {}
+        for vec_id, _cluster, grp, canon in rows1:
+            assert canon == (grp == vec_id)
+            by_group.setdefault(grp, []).append(vec_id)
+        for grp, members in by_group.items():
+            assert grp == min(members)
+
+
+class TestVocab:
+    def test_vocab_counts_match_manual(self, spark):
+        """Two-level aggregate == direct count/count-distinct on a toy
+        corpus with repeats within and across documents."""
+        from taar_gcp_etl_spark.operators.text import vocab_top_tokens
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat the cat sat"),
+                (2, "the dog sat"),
+                (3, "  The CAT  "),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.token: (r.n_occurrences, r.n_docs)
+            for r in vocab_top_tokens(df).collect()
+        }
+        assert got == {
+            "the": (4, 3),
+            "cat": (3, 2),
+            "sat": (2, 2),
+            "dog": (1, 1),
+        }
+
+    def test_top_n_is_deterministic_total_order(self, spark):
+        """top_n truncation keys on (n_occurrences DESC, token): the
+        selected set equals the manual sort's prefix."""
+        from taar_gcp_etl_spark.operators.text import vocab_top_tokens
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        full = [
+            (r.token, r.n_occurrences)
+            for r in vocab_top_tokens(docs, top_n=100_000).collect()
+        ]
+        expect = sorted(full, key=lambda t: (-t[1], t[0]))[:50]
+        got = [
+            (r.token, r.n_occurrences)
+            for r in vocab_top_tokens(docs, top_n=50).collect()
+        ]
+        assert sorted(got, key=lambda t: (-t[1], t[0])) == expect
