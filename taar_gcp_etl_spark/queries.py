@@ -540,6 +540,182 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecasting revenue change: single-table scan with
+    three range predicates and one global sum. All three filters reach the
+    parquet scan as pushed predicates; the only exchange is the final
+    partial-agg merge to one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: ECONOMY-part volume sold to
+    EUROPE customers over two years, split by whether the supplying nation
+    is NATION_3. Seven-table snowflake: part/supplier/nation×2/region all
+    broadcast (each ≪ the fact side), so the only shuffled edges are
+    lineitem→orders and orders→customer on their join keys; the date
+    filter prunes the orders scan before either shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey")
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey")
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        _r6(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_3", F.col("volume")
+                ).otherwise(0.0)
+            )
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: revenue lost to returns
+    per customer for one quarter, top 20. The quarter filter prunes orders
+    before the fact-fact join; nation broadcasts; the top-20 is a
+    TakeOrdered on the deterministic (revenue DESC, c_custkey) key, never
+    a global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: left outer join
+    with a predicate on the RIGHT side (filter-before-join ≡ the spec's ON
+    clause condition; o_orderpriority stands in for the o_comment NOT LIKE
+    filter — fixture has no comment column), count including the zero
+    bucket, then a second aggregate over the counts. Two shuffles total:
+    custkey, then c_count — both with map-side partials."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s): per-supplier revenue for one
+    quarter (the spec's revenue view, here a CTE-like subplan), then an
+    uncorrelated scalar-subquery max joined back as a one-row broadcast.
+    Revenue is rounded to cents BEFORE the max/equality so the float
+    comparison is engine-portable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _r2(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("total_revenue")
+    )
+    maxrev = rev.agg(F.max("total_revenue").alias("_m"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(maxrev), F.col("total_revenue") == F.col("_m")
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under disjunctive predicates:
+    lineitem×part equi-join on partkey with a three-branch OR residual
+    (brand × quantity-range × size-range). Catalyst keeps the equi key as
+    the join condition and evaluates the OR as a post-join filter; part
+    broadcasts. One output row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    branch = (
+        ((b == "Brand#1") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#2") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#3") & q.between(20, 30) & s.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — uncorrelated scalar subquery (global average
     balance, computed once and broadcast as a literal-like filter) plus
@@ -1363,6 +1539,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "stats_agg": q_stats_agg,
     "vocab": q_vocab,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q19": q_tpch_q19,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1655,6 +1837,82 @@ ORACLE_SQL: dict[str, str] = {
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
+    """,
+    "tpch_q6": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q8": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6)
+                   AS mkt_share
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+                     AND r.r_name = 'EUROPE'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY year(o_orderdate)
+    """,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c.c_custkey
+        ) GROUP BY c_count
+    """,
+    "tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "tpch_q19": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+               AND p_size BETWEEN 1 AND 15)
     """,
     "vocab": f"""
         WITH toks AS (

@@ -235,3 +235,47 @@ def test_tpch_q14_part_broadcasts(spark):
     df = SPARK_QUERIES["tpch_q14"](spark, SF_SMOKE)
     assert set(join_strategies(df)) == {"BroadcastHashJoin"}
     assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_tpch_q6_filters_all_pushed(spark):
+    """Q6 is the canonical pushdown probe: all three range predicates must
+    reach the lineitem scan, and the single-row sum keeps a map-side
+    partial."""
+    df = SPARK_QUERIES["tpch_q6"](spark, SF_SMOKE)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), col
+    assert has_partial_aggregate(df)
+    assert join_strategies(df) == []
+
+
+def test_tpch_q8_snowflake_broadcasts(spark):
+    """Q8's five dimension edges (part, supplier, nation×2, region) must
+    broadcast; only the two fact-fact edges (lineitem-orders,
+    orders-customer) may shuffle."""
+    df = SPARK_QUERIES["tpch_q8"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 5
+    assert strategies.count("SortMergeJoin") + strategies.count(
+        "ShuffledHashJoin"
+    ) <= 2
+    assert "CartesianProduct" not in strategies
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_tpch_q10_top20_is_take_ordered(spark):
+    """Q10's top-20 must plan as TakeOrderedAndProject (k·partitions driver
+    merge), not a global sort; nation broadcasts."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["tpch_q10"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_tpch_q19_disjunction_keeps_equi_join(spark):
+    """Q19's OR-of-conjunctions must not break the partkey equi-join into a
+    nested-loop: part broadcasts, the disjunction is a residual filter."""
+    strategies = join_strategies(SPARK_QUERIES["tpch_q19"](spark, SF_SMOKE))
+    assert set(strategies) == {"BroadcastHashJoin"}
