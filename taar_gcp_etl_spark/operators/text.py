@@ -228,3 +228,99 @@ def vocab_top_tokens(
     return agg.orderBy(
         F.desc("n_occurrences"), F.asc("token")
     ).limit(top_n)
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per-document mean
+    negative log-probability under a unigram LM fit on the corpus itself.
+    Wikipedia-like prose scores low (frequent tokens), gibberish and
+    boilerplate-with-rare-symbols score high — the standard cheap
+    perplexity proxy for pretraining-corpus filtering when no external LM
+    is available.
+
+    Model: the top `vocab_size` tokens by corpus frequency get
+    logprob = ln(count / total) where total counts ALL token occurrences
+    (so in-vocab probabilities deliberately sum to <1, reserving mass for
+    the tail); every out-of-vocab token gets the floor ln(1 / total).
+    Documents with no non-empty tokens produce no output row.
+
+    Plan (100 TB posture): two passes over the exploded tokens, both
+    shuffle-light. Pass 1 (vocab fit): groupBy(token) with map-side
+    partial aggregation — the shuffle carries one narrow (string, long)
+    row per distinct token per partition, not per occurrence; the top-V
+    cut is a TakeOrdered, never a global sort; the corpus-total is a
+    single-row aggregate. Pass 2 (scoring): the V-row vocabulary and the
+    1-row total broadcast to every executor (LEFT broadcast-hash-join +
+    broadcast-nested-loop on the scalar — nothing about the corpus moves);
+    the per-doc mean then partial-aggregates map-side, collapsing each
+    partition back to ~one row per document before the doc_id shuffle.
+    The corpus is scanned twice but never shuffled at occurrence grain."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total))
+        .select("token", F.log(F.col("c") / F.col("total")).alias("logprob"))
+    )
+    scored = toks.join(F.broadcast(vocab), "token", "left").crossJoin(
+        F.broadcast(total)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            -F.avg(F.coalesce(F.col("logprob"), -F.log(F.col("total")))), 6
+        ).alias("nll"),
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data-mixing weights per corpus source: document/token counts, each
+    source's share of total tokens, and a temperature-scaled sampling
+    weight w_s = share_s^alpha / sum_s'(share_s'^alpha) — the standard
+    upsample-the-tail mixing rule (alpha=1 is proportional, alpha=0 is
+    uniform; 0.5 is the usual multilingual compromise). This is the table
+    a pretraining dataloader consumes to draw batches across sources.
+
+    Plan (100 TB posture): one corpus pass — per-row token count is a pure
+    Column map, the per-source rollup partial-aggregates map-side so the
+    shuffle carries one (source, long, long) row per partition per source.
+    The two global normalizers (total tokens, sum of share^alpha) are
+    single-row aggregates over the source-grain result (cardinality =
+    number of sources, i.e. tiny) broadcast back via nested-loop — the
+    corpus itself is scanned once and never re-shuffled."""
+    n_tok = F.size(F.filter(tokens(text_col), lambda t: t != ""))
+    per_source = (
+        df.select(F.col(source_col).alias("source"), n_tok.alias("_nt"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("_tot"))
+    shared = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "_share", F.col("n_tokens") / F.col("_tot")
+    )
+    wsum = shared.agg(
+        F.sum(F.pow("_share", F.lit(alpha))).alias("_wsum")
+    )
+    return shared.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_share"), 6).alias("token_share"),
+        F.round(
+            F.pow("_share", F.lit(alpha)) / F.col("_wsum"), 6
+        ).alias("mix_weight"),
+    )

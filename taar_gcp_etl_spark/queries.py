@@ -1422,6 +1422,27 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_top_tokens(_wide(spark, sf_dir, "documents"))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis — CCNet-style unigram-LM quality score:
+    per-document mean negative log-probability under a top-1000-token
+    unigram model fit on the corpus itself (OOV floored at ln(1/total)).
+    Two shuffle-light passes: token-grain partial agg for the fit, V-row
+    broadcast + per-doc map-side collapse for the scoring."""
+    from taar_gcp_etl_spark.operators.text import unigram_lm_score
+
+    return unigram_lm_score(_wide(spark, sf_dir, "documents"))
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star corpus ops — per-source data-mixing weights: token share
+    and temperature-scaled (alpha=0.5) sampling weight per source, the
+    table a pretraining dataloader consumes. One corpus pass; global
+    normalizers are broadcast single-row aggregates."""
+    from taar_gcp_etl_spark.operators.text import source_mix
+
+    return source_mix(_wide(spark, sf_dir, "documents"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star dedup — SemDeDup-style semantic near-dup collapse:
     KMeans-cluster embeddings (memoized donor_index fit), within-cluster
@@ -1545,6 +1566,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q19": q_tpch_q19,
+    "lm_score": q_lm_score,
+    "source_mix": q_source_mix,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1929,6 +1952,48 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY token
         ORDER BY n_occurrences DESC, token
         LIMIT 1000
+    """,
+    "lm_score": f"""
+        WITH tok AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ) WHERE token <> ''
+        ),
+        counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        total AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        vocab AS (
+            SELECT token, ln(c / total) AS logprob
+            FROM (
+                SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 1000
+            ), total
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               ROUND(-avg(coalesce(v.logprob, -ln(total.total))), 6) AS nll
+        FROM tok t LEFT JOIN vocab v USING (token), total
+        GROUP BY t.doc_id
+    """,
+    "source_mix": f"""
+        WITH per_doc AS (
+            SELECT source,
+                   len(list_filter({_TOKS}, x -> x <> '')) AS nt
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM per_doc GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per_source),
+        shared AS (
+            SELECT source, n_docs, n_tokens, n_tokens / tot AS share
+            FROM per_source, tot
+        ),
+        wsum AS (SELECT sum(pow(share, 0.5)) AS wsum FROM shared)
+        SELECT source, n_docs, n_tokens,
+               ROUND(share, 6) AS token_share,
+               ROUND(pow(share, 0.5) / wsum, 6) AS mix_weight
+        FROM shared, wsum
     """,
     "stats_agg": """
         SELECT l_returnflag,

@@ -324,3 +324,70 @@ class TestVocab:
             for r in vocab_top_tokens(docs, top_n=50).collect()
         ]
         assert sorted(got, key=lambda t: (-t[1], t[0])) == expect
+
+
+class TestUnigramLmScore:
+    def test_scores_match_manual_model(self, spark):
+        """Hand-computed unigram model on a 2-doc corpus with a forced OOV:
+        vocab_size=2 keeps {a, b} (tie b/c broken by token asc), total=5,
+        so logprob(a)=ln(3/5), logprob(b)=ln(1/5), OOV floor ln(1/5)."""
+        import math
+
+        from taar_gcp_etl_spark.operators.text import unigram_lm_score
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.nll)
+            for r in unigram_lm_score(df, vocab_size=2).collect()
+        }
+        ln = math.log
+        assert got == {
+            1: (3, round(-(2 * ln(3 / 5) + ln(1 / 5)) / 3, 6)),
+            2: (2, round(-(ln(3 / 5) + ln(1 / 5)) / 2, 6)),
+        }
+
+    def test_oov_scores_above_common_prose(self, spark):
+        """A doc of corpus-frequent tokens must score lower (more natural)
+        than a doc of out-of-vocab junk; whitespace-only docs emit no row."""
+        from taar_gcp_etl_spark.operators.text import unigram_lm_score
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the the the cat cat sat"),
+                (3, "zxqv jkwp qqzz"),
+                (4, "   "),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.nll for r in unigram_lm_score(df, vocab_size=4).collect()}
+        assert set(got) == {1, 2, 3}  # doc 4 has no tokens -> no row
+        assert got[2] < got[1] < got[3]
+
+
+class TestSourceMix:
+    def test_weights_normalize_and_upweight_tail(self, spark):
+        """Mix weights must sum to 1; with alpha=0.5 every below-average
+        source gets weight > its proportional share (the upsample-the-tail
+        property), every above-average source gets less."""
+        from taar_gcp_etl_spark.operators.text import source_mix
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        rows = source_mix(docs).collect()
+        assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+        assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+        for r in rows:
+            if r.token_share < 1.0 / len(rows):
+                assert r.mix_weight > r.token_share
+            elif r.token_share > 1.0 / len(rows):
+                assert r.mix_weight < r.token_share
+
+    def test_alpha_one_is_proportional(self, spark):
+        """alpha=1 degenerates to proportional sampling: weight == share."""
+        from taar_gcp_etl_spark.operators.text import source_mix
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        for r in source_mix(docs, alpha=1.0).collect():
+            assert abs(r.mix_weight - r.token_share) <= 2e-6

@@ -279,3 +279,32 @@ def test_tpch_q19_disjunction_keeps_equi_join(spark):
     nested-loop: part broadcasts, the disjunction is a residual filter."""
     strategies = join_strategies(SPARK_QUERIES["tpch_q19"](spark, SF_SMOKE))
     assert set(strategies) == {"BroadcastHashJoin"}
+
+
+def test_lm_score_vocab_broadcasts_doc_agg_partial(spark):
+    """lm_score's scoring join must broadcast the V-row vocabulary (the
+    corpus never shuffles at token grain for the join) and the per-doc
+    mean must partial-aggregate map-side; the vocab cut is a TakeOrdered,
+    not a global sort."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    df = SPARK_QUERIES["lm_score"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies
+    assert "ShuffledHashJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+    assert has_partial_aggregate(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_source_mix_no_fact_shuffle_joins(spark):
+    """source_mix joins only single-row broadcast normalizers back to the
+    source-grain rollup — no shuffled join anywhere, and the rollup itself
+    partial-aggregates map-side."""
+    df = SPARK_QUERIES["source_mix"](spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert "SortMergeJoin" not in strategies
+    assert "ShuffledHashJoin" not in strategies
+    assert "CartesianProduct" not in strategies
+    assert has_partial_aggregate(df)
