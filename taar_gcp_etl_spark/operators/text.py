@@ -123,6 +123,55 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-pass per-document text profile: the text_stats columns AND
+    the language_id columns in one projection (r3 registry fold). Real
+    corpus pipelines compute every per-doc text metric in the same scan —
+    two separate passes over 100 TB just to split columns is the wrong
+    plan — so the folded operator is also the one a user should reach for.
+    Column-level fold, not a join: both operators' expressions are
+    re-derived against the same tokenization so the plan stays one scan.
+    Equivalence with the standalone operators is pinned in
+    tests/test_consolidations.py. Pure Column map, zero shuffle."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    bpe_units = F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.col(text_col)), r"([^a-z0-9\s]+|[0-9]+)", r" $1 "
+                ),
+                r"\s+",
+            ),
+            lambda t: t != "",
+        )
+    )
+    en = _stop_ratio(toks, STOPWORDS_EN)
+    de = _stop_ratio(toks, STOPWORDS_DE)
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        bpe_units.alias("n_units"),
+        F.length(text_col).alias("n_chars"),
+        F.round(F.length(text_col) / n_tokens, 6).alias("avg_token_len"),
+        F.round(en, 6).alias("stopword_ratio"),
+        F.round(
+            F.coalesce(
+                F.length(F.regexp_replace(text_col, r"[^.,!?;:]", ""))
+                / F.length(text_col),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("punct_ratio"),
+        F.round(en, 6).alias("score_en"),
+        F.round(de, 6).alias("score_de"),
+        F.when((en == 0) & (de == 0), "und")
+        .when(en >= de, "en")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -1184,6 +1184,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_wide(spark, sf_dir, "documents"))
 
 
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis — single-pass per-doc profile (r3 registry
+    fold of text_stats + language_id: same table, same grain, one scan —
+    the plan a 100 TB corpus pass should run). Token/unit/char counts,
+    quality ratios, per-language stopword scores, predicted language."""
+    from taar_gcp_etl_spark.operators.text import text_profile
+
+    return text_profile(_wide(spark, sf_dir, "documents"))
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: duplicate 3-gram ratio per document
     (boilerplate/template detector). Pure Column map, zero shuffle."""
@@ -1506,7 +1516,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q17": q_tpch_q17,
-    "tpch_q22": q_tpch_q22,
     "per_key_latest": q_per_key_latest,
     "window_running": q_window_running,
     "grouping_sets": q_grouping_sets,
@@ -1519,7 +1528,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_unpivot": q_pivot_unpivot,
     "window_ranks": q_window_ranks,
     "scalar_functions": q_scalar_functions,
-    "tpch_q7": q_tpch_q7,
     "tpch_q20": q_tpch_q20,
     "repetition": q_repetition,
     "pii_redact": q_pii_redact,
@@ -1529,8 +1537,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_outer_join": q_full_outer_join,
     "embedding_near_dup": q_embedding_near_dup,
     "quality_filter": q_quality_filter,
-    "text_stats": q_text_stats,
-    "language_id": q_language_id,
+    "text_profile": q_text_profile,
+    "lm_score": q_lm_score,
+    "source_mix": q_source_mix,
     "winnow": q_winnow,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -1549,7 +1558,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stats_agg moved here in r3 to make room for the pii_redact /
     # decontaminate / segment_dedup LLM-pipeline queries: their aggregate
     # shapes stay exercised in-budget by agg_profile, grouping_sets, and
-    # event_windows ---
+    # event_windows. text_stats / language_id moved here in r3b — both are
+    # column-projections of the in-budget text_profile fold; tpch_q22 /
+    # tpch_q7 moved here to make room for lm_score / source_mix /
+    # pack_sequences (anti-join and shuffled-agg planner shapes stay
+    # in-budget via anti_join_delete, tpch_q17/q20, grouping_sets) ---
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "tpch_q22": q_tpch_q22,
+    "tpch_q7": q_tpch_q7,
     "simhash": q_simhash,
     "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
@@ -1566,8 +1583,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q19": q_tpch_q19,
-    "lm_score": q_lm_score,
-    "source_mix": q_source_mix,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2286,6 +2301,36 @@ ORACLE_SQL: dict[str, str] = {
                CAST(minute(ts) AS INTEGER) AS mi,
                CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start
         FROM events WHERE event_id < 500
+    """,
+    "text_profile": f"""
+        WITH toked AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+        scored AS (
+            SELECT doc_id, text, t,
+                   len(list_filter(t, x -> x IN {_EN}))
+                       / CAST(len(t) AS DOUBLE) AS en,
+                   len(list_filter(t, x -> x IN {_DE}))
+                       / CAST(len(t) AS DOUBLE) AS de
+            FROM toked
+        )
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(
+                   string_split_regex(
+                       trim(regexp_replace(lower(text),
+                            '([^a-z0-9\\s]+|[0-9]+)', ' \\1 ', 'g')),
+                       '\\s+'),
+                   x -> x != '')) AS INTEGER) AS n_units,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               ROUND(length(text) / CAST(len(t) AS DOUBLE), 6)
+                   AS avg_token_len,
+               ROUND(en, 6) AS stopword_ratio,
+               ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                     / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+               ROUND(en, 6) AS score_en,
+               ROUND(de, 6) AS score_de,
+               CASE WHEN en = 0 AND de = 0 THEN 'und'
+                    WHEN en >= de THEN 'en' ELSE 'de' END AS predicted_lang
+        FROM scored
     """,
     "text_stats": f"""
         WITH toked AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)

@@ -82,6 +82,27 @@ class TestFoldedOperators:
         assert via_cube == via_registry
 
 
+    def test_text_profile_folds_stats_and_language_id(self, spark):
+        """text_profile == text_stats ⨝ language_id column-for-column (the
+        r3b fold that freed two registry slots), and its plan must stay a
+        single scan — no join operator anywhere."""
+        from taar_gcp_etl_spark.operators.text import (
+            language_id,
+            text_profile,
+            text_stats,
+        )
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        prof = {r.doc_id: r.asDict() for r in text_profile(docs).collect()}
+        stats = {r.doc_id: r.asDict() for r in text_stats(docs).collect()}
+        lang = {r.doc_id: r.asDict() for r in language_id(docs).collect()}
+        assert set(prof) == set(stats) == set(lang) and prof
+        for doc_id, row in prof.items():
+            assert row == {**stats[doc_id], **lang[doc_id]}
+        plan = text_profile(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+
 class TestRegistryBudget:
     def test_first_50_entries_are_oracle_checkable(self):
         """Driver-contract invariant: the correctness artifact records the
