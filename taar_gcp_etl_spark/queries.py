@@ -716,6 +716,178 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in — the fixture set has no partsupp table, so Q2/Q9/
+    Q11/Q16 derive one from lineitem: for each (partkey, suppkey) pair that
+    actually traded, supply cost is the best observed unit price and
+    availability is the trade count. The SAME derivation runs in the DuckDB
+    oracle (CTE `ps`), so both sides see identical IEEE-754 inputs.
+    One shuffled aggregate; reused (Catalyst dedups the subplan when it
+    appears twice in a query via ReuseExchange at the physical level)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            ),
+            F.count(F.lit(1)).alias("ps_availqty"),
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            "ps_supplycost",
+            "ps_availqty",
+        )
+    )
+
+
+# Shared SQL twin of _derived_partsupp for the DuckDB oracles.
+_PS_CTE = """
+    ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+                  COUNT(*) AS ps_availqty
+           FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-cost supplier: a correlated scalar subquery
+    (MIN supply cost per part within one region) decorrelated to a per-part
+    min aggregation joined back on (partkey, cost). Region/nation/part dims
+    broadcast; the only shuffles are the derived-partsupp aggregate and the
+    per-part min. reference analog: ranked-choice joins in
+    taar_etl/taar_lite_guidguid semantics (best candidate per key)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 3) & (F.col("p_type") == "ECONOMY")
+    )
+    eu_sup = (
+        sup.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_ps = ps.join(
+        F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = eu_ps.groupBy(
+        F.col("ps_partkey").alias("mc_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            _r2(F.col("s_acctbal")).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            _r6(F.col("ps_supplycost")).alias("supplycost"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by nation and year: lineitem
+    joins the derived partsupp on the COMPOSITE (partkey, suppkey) key,
+    then supplier→nation for the grouping nation and part for the product
+    filter. Dims broadcast; the fact-to-partsupp join shuffles on the
+    composite key. Profit = revenue minus supply cost at traded quantity."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(_r2(F.sum(amount)).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock: per-part inventory value for one
+    nation's suppliers, kept only when the part's value exceeds a threshold
+    computed by an UNCORRELATED scalar subquery over the same relation
+    (here 1.2× the mean per-part value, which stays scale-free as SF grows;
+    the classic fixed fraction of the grand total selects ~0 rows at
+    larger SF). HAVING over a grouped aggregate + a broadcast scalar.
+    Values are summed in integer cents (floored identically both sides) so
+    the aggregate is exact under any summation order — a double SUM differs
+    from DuckDB in the last ulp and can flip ROUND at a .005 boundary."""
+    _derived_partsupp(spark, sf_dir).createOrReplaceTempView("ps_q11")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("sup_q11")
+    return spark.sql(
+        """
+        WITH nat_ps AS (
+            SELECT ps_partkey,
+                   CAST(FLOOR(ps_supplycost * ps_availqty * 100 + 0.5)
+                        AS BIGINT) AS value_cents
+            FROM ps_q11 JOIN sup_q11 ON ps_suppkey = s_suppkey
+            WHERE s_nationkey = 7
+        ),
+        per_part AS (
+            SELECT ps_partkey, SUM(value_cents) AS part_cents
+            FROM nat_ps GROUP BY ps_partkey
+        )
+        SELECT ps_partkey,
+               ROUND(CAST(part_cents AS DOUBLE) / 100, 2) AS part_value
+        FROM per_part
+        WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+        """
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier-relationship count: distinct suppliers
+    per (brand, type, size) bucket, excluding one brand and excluding
+    "complaint" suppliers via NOT IN decorrelated to a broadcast anti-join
+    (negative account balance stands in for the complaint comment scan).
+    part broadcasts into the partsupp-side join; count(DISTINCT) shuffles
+    on the grouping key."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7, 10)
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(
+            F.broadcast(complaints),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — uncorrelated scalar subquery (global average
     balance, computed once and broadcast as a literal-like filter) plus
@@ -1583,6 +1755,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q19": q_tpch_q19,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1941,6 +2117,68 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s_suppkey, s_name, total_revenue
         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "tpch_q2": f"""
+        WITH {_PS_CTE},
+        eu_sup AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        eu_ps AS (
+            SELECT * FROM ps JOIN eu_sup ON ps_suppkey = s_suppkey
+        )
+        SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+               ROUND(ps_supplycost, 6) AS supplycost
+        FROM eu_ps e
+        JOIN part ON p_partkey = e.ps_partkey
+        WHERE p_size = 3 AND p_type = 'ECONOMY'
+          AND ps_supplycost = (SELECT MIN(ps_supplycost) FROM eu_ps
+                               WHERE ps_partkey = e.ps_partkey)
+    """,
+    "tpch_q9": f"""
+        WITH {_PS_CTE}
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS BIGINT) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)
+                         - ps_supplycost * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1, 2
+    """,
+    "tpch_q11": f"""
+        WITH {_PS_CTE},
+        nat_ps AS (
+            SELECT ps_partkey,
+                   CAST(FLOOR(ps_supplycost * ps_availqty * 100 + 0.5)
+                        AS BIGINT) AS value_cents
+            FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+            WHERE s_nationkey = 7
+        ),
+        per_part AS (
+            SELECT ps_partkey, SUM(value_cents) AS part_cents
+            FROM nat_ps GROUP BY ps_partkey
+        )
+        SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
+        FROM per_part
+        WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "tpch_q16": f"""
+        WITH {_PS_CTE}
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
     """,
     "tpch_q19": """
         SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
