@@ -1,0 +1,110 @@
+"""Sequence packing — assign documents to fixed-length training sequences.
+
+LLM pretraining consumes documents concatenated in a deterministic order and
+chunked into fixed-length sequences (e.g. 2048 tokens); the packing map
+(doc → sequence id / offset) is what a data loader needs to slice the right
+tokens. The core of the computation is a GLOBAL prefix sum of token counts
+in document order — the textbook anti-pattern is `Window.orderBy(doc_id)`
+with no partition key, which funnels 100 TB through a single task.
+
+This module computes the prefix sum with the classic two-phase distributed
+scan instead:
+
+1. range-partition the (doc_id, n_tokens) projection by doc_id (so
+   partition p holds a contiguous doc_id range and all of partition p's
+   ids precede partition p+1's),
+2. cumulative-sum WITHIN each partition (a partitioned window — parallel),
+3. aggregate one total per partition (tiny: #partitions rows), prefix-sum
+   those on the driver, and broadcast-join the per-partition base offsets
+   back.
+
+Only the narrow two-column projection shuffles; the driver handles
+#partitions integers. Every step is Catalyst-planned (no Python row path).
+
+reference analog: none — the reference ships profiles to a serving store
+(taar_etl/taar_profile_bigtable.py) rather than packing tokens; this is
+part of the LLM-training-data surface layered on top of its ETL shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from taar_gcp_etl_spark.functions import tokens
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk packing: documents are laid end-to-end in `id_col`
+    order and sliced every `seq_len` tokens. Each doc is assigned the
+    sequence containing its FIRST token; docs longer than the remaining
+    room span into subsequent sequences (`n_seqs_spanned`).
+
+    Returns (id_col, n_tokens, tokens_before, seq_id, offset_in_seq,
+    n_seqs_spanned) where `tokens_before` is the exact global prefix sum.
+    """
+    spark = docs.sparkSession
+    counts = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    if num_partitions is not None:
+        ranged = counts.repartitionByRange(num_partitions, id_col)
+    else:
+        ranged = counts.repartitionByRange(id_col)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    # Phase 2: per-partition running sum (parallel — every window has a
+    # partition key, never a global orderBy).
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Persisted: the scanned projection is consumed twice (partition totals
+    # now, the final join below) — without this the 100 TB scan+shuffle
+    # would run twice. Narrow (id, count, pid, cum) rows only.
+    from pyspark import StorageLevel
+
+    local = with_pid.withColumn(
+        "_local_cum", F.sum("n_tokens").over(w)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # Phase 3: one total per partition → driver-side prefix → broadcast
+    # back. Range partitioning guarantees pid order == doc_id order.
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_local_cum").alias("_ptotal"))
+        .collect()
+    )
+    base, offsets = 0, []
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], base))
+        base += row["_ptotal"]
+    offset_df = spark.createDataFrame(offsets, "_pid INT, _base BIGINT")
+
+    tokens_before = F.col("_base") + F.col("_local_cum") - F.col("n_tokens")
+    last_token = tokens_before + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0)
+    )
+    seq_id = F.floor(tokens_before / seq_len)
+    return (
+        local.join(F.broadcast(offset_df), "_pid")
+        .select(
+            id_col,
+            "n_tokens",
+            tokens_before.alias("tokens_before"),
+            seq_id.alias("seq_id"),
+            (tokens_before % seq_len).alias("offset_in_seq"),
+            (F.floor(last_token / seq_len) - seq_id + 1).alias(
+                "n_seqs_spanned"
+            ),
+        )
+    )

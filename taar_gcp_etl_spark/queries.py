@@ -888,6 +888,19 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing — global prefix sum of token counts in doc_id
+    order via the two-phase distributed scan (range partition → partitioned
+    window → broadcast per-partition base offsets), then concat-then-chunk
+    assignment into 2048-token sequences. See operators/packing.py for the
+    scale design; the oracle is the equivalent single global window, which
+    DuckDB can afford at oracle scale."""
+    from taar_gcp_etl_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, 2048, num_partitions=8)
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape — uncorrelated scalar subquery (global average
     balance, computed once and broadcast as a literal-like filter) plus
@@ -1759,6 +1772,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q9": q_tpch_q9,
     "tpch_q11": q_tpch_q11,
     "tpch_q16": q_tpch_q16,
+    "pack_sequences": q_pack_sequences,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2168,6 +2182,29 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
         FROM per_part
         WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "pack_sequences": f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tokens_before
+            FROM counts
+        )
+        SELECT doc_id, n_tokens, tokens_before,
+               CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS seq_id,
+               tokens_before % 2048 AS offset_in_seq,
+               CAST(FLOOR((tokens_before + GREATEST(n_tokens - 1, 0))
+                          / 2048) AS BIGINT)
+                   - CAST(FLOOR(tokens_before / 2048) AS BIGINT)
+                   + 1 AS n_seqs_spanned
+        FROM cum
     """,
     "tpch_q16": f"""
         WITH {_PS_CTE}

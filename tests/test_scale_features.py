@@ -261,3 +261,39 @@ class TestApproxAggregates:
             F.percentile("value", 0.5).alias("ex"),
         ).collect()[0]
         assert row.ap == pytest.approx(row.ex, rel=0.05)
+
+
+class TestSequencePacking:
+    """pack_sequences — the distributed prefix-sum must be exact and
+    invariant to the partition count (the scale knob must not change
+    results)."""
+
+    def test_prefix_sum_matches_driver_computation(self, spark):
+        from taar_gcp_etl_spark.operators.packing import pack_sequences
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        out = {
+            r.doc_id: r
+            for r in pack_sequences(docs, 100, num_partitions=5).collect()
+        }
+        running = 0
+        for doc_id in sorted(out):
+            r = out[doc_id]
+            assert r.tokens_before == running
+            assert r.seq_id == running // 100
+            assert r.offset_in_seq == running % 100
+            last = running + max(r.n_tokens - 1, 0)
+            assert r.n_seqs_spanned == last // 100 - r.seq_id + 1
+            running += r.n_tokens
+
+    def test_invariant_to_partition_count(self, spark):
+        from taar_gcp_etl_spark.operators.packing import pack_sequences
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        a = sorted(
+            map(tuple, pack_sequences(docs, 64, num_partitions=1).collect())
+        )
+        b = sorted(
+            map(tuple, pack_sequences(docs, 64, num_partitions=13).collect())
+        )
+        assert a == b
