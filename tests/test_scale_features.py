@@ -297,3 +297,86 @@ class TestSequencePacking:
             map(tuple, pack_sequences(docs, 64, num_partitions=13).collect())
         )
         assert a == b
+
+
+class TestInt8Ann:
+    def test_recall_vs_exact_topk(self, spark):
+        """Quantization to int8 must preserve neighbor ranking well enough:
+        recall@5 vs the exact float cosine top-5 above 0.6 on the fixture
+        (64-dim synthetic embeddings; affine per-dim quantization)."""
+        from taar_gcp_etl_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            int8_topk,
+        )
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in int8_topk(emb, q, k=5).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall > 0.6, f"int8 recall@5 = {recall}"
+
+    def test_quantized_values_bounded(self, spark):
+        from taar_gcp_etl_spark.operators.similarity import (
+            int8_quantization_stats,
+            int8_quantize,
+        )
+
+        emb = read_table(spark, SF_SMOKE, "embeddings")
+        mins, spans = int8_quantization_stats(emb)
+        row = (
+            int8_quantize(emb, mins, spans)
+            .select(
+                F.min(F.array_min("qv")).alias("lo"),
+                F.max(F.array_max("qv")).alias("hi"),
+            )
+            .collect()[0]
+        )
+        assert -127 <= row.lo and row.hi <= 127
+
+
+class TestFastHashBucket:
+    def test_deterministic_and_uniform(self, spark):
+        from taar_gcp_etl_spark.operators.sampling import hash_bucket_fast
+
+        df = spark.range(20_000).select(
+            hash_bucket_fast(F.col("id"), 10).alias("b")
+        )
+        counts = {r.b: r.n for r in df.groupBy("b").count().withColumnRenamed("count", "n").collect()}
+        assert set(counts) == set(range(10))
+        for n in counts.values():
+            assert abs(n - 2000) < 300  # within 15% of uniform
+        again = spark.range(20_000).select(
+            hash_bucket_fast(F.col("id"), 10).alias("b")
+        )
+        assert df.collect() == again.collect()
+
+    def test_fast_path_plugs_into_stratified_sample(self, spark):
+        from taar_gcp_etl_spark.operators.sampling import (
+            hash_bucket_fast,
+            stratified_sample,
+        )
+
+        ev = read_table(spark, SF_SMOKE, "events")
+        rates = spark.createDataFrame(
+            [("click", 0.5), ("view", 0.1)], "event_type string, rate double"
+        )
+        out = stratified_sample(
+            ev, rates, "event_type", "event_id", bucket_fn=hash_bucket_fast
+        )
+        kept = out.groupBy("event_type").count().collect()
+        assert {r.event_type for r in kept} <= {"click", "view"}
+        total = {
+            r.event_type: r["count"]
+            for r in ev.groupBy("event_type").count().collect()
+        }
+        for r in kept:
+            rate = 0.5 if r.event_type == "click" else 0.1
+            assert r["count"] < total[r.event_type]
+            assert abs(r["count"] / total[r.event_type] - rate) < 0.15
