@@ -373,3 +373,63 @@ def source_mix(
             F.pow("_share", F.lit(alpha)) / F.col("_wsum"), 6
         ).alias("mix_weight"),
     )
+
+
+def vocab_with_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """(token, id) vocabulary: ids are dense ranks 0..n-1 in
+    (n_occurrences DESC, token) order — the id assignment every trained
+    tokenizer ships. The top-n list is bounded by construction, so rank
+    assignment happens on the DRIVER over the collected rows (≤ vocab_size
+    entries) rather than through a single-partition global window; the
+    result returns as a small DataFrame ready to broadcast."""
+    top = vocab_top_tokens(df, text_col, id_col, vocab_size).collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r["token"], i) for i, r in enumerate(top)],
+        "token string, id int",
+    )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document as its vocabulary-id sequence (OOV → −1) —
+    the text→ints step every training-data pipeline ends with.
+
+    Plan: posexplode the token array (Generate — no shuffle), broadcast-
+    hash-join the vocabulary (bounded by vocab_size — never shuffle the
+    corpus for a dictionary), then reassemble per document with
+    collect_list(struct(pos, id)) + array_sort — ONE shuffle of narrow
+    (doc_id, pos, id) rows. For bounded vocabularies (≲1k) a literal
+    create_map would avoid even that shuffle, but a 50k-entry literal map
+    blows up the codegen unit (docs/NEXT.md), so the join form is the
+    default."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("id"), F.lit(-1)).alias("tid"),
+    )
+    assembled = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s.getField("tid"),
+        ).alias("token_ids")
+    )
+    return assembled.select(
+        id_col,
+        "token_ids",
+        F.size("token_ids").alias("n_tokens"),
+        F.size(F.filter("token_ids", lambda t: t == -1)).alias("n_oov"),
+    )

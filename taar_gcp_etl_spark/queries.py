@@ -1606,6 +1606,29 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-id tokenization — encode each document as its token-id
+    sequence against the corpus's own top-100 vocabulary (OOV → −1), the
+    text→ints step that ends a training-data pipeline. Broadcast dictionary
+    join + one narrow reassembly shuffle; see operators/text.py."""
+    from taar_gcp_etl_spark.operators.text import (
+        tokenize_to_ids,
+        vocab_with_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenize_to_ids(docs, vocab_with_ids(docs, vocab_size=100))
+
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (minute → hour → day) where each coarser
+    grain aggregates the FINER grain's partials, not the raw table — the
+    continuous-aggregate / hypertable pattern: one raw scan feeds every
+    resolution. Exact integer-cents sums through the cascade."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.rollup_cascade(ev)
+
+
 def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized similarity search — per-dim affine int8 quantization of
     the corpus (stats learned in one cheap pass) + maximum-inner-product
@@ -1788,6 +1811,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q16": q_tpch_q16,
     "pack_sequences": q_pack_sequences,
     "ann_int8": q_ann_int8,
+    "rollup_cascade": q_rollup_cascade,
+    "tokenize_ids": q_tokenize_ids,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2197,6 +2222,70 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
         FROM per_part
         WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "tokenize_ids": f"""
+        WITH per_doc AS (
+            SELECT token, doc_id, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ) WHERE token <> '' GROUP BY token, doc_id
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                                           token) AS INTEGER) - 1 AS id
+            FROM (
+                SELECT token, CAST(SUM(tf) AS BIGINT) AS n_occurrences
+                FROM per_doc GROUP BY token
+                ORDER BY n_occurrences DESC, token LIMIT 100
+            )
+        ),
+        tok AS (
+            SELECT doc_id, unnest(t) AS token,
+                   generate_subscripts(t, 1) AS pos
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        ids AS (
+            SELECT doc_id, pos, COALESCE(v.id, -1) AS tid
+            FROM tok LEFT JOIN vocab v USING (token)
+        )
+        SELECT doc_id,
+               list(tid ORDER BY pos) AS token_ids,
+               CAST(COUNT(*) AS INTEGER) AS n_tokens,
+               CAST(COALESCE(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END), 0)
+                    AS INTEGER) AS n_oov
+        FROM ids GROUP BY doc_id
+    """,
+    "rollup_cascade": """
+        WITH minute AS (
+            SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        hr AS (
+            SELECT CAST(date_trunc('hour', window_start) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM minute GROUP BY 1, 2
+        ),
+        dy AS (
+            SELECT CAST(date_trunc('day', window_start) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS cents
+            FROM hr GROUP BY 1, 2
+        )
+        SELECT 'minute' AS resolution, window_start, event_type, n,
+               ROUND(cents / 100.0, 2) AS sum_value FROM minute
+        UNION ALL
+        SELECT 'hour', window_start, event_type, n,
+               ROUND(cents / 100.0, 2) FROM hr
+        UNION ALL
+        SELECT 'day', window_start, event_type, n,
+               ROUND(cents / 100.0, 2) FROM dy
     """,
     "ann_int8": """
         WITH stats AS (

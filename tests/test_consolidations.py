@@ -412,3 +412,40 @@ class TestSourceMix:
         docs = read_table(spark, SF_SMOKE, "documents")
         for r in source_mix(docs, alpha=1.0).collect():
             assert abs(r.mix_weight - r.token_share) <= 2e-6
+
+
+class TestTokenizeIds:
+    def test_roundtrip_in_vocab_tokens(self, spark):
+        """Decoding token_ids through the vocabulary must reconstruct the
+        original token stream wherever the token is in-vocab."""
+        from taar_gcp_etl_spark.functions import tokens
+        from taar_gcp_etl_spark.operators.text import (
+            tokenize_to_ids,
+            vocab_with_ids,
+        )
+        from taar_gcp_etl_spark.io import read_table
+        from tests.conftest import SF_SMOKE
+
+        docs = read_table(spark, SF_SMOKE, "documents").limit(50)
+        vocab = vocab_with_ids(docs, vocab_size=30)
+        id2tok = {r.id: r.token for r in vocab.collect()}
+        encoded = {
+            r.doc_id: r.token_ids
+            for r in tokenize_to_ids(docs, vocab).collect()
+        }
+        originals = {
+            r.doc_id: r.toks
+            for r in docs.select(
+                "doc_id", F.expr("split(trim(lower(text)), '\\\\s+')").alias("toks")
+            ).collect()
+        }
+        assert set(encoded) == set(originals)
+        n_invocab = 0
+        for doc_id, ids in encoded.items():
+            toks = originals[doc_id]
+            assert len(ids) == len(toks)
+            for tid, tok in zip(ids, toks):
+                if tid != -1:
+                    assert id2tok[tid] == tok
+                    n_invocab += 1
+        assert n_invocab > 0
