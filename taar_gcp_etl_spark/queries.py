@@ -1606,6 +1606,58 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — grouped linear regression with the BUILT-IN regr_* aggregate
+    family (regr_slope/intercept/r2 over value vs event-time seconds, per
+    event_type): trend extraction entirely inside whole-stage codegen — the
+    shape people reach for applyInPandas + scipy for, expressed as one
+    shuffled aggregate instead of an Arrow round-trip. Time is re-based to
+    hours-since-corpus-epoch so slope magnitudes survive 6-decimal
+    rounding."""
+    ev = _t(spark, sf_dir, "events")
+    # microsecond-exact epoch (unix_timestamp truncates sub-second parts;
+    # the fixture's timestamps all carry them — oracle uses epoch(ts));
+    # ntz→tz cast is UTC under the pinned session, matching DuckDB's naive
+    # epoch()
+    secs = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    x = (secs - F.lit(1700000000)) / F.lit(3600.0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.regr_slope(F.col("value"), x)).alias("slope"),
+        _r6(F.regr_intercept(F.col("value"), x)).alias("intercept"),
+        _r6(F.regr_r2(F.col("value"), x)).alias("r2"),
+    )
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (RAG / context-window prep): each
+    document yields ⌈(len−overlap)/stride⌉ chunks of ≤300 chars with
+    stride 250 (50-char overlap). Pure Generate over the scan — explode of
+    a per-row index sequence, substring per chunk; no shuffle, linear in
+    input splits."""
+    docs = _t(spark, sf_dir, "documents")
+    size, stride = 300, 250
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(size - stride)) / F.lit(stride)),
+        F.lit(1),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("text"), F.col("chunk_id") * stride + 1, size
+            ).alias("chunk_text"),
+        )
+        .withColumn("n_chars", F.length("chunk_text"))
+    )
+
+
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-id tokenization — encode each document as its token-id
     sequence against the corpus's own top-100 vocabulary (OOV → −1), the
@@ -1813,6 +1865,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_int8": q_ann_int8,
     "rollup_cascade": q_rollup_cascade,
     "tokenize_ids": q_tokenize_ids,
+    "trend_fit": q_trend_fit,
+    "chunk_docs": q_chunk_docs,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2222,6 +2276,35 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
         FROM per_part
         WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "trend_fit": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(regr_slope(value,
+                     (epoch(ts) - 1700000000) / 3600.0), 6) AS slope,
+               ROUND(regr_intercept(value,
+                     (epoch(ts) - 1700000000) / 3600.0), 6) AS intercept,
+               ROUND(regr_r2(value,
+                     (epoch(ts) - 1700000000) / 3600.0), 6) AS r2
+        FROM events GROUP BY event_type
+    """,
+    "chunk_docs": """
+        WITH base AS (
+            SELECT doc_id, text,
+                   GREATEST(CAST(CEIL((len(text) - 50) / 250.0) AS BIGINT),
+                            1) AS nc
+            FROM documents
+        ),
+        expanded AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, nc - 1)) AS chunk_id
+            FROM base
+        )
+        SELECT doc_id, chunk_id,
+               substr(text, CAST(chunk_id * 250 + 1 AS INTEGER), 300)
+                   AS chunk_text,
+               CAST(len(substr(text, CAST(chunk_id * 250 + 1 AS INTEGER),
+                               300)) AS INTEGER) AS n_chars
+        FROM expanded
     """,
     "tokenize_ids": f"""
         WITH per_doc AS (
