@@ -4,8 +4,8 @@ LLM pretraining consumes documents concatenated in a deterministic order and
 chunked into fixed-length sequences (e.g. 2048 tokens); the packing map
 (doc → sequence id / offset) is what a data loader needs to slice the right
 tokens. The core of the computation is a GLOBAL prefix sum of token counts
-in document order — the textbook anti-pattern is `Window.orderBy(doc_id)`
-with no partition key, which funnels 100 TB through a single task.
+in document order — the textbook anti-pattern is an unpartitioned ordered
+window over doc_id, which funnels 100 TB through a single task.
 
 This module computes the prefix sum with the classic two-phase distributed
 scan instead:

@@ -137,18 +137,47 @@ def rollup_cascade(
     from pyspark import StorageLevel
 
     group_cols = group_cols if group_cols is not None else ["event_type"]
-    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
-    level = (
-        df.groupBy(
-            F.date_trunc(resolutions[0], F.col(ts)).alias("window_start"),
-            *group_cols,
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(cents).alias("_cents"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    level = minute_partials(df, ts, group_cols, value, resolutions[0]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    return rollup_from_partials(level, group_cols, resolutions)
+
+
+def minute_partials(
+    df: DataFrame,
+    ts: str = "ts",
+    group_cols: list[str] | None = None,
+    value: str = "value",
+    resolution: str = "minute",
+) -> DataFrame:
+    """Finest-grain partials (window_start, *groups, n, _cents) — the one
+    aggregate that touches the raw table. Works identically on a BATCH
+    DataFrame and a STREAMING one (add a watermark upstream for state
+    eviction): this is the continuous-aggregate producer, and
+    `rollup_from_partials` derives every coarser grain from its output."""
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    return df.groupBy(
+        F.date_trunc(resolution, F.col(ts)).alias("window_start"),
+        *group_cols,
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("_cents"),
+    )
+
+
+def rollup_from_partials(
+    level: DataFrame,
+    group_cols: list[str] | None = None,
+    resolutions: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Cascade coarser grains from an existing finest-grain partials
+    relation (see `minute_partials`) — the read side of a continuous
+    aggregate: the stream maintains the finest grain; hour/day views are
+    derived on demand without ever rescanning raw events."""
+    from pyspark import StorageLevel
+
+    group_cols = group_cols if group_cols is not None else ["event_type"]
     out = []
     for i, res in enumerate(resolutions):
         if i > 0:

@@ -351,3 +351,21 @@ def run_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def continuous_minute_rollup(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Continuous-aggregate producer: the streaming twin of
+    operators.windows.minute_partials — minute-grain (window_start, groups,
+    n, _cents) maintained at ingest, watermark-bounded state. Coarser
+    grains (hour/day) are NOT streamed: they derive from these partials on
+    read via operators.windows.rollup_from_partials, so raw events are
+    aggregated exactly once no matter how many resolutions are served.
+    Integer-cents sums keep the cascade exact across engines and
+    micro-batch orderings."""
+    from taar_gcp_etl_spark.operators.windows import minute_partials
+
+    return minute_partials(
+        events.withWatermark("ts", watermark), "ts", ["event_type"], "value"
+    )

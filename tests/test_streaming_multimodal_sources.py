@@ -462,3 +462,51 @@ class TestRestSource:
         out = fetch_with_retry(urls, workers=2, fetcher=flaky).collect()
         assert sorted(r.url for r in out) == ["u/a", "u/b", "u/flaky"]
         assert all(r.status == 200 for r in out)
+
+
+class TestContinuousRollup:
+    def test_streamed_partials_cascade_equals_batch(self, spark, tmp_path):
+        """Stream the events fixture through the minute-grain continuous
+        aggregate, then derive hour/day from the STREAMED partials — the
+        result must equal the batch rollup_cascade over the same raw
+        events (one-scan continuous-aggregate contract)."""
+        from taar_gcp_etl_spark.io import read_table
+        from taar_gcp_etl_spark.operators.windows import (
+            rollup_cascade,
+            rollup_from_partials,
+        )
+        from taar_gcp_etl_spark.streaming import jobs as sj
+        from tests.conftest import SF_SMOKE
+
+        # watermarks require TIMESTAMP (not NTZ); the UTC-pinned session
+        # makes the cast value-preserving
+        ev = (
+            read_table(spark, SF_SMOKE, "events")
+            .drop("props")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        src = str(tmp_path / "stream_src")
+        # two file drops → two micro-batches
+        ev.filter(F.col("event_id") % 2 == 0).write.parquet(src + "/a")
+        ev.filter(F.col("event_id") % 2 == 1).write.parquet(src + "/b")
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src + "/*")
+        q = (
+            sj.continuous_minute_rollup(stream)
+            .writeStream.format("memory")
+            .queryName("minute_partials_t")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.table("minute_partials_t")
+        got = sorted(
+            map(
+                tuple,
+                rollup_from_partials(streamed).collect(),
+            )
+        )
+        want = sorted(map(tuple, rollup_cascade(ev).collect()))
+        assert got == want
