@@ -246,3 +246,98 @@ class TestSampling:
         assert sorted(r.event_id for r in take.collect()) == sorted(
             r.event_id for r in again.collect()
         )
+
+
+texts_for_packing = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab \n\t"), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts_for_packing, seq_len=st.integers(1, 17))
+def test_pack_sequences_matches_reference(spark, docs, seq_len):
+    """Distributed prefix-sum packing must agree with the obvious serial
+    reference on arbitrary (including whitespace-only and empty) texts."""
+    import re
+
+    from taar_gcp_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens_before, r.seq_id, r.offset_in_seq)
+        for r in pack_sequences(df, seq_len, num_partitions=3).collect()
+    }
+    running = 0
+    for i, t in enumerate(docs):
+        # tokens(): split(trim(lower(text)), '\s+') — note SQL trim strips
+        # ONLY 0x20 spaces (Spark and DuckDB agree), unlike Python strip()
+        n = len(re.split(r"\s+", t.strip(" ").lower()))
+        assert got[i] == (n, running, running // seq_len, running % seq_len)
+        running += n
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("xy z"), min_size=0, max_size=700),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_chunk_docs_covers_text_exactly(spark, docs):
+    """Chunking invariants (same size/stride as q_chunk_docs): chunk 0
+    starts at position 0, consecutive chunks overlap by size-stride chars,
+    concatenating each chunk's non-overlapping tail reconstructs the
+    document."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    size, stride = 300, 250
+    from pyspark.sql import functions as F2
+
+    n_chunks = F2.greatest(
+        F2.ceil((F2.length("text") - F2.lit(size - stride)) / F2.lit(stride)),
+        F2.lit(1),
+    )
+    out = (
+        df.select(
+            "doc_id",
+            "text",
+            F2.explode(F2.sequence(F2.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F2.substring(
+                F2.col("text"), F2.col("chunk_id") * stride + 1, size
+            ).alias("chunk_text"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, t in enumerate(docs):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        assert chunks[0] == t[:size]
+        rebuilt = chunks[0]
+        for c in chunks[1:]:
+            assert rebuilt[-(size - stride):] == c[: size - stride] or len(
+                rebuilt
+            ) < size
+            rebuilt += c[size - stride:] if len(c) > size - stride else ""
+        assert rebuilt == t or (t == "" and rebuilt == "")
