@@ -34,6 +34,20 @@ def main() -> None:
     from taar_gcp_etl_spark.io import read_table
 
     read_table(spark, sf_dir, "events").count()
+    # MLlib class-loading costs ~4 s on first use (measured; docs/NEXT.md)
+    # — a steady-state cluster pays it once per executor lifetime, not per
+    # query, so charge it to warmup rather than whichever ML query runs
+    # first (donor_clusters in registry order).
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        tiny = spark.range(16).selectExpr(
+            "array(cast(id as double), cast(id % 3 as double)) as arr"
+        ).select(array_to_vector("arr").alias("features"))
+        KMeans(k=2, seed=1, maxIter=1).fit(tiny)
+    except Exception:
+        pass  # MLlib unavailable → ML queries will surface it themselves
 
     timings: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():

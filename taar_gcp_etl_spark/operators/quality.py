@@ -9,6 +9,7 @@ count of a 100 TB table just to check a threshold.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # C4-style corpus-quality thresholds (the quality_filter rulepack). Kept as
 # DATA — a one-row config table joined onto the corpus — so a deployment can
@@ -71,3 +72,37 @@ def require_non_empty(df: DataFrame) -> DataFrame:
     if df.isEmpty():
         raise EmptyWhitelistError("quality gate: empty result")
     return df
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-validation profile: per-column null count, exact distinct
+    count, min/max/mean — the expectation-suite statistics a pipeline
+    checks before promoting a batch. ONE aggregate pass over the table
+    (every statistic for every column in the same agg), then an unpivot of
+    the single wide row into (column, ...) rows — never one scan per
+    column.
+
+    Exact count(DISTINCT) over multiple columns plans an Expand (input
+    ×|cols| before the first shuffle); at 100 TB swap
+    `approx_count_distinct` in — the gate threshold rarely needs exactness.
+    Numeric columns only (min/max/mean stay DOUBLE and engine-portable;
+    string min/max casts differ between engines in timestamp formatting)."""
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.count_distinct(col).alias(f"{c}__nd"),
+            F.min(col).alias(f"{c}__mn"),
+            F.max(col).alias(f"{c}__mx"),
+            F.round(F.avg(col), 6).alias(f"{c}__mean"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__mean"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_val, max_val, mean_val)"
+    )

@@ -1606,6 +1606,19 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation profile of lineitem's numeric columns — null /
+    distinct / min / max / mean per column in ONE aggregate pass + unpivot
+    (the expectation-suite gate a pipeline runs before promoting a
+    batch)."""
+    from taar_gcp_etl_spark.operators.quality import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"]
+    )
+
+
 def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — grouped linear regression with the BUILT-IN regr_* aggregate
     family (regr_slope/intercept/r2 over value vs event-time seconds, per
@@ -1867,6 +1880,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_ids": q_tokenize_ids,
     "trend_fit": q_trend_fit,
     "chunk_docs": q_chunk_docs,
+    "column_profile": q_column_profile,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2276,6 +2290,40 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
         FROM per_part
         WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "column_profile": """
+        SELECT 'l_quantity' AS "column",
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT l_quantity) AS n_distinct,
+               MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+               ROUND(AVG(l_quantity), 6) AS mean_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               COUNT(DISTINCT l_extendedprice),
+               MIN(l_extendedprice), MAX(l_extendedprice),
+               ROUND(AVG(l_extendedprice), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               COUNT(DISTINCT l_discount),
+               MIN(l_discount), MAX(l_discount),
+               ROUND(AVG(l_discount), 6)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_orderkey',
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               COUNT(DISTINCT CAST(l_orderkey AS DOUBLE)),
+               MIN(CAST(l_orderkey AS DOUBLE)),
+               MAX(CAST(l_orderkey AS DOUBLE)),
+               ROUND(AVG(CAST(l_orderkey AS DOUBLE)), 6)
+        FROM lineitem
     """,
     "trend_fit": """
         SELECT event_type, COUNT(*) AS n,
