@@ -433,3 +433,58 @@ def tokenize_to_ids(
         F.size("token_ids").alias("n_tokens"),
         F.size(F.filter("token_ids", lambda t: t == -1)).alias("n_oov"),
     )
+
+
+def tfidf_similarity(
+    corpus: DataFrame,
+    query_ids,
+    min_sim: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity via an INVERTED-INDEX join — the
+    lexical twin of the dense ANN family: weights live per (doc, token),
+    pairs meet only on shared tokens, and the similarity is a sum of
+    per-token weight products. Returns (query_id, neighbor_id, sim) for
+    corpus docs with sim ≥ min_sim against each query doc.
+
+    Plan (100 TB posture): term frequencies and document frequencies are
+    two narrow aggregates; the df table is bounded by the vocabulary →
+    broadcast. The pair join broadcasts the QUERY side's weights (bounded:
+    queries × vocab), so the corpus-side index never shuffles for the
+    probe; the only corpus-scale exchange is the (query, neighbor) partial
+    sum, which map-side combines. For corpus×corpus all-pairs, cap
+    per-token fan-out first (drop df > bound tokens — ubiquitous terms
+    carry ~zero idf weight anyway)."""
+    toks = corpus.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if n_docs is None:
+        n_docs = corpus.count()
+    w = tf.join(F.broadcast(dfreq), "token").select(
+        id_col,
+        "token",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    from pyspark.sql import Window
+
+    norm = Window.partitionBy(id_col)
+    unit = w.withColumn(
+        "u", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm))
+    ).select(id_col, "token", "u")
+    q = (
+        unit.filter(F.col(id_col).isin(*query_ids))
+        .select(
+            F.col(id_col).alias("query_id"), "token", F.col("u").alias("qu")
+        )
+    )
+    return (
+        unit.join(F.broadcast(q), "token")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum(F.col("u") * F.col("qu")), 4).alias("sim"))
+        .filter(F.col("sim") >= min_sim)
+    )

@@ -1606,6 +1606,17 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity — TF-IDF cosine of 10 query docs against
+    the corpus through an inverted-index join (pairs meet only on shared
+    tokens; the query-side weights broadcast, the corpus index never
+    shuffles for the probe). The lexical twin of the dense ANN family."""
+    from taar_gcp_etl_spark.operators.text import tfidf_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_similarity(docs, list(range(10)), min_sim=0.85)
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-validation profile of lineitem's numeric columns — null /
     distinct / min / max / mean per column in ONE aggregate pass + unpivot
@@ -1881,6 +1892,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_fit": q_trend_fit,
     "chunk_docs": q_chunk_docs,
     "column_profile": q_column_profile,
+    "tfidf_sim": q_tfidf_sim,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2290,6 +2302,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
         FROM per_part
         WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "tfidf_sim": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        w AS (
+            SELECT doc_id, tf.token,
+                   tf * ln((SELECT count(*) FROM documents)::DOUBLE / df)
+                       AS w
+            FROM tf JOIN dfq ON tf.token = dfq.token
+        ),
+        nrm AS (
+            SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY doc_id
+        ),
+        unit AS (
+            SELECT w.doc_id, token, w / nm AS u
+            FROM w JOIN nrm USING (doc_id)
+        )
+        SELECT q.doc_id AS query_id, u.doc_id AS neighbor_id,
+               ROUND(SUM(u.u * q.u), 4) AS sim
+        FROM unit u
+        JOIN unit q ON u.token = q.token
+        WHERE q.doc_id IN (0,1,2,3,4,5,6,7,8,9) AND u.doc_id <> q.doc_id
+        GROUP BY 1, 2
+        HAVING ROUND(SUM(u.u * q.u), 4) >= 0.85
     """,
     "column_profile": """
         SELECT 'l_quantity' AS "column",
