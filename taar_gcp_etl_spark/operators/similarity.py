@@ -437,23 +437,31 @@ def int8_quantize(
     out_col: str = "qv",
 ) -> DataFrame:
     """Affine int8 quantization: x → floor((x-mn)/span·254 + 0.5) − 127
-    per dimension, range [−127, 127] (0 for degenerate dims). 4× smaller
-    than float32 — at vector-store scale the quantized corpus is what you
-    keep hot. Integer output makes downstream scoring EXACT (engine-
-    portable: no float summation-order sensitivity)."""
+    per dimension, clamped to [−127, 127] (0 for degenerate dims; the
+    clamp only fires for values OUTSIDE the range the stats were learned
+    from — out-of-sample query vectors — and is a no-op on the corpus
+    itself). 4× smaller than float32 — at vector-store scale the quantized
+    corpus is what you keep hot. Integer output makes downstream scoring
+    EXACT (engine-portable: no float summation-order sensitivity)."""
     mn_arr = F.array(*[F.lit(float(v)) for v in mins])
     span_arr = F.array(*[F.lit(float(v)) for v in spans])
     q = F.transform(
         _as_double(F.col(vec_col)),
         lambda x, i: F.when(
             F.element_at(span_arr, i + 1) > 0,
-            F.floor(
-                (x - F.element_at(mn_arr, i + 1))
-                / F.element_at(span_arr, i + 1)
-                * 254
-                + F.lit(0.5)
-            ).cast("int")
-            - 127,
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(
+                        (x - F.element_at(mn_arr, i + 1))
+                        / F.element_at(span_arr, i + 1)
+                        * 254
+                        + F.lit(0.5)
+                    ).cast("int")
+                    - 127,
+                ),
+            ),
         ).otherwise(F.lit(0)),
     )
     return df.select(F.col(id_col), q.alias(out_col))

@@ -340,6 +340,25 @@ class TestInt8Ann:
         )
         assert -127 <= row.lo and row.hi <= 127
 
+    def test_out_of_sample_values_clamp(self, spark):
+        """Queries outside the corpus's learned range must clamp into
+        [-127, 127], not wrap or overflow."""
+        from taar_gcp_etl_spark.operators.similarity import int8_quantize
+
+        extreme = spark.createDataFrame(
+            [(0, [1e6] * 4), (1, [-1e6] * 4)],
+            "vec_id long, embedding array<double>",
+        )
+        row = (
+            int8_quantize(extreme, [0.0] * 4, [1.0] * 4)
+            .select(
+                F.min(F.array_min("qv")).alias("lo"),
+                F.max(F.array_max("qv")).alias("hi"),
+            )
+            .collect()[0]
+        )
+        assert row.lo == -127 and row.hi == 127
+
 
 class TestFastHashBucket:
     def test_deterministic_and_uniform(self, spark):
