@@ -1414,7 +1414,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate table (here: 'error') drop entirely."""
     from taar_gcp_etl_spark.operators.sampling import stratified_sample
 
-    ev = _t(spark, sf_dir, "events")
+    # _wide: the md5 bucket is CPU-bound per row; a single local file
+    # arrives as one split and serializes it onto one core (no-op at
+    # cluster scale where splits >> cores)
+    ev = _wide(spark, sf_dir, "events")
     rates = spark.createDataFrame(
         [("click", 0.25), ("view", 0.05), ("purchase", 1.0), ("signup", 0.5)],
         "event_type string, rate double",
@@ -1692,7 +1695,7 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_with_ids,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, sf_dir, "documents")
     return tokenize_to_ids(docs, vocab_with_ids(docs, vocab_size=100))
 
 
