@@ -52,8 +52,13 @@ def pack_sequences(
     n_seqs_spanned) where `tokens_before` is the exact global prefix sum.
     """
     spark = docs.sparkSession
+    # NULL text contributes 0 tokens: under ANSI-off, size(NULL array) is
+    # -1, which would silently shift the prefix sum of every later doc
     counts = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .alias("n_tokens"),
     )
     if num_partitions is not None:
         ranged = counts.repartitionByRange(num_partitions, id_col)
@@ -70,7 +75,11 @@ def pack_sequences(
     )
     # Persisted: the scanned projection is consumed twice (partition totals
     # now, the final join below) — without this the 100 TB scan+shuffle
-    # would run twice. Narrow (id, count, pid, cum) rows only.
+    # would run twice. Narrow (id, count, pid, cum) rows only. The cache
+    # must outlive this function (the returned plan reads it), so the
+    # CALLER owns eviction: unpersist via spark.catalog.clearCache() or
+    # re-memoize per corpus after consuming the result (same convention as
+    # the persisted LSH signature relation in operators/dedup.py).
     from pyspark import StorageLevel
 
     local = with_pid.withColumn(

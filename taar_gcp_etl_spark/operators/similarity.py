@@ -450,18 +450,21 @@ def int8_quantize(
         lambda x, i: F.when(
             F.element_at(span_arr, i + 1) > 0,
             F.greatest(
-                F.lit(-127),
+                F.lit(0).cast("long"),
                 F.least(
-                    F.lit(127),
+                    F.lit(254).cast("long"),
+                    # clamp the LONG floor result BEFORE narrowing: casting
+                    # first would wrap values beyond 2^31 under ANSI-off
+                    # and clamp to the wrong sign
                     F.floor(
                         (x - F.element_at(mn_arr, i + 1))
                         / F.element_at(span_arr, i + 1)
                         * 254
                         + F.lit(0.5)
-                    ).cast("int")
-                    - 127,
+                    ),
                 ),
-            ),
+            ).cast("int")
+            - 127,
         ).otherwise(F.lit(0)),
     )
     return df.select(F.col(id_col), q.alias(out_col))

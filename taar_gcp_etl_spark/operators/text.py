@@ -462,12 +462,22 @@ def tfidf_similarity(
     ).filter(F.col("token") != "")
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    if n_docs is None:
-        n_docs = corpus.count()
-    w = tf.join(F.broadcast(dfreq), "token").select(
+    if n_docs is not None:
+        n_col = F.lit(float(n_docs))
+        tf_n = tf
+    else:
+        # lazy one-row count crossJoined via broadcast (the source_mix
+        # pattern): an eager corpus.count() here would be a SECOND full
+        # scan executed at plan-build time
+        total = corpus.agg(
+            F.count(F.lit(1)).cast("double").alias("_n_docs")
+        )
+        n_col = F.col("_n_docs")
+        tf_n = tf.crossJoin(F.broadcast(total))
+    w = tf_n.join(F.broadcast(dfreq), "token").select(
         id_col,
         "token",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        (F.col("tf") * F.log(n_col / F.col("df"))).alias("w"),
     )
     from pyspark.sql import Window
 
@@ -487,4 +497,39 @@ def tfidf_similarity(
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(F.round(F.sum(F.col("u") * F.col("qu")), 4).alias("sim"))
         .filter(F.col("sim") >= min_sim)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 300,
+    stride: int = 250,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping character chunking (RAG / context-window prep): each
+    document yields ⌈(len−overlap)/stride⌉ chunks of ≤`size` chars with
+    `size−stride` overlap (always ≥1 chunk, so empty docs survive as one
+    empty chunk). Pure Generate over the scan — explode of a per-row index
+    sequence + substring; zero shuffle, linear in input splits."""
+    assert stride <= size, "stride must not exceed chunk size"
+    overlap = size - stride
+    n_chunks = F.greatest(
+        F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(stride)),
+        F.lit(1),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.substring(
+                F.col(text_col), F.col("chunk_id") * stride + 1, size
+            ).alias("chunk_text"),
+        )
+        .withColumn("n_chars", F.length("chunk_text"))
     )

@@ -1657,31 +1657,13 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping character chunking (RAG / context-window prep): each
-    document yields ⌈(len−overlap)/stride⌉ chunks of ≤300 chars with
-    stride 250 (50-char overlap). Pure Generate over the scan — explode of
-    a per-row index sequence, substring per chunk; no shuffle, linear in
-    input splits."""
-    docs = _t(spark, sf_dir, "documents")
-    size, stride = 300, 250
-    n_chunks = F.greatest(
-        F.ceil((F.length("text") - F.lit(size - stride)) / F.lit(stride)),
-        F.lit(1),
-    )
-    return (
-        docs.select(
-            "doc_id",
-            F.col("text"),
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.substring(
-                F.col("text"), F.col("chunk_id") * stride + 1, size
-            ).alias("chunk_text"),
-        )
-        .withColumn("n_chars", F.length("chunk_text"))
+    """Overlapping character chunking (RAG / context-window prep): 300-char
+    chunks at stride 250 (50-char overlap). See operators.text
+    .chunk_documents — pure Generate, no shuffle."""
+    from taar_gcp_etl_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=300, stride=250
     )
 
 

@@ -363,9 +363,28 @@ def continuous_minute_rollup(
     read via operators.windows.rollup_from_partials, so raw events are
     aggregated exactly once no matter how many resolutions are served.
     Integer-cents sums keep the cascade exact across engines and
-    micro-batch orderings."""
-    from taar_gcp_etl_spark.operators.windows import minute_partials
+    micro-batch orderings.
 
-    return minute_partials(
-        events.withWatermark("ts", watermark), "ts", ["event_type"], "value"
+    Groups on `F.window(ts, "1 minute")` rather than the batch twin's
+    date_trunc: only the window/session_window expressions (or the
+    watermarked column itself) carry the event-time metadata the state
+    store needs to build its eviction predicate — grouping on a derived
+    date_trunc would accumulate state forever and reject append mode.
+    window.start for a 1-minute tumbling window equals
+    date_trunc('minute', ts), so the output matches the batch partials
+    row-for-row."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("_cents"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "_cents",
+        )
     )

@@ -249,8 +249,9 @@ class TestSampling:
 
 
 texts_for_packing = st.lists(
-    st.text(
-        alphabet=st.sampled_from("ab \n\t"), min_size=0, max_size=60
+    st.one_of(
+        st.none(),  # NULL text must contribute 0 tokens, not poison the sum
+        st.text(alphabet=st.sampled_from("ab \n\t"), min_size=0, max_size=60),
     ),
     min_size=1,
     max_size=25,
@@ -280,8 +281,9 @@ def test_pack_sequences_matches_reference(spark, docs, seq_len):
     running = 0
     for i, t in enumerate(docs):
         # tokens(): split(trim(lower(text)), '\s+') — note SQL trim strips
-        # ONLY 0x20 spaces (Spark and DuckDB agree), unlike Python strip()
-        n = len(re.split(r"\s+", t.strip(" ").lower()))
+        # ONLY 0x20 spaces (Spark and DuckDB agree), unlike Python strip();
+        # NULL text counts as 0 tokens by contract
+        n = 0 if t is None else len(re.split(r"\s+", t.strip(" ").lower()))
         assert got[i] == (n, running, running // seq_len, running % seq_len)
         running += n
 
@@ -299,35 +301,17 @@ def test_pack_sequences_matches_reference(spark, docs, seq_len):
     )
 )
 def test_chunk_docs_covers_text_exactly(spark, docs):
-    """Chunking invariants (same size/stride as q_chunk_docs): chunk 0
-    starts at position 0, consecutive chunks overlap by size-stride chars,
-    concatenating each chunk's non-overlapping tail reconstructs the
-    document."""
+    """Chunking invariants over the PRODUCTION operator (same size/stride
+    as q_chunk_docs): chunk 0 starts at position 0, consecutive chunks
+    overlap by size-stride chars, concatenating each chunk's
+    non-overlapping tail reconstructs the document."""
+    from taar_gcp_etl_spark.operators.text import chunk_documents
+
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
     )
     size, stride = 300, 250
-    from pyspark.sql import functions as F2
-
-    n_chunks = F2.greatest(
-        F2.ceil((F2.length("text") - F2.lit(size - stride)) / F2.lit(stride)),
-        F2.lit(1),
-    )
-    out = (
-        df.select(
-            "doc_id",
-            "text",
-            F2.explode(F2.sequence(F2.lit(0), n_chunks - 1)).alias("chunk_id"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F2.substring(
-                F2.col("text"), F2.col("chunk_id") * stride + 1, size
-            ).alias("chunk_text"),
-        )
-        .collect()
-    )
+    out = chunk_documents(df, size=size, stride=stride).collect()
     by_doc: dict[int, list] = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))

@@ -345,8 +345,10 @@ class TestInt8Ann:
         [-127, 127], not wrap or overflow."""
         from taar_gcp_etl_spark.operators.similarity import int8_quantize
 
+        # 1e8 exceeds the long→int wrap threshold (2^31/254 ≈ 8.5e6);
+        # 1e300 exercises the double→long saturation path
         extreme = spark.createDataFrame(
-            [(0, [1e6] * 4), (1, [-1e6] * 4)],
+            [(0, [1e8] * 4), (1, [-1e8] * 4), (2, [1e300] * 4)],
             "vec_id long, embedding array<double>",
         )
         row = (

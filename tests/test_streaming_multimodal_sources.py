@@ -510,3 +510,27 @@ class TestContinuousRollup:
         )
         want = sorted(map(tuple, rollup_cascade(ev).collect()))
         assert got == want
+
+        # append mode must be ACCEPTED: it requires the state store's
+        # eviction predicate, which only exists when the grouping carries
+        # event-time metadata (the F.window expression, not date_trunc) —
+        # this is the regression guard for unbounded streaming state
+        q2 = (
+            sj.continuous_minute_rollup(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            .writeStream.format("memory")
+            .queryName("minute_partials_append_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        appended = sorted(
+            map(tuple, spark.table("minute_partials_append_t").collect())
+        )
+        complete = sorted(map(tuple, streamed.collect()))
+        # append emits only watermark-closed windows → subset of complete
+        assert set(appended) <= set(complete)
