@@ -479,3 +479,33 @@ class TestProductQuantization:
         a = sorted(map(tuple, pq_encode(emb, books1).collect()))
         b = sorted(map(tuple, pq_encode(emb, books2).collect()))
         assert a == b
+
+
+class TestNullSkewJoin:
+    def test_equivalent_to_plain_left_join(self, spark):
+        from taar_gcp_etl_spark.operators.skew import null_skew_left_join
+
+        left = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (3, "e")],
+            "k int, lv string",
+        )
+        right = spark.createDataFrame(
+            [(1, "x"), (3, "z"), (4, "w")], "k int, rv string"
+        )
+        cols = null_skew_left_join(left, right, "k").columns
+        keyf = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        got = sorted(
+            map(tuple, null_skew_left_join(left, right, "k").collect()),
+            key=keyf,
+        )
+        want = sorted(
+            map(
+                tuple,
+                left.join(right, "k", "left").select(*cols).collect(),
+            ),
+            key=keyf,
+        )
+        assert got == want
+        # null-key rows keep their left values with null right side
+        nulls = [t for t in got if t[0] is None]
+        assert len(nulls) == 2 and all(t[-1] is None for t in nulls)
