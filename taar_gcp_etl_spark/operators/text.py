@@ -533,3 +533,34 @@ def chunk_documents(
         )
         .withColumn("n_chars", F.length("chunk_text"))
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the cheap
+    gibberish/boilerplate signal (near-random bytes score high; repeated
+    padding scores near 0). Uses H = ln(N) − (Σ c·ln c)/N over character
+    counts, computed as explode → two-level aggregate: linear in input
+    (unlike a per-row alphabet×length Column scan) with map-side partials;
+    the (doc, char) exchange carries one row per distinct char per doc.
+    Documents with no characters produce no row (same on the DuckDB
+    side, whose empty-string split differs from Spark's only for that
+    case)."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+    )
+    return agg.select(
+        id_col,
+        "n_chars",
+        "n_distinct_chars",
+        F.round(
+            F.log(F.col("n_chars")) - F.col("_clnc") / F.col("n_chars"), 6
+        ).alias("entropy"),
+    )

@@ -1609,6 +1609,15 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document — the cheap gibberish /
+    boilerplate quality signal (explode → two-level aggregate, linear in
+    input; see operators.text.char_entropy)."""
+    from taar_gcp_etl_spark.operators.text import char_entropy
+
+    return char_entropy(_wide(spark, sf_dir, "documents"))
+
+
 def q_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical similarity — TF-IDF cosine of 10 query docs against
     the corpus through an inverted-index join (pairs meet only on shared
@@ -1878,6 +1887,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "column_profile": q_column_profile,
     "tfidf_sim": q_tfidf_sim,
+    "char_entropy": q_char_entropy,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2287,6 +2297,21 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ps_partkey, ROUND(part_cents / 100.0, 2) AS part_value
         FROM per_part
         WHERE part_cents > (SELECT AVG(part_cents) * 1.2 FROM per_part)
+    """,
+    "char_entropy": """
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ),
+        per AS (
+            SELECT doc_id, ch, count(*) AS c
+            FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars,
+               COUNT(*) AS n_distinct_chars,
+               ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+        FROM per GROUP BY doc_id
     """,
     "tfidf_sim": f"""
         WITH toks AS (
