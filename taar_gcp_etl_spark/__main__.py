@@ -79,6 +79,23 @@ def main(argv: list[str] | None = None) -> int:
         "component closure, keep one canonical doc per cluster",
     )
 
+    p = sub.add_parser(
+        "build_training_set",
+        help="end-to-end training set: clean -> tokenize (corpus vocab) ->"
+        " pack into fixed-length sequences -> range-sharded parquet +"
+        " manifest JSON",
+    )
+    p.add_argument("--sf-dir", required=True, help="dir with documents.parquet")
+    p.add_argument("--out", required=True, help="output dir (packed/ + vocab/)")
+    p.add_argument("--manifest", required=True, help="manifest JSON path")
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--vocab-size", type=int, default=1000)
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--lang", default="en")
+    p.add_argument(
+        "--near-dup-mode", choices=["greedy", "components"], default="greedy"
+    )
+
     args = parser.parse_args(argv)
 
     from taar_gcp_etl_spark.session import get_spark
@@ -146,6 +163,20 @@ def main(argv: list[str] | None = None) -> int:
             stages = {r.stage: r["count"] for r in report.collect()}
             with open(args.report, "w") as fh:
                 _json.dump(stages, fh, sort_keys=True)
+        elif args.job == "build_training_set":
+            from taar_gcp_etl_spark.jobs import build_training_set
+
+            build_training_set.run(
+                spark,
+                args.sf_dir,
+                args.out,
+                args.manifest,
+                seq_len=args.seq_len,
+                vocab_size=args.vocab_size,
+                n_shards=args.shards,
+                target_lang=args.lang,
+                near_dup_mode=args.near_dup_mode,
+            )
         elif args.job == "amodump":
             from taar_gcp_etl_spark.jobs import amodump
 

@@ -168,3 +168,54 @@ class TestComponentsMode:
             ).collect()
         }
         assert kept_greedy <= kept_cc
+
+
+class TestBuildTrainingSet:
+    def test_end_to_end_manifest_and_shards(self, spark, tmp_path):
+        """The composed clean->tokenize->pack job must produce internally
+        consistent output: packed rows only for cleaned docs, exact global
+        token accounting, contiguous seq_id shards, and a manifest whose
+        attrition sums to the corpus size."""
+        import json
+
+        from taar_gcp_etl_spark.jobs import build_training_set
+        from tests.conftest import SF_SMOKE
+
+        out = str(tmp_path / "ts")
+        manifest_path = str(tmp_path / "manifest.json")
+        manifest = build_training_set.run(
+            spark,
+            SF_SMOKE,
+            out,
+            manifest_path,
+            seq_len=128,
+            vocab_size=20,
+            n_shards=3,
+        )
+        assert manifest == json.load(open(manifest_path))
+        # attrition accounts for every document in the corpus
+        from taar_gcp_etl_spark.io import read_table
+
+        n_docs_raw = read_table(spark, SF_SMOKE, "documents").count()
+        assert sum(manifest["attrition"].values()) == n_docs_raw
+        assert manifest["n_docs"] == manifest["attrition"].get("kept", 0)
+        assert manifest["n_docs"] > 0
+
+        packed = spark.read.parquet(f"{out}/packed")
+        rows = packed.collect()
+        assert len(rows) == manifest["n_docs"]
+        # exact token accounting: prefix of the LAST doc + its tokens
+        # equals the total count
+        by_offset = sorted(rows, key=lambda r: r.tokens_before)
+        total = by_offset[-1].tokens_before + by_offset[-1].n_tokens
+        assert total == manifest["n_tokens"]
+        assert manifest["n_sequences"] == total // 128 + (
+            1 if total % 128 else 0
+        )
+        # every token id decodes through the written vocab or is OOV
+        vocab_ids = {
+            r.id for r in spark.read.parquet(f"{out}/vocab").collect()
+        }
+        assert vocab_ids == set(range(20))
+        sample = rows[0].token_ids
+        assert all(t == -1 or t in vocab_ids for t in sample)
