@@ -1,0 +1,101 @@
+"""Incremental ingest: O(batch) dedup probes against a persisted corpus
+index — exact + near-dup attrition, index append, partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.io import read_table
+from taar_gcp_etl_spark.jobs import incremental_ingest
+from tests.conftest import SF_SMOKE
+
+
+def _corpus(spark):
+    # an already-deduped corpus slice: distinct texts only
+    docs = read_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    w = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(w, ["doc_id", "text"]).select("doc_id", "text")
+
+
+class TestIncrementalIngest:
+    def test_attrition_and_index_append(self, spark, tmp_path):
+        index_dir = str(tmp_path / "index")
+        corpus = _corpus(spark)
+        incremental_ingest.build_corpus_index(corpus, index_dir)
+
+        rows = corpus.orderBy("doc_id").limit(3).collect()
+        exact_copy = [(1000, rows[0].text)]  # exact dup of corpus doc
+        near_dup = [(1001, rows[1].text + " extra token")]  # most shingles shared
+        fresh = [
+            (1002, "completely novel document text nothing like the corpus"),
+            (1003, "completely novel document text nothing like the corpus"),
+            (1004, "a second genuinely new document with different words"),
+        ]  # 1002/1003 are in-batch exact dups of each other
+        batch = spark.createDataFrame(
+            exact_copy + near_dup + fresh, "doc_id long, text string"
+        )
+
+        accepted, rep = incremental_ingest.ingest_batch(
+            spark, batch, index_dir
+        )
+        assert rep["n_batch"] == 5
+        assert rep["in_batch_exact_dup"] == 1  # 1003 folded into 1002
+        assert rep["corpus_exact_dup"] == 1  # 1000
+        assert rep["corpus_near_dup"] == 1  # 1001
+        assert rep["accepted"] == 2
+        ids = {r.doc_id for r in accepted.collect()}
+        assert ids == {1002, 1004}
+
+        # re-ingesting the same batch now hits the APPENDED index: the
+        # previously accepted docs are corpus exact-dups this time
+        _, rep2 = incremental_ingest.ingest_batch(spark, batch, index_dir)
+        assert rep2["corpus_exact_dup"] == 3  # 1000 + 1002 + 1004
+        assert rep2["accepted"] == 0
+
+    def test_probe_is_partition_pruned(self, spark, tmp_path):
+        index_dir = str(tmp_path / "index")
+        corpus = _corpus(spark)
+        incremental_ingest.build_corpus_index(corpus, index_dir)
+
+        from taar_gcp_etl_spark.plans import formatted_plan
+
+        digests = spark.read.parquet(os.path.join(index_dir, "digests"))
+        one = digests.limit(1).collect()[0]
+        pruned = incremental_ingest._pruned(
+            digests, digests.filter(F.col("pfx") == one.pfx)
+        )
+        # the isin filter must reach the scan as a PARTITION filter (whole
+        # pfx= directories skipped), not a post-scan row filter
+        plan = formatted_plan(pruned.select("digest"))
+        assert "PartitionFilters" in plan
+        assert "pfx" in plan
+        # and it must actually restrict the read to the one prefix
+        n_all = digests.count()
+        n_pruned = pruned.count()
+        n_expected = digests.filter(F.col("pfx") == one.pfx).count()
+        assert n_pruned == n_expected < n_all
+
+    def test_no_index_growth_when_disabled(self, spark, tmp_path):
+        index_dir = str(tmp_path / "index")
+        corpus = _corpus(spark)
+        incremental_ingest.build_corpus_index(corpus, index_dir)
+        n_before = spark.read.parquet(
+            os.path.join(index_dir, "digests")
+        ).count()
+
+        batch = spark.createDataFrame(
+            [(2000, "never seen before text for the update gate test")],
+            "doc_id long, text string",
+        )
+        _, rep = incremental_ingest.ingest_batch(
+            spark, batch, index_dir, update_index=False
+        )
+        assert rep["accepted"] == 1
+        n_after = spark.read.parquet(
+            os.path.join(index_dir, "digests")
+        ).count()
+        assert n_after == n_before
