@@ -308,3 +308,48 @@ def test_source_mix_no_fact_shuffle_joins(spark):
     assert "ShuffledHashJoin" not in strategies
     assert "CartesianProduct" not in strategies
     assert has_partial_aggregate(df)
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """At 100 TB the dimension side of a selective join often exceeds the
+    broadcast limit, falling back to a shuffle join that drags the whole
+    fact table through the exchange. Spark's runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default)
+    recovers most of the broadcast win: a bloom filter built over the
+    filtered dimension keys is pushed into the fact side, discarding
+    non-joining rows BEFORE the shuffle. The production thresholds
+    (application side ≥ 10 GB scan) can never trigger at fixture scale, so
+    this test lowers them to pin the posture: broadcast off + selective
+    dimension filter ⇒ `might_contain` probe on the fact side and a
+    `bloom_filter_agg` build over the dimension keys."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_totalprice") > 100000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        assert j.count() > 0  # the filter prunes, it must not drop matches
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
