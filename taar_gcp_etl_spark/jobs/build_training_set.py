@@ -38,6 +38,7 @@ def build(
     vocab_size: int = 1000,
     target_lang: str = "en",
     near_dup_mode: str = "greedy",
+    shuffle_docs: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (packed, vocab, attrition): `packed` is one row per
     surviving document — token_ids plus its packed position (seq_id,
@@ -57,7 +58,10 @@ def build(
     cleaned = cleaned.persist()
     vocab = vocab_with_ids(cleaned, vocab_size=vocab_size)
     encoded = tokenize_to_ids(cleaned, vocab)
-    packed_pos = pack_sequences(cleaned, seq_len)
+    # shuffle_docs=True packs in deterministic hash order instead of
+    # doc_id order — the global pseudo-random permutation a training run
+    # wants (crawl order is domain-correlated); still fully reproducible
+    packed_pos = pack_sequences(cleaned, seq_len, shuffle=shuffle_docs)
     packed = encoded.join(
         packed_pos.select(
             "doc_id", "tokens_before", "seq_id", "offset_in_seq",
@@ -78,6 +82,7 @@ def run(
     n_shards: int = 8,
     target_lang: str = "en",
     near_dup_mode: str = "greedy",
+    shuffle_docs: bool = False,
 ) -> dict:
     """Materialize: range-sharded parquet (contiguous seq_id runs per
     shard) + vocab parquet + JSON manifest with the stats a data loader
@@ -89,6 +94,7 @@ def run(
         vocab_size=vocab_size,
         target_lang=target_lang,
         near_dup_mode=near_dup_mode,
+        shuffle_docs=shuffle_docs,
     )
     (
         packed.repartitionByRange(n_shards, "seq_id")
@@ -109,6 +115,7 @@ def run(
         "seq_len": seq_len,
         "vocab_size": vocab_size,
         "n_shards": n_shards,
+        "shuffle_docs": shuffle_docs,
         "n_docs": stats["n_docs"],
         "n_tokens": total_tokens,
         "n_oov": int(stats["n_oov"] or 0),

@@ -42,11 +42,20 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    shuffle: bool = False,
 ) -> DataFrame:
     """Concat-then-chunk packing: documents are laid end-to-end in `id_col`
     order and sliced every `seq_len` tokens. Each doc is assigned the
     sequence containing its FIRST token; docs longer than the remaining
     room span into subsequent sequences (`n_seqs_spanned`).
+
+    `shuffle=True` packs in DETERMINISTIC PSEUDO-RANDOM global order
+    (xxhash64(id), id) instead of id order: crawl-ordered corpora are
+    domain-correlated, so id-order packing fills each training sequence
+    with near-neighbor documents — hash order is the distributed,
+    reproducible equivalent of a global random permutation (same two-phase
+    scan, the range partitioning just keys on the hash; no extra pass,
+    and a re-run still reproduces byte-identical shard membership).
 
     Returns (id_col, n_tokens, tokens_before, seq_id, offset_in_seq,
     n_seqs_spanned) where `tokens_before` is the exact global prefix sum.
@@ -60,17 +69,24 @@ def pack_sequences(
         .otherwise(F.size(tokens(text_col)))
         .alias("n_tokens"),
     )
-    if num_partitions is not None:
-        ranged = counts.repartitionByRange(num_partitions, id_col)
+    # the global packing order: id, or (hash, id) for shuffled packing —
+    # the hash tiebreak on id keeps the order total (collisions possible)
+    if shuffle:
+        counts = counts.withColumn("_ord", F.xxhash64(F.col(id_col)))
+        order_cols = ["_ord", id_col]
     else:
-        ranged = counts.repartitionByRange(id_col)
+        order_cols = [id_col]
+    if num_partitions is not None:
+        ranged = counts.repartitionByRange(num_partitions, *order_cols)
+    else:
+        ranged = counts.repartitionByRange(*order_cols)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
 
     # Phase 2: per-partition running sum (parallel — every window has a
     # partition key, never a global orderBy).
     w = (
         Window.partitionBy("_pid")
-        .orderBy(id_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Persisted: the scanned projection is consumed twice (partition totals

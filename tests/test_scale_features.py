@@ -298,6 +298,39 @@ class TestSequencePacking:
         )
         assert a == b
 
+    def test_shuffled_packing_is_deterministic_permutation(self, spark):
+        """shuffle=True must (a) still be an exact prefix sum in hash
+        order, (b) reproduce identically across runs and partition counts,
+        (c) actually change the packing order vs id order."""
+        from taar_gcp_etl_spark.operators.packing import pack_sequences
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        a = pack_sequences(docs, 100, num_partitions=5, shuffle=True)
+        b = pack_sequences(docs, 100, num_partitions=11, shuffle=True)
+        rows_a = sorted(map(tuple, a.collect()))
+        assert rows_a == sorted(map(tuple, b.collect()))
+
+        # exact prefix sum when replayed in (xxhash64(id), id) order
+        hashed = {
+            r.doc_id: r.h
+            for r in docs.select(
+                "doc_id", F.xxhash64("doc_id").alias("h")
+            ).collect()
+        }
+        out = {r.doc_id: r for r in a.collect()}
+        running = 0
+        for doc_id in sorted(out, key=lambda d: (hashed[d], d)):
+            r = out[doc_id]
+            assert r.tokens_before == running
+            assert r.seq_id == running // 100
+            running += r.n_tokens
+
+        # the permutation differs from id order (astronomically certain
+        # on a 100+-doc fixture unless the hash degenerates)
+        id_order = sorted(out)
+        hash_order = sorted(out, key=lambda d: (hashed[d], d))
+        assert id_order != hash_order
+
 
 class TestInt8Ann:
     def test_recall_vs_exact_topk(self, spark):
