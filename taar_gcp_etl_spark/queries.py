@@ -1427,6 +1427,22 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style per-domain cap): keep at
+    most n documents per source, chosen by deterministic hash order — the
+    head-heavy-domain rebalance every web-corpus build runs. rand()-based
+    capping can't be reproduced across runs or engines; the md5 bucket
+    order can. One window partitioned by source (parallel per-source, no
+    global sort); at 100 TB a skewed mega-domain is exactly the partition
+    AQE skew-handling splits."""
+    from taar_gcp_etl_spark.operators.sampling import deterministic_take_n
+
+    docs = _wide(spark, sf_dir, "documents")
+    return deterministic_take_n(docs, "source", "doc_id", n=10).select(
+        "doc_id", "source"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (r3): per-document email/IP/phone hit
     counts and the redacted text. The fixture corpus contains no PII, so
@@ -1888,6 +1904,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_profile": q_column_profile,
     "tfidf_sim": q_tfidf_sim,
     "char_entropy": q_char_entropy,
+    "source_cap": q_source_cap,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2777,6 +2794,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "source_cap": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 10000, doc_id
+                   ) AS rn
+            FROM documents)
+        WHERE rn <= 10
     """,
     "tpch_q22": """
         SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
