@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from taar_gcp_etl_spark.functions import tokens
+
 HASH_BUCKETS = 10_000
 
 
@@ -89,3 +91,47 @@ def deterministic_take_n(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def select_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quality-ordered token-budget selection: walk the corpus in
+    (score DESC, id) order and keep every document that still fits
+    entirely inside `budget_tokens` — "train on the best N tokens", the
+    subset-selection step after scoring (the data-constrained regime's
+    counterpart to source mixing).
+
+    The cumulative token count is a GLOBAL prefix sum in score order —
+    computed with the two-phase distributed scan
+    (packing.distributed_prefix_sum), never an unpartitioned ordered
+    window: only the narrow (id, score, n_tokens) projection shuffles,
+    and the single-task global-sort funnel never appears. A document that
+    straddles the boundary is dropped (strict fit), so the selection is
+    exactly reproducible for a given scoring.
+
+    Returns (id_col, n_tokens, cum_before) for the selected documents.
+    """
+    from taar_gcp_etl_spark.operators.packing import distributed_prefix_sum
+
+    counts = docs.select(
+        F.col(id_col),
+        F.col(score_col).alias("_score"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokens(text_col)))
+        .alias("n_tokens"),
+    )
+    summed = distributed_prefix_sum(
+        counts,
+        "n_tokens",
+        [F.desc("_score"), F.asc(id_col)],
+        num_partitions,
+    )
+    return summed.filter(
+        F.col("cum_before") + F.col("n_tokens") <= F.lit(budget_tokens)
+    ).select(id_col, "n_tokens", "cum_before")

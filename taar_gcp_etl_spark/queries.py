@@ -1443,6 +1443,20 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subset selection: keep the best documents (here scored
+    by raw length — any scorer plugs in) until a global token budget is
+    filled. The cumulative count in score order is a two-phase distributed
+    prefix sum (operators.packing.distributed_prefix_sum) — no
+    unpartitioned ordered window anywhere."""
+    from taar_gcp_etl_spark.operators.sampling import select_token_budget
+
+    docs = _wide(spark, sf_dir, "documents").withColumn(
+        "score", F.length("text")
+    )
+    return select_token_budget(docs, 10_000, "score")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (r3): per-document email/IP/phone hit
     counts and the redacted text. The fixture corpus contains no PII, so
@@ -1905,6 +1919,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_sim": q_tfidf_sim,
     "char_entropy": q_char_entropy,
     "source_cap": q_source_cap,
+    "token_budget": q_token_budget,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2794,6 +2809,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "token_budget": f"""
+        WITH counts AS (
+            SELECT doc_id, length(text) AS score,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM counts
+        )
+        SELECT doc_id, n_tokens, cum_before
+        FROM cum
+        WHERE cum_before + n_tokens <= 10000
     """,
     "source_cap": """
         SELECT doc_id, source FROM (
