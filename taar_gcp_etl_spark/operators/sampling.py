@@ -135,3 +135,40 @@ def select_token_budget(
     return summed.filter(
         F.col("cum_before") + F.col("n_tokens") <= F.lit(budget_tokens)
     ).select(id_col, "n_tokens", "cum_before")
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis exponential-key scheme. Each row gets
+    key = ln(u) / w with u uniform in (0,1); the n LARGEST keys are
+    exactly an n-item weighted sample without replacement. u comes from
+    the md5 hash bucket ((bucket + 0.5) / buckets — never 0 or 1), so the
+    sample is reproducible across runs, engines, and partitionings, and
+    resumable per shard — the same reasons stratified_sample hashes.
+
+    Scale shape: key assignment is a pure Column map; the top-n is a
+    TakeOrdered (per-partition heads + driver merge), never a global
+    sort. n is assumed driver-merge small (a sample, not a re-shard);
+    for huge n switch to the threshold variant (keep key > t, calibrate
+    t from the weight sum) — same formula, no ordering at all.
+
+    Rows with weight <= 0 or NULL are excluded (zero selection mass).
+    Returns the sampled rows with their `_es_key` dropped."""
+    u = (hash_bucket(F.col(key_col), buckets) + F.lit(0.5)) / F.lit(
+        float(buckets)
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn("_es_key", F.log(u) / w)
+    # key_col tiebreak: equal weights + a bucket collision would otherwise
+    # leave the boundary of the sample engine/partition-dependent
+    return (
+        keyed.orderBy(F.col("_es_key").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("_es_key")
+    )

@@ -1457,6 +1457,19 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_token_budget(docs, 10_000, "score")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis exponential keys, md5-derived uniforms): 25
+    documents drawn proportional to n_chars. Key map is pure Column; the
+    cut is a TakeOrdered, not a global sort."""
+    from taar_gcp_etl_spark.operators.sampling import weighted_sample_n
+
+    docs = _wide(spark, sf_dir, "documents")
+    return weighted_sample_n(docs, 25, "n_chars", "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (r3): per-document email/IP/phone hit
     counts and the redacted text. The fixture corpus contains no PII, so
@@ -1920,6 +1933,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "source_cap": q_source_cap,
     "token_budget": q_token_budget,
+    "weighted_sample": q_weighted_sample,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2809,6 +2823,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "weighted_sample": """
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 10000 + 0.5) / 10000.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY k DESC, doc_id
+            LIMIT 25
+        )
     """,
     "token_budget": f"""
         WITH counts AS (

@@ -436,6 +436,39 @@ class TestFastHashBucket:
             assert abs(r["count"] / total[r.event_type] - rate) < 0.15
 
 
+class TestWeightedSample:
+    def test_biased_toward_heavy_rows_and_partition_invariant(self, spark):
+        """Efraimidis-Spirakis keys must (a) produce the same sample under
+        any partitioning, (b) prefer heavy rows: the weighted sample's
+        mean weight exceeds the corpus mean (weights span ~2 orders of
+        magnitude on the fixture, so this holds deterministically for the
+        fixed md5 draw), (c) never include non-positive weights."""
+        from taar_gcp_etl_spark.operators.sampling import weighted_sample_n
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        a = weighted_sample_n(docs, 20, "n_chars", "doc_id")
+        b = weighted_sample_n(
+            docs.repartition(13), 20, "n_chars", "doc_id"
+        )
+        ids_a = sorted(r.doc_id for r in a.collect())
+        assert ids_a == sorted(r.doc_id for r in b.collect())
+        assert len(ids_a) == 20
+
+        mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+        mean_sample = a.agg(F.avg("n_chars")).collect()[0][0]
+        assert mean_sample > mean_all
+
+    def test_zero_weight_rows_excluded(self, spark):
+        from taar_gcp_etl_spark.operators.sampling import weighted_sample_n
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, -5), (3, 10), (4, None)],
+            "id long, w int",
+        )
+        out = weighted_sample_n(df, 10, "w", "id")
+        assert {r.id for r in out.collect()} == {3}
+
+
 class TestProductQuantization:
     def test_pq_recall_and_compression(self, spark):
         """PQ asymmetric search must rank far above chance against the
