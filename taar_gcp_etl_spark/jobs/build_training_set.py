@@ -11,9 +11,11 @@ the pipeline a pretraining-data team runs over the cleaned corpus.
 
 Scale design:
   - each stage consumes the previous stage's DataFrame — one driver
-    program, one cluster session, no intermediate landing zone unless the
-    deployment wants restartability (then each arrow becomes a parquet
-    checkpoint: swap `write_stage=True`);
+    program, one cluster session, no intermediate landing zone (a
+    deployment that wants restartability inserts parquet checkpoints
+    between the stage calls; the stages are plain DataFrame-in /
+    DataFrame-out functions, so that is a caller-side write+read, not an
+    engine mode);
   - tokenization happens AFTER cleaning, so the vocabulary and the
     token-count statistics reflect only surviving documents;
   - packing's prefix sum orders by doc_id, making shard contents
