@@ -521,6 +521,7 @@ def benchmark_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: per-corpus-document count of n-token
     shingles that also appear anywhere in the benchmark/eval set (the
@@ -546,7 +547,19 @@ def benchmark_overlap(
     basis for a ratio). Output: (id, n_grams, n_overlap, overlap_ratio).
     """
 
+    # fast_hash=True probes on xxhash64: a LONG key instead of a 16-char
+    # string. The hashing itself is only ~10% of this operator at sf0.1
+    # (shingle construction dominates, unlike hash_bucket_fast's 7× —
+    # measured 1.83 s vs 2.00 s warm), but the broadcast halves (8-byte
+    # longs vs 16-byte strings) and the probe compares longs — the terms
+    # that grow with the benchmark suite. Cost: engine portability, so
+    # oracle-paired callers keep the md5 prefix. Both are 64-bit keys;
+    # identical collision posture.
     def gram_keys(df: DataFrame) -> Column:
+        if fast_hash:
+            return F.transform(
+                token_shingles(text_col, n), lambda g: F.xxhash64(g)
+            )
         return F.transform(
             token_shingles(text_col, n), lambda g: F.substring(F.md5(g), 1, 16)
         )

@@ -64,6 +64,23 @@ class TestBenchmarkOverlap:
         assert (rows[2].n_grams, rows[2].n_overlap) == (2, 0)
         assert rows[2].overlap_ratio == 0.0
 
+    def test_fast_hash_path_same_counts(self, spark):
+        """The xxhash64 production probe must reproduce the md5 path's
+        overlap accounting exactly (both are 64-bit keys; only the
+        engine-portability differs)."""
+        corpus, bench = self._fixture(spark)
+        slow = {
+            tuple(r)
+            for r in benchmark_overlap(corpus, bench).collect()
+        }
+        fast = {
+            tuple(r)
+            for r in benchmark_overlap(
+                corpus, bench, fast_hash=True
+            ).collect()
+        }
+        assert slow == fast
+
     def test_benchmark_side_broadcasts(self, spark):
         corpus, bench = self._fixture(spark)
         plan = (
