@@ -388,3 +388,62 @@ def continuous_minute_rollup(
             "_cents",
         )
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over document parquet drops (the local stand-in
+    for the crawl-delivery bus; swapping source = swapping this function)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_ingest_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    accepted_path: str,
+    checkpoint: str,
+):
+    """Corpus ingest as a stream: every micro-batch runs the SAME
+    incremental-ingest probe as the batch job (jobs.incremental_ingest
+    .ingest_batch — in-batch exact dedup, partition-pruned exact +
+    near-dup probes against the persisted digest/band index), appends the
+    survivors to the corpus output, and appends their digests/bands to
+    the index. Streaming is an execution mode here, not a second dedup
+    implementation.
+
+    Exactly-once-in-content without epoch bookkeeping: foreachBatch is
+    at-least-once, but a REPLAYED micro-batch re-probes an index that
+    already contains its own docs — every row comes back a corpus exact
+    dup and the append is empty. The index makes re-delivery self-erasing
+    (same layering as dedup_stream's watermark note: content dedup is the
+    durable backstop). The parquet append of `accepted` can still leave a
+    torn file on a crash mid-write; a deployment that needs byte-level
+    exactly-once pairs this with the epoch-partitioned overwrite pattern
+    from write_serving_epoch."""
+    from taar_gcp_etl_spark.jobs import incremental_ingest
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        accepted, report = incremental_ingest.ingest_batch(
+            batch_df.sparkSession, batch_df, index_dir
+        )
+        if report["accepted"]:
+            accepted.write.mode("append").parquet(accepted_path)
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
