@@ -209,3 +209,56 @@ def bucketed_interval_join(
         )
         .drop("_bucket")
     )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Approximate-string self-join: (id_a, id_b, dist) for every pair
+    with levenshtein(text_a, text_b) <= max_distance — entity-resolution's
+    core primitive (near-identical names/titles/URLs).
+
+    All-pairs edit distance is O(n² · L²) — unrunnable at corpus scale.
+    Same rewrite discipline as the LSH band join: candidates come ONLY
+    from equality blocks (`block_cols` — a domain, a sort key prefix, a
+    phonetic code), so the join is a standard shuffled equi-join whose
+    fan-out is bounded by block size, then two verify filters run in cost
+    order INSIDE the join stage: the length window
+    |len_a − len_b| <= max_distance (a necessary condition costing two
+    ints) prunes before any DP matrix, and the exact levenshtein decides.
+    Hot blocks are the same quadratic hazard as hot LSH bands — cap with
+    dedup.drop_hot_bands on a composite block key when the blocking data
+    is adversarial.
+
+    Spark >= 3.5 levenshtein(l, r, threshold) early-exits the DP at the
+    bound (worth ~L/k on long strings); the unbounded form is kept here
+    for engine-portable parity (the DuckDB twin lacks a threshold arg).
+    """
+    a = df.select(
+        F.col(id_col).alias("_id_a"),
+        F.col(text_col).alias("_t_a"),
+        *block_cols,
+    )
+    b = df.select(
+        F.col(id_col).alias("_id_b"),
+        F.col(text_col).alias("_t_b"),
+        *block_cols,
+    )
+    dist = F.levenshtein(F.col("_t_a"), F.col("_t_b"))
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(
+            F.abs(F.length("_t_a") - F.length("_t_b")) <= max_distance
+        )
+        .filter(dist <= max_distance)
+        .select(
+            F.col("_id_a").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

@@ -1470,6 +1470,19 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked approximate-string self-join (entity resolution): customer
+    names within edit distance 2, candidates only from nation blocks,
+    length-window prune before the levenshtein DP. The all-pairs rewrite
+    discipline is the same as LSH banding — never a cartesian."""
+    from taar_gcp_etl_spark.operators.joins import fuzzy_self_join
+
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_self_join(
+        cust, "c_name", "c_custkey", ["c_nationkey"], max_distance=2
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (r3): per-document email/IP/phone hit
     counts and the redacted text. The fixture corpus contains no PII, so
@@ -1934,6 +1947,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,
     "token_budget": q_token_budget,
     "weighted_sample": q_weighted_sample,
+    "fuzzy_join": q_fuzzy_join,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2823,6 +2837,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "fuzzy_join": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
     """,
     "weighted_sample": """
         SELECT doc_id, source, n_chars FROM (

@@ -162,6 +162,10 @@ def test_partition_pruning_on_date_partitioned_table(spark, tmp_path):
         "sessionize",
         "tpch_q17",
         "tpch_q22",
+        "fuzzy_join",
+        "token_budget",
+        "weighted_sample",
+        "source_cap",
     ],
 )
 def test_no_cartesian_products(spark, name):
