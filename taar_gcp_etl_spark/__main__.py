@@ -95,6 +95,35 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--near-dup-mode", choices=["greedy", "components"], default="greedy"
     )
+    p.add_argument(
+        "--shuffle-docs",
+        action="store_true",
+        help="pack in deterministic pseudo-random (hash) order instead of"
+        " doc_id order — de-correlates domain-ordered crawls",
+    )
+
+    p = sub.add_parser(
+        "build_index",
+        help="incremental-ingest index build: digest + MinHash-band index"
+        " over an already-deduped corpus (prefix-partitioned parquet)",
+    )
+    p.add_argument("--corpus", required=True, help="deduped corpus parquet")
+    p.add_argument("--index", required=True, help="index output dir")
+
+    p = sub.add_parser(
+        "ingest_batch",
+        help="incremental ingest: dedupe a new document batch against the"
+        " index (exact + near-dup), append survivors + index rows",
+    )
+    p.add_argument("--batch", required=True, help="new batch parquet")
+    p.add_argument("--index", required=True, help="index dir")
+    p.add_argument("--out", required=True, help="accepted docs parquet dir")
+    p.add_argument("--report", required=True, help="attrition JSON path")
+    p.add_argument(
+        "--no-index-update",
+        action="store_true",
+        help="probe only: do not append accepted docs to the index",
+    )
 
     args = parser.parse_args(argv)
 
@@ -176,7 +205,28 @@ def main(argv: list[str] | None = None) -> int:
                 n_shards=args.shards,
                 target_lang=args.lang,
                 near_dup_mode=args.near_dup_mode,
+                shuffle_docs=args.shuffle_docs,
             )
+        elif args.job == "build_index":
+            from taar_gcp_etl_spark.jobs import incremental_ingest
+
+            incremental_ingest.build_corpus_index(
+                spark.read.parquet(args.corpus), args.index
+            )
+        elif args.job == "ingest_batch":
+            import json as _json
+
+            from taar_gcp_etl_spark.jobs import incremental_ingest
+
+            accepted, report = incremental_ingest.ingest_batch(
+                spark,
+                spark.read.parquet(args.batch),
+                args.index,
+                update_index=not args.no_index_update,
+            )
+            accepted.write.mode("overwrite").parquet(args.out)
+            with open(args.report, "w") as fh:
+                _json.dump(report, fh, sort_keys=True)
         elif args.job == "amodump":
             from taar_gcp_etl_spark.jobs import amodump
 

@@ -151,3 +151,42 @@ class TestStreamIngest:
             "stream batch one brand new document text",
             "stream batch two different novel document text",
         ]
+
+
+class TestIngestCli:
+    def test_build_index_and_ingest_batch_cli(self, spark, tmp_path):
+        """`python -m taar_gcp_etl_spark build_index / ingest_batch` —
+        index build, probe, accepted parquet + attrition JSON."""
+        import json
+
+        from taar_gcp_etl_spark.__main__ import main
+
+        corpus_path = str(tmp_path / "corpus")
+        _corpus(spark).write.parquet(corpus_path)
+        dup_text = _corpus(spark).orderBy("doc_id").limit(1).collect()[0].text
+        batch_path = str(tmp_path / "batch")
+        spark.createDataFrame(
+            [(7000, dup_text), (7001, "fresh cli document text entirely new")],
+            "doc_id long, text string",
+        ).write.parquet(batch_path)
+
+        idx = str(tmp_path / "idx")
+        assert main(["build_index", "--corpus", corpus_path, "--index", idx]) == 0
+        out, rep = str(tmp_path / "acc"), str(tmp_path / "rep.json")
+        assert (
+            main(
+                [
+                    "ingest_batch",
+                    "--batch", batch_path,
+                    "--index", idx,
+                    "--out", out,
+                    "--report", rep,
+                ]
+            )
+            == 0
+        )
+        report = json.load(open(rep))
+        assert report["n_batch"] == 2
+        assert report["corpus_exact_dup"] == 1
+        assert report["accepted"] == 1
+        assert spark.read.parquet(out).collect()[0].doc_id == 7001
