@@ -449,3 +449,51 @@ class TestTokenizeIds:
                     assert id2tok[tid] == tok
                     n_invocab += 1
         assert n_invocab > 0
+
+
+class TestLshRecall:
+    def test_precision_exact_and_recall_bounded(self, spark):
+        """LSH near-dup vs the exact all-pairs baseline on a corpus with
+        planted near-duplicates: every LSH pair must appear in the exact
+        high-Jaccard set with the identical verified Jaccard (precision 1
+        by construction — candidates are verified with the same shingle
+        Jaccard), and banding must catch most true pairs (4 bands of one
+        8-hex signature each: P(candidate) = 1-(1-j)^4 ≥ 0.94 at j = 0.5,
+        so ≥ 70% recall on a small planted set is a loose floor)."""
+        from pyspark.sql import functions as F
+
+        from taar_gcp_etl_spark.operators.dedup import (
+            lsh_near_dup_pairs,
+            minhash_signatures,
+            ngram_jaccard_pairs,
+        )
+
+        base = (
+            read_table(spark, SF_SMOKE, "documents")
+            .filter(F.length("text") > 50)
+            .limit(15)
+            .select("doc_id", "text")
+        )
+        # planted near-dups: same text + one appended token, offset ids
+        perturbed = base.select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+        )
+        corpus = base.unionByName(perturbed)
+
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(corpus).collect()
+            if r.jaccard >= 0.5
+        }
+        lsh = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in lsh_near_dup_pairs(
+                minhash_signatures(corpus), jaccard_threshold=0.5
+            ).collect()
+        }
+        assert len(exact) >= 15  # every planted pair is a true near-dup
+        for pair, j in lsh.items():
+            assert pair in exact and exact[pair] == j  # precision 1, same j
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.7, f"LSH recall {recall} on planted near-dups"
