@@ -74,7 +74,9 @@ def require_non_empty(df: DataFrame) -> DataFrame:
     return df
 
 
-def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+def column_profile(
+    df: DataFrame, cols: list[str], include_rows: bool = False
+) -> DataFrame:
     """Data-validation profile: per-column null count, exact distinct
     count, min/max/mean — the expectation-suite statistics a pipeline
     checks before promoting a batch. ONE aggregate pass over the table
@@ -86,7 +88,10 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     ×|cols| before the first shuffle); at 100 TB swap
     `approx_count_distinct` in — the gate threshold rarely needs exactness.
     Numeric columns only (min/max/mean stay DOUBLE and engine-portable;
-    string min/max casts differ between engines in timestamp formatting)."""
+    string min/max casts differ between engines in timestamp formatting).
+    `include_rows=True` appends the batch row count to every output row
+    (same value repeated — it rides the same single agg, for consumers
+    that need rates, e.g. validate_batch's null-rate bound)."""
     aggs = []
     for c in cols:
         col = F.col(c).cast("double")
@@ -97,12 +102,49 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             F.max(col).alias(f"{c}__mx"),
             F.round(F.avg(col), 6).alias(f"{c}__mean"),
         ]
+    if include_rows:
+        aggs.append(F.count(F.lit(1)).alias("__nrows"))
     wide = df.agg(*aggs)
+    tail = ", __nrows" if include_rows else ""
+    out_cols = "(column, n_nulls, n_distinct, min_val, max_val, mean_val" + (
+        ", n_rows)" if include_rows else ")"
+    )
     stack_args = ", ".join(
-        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__mean"
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__mean{tail}"
         for c in cols
     )
     return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(column, n_nulls, n_distinct, min_val, max_val, mean_val)"
+        f"stack({len(cols)}, {stack_args}) AS {out_cols}"
+    )
+
+
+def validate_batch(df: DataFrame, expectations: DataFrame) -> DataFrame:
+    """Expectation-suite gate: check a batch's column profile against
+    bounds stored as DATA — (column, min_allowed, max_allowed,
+    max_null_rate, min_distinct) — and emit one verdict row per column
+    with the measured statistics and an `ok` flag. The
+    promote-or-quarantine decision input for a pipeline landing zone.
+
+    Bounds live in a table (broadcast, like the quality rulepack and the
+    sampling rate table): tightening a gate is a config change. The
+    profile is ONE aggregate pass (column_profile) regardless of how many
+    expectations there are; the join adds nothing at scale (|cols| rows).
+    A column whose min/max are NULL (all-null batch) fails closed."""
+    cols = [r["column"] for r in expectations.select("column").collect()]
+    prof = column_profile(df, cols, include_rows=True)
+    joined = prof.join(F.broadcast(expectations), "column")
+    ok = (
+        ((F.col("n_nulls") / F.col("n_rows")) <= F.col("max_null_rate"))
+        & (F.col("n_distinct") >= F.col("min_distinct"))
+        & (F.col("min_val") >= F.col("min_allowed"))
+        & (F.col("max_val") <= F.col("max_allowed"))
+    )
+    return joined.select(
+        "column",
+        "n_nulls",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "mean_val",
+        F.coalesce(ok, F.lit(False)).cast("int").alias("ok"),
     )

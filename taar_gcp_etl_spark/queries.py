@@ -1470,6 +1470,22 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite batch gate: lineitem's numeric profile checked
+    against bounds held as a broadcast DATA table (one deliberately
+    failing bound exercises the quarantine verdict). One aggregate pass +
+    a |cols|-row join — the promote/quarantine input for a landing zone."""
+    from taar_gcp_etl_spark.operators.quality import validate_batch
+
+    li = _t(spark, sf_dir, "lineitem")
+    exp = spark.createDataFrame(
+        _VALIDATE_EXPECTATIONS,
+        "column string, min_allowed double, max_allowed double,"
+        " max_null_rate double, min_distinct long",
+    )
+    return validate_batch(li, exp)
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked approximate-string self-join (entity resolution): customer
     names within edit distance 2, candidates only from nation blocks,
@@ -1948,6 +1964,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "weighted_sample": q_weighted_sample,
     "fuzzy_join": q_fuzzy_join,
+    "validate_batch": q_validate_batch,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -1957,6 +1974,40 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # DuckDB building blocks shared by the text/dedup oracle SQL.
+# validate_batch: one shared expectation list feeds BOTH the Spark query
+# (as a broadcast config table) and the generated DuckDB oracle — the
+# bounds are data, so the two engines can't drift.
+_VALIDATE_EXPECTATIONS = [
+    # (column, min_allowed, max_allowed, max_null_rate, min_distinct)
+    ("l_quantity", 1.0, 50.0, 0.0, 10),
+    ("l_discount", 0.0, 0.05, 0.0, 5),  # deliberately failing bound
+    ("l_extendedprice", 0.0, 1e9, 0.0, 100),
+    ("l_orderkey", 0.0, 1e18, 0.0, 100),
+]
+
+
+def _validate_batch_sql() -> str:
+    parts = []
+    for c, mn, mx, nr, nd in _VALIDATE_EXPECTATIONS:
+        cd = f"CAST({c} AS DOUBLE)"
+        nn = f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+        parts.append(
+            f"""
+        SELECT '{c}' AS "column",
+               CAST({nn} AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT {cd}) AS n_distinct,
+               MIN({cd}) AS min_val, MAX({cd}) AS max_val,
+               ROUND(AVG({cd}), 6) AS mean_val,
+               CAST(COALESCE(
+                   {nn} / COUNT(*) <= {nr}
+                   AND COUNT(DISTINCT {cd}) >= {nd}
+                   AND MIN({cd}) >= {mn} AND MAX({cd}) <= {mx},
+                   FALSE) AS INTEGER) AS ok
+        FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 _TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
 _SHINGLES3 = (
     "list_distinct(CASE WHEN len(t) >= 3 THEN "
@@ -2838,6 +2889,7 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
     """,
+    "validate_batch": _validate_batch_sql(),
     "fuzzy_join": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist

@@ -133,3 +133,40 @@ class TestSegmentDedup:
             .toString()
         )
         assert "Join" not in plan  # window + reagg only, corpus-linear
+
+
+class TestValidateBatch:
+    def test_verdicts_and_fail_closed_on_all_null(self, spark):
+        from taar_gcp_etl_spark.operators.quality import validate_batch
+
+        df = spark.createDataFrame(
+            [(1.0, None), (2.0, None), (50.0, None)],
+            "good double, bad double",
+        )
+        exp = spark.createDataFrame(
+            [
+                ("good", 0.0, 100.0, 0.0, 2),
+                ("bad", 0.0, 100.0, 0.5, 1),  # all-null > any rate bound
+            ],
+            "column string, min_allowed double, max_allowed double,"
+            " max_null_rate double, min_distinct long",
+        )
+        out = {r["column"]: r for r in validate_batch(df, exp).collect()}
+        assert out["good"].ok == 1
+        # all-null column: min/max are NULL -> comparison NULL -> fail
+        # CLOSED, never silently promoted
+        assert out["bad"].ok == 0
+        assert out["bad"].n_nulls == 3
+
+    def test_bound_violation_flags_column(self, spark):
+        from taar_gcp_etl_spark.operators.quality import validate_batch
+
+        df = spark.createDataFrame([(5.0,), (150.0,)], "v double")
+        exp = spark.createDataFrame(
+            [("v", 0.0, 100.0, 0.0, 1)],
+            "column string, min_allowed double, max_allowed double,"
+            " max_null_rate double, min_distinct long",
+        )
+        row = validate_batch(df, exp).collect()[0]
+        assert row.ok == 0  # max 150 > allowed 100
+        assert row.max_val == 150.0
