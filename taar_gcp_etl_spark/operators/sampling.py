@@ -172,3 +172,40 @@ def weighted_sample_n(
         .limit(n)
         .drop("_es_key")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleave: assign every row the global
+    mixing key (rank_in_source − 0.5) / weight — the classic stride
+    interleave. Reading the corpus in key order yields each source at a
+    rate proportional to its weight from the very first row (a source at
+    weight 2 contributes twice as densely as weight 1), which is what a
+    training run needs from the source_mix weights: not just a target
+    RATIO but an ORDER that honors it in every prefix.
+
+    `weights` is a (source_col, weight) DATA table — broadcast, like the
+    sampling rates and the expectation bounds. Per-source rank is a
+    partitioned window (parallel; a source is the natural unit a window
+    can hold) and the key is a pure Column — this op never globally
+    sorts. Consumers hand `mix_key` to the machinery that already avoids
+    the global-sort funnel: pack_sequences' range-partitioned prefix sum
+    or a repartitionByRange sharded write.
+
+    Rows whose source is absent from `weights` are dropped (weight 0 —
+    same contract as stratified_sample)."""
+    w = Window.partitionBy(source_col).orderBy(F.col(key_col).asc())
+    return (
+        df.join(F.broadcast(weights), source_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "mix_key",
+            (F.col("_rn") - F.lit(0.5)) / F.col("weight"),
+        )
+        .drop("weight")
+        .withColumnRenamed("_rn", "rank_in_source")
+    )

@@ -1470,6 +1470,26 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave: the materialization of
+    source_mix's weights — a global mix key whose order honors the target
+    ratios in every prefix. Per-source rank is a partitioned window; no
+    global sort (consumers range-partition on mix_key)."""
+    from taar_gcp_etl_spark.operators.sampling import interleave_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("src0", 3.0), ("src1", 1.0), ("src2", 0.5)],
+        "source string, weight double",
+    )
+    return interleave_sources(docs, weights).select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        F.round("mix_key", 6).alias("mix_key"),
+    )
+
+
 def q_validate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation-suite batch gate: lineitem's numeric profile checked
     against bounds held as a broadcast DATA table (one deliberately
@@ -1976,6 +1996,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "fuzzy_join": q_fuzzy_join,
     "validate_batch": q_validate_batch,
+    "interleave": q_interleave,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2899,6 +2920,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "interleave": """
+        WITH w(source, weight) AS (VALUES
+            ('src0', 3.0), ('src1', 1.0), ('src2', 0.5))
+        SELECT d.doc_id, d.source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY d.source ORDER BY d.doc_id
+               ) AS INTEGER) AS rank_in_source,
+               ROUND((ROW_NUMBER() OVER (
+                   PARTITION BY d.source ORDER BY d.doc_id
+               ) - 0.5) / w.weight, 6) AS mix_key
+        FROM documents d JOIN w ON d.source = w.source
     """,
     "validate_batch": _validate_batch_sql(),
     "fuzzy_join": """

@@ -469,6 +469,39 @@ class TestWeightedSample:
         assert {r.id for r in out.collect()} == {3}
 
 
+class TestInterleave:
+    def test_prefix_ratios_track_weights(self, spark):
+        """Reading in mix_key order must honor the weight ratios in every
+        prefix: with weights 2:1 over equal-sized sources, any prefix that
+        has consumed k of source B has consumed ~2k of source A."""
+        from taar_gcp_etl_spark.operators.sampling import interleave_sources
+
+        rows = [(i, "a") for i in range(200)] + [
+            (1000 + i, "b") for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        weights = spark.createDataFrame(
+            [("a", 2.0), ("b", 1.0)], "source string, weight double"
+        )
+        out = interleave_sources(df, weights).orderBy("mix_key").collect()
+        for prefix in (30, 90, 150):
+            head = out[:prefix]
+            n_a = sum(1 for r in head if r.source == "a")
+            n_b = prefix - n_a
+            assert abs(n_a - 2 * n_b) <= 2, (prefix, n_a, n_b)
+
+    def test_unweighted_sources_dropped(self, spark):
+        from taar_gcp_etl_spark.operators.sampling import interleave_sources
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "zzz")], "doc_id long, source string"
+        )
+        weights = spark.createDataFrame(
+            [("a", 1.0)], "source string, weight double"
+        )
+        assert [r.doc_id for r in interleave_sources(df, weights).collect()] == [1]
+
+
 class TestProductQuantization:
     def test_pq_recall_and_compression(self, spark):
         """PQ asymmetric search must rank far above chance against the
