@@ -210,3 +210,63 @@ def rollup_from_partials(
     for o in out[1:]:
         result = result.unionByName(o)
     return result
+
+
+def resample_fill(
+    events: DataFrame,
+    freq: str = "hour",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-filled resample: aggregate to a fixed time grain AND emit a row
+    for every empty bucket between the observed min and max — the dense
+    grid downstream trend fits, anomaly baselines, and charting need
+    (groupBy alone silently skips empty buckets, biasing any model fit on
+    the series).
+
+    Scale shape: the per-bucket aggregate is the ordinary partial-agg
+    groupBy over the events; the grid derives from ONE tiny agg (two
+    timestamps to the driver side of the plan) exploded into bucket rows —
+    grid size is timeline/grain (a year of minutes ≈ 526k rows). The fill
+    join runs on two POST-AGGREGATE relations (grid × non-empty buckets,
+    both bounded by grid size — the raw events never reshuffle for the
+    fill); the aggregated side broadcasts. Empty buckets emit count 0 /
+    sum 0.
+    `freq` is any date_trunc grain with a matching interval: 'minute',
+    'hour', 'day', 'week'."""
+    step = {
+        "minute": "interval 1 minute",
+        "hour": "interval 1 hour",
+        "day": "interval 1 day",
+        "week": "interval 7 days",
+    }[freq]
+    bucket = F.date_trunc(freq, F.col(ts_col))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.round(F.coalesce(F.sum(value_col), F.lit(0.0)), 6).alias(
+                "sum_value"
+            )
+        )
+    per_bucket = events.groupBy(bucket.alias("bucket")).agg(*aggs)
+    grid = (
+        events.agg(
+            F.date_trunc(freq, F.min(ts_col)).alias("_mn"),
+            F.date_trunc(freq, F.max(ts_col)).alias("_mx"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step))
+            ).alias("bucket")
+        )
+    )
+    out = grid.join(F.broadcast(per_bucket), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        *(
+            [F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")]
+            if value_col is not None
+            else []
+        ),
+    )
+    return out

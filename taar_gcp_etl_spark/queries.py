@@ -1470,6 +1470,19 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample of the sparse 'signup' event series:
+    every hour between the observed bounds gets a row, empty hours emit
+    zeros — the dense grid a trend fit or anomaly baseline needs. Grid =
+    one tiny agg exploded; raw events never reshuffle for the fill."""
+    from taar_gcp_etl_spark.operators.windows import resample_fill
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    return resample_fill(ev, freq="hour", value_col="value")
+
+
 def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source interleave: the materialization of
     source_mix's weights — a global mix key whose order honors the target
@@ -1997,6 +2010,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": q_fuzzy_join,
     "validate_batch": q_validate_batch,
     "interleave": q_interleave,
+    "resample_fill": q_resample_fill,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2920,6 +2934,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "resample_fill": """
+        WITH ev AS (SELECT * FROM events WHERE event_type = 'signup'),
+        b AS (SELECT date_trunc('hour', MIN(ts)) AS mn,
+                     date_trunc('hour', MAX(ts)) AS mx FROM ev),
+        grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                        AS bucket FROM b),
+        agg AS (SELECT date_trunc('hour', ts) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       ROUND(SUM(value), 6) AS sum_value
+                FROM ev GROUP BY 1)
+        SELECT CAST(g.bucket AS TIMESTAMP) AS bucket,
+               COALESCE(a.n_events, 0) AS n_events,
+               COALESCE(a.sum_value, 0.0) AS sum_value
+        FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
     """,
     "interleave": """
         WITH w(source, weight) AS (VALUES

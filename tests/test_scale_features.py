@@ -608,3 +608,39 @@ class TestNullSkewJoin:
         # null-key rows keep their left values with null right side
         nulls = [t for t in got if t[0] is None]
         assert len(nulls) == 2 and all(t[-1] is None for t in nulls)
+
+
+class TestResampleFill:
+    def test_empty_buckets_emitted_with_zeros(self, spark):
+        from taar_gcp_etl_spark.operators.windows import resample_fill
+
+        df = spark.createDataFrame(
+            [
+                ("2024-01-01 00:10:00", 1.5),
+                ("2024-01-01 00:40:00", 2.5),
+                # hour 01 entirely missing
+                ("2024-01-01 02:05:00", 4.0),
+            ],
+            "ts string, value double",
+        ).select(F.to_timestamp("ts").alias("ts"), "value")
+        out = {
+            str(r.bucket): r
+            for r in resample_fill(df, "hour", value_col="value").collect()
+        }
+        assert len(out) == 3  # 00,01,02 — the gap hour is present
+        assert out["2024-01-01 00:00:00"].n_events == 2
+        assert out["2024-01-01 00:00:00"].sum_value == 4.0
+        assert out["2024-01-01 01:00:00"].n_events == 0
+        assert out["2024-01-01 01:00:00"].sum_value == 0.0
+        assert out["2024-01-01 02:00:00"].n_events == 1
+
+    def test_events_never_join_raw(self, spark):
+        """The fill join must run post-aggregate: no join operator may sit
+        below an aggregate of the raw events (grid x per-bucket only)."""
+        from taar_gcp_etl_spark.operators.windows import resample_fill
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:10:00", 1.0)], "ts string, value double"
+        ).select(F.to_timestamp("ts").alias("ts"), "value")
+        plan = formatted_plan(resample_fill(df, "hour", value_col="value"))
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" not in plan
