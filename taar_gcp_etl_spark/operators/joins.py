@@ -74,18 +74,23 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     right_val: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """§2.11 — backward as-of join: for each left row, the value of the most
-    recent right row with right_ts <= left_ts on the same key (ties: the
-    right row at the exact timestamp matches).
+    """§2.11 — as-of join: for each left row, the value of the most recent
+    right row with right_ts <= left_ts ('backward', the default) or the
+    earliest right row with right_ts >= left_ts ('forward') on the same
+    key (ties: the right row at the exact timestamp matches either way).
 
     Spark lacks a native as-of operator; the scalable rewrite is
     union + last-value window: tag both sides, union on (key, ts), sort
     within key with right rows first at equal ts, carry the last non-null
-    right value forward, keep left rows. ONE shuffle on the key — the same
-    cost as the sort-merge join an engine with native as-of would run — and
+    right value forward, keep left rows. 'forward' is the same plan with
+    the timestamp order reversed. ONE shuffle on the key — the same cost
+    as the sort-merge join an engine with native as-of would run — and
     no per-group pandas (merge_asof) round-trip.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
@@ -114,9 +119,10 @@ def asof_join_backward(
     )
     from pyspark.sql import Window
 
+    ts_order = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (
         Window.partitionBy(key)
-        .orderBy(F.asc("_ts"), F.desc("_is_right"))
+        .orderBy(ts_order, F.desc("_is_right"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

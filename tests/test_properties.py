@@ -325,3 +325,48 @@ def test_chunk_docs_covers_text_exactly(spark, docs):
             ) < size
             rebuilt += c[size - stride:] if len(c) > size - stride else ""
         assert rebuilt == t or (t == "" and rebuilt == "")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left=events_strategy, right=events_strategy)
+def test_asof_forward_matches_reference(spark, left, right):
+    """direction='forward' == per-row 'min right ts >= left ts' lookup —
+    the mirror property of the backward test."""
+    lrows = [
+        (i, k, TS0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    if not lrows:
+        return
+    rmap = {}
+    for i, (k, s) in enumerate(right):
+        rmap[(k, s)] = max(rmap.get((k, s), -1), i + 1000)
+    rrows = [
+        (k, TS0 + dt.timedelta(seconds=s), v) for (k, s), v in rmap.items()
+    ]
+    ldf = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(rrows, ["k", "rts", "rv"]) if rrows else (
+        spark.createDataFrame([], "k int, rts timestamp, rv long")
+    )
+    got = {
+        r.lid: r.rv
+        for r in asof_join_backward(
+            ldf, rdf, "k", "ts", "rts", "rv", direction="forward"
+        ).collect()
+    }
+    for lid, k, ts in lrows:
+        earliest_ts = min(
+            (rts for (rk, rts, v) in rrows if rk == k and rts >= ts),
+            default=None,
+        )
+        want = None
+        if earliest_ts is not None:
+            want = next(
+                v
+                for (rk, rts, v) in rrows
+                if rk == k and rts == earliest_ts
+            )
+        assert got[lid] == want, (lid, k, ts, got[lid], want)
