@@ -148,3 +148,35 @@ def validate_batch(df: DataFrame, expectations: DataFrame) -> DataFrame:
         "mean_val",
         F.coalesce(ok, F.lit(False)).cast("int").alias("ok"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Winsorization — clip a numeric column to its [p_lo, p_hi]
+    percentiles, the standard outlier containment before statistics or
+    model features (a fat-fingered 1e9 in a price column otherwise owns
+    every mean and every gradient).
+
+    Two passes by necessity (the bounds ARE global statistics): one
+    percentile aggregate (partial-aggregated like any agg), then the
+    single bounds row broadcast-joins back and the clip is a pure Column
+    `least(greatest(...))`. Exact interpolated percentile for engine
+    parity (the oracle's quantile_cont); at 100 TB swap
+    `approx_percentile` in — a clip bound rarely needs exactness.
+    Adds `{col}_w`; NULLs pass through unclipped (no value to contain)."""
+    bounds = df.agg(
+        F.percentile(col, p_lo).alias("_lo"),
+        F.percentile(col, p_hi).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            f"{col}_w",
+            F.least(F.greatest(F.col(col), F.col("_lo")), F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

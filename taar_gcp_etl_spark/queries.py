@@ -1470,6 +1470,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized event values: clip to the [p01, p99] percentiles —
+    outlier containment before stats/features. One percentile aggregate,
+    broadcast bounds, pure-Column clip."""
+    from taar_gcp_etl_spark.operators.quality import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize(ev, "value", 0.01, 0.99).select(
+        "event_id",
+        _r6(F.col("value")).alias("value"),
+        _r6(F.col("value_w")).alias("value_w"),
+    )
+
+
 def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly resample of the sparse 'signup' event series:
     every hour between the observed bounds gets a row, empty hours emit
@@ -2011,6 +2025,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_batch": q_validate_batch,
     "interleave": q_interleave,
     "resample_fill": q_resample_fill,
+    "winsorize": q_winsorize,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2934,6 +2949,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "winsorize": """
+        WITH b AS (SELECT CAST(quantile_cont(value, 0.01) AS DOUBLE) AS lo,
+                          CAST(quantile_cont(value, 0.99) AS DOUBLE) AS hi
+                   FROM events)
+        SELECT event_id, ROUND(value, 6) AS value,
+               ROUND(LEAST(GREATEST(value, b.lo), b.hi), 6) AS value_w
+        FROM events, b
     """,
     "resample_fill": """
         WITH ev AS (SELECT * FROM events WHERE event_type = 'signup'),
