@@ -1470,6 +1470,21 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling (the multimodal storage contract,
+    operators/multimodal.py): documents' text re-encoded as a binary blob
+    column, then byte length + sha256 content digest computed Column-side
+    — the metadata/integrity pass a blob lake runs without ever decoding
+    payloads. Pure map, zero shuffle; the blob bytes stay JVM-side."""
+    docs = _wide(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha256_hex"),
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized event values: clip to the [p01, p99] percentiles —
     outlier containment before stats/features. One percentile aggregate,
@@ -2026,6 +2041,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interleave": q_interleave,
     "resample_fill": q_resample_fill,
     "winsorize": q_winsorize,
+    "binary_stats": q_binary_stats,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -2949,6 +2965,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN rates r ON e.event_type = r.event_type
         WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
               % 10000 < r.rate * 10000
+    """,
+    "binary_stats": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha256_hex
+        FROM documents
     """,
     "winsorize": """
         WITH b AS (SELECT CAST(quantile_cont(value, 0.01) AS DOUBLE) AS lo,
