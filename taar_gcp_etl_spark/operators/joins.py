@@ -223,6 +223,7 @@ def fuzzy_self_join(
     id_col: str,
     block_cols: list[str],
     max_distance: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Approximate-string self-join: (id_a, id_b, dist) for every pair
     with levenshtein(text_a, text_b) <= max_distance — entity-resolution's
@@ -236,20 +237,31 @@ def fuzzy_self_join(
     order INSIDE the join stage: the length window
     |len_a − len_b| <= max_distance (a necessary condition costing two
     ints) prunes before any DP matrix, and the exact levenshtein decides.
-    Hot blocks are the same quadratic hazard as hot LSH bands — cap with
-    dedup.drop_hot_bands on a composite block key when the blocking data
-    is adversarial.
+    Hot blocks are the same quadratic hazard as hot LSH bands —
+    `max_block_size` drops blocks over the bound entirely before the
+    self-join (dedup.drop_hot_bands on the composite key), bounding the
+    worst block's contribution at max_block_size² DP calls; a block that
+    hot is a degenerate blocking key (empty domain, placeholder name),
+    not resolvable-entity signal.
 
     Spark >= 3.5 levenshtein(l, r, threshold) early-exits the DP at the
     bound (worth ~L/k on long strings); the unbounded form is kept here
     for engine-portable parity (the DuckDB twin lacks a threshold arg).
     """
-    a = df.select(
+    src = df
+    if max_block_size is not None:
+        from taar_gcp_etl_spark.operators.dedup import drop_hot_bands
+
+        src = src.withColumn(
+            "_blk", F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
+        )
+        src = drop_hot_bands(src, "_blk", max_block_size).drop("_blk")
+    a = src.select(
         F.col(id_col).alias("_id_a"),
         F.col(text_col).alias("_t_a"),
         *block_cols,
     )
-    b = df.select(
+    b = src.select(
         F.col(id_col).alias("_id_b"),
         F.col(text_col).alias("_t_b"),
         *block_cols,

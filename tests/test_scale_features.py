@@ -644,3 +644,28 @@ class TestResampleFill:
         ).select(F.to_timestamp("ts").alias("ts"), "value")
         plan = formatted_plan(resample_fill(df, "hour", value_col="value"))
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" not in plan
+
+
+class TestFuzzyJoinHotBlock:
+    def test_hot_block_dropped_cold_blocks_pair(self, spark):
+        from taar_gcp_etl_spark.operators.joins import fuzzy_self_join
+
+        rows = [(i, f"name{i:03d}", "hot") for i in range(10)] + [
+            (100, "alpha", "cold"),
+            (101, "alphb", "cold"),
+        ]
+        df = spark.createDataFrame(rows, "id long, name string, dom string")
+        out = fuzzy_self_join(
+            df, "name", "id", ["dom"], max_distance=2, max_block_size=5
+        ).collect()
+        # the 10-member hot block is dropped wholesale; the cold pair
+        # (alpha, alphb) at distance 1 survives
+        assert {(r.id_a, r.id_b, r.dist) for r in out} == {(100, 101, 1)}
+
+    def test_no_cap_keeps_hot_block(self, spark):
+        from taar_gcp_etl_spark.operators.joins import fuzzy_self_join
+
+        rows = [(i, f"name{i:03d}", "hot") for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, name string, dom string")
+        out = fuzzy_self_join(df, "name", "id", ["dom"], max_distance=2)
+        assert out.count() > 0  # name000~name001 etc. within distance 2
