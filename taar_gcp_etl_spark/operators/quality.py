@@ -75,7 +75,10 @@ def require_non_empty(df: DataFrame) -> DataFrame:
 
 
 def column_profile(
-    df: DataFrame, cols: list[str], include_rows: bool = False
+    df: DataFrame,
+    cols: list[str],
+    include_rows: bool = False,
+    approx: bool = False,
 ) -> DataFrame:
     """Data-validation profile: per-column null count, exact distinct
     count, min/max/mean — the expectation-suite statistics a pipeline
@@ -85,19 +88,22 @@ def column_profile(
     column.
 
     Exact count(DISTINCT) over multiple columns plans an Expand (input
-    ×|cols| before the first shuffle); at 100 TB swap
-    `approx_count_distinct` in — the gate threshold rarely needs exactness.
+    ×|cols| before the first shuffle); `approx=True` is the 100 TB path —
+    `approx_count_distinct` (HLL++, ~2% relative error) keeps the plan a
+    single partial-aggregate with NO Expand, and a gate threshold rarely
+    needs exactness. The exact default stays for oracle parity.
     Numeric columns only (min/max/mean stay DOUBLE and engine-portable;
     string min/max casts differ between engines in timestamp formatting).
     `include_rows=True` appends the batch row count to every output row
     (same value repeated — it rides the same single agg, for consumers
     that need rates, e.g. validate_batch's null-rate bound)."""
+    nd_fn = F.approx_count_distinct if approx else F.count_distinct
     aggs = []
     for c in cols:
         col = F.col(c).cast("double")
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
-            F.count_distinct(col).alias(f"{c}__nd"),
+            nd_fn(col).alias(f"{c}__nd"),
             F.min(col).alias(f"{c}__mn"),
             F.max(col).alias(f"{c}__mx"),
             F.round(F.avg(col), 6).alias(f"{c}__mean"),

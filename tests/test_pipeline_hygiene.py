@@ -170,3 +170,35 @@ class TestValidateBatch:
         row = validate_batch(df, exp).collect()[0]
         assert row.ok == 0  # max 150 > allowed 100
         assert row.max_val == 150.0
+
+
+class TestColumnProfileApprox:
+    def test_approx_within_tolerance_and_no_expand(self, spark):
+        """approx=True must (a) track the exact distinct counts within
+        HLL++ tolerance, (b) plan WITHOUT the Expand the exact multi-column
+        count-distinct forces — the whole point of the production path."""
+        from taar_gcp_etl_spark.io import read_table
+        from taar_gcp_etl_spark.operators.quality import column_profile
+        from tests.conftest import SF_SMOKE
+
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        cols = ["l_quantity", "l_extendedprice"]
+        exact = {
+            r["column"]: r.n_distinct
+            for r in column_profile(li, cols).collect()
+        }
+        approx_df = column_profile(li, cols, approx=True)
+        approx = {r["column"]: r.n_distinct for r in approx_df.collect()}
+        for c in cols:
+            # default HLL++ rsd is 5%; allow ~2 sigma
+            assert abs(approx[c] - exact[c]) <= max(5, 0.10 * exact[c])
+
+        plan = approx_df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
+        exact_plan = (
+            column_profile(li, cols)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Expand" in exact_plan  # the cost approx removes
