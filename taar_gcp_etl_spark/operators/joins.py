@@ -217,6 +217,20 @@ def bucketed_interval_join(
     )
 
 
+def phonetic_block(text_col: str | Column) -> Column:
+    """Soundex blocking key for `fuzzy_self_join`: the phonetic code of
+    the FIRST whitespace token (uppercased) — the classic entity-
+    resolution block for human/product names, catching sound-alike
+    misspellings ("Jon Smith" / "John Smyth") that a prefix or length
+    block misses entirely. Pure Column (JVM soundex, no UDF), so the
+    blocking pass is a zero-shuffle map like every other blocking key.
+    Spark-only: DuckDB has no soundex, so queries built on this block are
+    unit-tested rather than oracle-paired (docs/NEXT.md r4 item)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    first = F.element_at(F.split(F.trim(col), r"\s+"), 1)
+    return F.soundex(F.upper(first))
+
+
 def fuzzy_self_join(
     df: DataFrame,
     text_col: str,

@@ -174,6 +174,79 @@ def weighted_sample_n(
     )
 
 
+def weighted_sample_threshold(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    buckets: int = HASH_BUCKETS,
+    overshoot: float = 1.25,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`weighted_sample_n` for HUGE n — same Efraimidis-Spirakis keys,
+    same deterministic result, different physical shape. TakeOrdered's
+    driver merge holds n rows per partition head; at n in the hundreds of
+    millions (re-sharding a corpus, not picking a demo sample) that merge
+    IS a collect. This variant never orders the full relation:
+
+      1. one aggregate pass counts the eligible rows (map-side combine);
+      2. one aggregate pass sketches the key distribution
+         (approx_percentile, t-digest — an O(1)-memory accumulator) and
+         reads the threshold t that keeps ~n·overshoot rows;
+      3. a pure Column filter `key >= t` keeps the candidate set — the
+         corpus itself never shuffles;
+      4. the exact boundary is settled only among the ~n·overshoot
+         candidates with the two-phase distributed prefix sum
+         (packing.distributed_prefix_sum — range partition + per-partition
+         windows, no single-task global sort), keeping rows with
+         cum_before < n.
+
+    If the sketch under-delivers (quantile error on a pathological key
+    distribution), the threshold is re-derived at double the overshoot —
+    at most 3 driver-cheap retries, then the exact top-n path is the
+    fallback. Output rows and the selection boundary are IDENTICAL to
+    `weighted_sample_n` (same keys, same (key desc, id asc) total order),
+    which is exactly what the equivalence test pins."""
+    from taar_gcp_etl_spark.operators.packing import distributed_prefix_sum
+
+    u = (hash_bucket(F.col(key_col), buckets) + F.lit(0.5)) / F.lit(
+        float(buckets)
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn("_es_key", F.log(u) / w)
+
+    total = keyed.count()
+    if total <= n:
+        return keyed.drop("_es_key")
+
+    cand = None
+    factor = overshoot
+    for _ in range(3):
+        frac = min(1.0, (n * factor) / total)
+        t = keyed.agg(
+            F.expr(
+                f"approx_percentile(_es_key, {1.0 - frac}, 10000)"
+            ).alias("t")
+        ).collect()[0]["t"]
+        attempt = keyed.filter(F.col("_es_key") >= F.lit(t))
+        if attempt.count() >= n:
+            cand = attempt
+            break
+        factor *= 2.0
+    if cand is None:  # sketch failed 3×: exact top-n on the full relation
+        cand = keyed
+
+    summed = distributed_prefix_sum(
+        cand.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.desc("_es_key"), F.asc(key_col)],
+        num_partitions,
+    )
+    return summed.filter(F.col("cum_before") < n).drop(
+        "_one", "_es_key", "cum_before"
+    )
+
+
 def interleave_sources(
     df: DataFrame,
     weights: DataFrame,

@@ -458,6 +458,43 @@ class TestWeightedSample:
         mean_sample = a.agg(F.avg("n_chars")).collect()[0][0]
         assert mean_sample > mean_all
 
+    def test_threshold_variant_matches_exact_topn(self, spark):
+        """weighted_sample_threshold must select the IDENTICAL rows as
+        weighted_sample_n (same ES keys, same total order) — only the
+        physical plan differs (sketch + filter + prefix-sum trim instead
+        of a TakeOrdered driver merge)."""
+        from taar_gcp_etl_spark.operators.sampling import (
+            weighted_sample_n,
+            weighted_sample_threshold,
+        )
+
+        docs = read_table(spark, SF_SMOKE, "documents")
+        exact = sorted(
+            r.doc_id
+            for r in weighted_sample_n(docs, 25, "n_chars", "doc_id")
+            .select("doc_id")
+            .collect()
+        )
+        thresh = sorted(
+            r.doc_id
+            for r in weighted_sample_threshold(docs, 25, "n_chars", "doc_id")
+            .select("doc_id")
+            .collect()
+        )
+        assert thresh == exact
+        spark.catalog.clearCache()  # prefix-sum persists its intermediate
+
+    def test_threshold_variant_small_relation_short_circuits(self, spark):
+        from taar_gcp_etl_spark.operators.sampling import (
+            weighted_sample_threshold,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 3), (3, 0)], "id long, w int"
+        )
+        out = weighted_sample_threshold(df, 10, "w", "id")
+        assert {r.id for r in out.collect()} == {1, 2}
+
     def test_zero_weight_rows_excluded(self, spark):
         from taar_gcp_etl_spark.operators.sampling import weighted_sample_n
 
@@ -669,3 +706,34 @@ class TestFuzzyJoinHotBlock:
         df = spark.createDataFrame(rows, "id long, name string, dom string")
         out = fuzzy_self_join(df, "name", "id", ["dom"], max_distance=2)
         assert out.count() > 0  # name000~name001 etc. within distance 2
+
+
+class TestPhoneticBlocking:
+    def test_soundex_block_pairs_sound_alikes(self, spark):
+        """Soundex blocking puts "Jon Smith"/"John Smith" in one block
+        (J500) so the edit-distance verify sees the pair, while "Karen
+        Smith" lands in a different block and is never compared — the
+        phonetic recall that prefix/length blocks miss (Spark-only:
+        DuckDB has no soundex, so this is unit-tested, not oracle-paired)."""
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join,
+            phonetic_block,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "Jon Smith"),
+                (2, "John Smith"),
+                (3, "Karen Smith"),
+            ],
+            "id long, name string",
+        ).withColumn("blk", phonetic_block("name"))
+        out = fuzzy_self_join(df, "name", "id", ["blk"], max_distance=2)
+        assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+    def test_block_key_is_pure_column_no_exchange(self, spark):
+        from taar_gcp_etl_spark.operators.joins import phonetic_block
+
+        df = spark.createDataFrame([(1, "Robert Jones")], "id long, name string")
+        plan = formatted_plan(df.withColumn("blk", phonetic_block("name")))
+        assert "Exchange" not in plan
