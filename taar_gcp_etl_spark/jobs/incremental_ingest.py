@@ -130,6 +130,9 @@ def ingest_batch(
     id_col: str = "doc_id",
     sig_agree_min: int = 2,
     update_index: bool = True,
+    corpus_text: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Ingest a new batch against the index: in-batch exact dedup →
     corpus exact probe → corpus near-dup probe → (optionally) append the
@@ -139,7 +142,20 @@ def ingest_batch(
     report); document contents never move to the driver. The three
     filters run as one lineage over a cached batch projection — the cache
     is justified because the batch is the small side (0.1% of corpus in
-    the motivating shape) and is consumed by four actions."""
+    the motivating shape) and is consumed by four actions.
+
+    Near-dup verdicts: by default the 4-signature agreement estimate
+    (coarse — quartile Jaccard resolution, no corpus I/O beyond the band
+    index). Pass `corpus_text` (an (id_col, text_col) view of the corpus
+    text store) to verify candidates by EXACT shingle Jaccard instead:
+    the band join's candidate PAIRS pull only their corpus documents
+    (an equi-join on the candidate id set — never a corpus broadcast,
+    never a corpus scan beyond the join's pruned side), both sides'
+    shingle sets are computed just for those docs, and a batch doc is
+    dropped only when some pair's exact Jaccard >= `jaccard_threshold`.
+    Candidate volume ∝ true collision density (hot bands were capped at
+    index-build time), so the verify join is O(candidates), not
+    O(batch × corpus)."""
     from taar_gcp_etl_spark.operators.dedup import minhash_signatures
 
     digests = spark.read.parquet(os.path.join(index_dir, "digests"))
@@ -172,22 +188,56 @@ def ingest_batch(
     signed = minhash_signatures(b2, text_col, id_col).drop("shingles")
     bb = _band_rows(signed, id_col)
     idx = _pruned(band_index, bb)
-    agree = sum(
-        (F.col(f"sig{i}") == F.col(f"c_sig{i}")).cast("int")
-        for i in range(N_SIGS)
-    )
-    near = (
-        bb.join(
-            idx.select(
-                "band",
-                *[F.col(f"sig{i}").alias(f"c_sig{i}") for i in range(N_SIGS)],
-            ),
-            "band",
+    if corpus_text is None:
+        agree = sum(
+            (F.col(f"sig{i}") == F.col(f"c_sig{i}")).cast("int")
+            for i in range(N_SIGS)
         )
-        .filter(agree >= F.lit(sig_agree_min))
-        .select("doc_id")
-        .distinct()
-    )
+        near = (
+            bb.join(
+                idx.select(
+                    "band",
+                    *[
+                        F.col(f"sig{i}").alias(f"c_sig{i}")
+                        for i in range(N_SIGS)
+                    ],
+                ),
+                "band",
+            )
+            .filter(agree >= F.lit(sig_agree_min))
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        from taar_gcp_etl_spark.operators.dedup import token_shingles
+
+        pairs = (
+            bb.select("doc_id", "band")
+            .join(
+                idx.select("band", F.col("doc_id").alias("c_doc_id")),
+                "band",
+            )
+            .select("doc_id", "c_doc_id")
+            .distinct()
+        )
+        c_sh = corpus_text.select(
+            F.col(id_col).alias("c_doc_id"),
+            token_shingles(text_col, shingle_n).alias("_c_sh"),
+        )
+        b_sh = b2.select(
+            F.col(id_col).alias("doc_id"),
+            token_shingles(text_col, shingle_n).alias("_b_sh"),
+        )
+        inter = F.size(F.array_intersect("_b_sh", "_c_sh"))
+        union = F.size("_b_sh") + F.size("_c_sh") - inter
+        near = (
+            pairs.join(c_sh, "c_doc_id")
+            .join(b_sh, "doc_id")
+            .filter(union > 0)
+            .filter(inter / union >= F.lit(jaccard_threshold))
+            .select("doc_id")
+            .distinct()
+        )
     # localCheckpoint, not cache: the index APPEND below refreshes the
     # parquet paths this lineage read from, which drops any dependent
     # cache entry — a cached `accepted` would silently recompute against
@@ -220,3 +270,34 @@ def ingest_batch(
     b1.unpersist()
     b2.unpersist()
     return accepted.select(id_col, text_col), report
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_partition: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, dict[str, int]]:
+    """Maintenance cadence for the append-only index: each `ingest_batch`
+    append adds one file per touched `pfx` partition, so after ~k batches
+    a hot partition holds ~k small files and every probe pays k opens.
+    Compacts any digest/band partition over `max_files_per_partition`
+    via operators.layout.compact_partitions (in-place, per-partition,
+    Hadoop-FS swap) and returns {sub_index: {pfx: files_after}}.
+
+    Cadence guidance: call after every ~max_files_per_partition accepted
+    batches (the count is exactly the fragmentation bound), or on a daily
+    tick — compaction cost is proportional to the fragmented slice only,
+    so an over-eager cadence wastes nothing but the file-listing pass."""
+    from taar_gcp_etl_spark.operators.layout import compact_partitions
+
+    return {
+        sub: compact_partitions(
+            spark,
+            os.path.join(index_dir, sub),
+            partition_col="pfx",
+            max_files=max_files_per_partition,
+            target_file_bytes=target_file_bytes,
+        )
+        for sub in ("digests", "bands")
+    }

@@ -69,6 +69,77 @@ def compact_parquet_dir(
     return n_files
 
 
+def partition_file_counts(
+    spark: SparkSession, root: str, partition_col: str = "pfx"
+) -> dict[str, int]:
+    """File count per hive partition of `root` — the fragmentation gauge
+    that decides WHEN to compact. One column-pruned pass over the
+    `_metadata` virtual columns (distinct file paths, partition value
+    parsed from the path); no data pages are read."""
+    rows = (
+        spark.read.parquet(root)
+        .select(F.col("_metadata.file_path").alias("p"))
+        .distinct()
+        .select(
+            F.regexp_extract(
+                "p", f"{partition_col}=([^/]+)/", 1
+            ).alias("part")
+        )
+        .groupBy("part")
+        .count()
+        .collect()
+    )
+    return {r["part"]: r["count"] for r in rows}
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_col: str = "pfx",
+    max_files: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """In-place small-file compaction for a hive-partitioned parquet dir:
+    every partition holding more than `max_files` files is rewritten to
+    ~target-sized files; untouched partitions keep their bytes. Returns
+    {partition_value: files_after} for the rewritten partitions.
+
+    This is the maintenance half of an append-only layout (the
+    incremental-ingest index appends one file per touched partition per
+    batch — jobs/incremental_ingest.py module docstring): appends stay
+    cheap, and fragmentation is paid down on a slow cadence, per
+    partition, touching only the fragmented slice of the directory (the
+    Delta OPTIMIZE shape, expressed on plain parquet).
+
+    The swap uses the Hadoop FileSystem API (rename + delete), so it is
+    object-store/HDFS-correct, not a driver-local `os.rename`. The swap
+    is NOT atomic for concurrent readers — run it from the writer that
+    owns the directory (the ingest maintenance window), the same
+    single-writer assumption the append path already makes."""
+    counts = partition_file_counts(spark, root, partition_col)
+    todo = sorted(p for p, n in counts.items() if n > max_files)
+    if not todo:
+        return {}
+
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(root).getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    )
+    done: dict[str, int] = {}
+    for part in todo:
+        src = f"{root}/{partition_col}={part}"
+        # dot-prefixed staging dir: invisible to parquet listings mid-swap
+        tmp = f"{root}/.compact_{partition_col}={part}"
+        n = compact_parquet_dir(
+            spark, src, tmp, target_file_bytes=target_file_bytes
+        )
+        fs.delete(hpath(src), True)
+        fs.rename(hpath(tmp), hpath(src))
+        done[part] = n
+    return done
+
+
 def sorted_range_write(
     df: DataFrame, dest: str, sort_cols: list[str], n_files: int
 ) -> None:

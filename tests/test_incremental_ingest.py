@@ -101,6 +101,134 @@ class TestIncrementalIngest:
         assert n_after == n_before
 
 
+class TestExactVerify:
+    def test_exact_jaccard_threshold_decides_not_the_sig_estimate(
+        self, spark, tmp_path
+    ):
+        """With `corpus_text` supplied, the near-dup verdict is the EXACT
+        shingle Jaccard against the colliding corpus doc — so the same
+        near-identical batch doc is dropped at threshold 0.5 but KEPT at
+        threshold 0.99 (its true Jaccard is ~0.85). The 4-signature
+        estimate can only resolve quartiles; the exact path makes the
+        threshold a real dial."""
+        index_dir = str(tmp_path / "index")
+        corpus = _corpus(spark)
+        incremental_ingest.build_corpus_index(corpus, index_dir)
+
+        base = corpus.orderBy("doc_id").limit(1).collect()[0].text
+        batch = spark.createDataFrame(
+            [(3000, base + " extra token")], "doc_id long, text string"
+        )
+
+        _, rep_lo = incremental_ingest.ingest_batch(
+            spark,
+            batch,
+            index_dir,
+            update_index=False,
+            corpus_text=corpus,
+            jaccard_threshold=0.5,
+        )
+        assert rep_lo["corpus_near_dup"] == 1
+        assert rep_lo["accepted"] == 0
+
+        _, rep_hi = incremental_ingest.ingest_batch(
+            spark,
+            batch,
+            index_dir,
+            update_index=False,
+            corpus_text=corpus,
+            jaccard_threshold=0.99,
+        )
+        assert rep_hi["corpus_near_dup"] == 0
+        assert rep_hi["accepted"] == 1
+
+    def test_exact_verify_matches_signature_path_on_clear_cases(
+        self, spark, tmp_path
+    ):
+        """Exact dup, obvious near-dup, and fresh doc get identical
+        verdicts from both verify modes — the exact join only changes
+        verdicts in the estimate's error band."""
+        index_dir = str(tmp_path / "index")
+        corpus = _corpus(spark)
+        incremental_ingest.build_corpus_index(corpus, index_dir)
+
+        rows = corpus.orderBy("doc_id").limit(2).collect()
+        batch = spark.createDataFrame(
+            [
+                (4000, rows[0].text),
+                (4001, rows[1].text + " extra token"),
+                (4002, "entirely unrelated brand new document words here"),
+            ],
+            "doc_id long, text string",
+        )
+        _, rep_sig = incremental_ingest.ingest_batch(
+            spark, batch, index_dir, update_index=False
+        )
+        _, rep_exact = incremental_ingest.ingest_batch(
+            spark,
+            batch,
+            index_dir,
+            update_index=False,
+            corpus_text=corpus,
+        )
+        assert rep_sig == rep_exact
+        assert rep_exact["accepted"] == 1
+
+
+class TestIndexCompaction:
+    def test_append_fragmentation_compacted_in_place(self, spark, tmp_path):
+        """Three accepted batches append three files into any touched pfx
+        partition; compact_index rewrites fragmented partitions down to
+        one file each WITHOUT changing the indexed row set."""
+        from taar_gcp_etl_spark.operators.layout import partition_file_counts
+
+        index_dir = str(tmp_path / "index")
+        corpus = _corpus(spark)
+        incremental_ingest.build_corpus_index(corpus, index_dir)
+
+        for i in range(3):
+            batch = spark.createDataFrame(
+                [
+                    (
+                        9000 + i,
+                        f"fragmentation batch number {i} unique text payload",
+                    )
+                ],
+                "doc_id long, text string",
+            )
+            _, rep = incremental_ingest.ingest_batch(spark, batch, index_dir)
+            assert rep["accepted"] == 1
+
+        digests_dir = os.path.join(index_dir, "digests")
+        before = partition_file_counts(spark, digests_dir)
+        assert max(before.values()) > 1  # appends fragmented something
+        rows_before = {
+            (r.digest, r.doc_id)
+            for r in spark.read.parquet(digests_dir).collect()
+        }
+
+        result = incremental_ingest.compact_index(
+            spark, index_dir, max_files_per_partition=1
+        )
+        assert result["digests"]  # at least one partition rewritten
+
+        after = partition_file_counts(spark, digests_dir)
+        assert max(after.values()) == 1
+        rows_after = {
+            (r.digest, r.doc_id)
+            for r in spark.read.parquet(digests_dir).collect()
+        }
+        assert rows_after == rows_before
+
+    def test_unfragmented_index_is_noop(self, spark, tmp_path):
+        index_dir = str(tmp_path / "index")
+        incremental_ingest.build_corpus_index(_corpus(spark), index_dir)
+        result = incremental_ingest.compact_index(
+            spark, index_dir, max_files_per_partition=64
+        )
+        assert result == {"digests": {}, "bands": {}}
+
+
 class TestStreamIngest:
     def test_micro_batches_dedup_against_growing_index(
         self, spark, tmp_path
