@@ -1,0 +1,178 @@
+"""Event-analytics operators: sequential funnels, cohort retention,
+distribution drift.
+
+The reference's analytics surface is ranking/aggregation over telemetry
+(taar_etl/taar_lite_guid_ranking.py, taar_etl/taar_update_whitelist.py);
+an events table at 100 TB additionally needs the three standard
+behavioral shapes every warehouse reinvents: "how many users make it
+through step k" (funnel), "does week-w's cohort come back" (retention),
+and "did this batch's distribution move" (drift — the statistical twin of
+operators.quality.validate_batch's hard bounds).
+
+All three are compositions of shuffled aggregates and joins on the user /
+bucket key — no windows without partitions, no driver-side loops, no
+UDFs. The funnel's per-step dependency is expressed as a join chain
+re-keyed on user_id each step: Catalyst keeps the exchange (every stage
+shuffles on the same key, so AQE/exchange reuse collapses them), and the
+per-step state is one (user, ts) row — never the user's event history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict sequential funnel: a user converts step k only with an
+    event of type steps[k] STRICTLY AFTER their step-(k-1) conversion
+    time (first-touch semantics: each step binds to its earliest valid
+    occurrence). Returns one row per step: (step_idx, step, users),
+    monotonically non-increasing.
+
+    Shape per step: filter to the step's type (pushed to the scan when
+    the source is columnar), aggregate min(ts) per user, join to the
+    previous step's (user, ts) frontier and keep strictly-later events.
+    Every stage shuffles on user_col only — state is one row per
+    surviving user per step, so a 10-step funnel over 100 TB of events
+    moves |users| rows per step, not events."""
+    frontier: DataFrame | None = None
+    counts: list[DataFrame] = []
+    spark = events.sparkSession
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if frontier is None:
+            frontier = ev.groupBy("_u").agg(F.min("_ts").alias("_fts"))
+        else:
+            frontier = (
+                ev.join(
+                    frontier.select("_u", F.col("_fts").alias("_prev")),
+                    "_u",
+                )
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_fts"))
+            )
+        counts.append(
+            frontier.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                "users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out if counts else spark.createDataFrame(
+        [], "step_idx int, step string, users bigint"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by FIRST-ACTIVE period
+    (the cohort), then counted in every later period they appear —
+    (cohort, periods_since, n_users). The standard growth-accounting
+    rollup.
+
+    Two aggregates + one join, all keyed on user_col then on the (cohort,
+    offset) pair: first-seen is a per-user min (shuffle #1), activity
+    periods are a per-(user, period) distinct (same exchange — Catalyst
+    reuses the user_col partitioning), the offset is date arithmetic, and
+    the final count groups on a tiny key space (cohorts × offsets). The
+    events relation is read once per aggregate; no user's history ever
+    co-locates beyond its (user, period) distinct rows."""
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    seconds = {"week": 7 * 86400, "day": 86400}[period]
+    first = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(p).alias("cohort")
+    )
+    active = (
+        events.select(F.col(user_col).alias("_u"), p.alias("_p"))
+        .distinct()
+    )
+    offset = (
+        (F.unix_timestamp("_p") - F.unix_timestamp("cohort"))
+        / F.lit(seconds)
+    ).cast("long")
+    return (
+        active.join(first, "_u")
+        .select("cohort", offset.alias("periods_since"), "_u")
+        .groupBy("cohort", "periods_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def distribution_psi(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two batches of a numeric
+    column — the drift gate that catches what validate_batch's hard
+    bounds can't (the batch is in-range but the SHAPE moved; PSI > 0.2
+    is the conventional "investigate" line). Returns one row per bin:
+    (bin, share_a, share_b, psi_term); SUM(psi_term) is the index.
+
+    Bins are equal-width over a CALLER-SUPPLIED [lo, hi] (at 100 TB the
+    bounds come from table stats or the expectation suite, not a scan;
+    out-of-range values clamp into the edge bins, so the comparison is
+    total). Each side is one partial-aggregated groupBy on a ≤n_bins key
+    — two scans, a 2×n_bins-row join, zero rows of data movement beyond
+    the bin counts. `eps` smooths empty bins so the log stays finite."""
+    span = (hi - lo) or 1.0
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        raw = F.floor(
+            (F.col(value_col).cast("double") - F.lit(lo))
+            / F.lit(span)
+            * F.lit(n_bins)
+        )
+        clamped = F.least(
+            F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+        ).cast("int")
+        counted = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(clamped.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        total = counted.agg(F.sum("_n").alias("_tot"))
+        return counted.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("_n") / F.col("_tot")).alias(name)
+        )
+
+    sa, sb = binned(a, "_sa"), binned(b, "_sb")
+    grid = a.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    share_a = F.coalesce(F.col("_sa"), F.lit(0.0)) + F.lit(eps)
+    share_b = F.coalesce(F.col("_sb"), F.lit(0.0)) + F.lit(eps)
+    return (
+        grid.join(F.broadcast(sa), "bin", "left")
+        .join(F.broadcast(sb), "bin", "left")
+        .select(
+            "bin",
+            F.round(share_a, 6).alias("share_a"),
+            F.round(share_b, 6).alias("share_b"),
+            F.round(
+                (share_a - share_b) * F.log(share_a / share_b), 6
+            ).alias("psi_term"),
+        )
+    )

@@ -135,3 +135,32 @@ def scd2_apply(
         )
     )
     return carried.unionByName(new_versions).unionByName(inserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Content diff between two snapshots of a keyed relation: one row
+    per key present in either side, labeled 'added' / 'removed' /
+    'retained'. The planning input for every incremental pipeline — which
+    shards to rebuild, which index rows to append/delete
+    (jobs/incremental_ingest consumes exactly the 'added' slice), what a
+    re-train actually changes.
+
+    One full-outer join on the key — the narrowest possible shuffle (key
+    columns only; callers diffing by CONTENT pass a digest as the key, so
+    a 100 TB corpus diff moves 32 bytes/row). Status derives from side
+    markers, not null-testing the key itself (a legitimately-null key
+    column would misclassify)."""
+    lo = old.select(*key_cols).distinct().withColumn("_l", F.lit(1))
+    ln = new.select(*key_cols).distinct().withColumn("_r", F.lit(1))
+    status = (
+        F.when(F.col("_l").isNull(), F.lit("added"))
+        .when(F.col("_r").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+    )
+    return lo.join(ln, key_cols, "full_outer").select(
+        *key_cols, status.alias("status")
+    )

@@ -1485,6 +1485,65 @@ def q_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential conversion funnel view → click → purchase
+    (operators/analytics.funnel_steps): each step binds to the user's
+    earliest event strictly after the previous step's conversion. Join
+    chain re-keyed on user_id; per-step state is one row per surviving
+    user — events never co-locate."""
+    from taar_gcp_etl_spark.operators.analytics import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/analytics
+    .cohort_retention): users bucketed by first-active week, counted in
+    each later active week. Two shuffled aggregates + one join on
+    user_id; final rollup groups a cohorts×offsets key space."""
+    from taar_gcp_etl_spark.operators.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (operators/analytics.distribution_psi):
+    PSI of the event-value distribution, first half of January vs the
+    second — the statistical complement to validate_batch's hard bounds.
+    Fixed [0, 500] bin domain (bounds are config, not a scan); two
+    partial-aggregated bin counts, broadcast-joined on a 10-row grid."""
+    from taar_gcp_etl_spark.operators.analytics import distribution_psi
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return distribution_psi(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+    )
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions keyed by CONTENT digest
+    (operators/merge.snapshot_diff): v1 = docs with doc_id % 3 != 0,
+    v2 = docs with doc_id % 3 != 1 — classify each distinct md5(text) as
+    added / removed / retained. The planning input for incremental
+    rebuilds; the join moves 32-byte digest rows only."""
+    from taar_gcp_etl_spark.operators.merge import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5(F.col("text"))
+    )
+    v1 = docs.filter(F.col("doc_id") % 3 != 0)
+    v2 = docs.filter(F.col("doc_id") % 3 != 1)
+    return snapshot_diff(v1, v2, ["digest"])
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized event values: clip to the [p01, p99] percentiles —
     outlier containment before stats/features. One percentile aggregate,
@@ -2042,6 +2101,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_fill": q_resample_fill,
     "winsorize": q_winsorize,
     "binary_stats": q_binary_stats,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "drift_psi": q_drift_psi,
+    "corpus_diff": q_corpus_diff,
     # --- rows-only tail: no SQL-expressible oracle ---
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
@@ -3429,5 +3492,72 @@ ORACLE_SQL: dict[str, str] = {
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
             ) AS INTEGER) AS rnk FROM scored
         ) WHERE rnk <= 2
+    """,
+    "funnel": """
+        WITH s0 AS (SELECT user_id, MIN(ts) AS fts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, MIN(e.ts) AS fts FROM events e
+               JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.fts
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS fts FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.fts
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+               CAST(COUNT(*) AS BIGINT) AS users FROM s0
+        UNION ALL
+        SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+    """,
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   MIN(date_trunc('week', ts)) AS cohort
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+            FROM events)
+        SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+               CAST(floor((epoch(CAST(a.p AS TIMESTAMP))
+                           - epoch(CAST(f.cohort AS TIMESTAMP)))
+                          / 604800) AS BIGINT) AS periods_since,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    "drift_psi": """
+        WITH binned AS (
+            SELECT LEAST(GREATEST(
+                       CAST(floor(value / 500.0 * 10) AS INTEGER), 0), 9)
+                       AS bin,
+                   (ts < TIMESTAMP '2024-01-16') AS is_a
+            FROM events WHERE value IS NOT NULL),
+        ca AS (SELECT bin, COUNT(*) AS n FROM binned WHERE is_a GROUP BY bin),
+        cb AS (SELECT bin, COUNT(*) AS n FROM binned WHERE NOT is_a
+               GROUP BY bin),
+        grid AS (SELECT unnest(range(10)) AS bin),
+        shares AS (
+            SELECT CAST(g.bin AS INTEGER) AS bin,
+                   COALESCE(ca.n / (SELECT SUM(n) FROM ca), 0.0) + 1e-6
+                       AS sa,
+                   COALESCE(cb.n / (SELECT SUM(n) FROM cb), 0.0) + 1e-6
+                       AS sb
+            FROM grid g
+            LEFT JOIN ca ON ca.bin = g.bin
+            LEFT JOIN cb ON cb.bin = g.bin)
+        SELECT bin, ROUND(sa, 6) AS share_a, ROUND(sb, 6) AS share_b,
+               ROUND((sa - sb) * ln(sa / sb), 6) AS psi_term
+        FROM shares
+    """,
+    "corpus_diff": """
+        WITH v1 AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                    WHERE doc_id % 3 != 0),
+        v2 AS (SELECT DISTINCT md5(text) AS digest FROM documents
+               WHERE doc_id % 3 != 1)
+        SELECT COALESCE(v1.digest, v2.digest) AS digest,
+               CASE WHEN v1.digest IS NULL THEN 'added'
+                    WHEN v2.digest IS NULL THEN 'removed'
+                    ELSE 'retained' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.digest = v2.digest
     """,
 }

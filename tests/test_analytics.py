@@ -1,0 +1,146 @@
+"""Event-analytics operators: funnel ordering semantics, cohort offsets,
+PSI drift properties, snapshot diff classification."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark.operators.analytics import (
+    cohort_retention,
+    distribution_psi,
+    funnel_steps,
+)
+from taar_gcp_etl_spark.operators.merge import snapshot_diff
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+class TestFunnel:
+    def test_strict_ordering_gates_conversion(self, spark):
+        """u1 converts all three steps in order; u2 purchased BEFORE
+        clicking, so the purchase must not count (strict sequential
+        semantics — the whole point vs. a per-type distinct count)."""
+        import datetime as dt
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            (1, "view", t(0)),
+            (1, "click", t(1)),
+            (1, "purchase", t(2)),
+            (2, "view", t(0)),
+            (2, "purchase", t(1)),  # before the click — must not convert
+            (2, "click", t(2)),
+        ]
+        out = {
+            r.step: r.users
+            for r in funnel_steps(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+        }
+        assert out == {"view": 2, "click": 2, "purchase": 1}
+
+    def test_equal_timestamp_does_not_convert(self, spark):
+        """Strictly-after: a click at the exact view timestamp is not a
+        conversion (prevents same-event double counting when steps share
+        a type's timestamp granularity)."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, "view", t0), (1, "click", t0)]
+        out = {
+            r.step: r.users
+            for r in funnel_steps(_ev(spark, rows), ["view", "click"]).collect()
+        }
+        assert out == {"view": 1, "click": 0}
+
+    def test_monotone_on_fixture(self, spark):
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES
+
+        rows = (
+            SPARK_QUERIES["funnel"](spark, "/root/testdata/sf0.001")
+            .orderBy("step_idx")
+            .collect()
+        )
+        users = [r.users for r in rows]
+        assert users == sorted(users, reverse=True)
+        assert users[0] > 0
+
+
+class TestCohortRetention:
+    def test_offset_zero_covers_every_user_once(self, spark):
+        """Every user is active in their own cohort week by definition,
+        so the offset-0 column sums to the distinct user count."""
+        import datetime as dt
+
+        rows = [
+            (1, "view", dt.datetime(2024, 1, 1)),   # week of Jan 1
+            (1, "view", dt.datetime(2024, 1, 10)),  # +1 week
+            (2, "view", dt.datetime(2024, 1, 9)),   # week of Jan 8
+        ]
+        out = cohort_retention(_ev(spark, rows)).collect()
+        zero = sum(r.n_users for r in out if r.periods_since == 0)
+        assert zero == 2
+        plus1 = [r for r in out if r.periods_since == 1]
+        assert len(plus1) == 1 and plus1[0].n_users == 1
+
+
+class TestDistributionPsi:
+    def test_identical_distribution_is_near_zero(self, spark):
+        df = spark.range(1000).select(
+            (F.col("id") % 100).cast("double").alias("v")
+        )
+        out = distribution_psi(df, df, "v", 0.0, 100.0)
+        total = out.agg(F.sum("psi_term")).collect()[0][0]
+        assert abs(total) < 1e-9
+
+    def test_shift_detected_and_out_of_range_clamps(self, spark):
+        a = spark.range(1000).select(
+            (F.col("id") % 50).cast("double").alias("v")
+        )
+        b = spark.range(1000).select(
+            (F.col("id") % 50 + 150).cast("double").alias("v")
+        )  # 150..199 clamps into the top bin of [0, 100]
+        out = distribution_psi(a, b, "v", 0.0, 100.0)
+        assert out.count() == 10  # every bin emitted, empty ones included
+        total = out.agg(F.sum("psi_term")).collect()[0][0]
+        assert total > 0.2  # conventional "investigate" line
+
+    def test_bin_grid_joins_are_broadcast(self, spark):
+        from taar_gcp_etl_spark.plans import formatted_plan
+
+        df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+        plan = formatted_plan(distribution_psi(df, df, "v", 0.0, 100.0))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark):
+        old = spark.createDataFrame([("a",), ("b",)], "k string")
+        new = spark.createDataFrame([("b",), ("c",)], "k string")
+        out = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert out == {"a": "removed", "b": "retained", "c": "added"}
+
+    def test_shuffles_key_columns_only(self, spark):
+        """The diff of wide relations must shuffle the key projection,
+        not the payload — the full-outer join's exchanges carry only k."""
+        from taar_gcp_etl_spark.plans import formatted_plan
+
+        old = spark.createDataFrame(
+            [("a", "x" * 10)], "k string, payload string"
+        )
+        new = spark.createDataFrame(
+            [("a", "y" * 10)], "k string, payload string"
+        )
+        plan = formatted_plan(snapshot_diff(old, new, ["k"]))
+        # payload is projected away before any exchange: no Exchange node
+        # (nor anything downstream of one) may reference it
+        blocks = plan.split("\n\n")
+        exchange_blocks = [b for b in blocks if "Exchange" in b.split("\n")[0]]
+        assert exchange_blocks, "expected at least one exchange in the diff"
+        for b in exchange_blocks:
+            assert "payload" not in b
