@@ -390,6 +390,101 @@ def continuous_minute_rollup(
     )
 
 
+def stream_drift_bins(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming half of the drift gate (operators/analytics
+    .distribution_psi): per event-time window, the histogram of
+    `value_col` over a fixed [lo, hi] bin domain — (window_start, bin,
+    n). The same partials-at-ingest discipline as
+    continuous_minute_rollup: the stream maintains only bin COUNTS
+    (state = windows × n_bins keys, watermark-evicted, append-safe
+    because the group key is the window expression); the PSI itself is
+    computed on read by `psi_against_reference`, so the reference
+    distribution can change without touching stream state."""
+    span = (hi - lo) or 1.0
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.lit(lo))
+        / F.lit(span)
+        * F.lit(n_bins)
+    )
+    # when() guard: greatest/least SKIP nulls (greatest(NULL, 0) = 0),
+    # which would silently file null values into bin 0
+    clamped = F.when(
+        raw.isNotNull(),
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int"),
+    )
+    # a null-valued event carries no histogram mass but must still move
+    # event time. ANY null filter in this plan — before or even AFTER
+    # the aggregation (group-key filters push through aggregates) — gets
+    # hoisted below the EventTimeWatermark node by Catalyst and silently
+    # stalls eviction on sparse streams (verified: the watermark stops
+    # advancing on batches whose rows are all null-valued). So nulls
+    # ride along as the NULL bin group and the READ side drops them
+    # (psi_against_reference) — one extra state row per window.
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), clamped.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "bin", "n")
+    )
+
+
+def psi_against_reference(
+    bin_counts: DataFrame,
+    reference: DataFrame,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Read-side PSI over `stream_drift_bins` output: one row per
+    window_start with the drift index against a reference distribution
+    held as DATA — (bin, share) rows, broadcast like every other config
+    table. Missing bins contribute the eps-smoothed empty share, so a
+    window that saw only one bin still scores its full divergence.
+
+    Shape: ONE aggregate over the bin counts — each window's ≤n_bins
+    (bin, n) rows collapse into a bounded map (never a self-join back
+    onto the sink, which both re-reads it and trips attribute-dedup on
+    view-backed relations) — then a dense bin grid explodes out of the
+    map row and one broadcast join brings in the reference."""
+    # the NULL bin carries the stream's null-valued events (kept there so
+    # the watermark keeps moving — see stream_drift_bins); no histogram
+    # mass, dropped here where filter pushdown is harmless
+    bin_counts = bin_counts.filter(F.col("bin").isNotNull())
+    per_win = bin_counts.groupBy("window_start").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("n")))
+        ).alias("_m"),
+        F.sum("n").alias("_tot"),
+    )
+    exploded = per_win.select(
+        "window_start",
+        "_tot",
+        "_m",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    share_w = (
+        F.coalesce(F.col("_m")[F.col("bin")], F.lit(0)) / F.col("_tot")
+        + F.lit(eps)
+    )
+    share_r = F.coalesce(F.col("share"), F.lit(0.0)) + F.lit(eps)
+    return (
+        exploded.join(F.broadcast(reference), "bin", "left")
+        .select(
+            "window_start",
+            ((share_w - share_r) * F.log(share_w / share_r)).alias("_term"),
+        )
+        .groupBy("window_start")
+        .agg(F.round(F.sum("_term"), 6).alias("psi"))
+    )
+
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
