@@ -15,6 +15,11 @@ from taar_gcp_etl_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+# the oracle-parity harness defaults to the smoke sf for speed; export
+# SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 to replicate the driver's
+# exact correctness gate locally (same sf, all registry entries — the
+# driver's artifact records only the first 50)
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", SF_SMOKE)
 
 
 @pytest.fixture(scope="session")
@@ -30,7 +35,7 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
-    for sf, prefix in ((SF_SMOKE, ""),):
+    for sf, prefix in ((SF_ORACLE, ""),):
         for t in TABLE_NAMES:
             con.execute(
                 f"CREATE OR REPLACE VIEW {prefix}{t} AS "

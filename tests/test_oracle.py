@@ -3,7 +3,10 @@ an oracle_sql() twin must match DuckDB row-for-row (order-insensitive,
 column-name-sorted) on the smoke fixtures.
 
 This is stricter than eyeballing and cheaper than the driver round-trip; it
-runs at sf0.001 so the full suite stays fast. The driver repeats it at sf0.01.
+runs at sf0.001 by default so the full suite stays fast. The driver repeats
+it at sf0.01 (first 50 registry entries); export
+SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01 to replicate that gate locally
+over the ENTIRE registry.
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ import math
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE
 
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
@@ -48,7 +51,7 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
     qfn = entrymod.queries()[name]
-    sdf = qfn(spark, SF_SMOKE)
+    sdf = qfn(spark, SF_ORACLE)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
