@@ -1,0 +1,133 @@
+"""Recommendation operators: frequent-itemset association rules and
+collaborative filtering.
+
+The reference IS a recommender ETL — its guid_coinstallation.json artifact
+(taar_etl/taar_lite_guid_guid.py via README.md:101-106) serves "users who
+installed X also installed Y" from raw co-install counts, and the
+taar_similarity job feeds a donor-based collaborative model
+(README.md:96-100). These operators are the model-quality upgrades of
+those contracts, built on Spark ML so the heavy lifting stays
+distributed:
+
+  - `basket_rules` mines association rules with FP-Growth — the
+    confidence/lift-scored generalization of the co-install ratio table
+    (a raw count table recommends popular items; lift corrects for
+    popularity).
+  - `als_recommend` factorizes the user×item interaction matrix (seeded
+    implicit-feedback ALS) and emits top-k per user — the collaborative
+    recommender the donor-clustering job approximates with cluster
+    means.
+
+Scale notes: FP-Growth is the distributed PFP algorithm (per-item
+conditional trees, shuffle keyed on item suffix) — minSupport is the cost
+dial; ALS shuffles rating blocks between user/item factor solves, cost ∝
+nonzeros × rank per iteration. Both are MLlib-native: no driver-side
+materialization beyond the models' factor/itemset summaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float,
+    min_confidence: float,
+    pairs_only: bool = True,
+) -> DataFrame:
+    """Association rules over (basket, item) rows. Baskets are assembled
+    with collect_set (FP-Growth requires unique items per basket — a
+    duplicate line item is a quantity fact, not a second co-occurrence).
+
+    With `pairs_only=True` (default) the output keeps 1-item → 1-item
+    rules: (antecedent, consequent, support_pair, confidence, lift) —
+    exactly the co-install contract, and EXACTLY reproducible in SQL
+    (pair frequency / item frequency over distinct pairs), which is what
+    the oracle pairing checks. `pairs_only=False` returns the full rule
+    set (array antecedents) for consumers that want larger itemsets.
+
+    Values are rounded to 6 decimals for engine portability; rule order
+    is unspecified (consumers sort or hash order-insensitively)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = df.groupBy(F.col(basket_col).alias("_b")).agg(
+        F.collect_set(F.col(item_col)).alias("items")
+    )
+    model = FPGrowth(
+        itemsCol="items",
+        minSupport=min_support,
+        minConfidence=min_confidence,
+    ).fit(baskets)
+    rules = model.associationRules
+    if not pairs_only:
+        return rules
+    return (
+        rules.filter(
+            (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+        )
+        .select(
+            F.col("antecedent")[0].alias("antecedent"),
+            F.col("consequent")[0].alias("consequent"),
+            F.round("support", 6).alias("support_pair"),
+            F.round("confidence", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+    )
+
+
+def als_recommend(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    k: int = 3,
+    rank: int = 8,
+    reg: float = 0.1,
+    seed: int = 42,
+    implicit: bool = True,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Seeded collaborative filtering: factorize the user×item matrix
+    with ALS and return the top-k recommendations per user as
+    (user, item, rec_rank) — rank, not raw score, because factor scores
+    are only meaningful ordinally and float tails differ across BLAS
+    implementations. Items the user already interacted with are NOT
+    excluded (the caller anti-joins if the product surface wants only
+    novel items — that is a business rule, not a model property).
+
+    Implicit-feedback mode by default (interaction counts are confidence,
+    not preference — the Hu/Koren/Volinsky formulation), which is the
+    honest setting for install/purchase logs. Deterministic for a fixed
+    seed + input; iterative ML → rows-only correctness (same contract as
+    donor_clusters)."""
+    from pyspark.ml.recommendation import ALS
+
+    prepared = ratings.select(
+        F.col(user_col).cast("int").alias("_user"),
+        F.col(item_col).cast("int").alias("_item"),
+        F.col(rating_col).cast("float").alias("_rating"),
+    )
+    model = ALS(
+        userCol="_user",
+        itemCol="_item",
+        ratingCol="_rating",
+        rank=rank,
+        regParam=reg,
+        seed=seed,
+        implicitPrefs=implicit,
+        coldStartStrategy="drop",
+        maxIter=max_iter,
+    ).fit(prepared)
+    recs = model.recommendForAllUsers(k)
+    return recs.select(
+        F.col("_user").alias(user_col),
+        F.posexplode("recommendations").alias("_pos", "_rec"),
+    ).select(
+        user_col,
+        F.col("_rec._item").alias(item_col),
+        (F.col("_pos") + 1).alias("rec_rank"),
+    )

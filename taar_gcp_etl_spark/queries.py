@@ -1544,6 +1544,64 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2, ["digest"])
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP-Growth association rules over customer×brand baskets
+    (operators/recommend.basket_rules) — the confidence/lift-scored
+    upgrade of the reference's raw co-install table
+    (taar_etl/taar_lite_guid_guid.py contract). Restricted to 1→1 rules,
+    whose support/confidence/lift are exact pair statistics — hence
+    SQL-oracle-paired even though the miner is MLlib. Brand (25-value
+    domain) keeps pair density scale-invariant; part is broadcast into
+    the basket build, and customers are deterministically md5-bucket
+    sampled (25%) on BOTH sides — dense-basket FP-trees are the miner's
+    worst case, and a quarter of the customers bounds the demo fit
+    without changing the statistics' expectation."""
+    from taar_gcp_etl_spark.operators.recommend import basket_rules
+
+    from taar_gcp_etl_spark.operators.sampling import hash_bucket
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(hash_bucket(F.col("o_custkey"), 100) < 25)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    purchases = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return basket_rules(
+        purchases,
+        basket_col="o_custkey",
+        item_col="p_brand",
+        min_support=0.4,
+        min_confidence=0.6,
+    )
+
+
+def q_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded implicit-feedback ALS over customer×part purchase counts
+    (operators/recommend.als_recommend): top-3 parts per customer by
+    factor score, emitted as ranks. The collaborative recommender the
+    donor-clustering contract approximates. Customers are deterministically
+    subsampled (md5 bucket) to keep the demo fit bounded — the operator
+    itself is full-scale MLlib ALS. Iterative ML → rows-only check."""
+    from taar_gcp_etl_spark.operators.recommend import als_recommend
+    from taar_gcp_etl_spark.operators.sampling import hash_bucket
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(hash_bucket(F.col("o_custkey"), 100) < 10)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return als_recommend(
+        ratings, "o_custkey", "l_partkey", "n", k=3, rank=8, seed=42
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized event values: clip to the [p01, p99] percentiles —
     outlier containment before stats/features. One percentile aggregate,
@@ -2105,7 +2163,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "drift_psi": q_drift_psi,
     "corpus_diff": q_corpus_diff,
+    "basket_rules": q_basket_rules,
     # --- rows-only tail: no SQL-expressible oracle ---
+    "als_recs": q_als_recs,
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
     "donor_curves": q_donor_curves,
@@ -3559,5 +3619,27 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN v2.digest IS NULL THEN 'removed'
                     ELSE 'retained' END AS status
         FROM v1 FULL OUTER JOIN v2 ON v1.digest = v2.digest
+    """,
+    "basket_rules": """
+        WITH b AS (SELECT DISTINCT o.o_custkey AS c, p.p_brand AS i
+                   FROM orders o
+                   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                   JOIN part p ON p.p_partkey = l.l_partkey
+                   WHERE ('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 25),
+        n AS (SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS nb FROM b),
+        item AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS ci FROM b GROUP BY i),
+        pair AS (SELECT x.i AS ia, y.i AS ib,
+                        CAST(COUNT(*) AS DOUBLE) AS cp
+                 FROM b x JOIN b y ON x.c = y.c AND x.i != y.i
+                 GROUP BY 1, 2)
+        SELECT pair.ia AS antecedent, pair.ib AS consequent,
+               ROUND(cp / n.nb, 6) AS support_pair,
+               ROUND(cp / a.ci, 6) AS confidence,
+               ROUND((cp / a.ci) / (cons.ci / n.nb), 6) AS lift
+        FROM pair
+        JOIN item a ON a.i = pair.ia
+        JOIN item cons ON cons.i = pair.ib, n
+        WHERE cp / n.nb >= 0.4 AND cp / a.ci >= 0.6
     """,
 }
