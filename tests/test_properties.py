@@ -370,3 +370,128 @@ def test_asof_forward_matches_reference(spark, left, right):
                 if rk == k and rts == earliest_ts
             )
         assert got[lid] == want, (lid, k, ts, got[lid], want)
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # user
+        st.integers(0, 2),  # step index into the type list
+        st.integers(0, 5_000),  # seconds offset
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=funnel_events)
+def test_funnel_matches_reference(spark, events):
+    """funnel_steps == the per-user sequential scan: step k's conversion
+    time is the earliest step-k event strictly after step k-1's."""
+    from taar_gcp_etl_spark.operators.analytics import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    rows = [
+        (u, steps[si], TS0 + dt.timedelta(seconds=s))
+        for (u, si, s) in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.step: r.users
+        for r in funnel_steps(df, steps).collect()
+    }
+
+    # driver-side reference
+    want = {}
+    frontier = {}
+    for i, step in enumerate(steps):
+        nxt = {}
+        for u in {u for (u, _, _) in events}:
+            times = [
+                TS0 + dt.timedelta(seconds=s)
+                for (uu, si, s) in events
+                if uu == u and steps[si] == step
+            ]
+            if i == 0:
+                cands = times
+            elif u in frontier:
+                cands = [t for t in times if t > frontier[u]]
+            else:
+                cands = []
+            if cands:
+                nxt[u] = min(cands)
+        frontier = nxt
+        want[step] = len(frontier)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals_a=st.lists(st.floats(-50, 150, allow_nan=False), min_size=1, max_size=30),
+    vals_b=st.lists(st.floats(-50, 150, allow_nan=False), min_size=1, max_size=30),
+)
+def test_psi_symmetric_and_nonnegative(spark, vals_a, vals_b):
+    """PSI properties: symmetric under side swap (the term is
+    antisymmetric-in-sign twice over), non-negative, ~0 for identical
+    inputs; out-of-range values clamp rather than vanish (bin shares
+    always sum to 1)."""
+    from taar_gcp_etl_spark.operators.analytics import distribution_psi
+
+    a = spark.createDataFrame([(v,) for v in vals_a], "v double")
+    b = spark.createDataFrame([(v,) for v in vals_b], "v double")
+    psi_ab = distribution_psi(a, b, "v", 0.0, 100.0).agg(
+        F.sum("psi_term")
+    ).collect()[0][0]
+    psi_ba = distribution_psi(b, a, "v", 0.0, 100.0).agg(
+        F.sum("psi_term")
+    ).collect()[0][0]
+    assert abs(psi_ab - psi_ba) < 1e-9
+    assert psi_ab > -1e-12
+    psi_aa = distribution_psi(a, a, "v", 0.0, 100.0).agg(
+        F.sum("psi_term")
+    ).collect()[0][0]
+    assert abs(psi_aa) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    weights=st.lists(
+        st.integers(-2, 10_000), min_size=1, max_size=40, unique=True
+    ),
+    n=st.integers(1, 10),
+)
+def test_weighted_sample_threshold_equals_exact(spark, weights, n):
+    """The sketch-threshold physical plan must select the IDENTICAL row
+    set as the TakeOrdered plan for any weights (incl. non-positive,
+    which both exclude) and any n (incl. n > |eligible|)."""
+    from taar_gcp_etl_spark.operators.sampling import (
+        weighted_sample_n,
+        weighted_sample_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    )
+    exact = sorted(
+        r.id for r in weighted_sample_n(df, n, "w", "id").collect()
+    )
+    thresh = sorted(
+        r.id
+        for r in weighted_sample_threshold(df, n, "w", "id").collect()
+    )
+    spark.catalog.clearCache()
+    assert thresh == exact
