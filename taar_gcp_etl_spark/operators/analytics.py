@@ -41,7 +41,18 @@ def funnel_steps(
     previous step's (user, ts) frontier and keep strictly-later events.
     Every stage shuffles on user_col only — state is one row per
     surviving user per step, so a 10-step funnel over 100 TB of events
-    moves |users| rows per step, not events."""
+    moves |users| rows per step, not events.
+
+    Each frontier is PERSISTED before the next step builds on it:
+    Catalyst does not reuse identical aggregate subplans across union
+    branches (attribute ids differ — same finding as rollup_cascade,
+    docs/NEXT.md), so without the persist branch k would recompute
+    frontiers 1..k-1 from raw events (O(k²) scans). Persisted state is
+    |surviving users| rows per step. The CALLER owns eviction
+    (spark.catalog.clearCache() or materialize the result) — the same
+    convention as distributed_prefix_sum."""
+    from pyspark import StorageLevel
+
     frontier: DataFrame | None = None
     counts: list[DataFrame] = []
     spark = events.sparkSession
@@ -61,6 +72,7 @@ def funnel_steps(
                 .groupBy("_u")
                 .agg(F.min("_ts").alias("_fts"))
             )
+        frontier = frontier.persist(StorageLevel.MEMORY_AND_DISK)
         counts.append(
             frontier.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).alias("step_idx"),
