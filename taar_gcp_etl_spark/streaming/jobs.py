@@ -13,7 +13,7 @@ size the state store parallelism — set before the first micro-batch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -331,6 +331,104 @@ def stream_to_serving_table(
 
     return (
         events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    table_dir: str,
+    key_col: str = "id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> None:
+    """Apply one CDC micro-batch (rows of key + payload + monotonically
+    increasing `seq` + op in {'I','U','D'}) to a keyed parquet table:
+    MERGE-at-ingest without a table format.
+
+    Ordering + idempotence come from the sequence number, not arrival
+    order: the batch first reduces to its latest op per key (partitioned
+    window on seq), then every op applies only if its seq is NEWER than
+    the stored row's — so a replayed micro-batch (foreachBatch is
+    at-least-once) re-applies as a pure no-op, and out-of-order replays
+    cannot resurrect overwritten values. A delete of an absent key is a
+    no-op; a stale upsert arriving after a newer delete CAN resurrect
+    (no tombstone retention — a table format's delete vectors are the
+    production answer; this is the honest parquet-only contract).
+
+    The rewrite is anti-join + union — the same shape as merge.upsert —
+    and the new table is localCheckpoint'ed before the overwrite so the
+    write never reads the directory it is replacing. At scale the
+    rewrite cost is O(table) per batch: right for dimension-sized tables
+    (the reference's whitelist/serving artifacts); fact-sized CDC wants
+    partition-pruned rewrites or a table format."""
+    spark = batch_df.sparkSession
+    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+    latest = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    try:
+        cur = spark.read.parquet(table_dir)
+        exists = True
+    except Exception:  # noqa: BLE001 — first batch: empty table
+        cur = None
+        exists = False
+
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
+    deletes = latest.filter(F.col(op_col) == "D").select(
+        F.col(key_col), F.col(seq_col).alias("_del_seq")
+    )
+    if not exists:
+        new = upserts
+    else:
+        cur_seq = cur.select(
+            F.col(key_col), F.col(seq_col).alias("_cur_seq")
+        )
+        applied_up = (
+            upserts.join(cur_seq, key_col, "left")
+            .filter(
+                F.col("_cur_seq").isNull()
+                | (F.col(seq_col) > F.col("_cur_seq"))
+            )
+            .drop("_cur_seq")
+        )
+        applied_del = deletes.join(cur_seq, key_col).filter(
+            F.col("_del_seq") > F.col("_cur_seq")
+        )
+        touched = applied_up.select(key_col).unionByName(
+            applied_del.select(key_col)
+        )
+        new = cur.join(touched, key_col, "left_anti").unionByName(
+            applied_up
+        )
+    # cut lineage BEFORE overwriting the directory the plan read from
+    new.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        table_dir
+    )
+
+
+def stream_cdc_apply(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    key_col: str = "id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+):
+    """Streaming CDC maintenance of a keyed table via foreachBatch —
+    checkpointing + the seq-guarded idempotent batch apply give
+    effective exactly-once table state (same argument as
+    stream_to_serving_table, with merge semantics instead of append)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_cdc_batch(batch_df, table_dir, key_col, op_col, seq_col)
+
+    return (
+        changes.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .start()
     )

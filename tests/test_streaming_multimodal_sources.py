@@ -534,3 +534,78 @@ class TestContinuousRollup:
         complete = sorted(map(tuple, streamed.collect()))
         # append emits only watermark-closed windows → subset of complete
         assert set(appended) <= set(complete)
+
+
+class TestCdcApply:
+    CDC_SCHEMA = "id long, val string, seq long, op string"
+
+    def test_seq_guarded_merge_and_replay_idempotence(self, spark, tmp_path):
+        """Three applies: inserts; update + delete + insert; then a
+        REPLAY of a stale op (foreachBatch is at-least-once). The seq
+        guard makes the stale insert a no-op — key 1 keeps its seq-3
+        update. (A stale upsert of a DELETED key would resurrect it —
+        the documented no-tombstone limitation — so the replay here
+        targets a live key, which is the guarantee the operator makes.)"""
+        from taar_gcp_etl_spark.streaming.jobs import apply_cdc_batch
+
+        table = str(tmp_path / "dim")
+        b1 = spark.createDataFrame(
+            [(1, "a0", 1, "I"), (2, "b0", 2, "I")], self.CDC_SCHEMA
+        )
+        apply_cdc_batch(b1, table)
+        b2 = spark.createDataFrame(
+            [(1, "a1", 3, "U"), (2, None, 4, "D"), (3, "c0", 5, "I")],
+            self.CDC_SCHEMA,
+        )
+        apply_cdc_batch(b2, table)
+        # replay k1's original insert (stale seq 1) — must not clobber a1
+        b3 = spark.createDataFrame([(1, "a0", 1, "I")], self.CDC_SCHEMA)
+        apply_cdc_batch(b3, table)
+
+        rows = {
+            r.id: (r.val, r.seq)
+            for r in spark.read.parquet(table).collect()
+        }
+        assert rows == {1: ("a1", 3), 3: ("c0", 5)}
+
+    def test_in_batch_ordering_latest_seq_wins(self, spark, tmp_path):
+        from taar_gcp_etl_spark.streaming.jobs import apply_cdc_batch
+
+        table = str(tmp_path / "dim2")
+        b = spark.createDataFrame(
+            [(1, "x1", 1, "I"), (1, "x3", 3, "U"), (1, "x2", 2, "U")],
+            self.CDC_SCHEMA,
+        )
+        apply_cdc_batch(b, table)
+        rows = spark.read.parquet(table).collect()
+        assert len(rows) == 1 and rows[0].val == "x3"
+
+    def test_streaming_cdc_file_drops(self, spark, tmp_path):
+        from taar_gcp_etl_spark.streaming.jobs import stream_cdc_apply
+
+        src = tmp_path / "cdc_src"
+        src.mkdir()
+        table = str(tmp_path / "dim3")
+        spark.createDataFrame(
+            [(1, "a0", 1, "I"), (2, "b0", 2, "I")], self.CDC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+        changes = (
+            spark.readStream.schema(
+                "id long, val string, seq long, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_cdc_apply(changes, table, str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, None, 3, "D"), (1, "a9", 4, "U")], self.CDC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        q.stop()
+
+        rows = {
+            r.id: r.val for r in spark.read.parquet(table).collect()
+        }
+        assert rows == {1: "a9"}
