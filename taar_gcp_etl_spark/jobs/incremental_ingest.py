@@ -153,6 +153,9 @@ def ingest_batch(
     never a corpus scan beyond the join's pruned side), both sides'
     shingle sets are computed just for those docs, and a batch doc is
     dropped only when some pair's exact Jaccard >= `jaccard_threshold`.
+    A candidate whose corpus doc is absent from `corpus_text` (text
+    store lagging the index, stale snapshot) falls back to the
+    signature-agreement verdict rather than being silently accepted.
     Candidate volume ∝ true collision density (hot bands were capped at
     index-build time), so the verify join is O(candidates), not
     O(batch × corpus)."""
@@ -211,13 +214,27 @@ def ingest_batch(
     else:
         from taar_gcp_etl_spark.operators.dedup import token_shingles
 
-        pairs = (
-            bb.select("doc_id", "band")
-            .join(
-                idx.select("band", F.col("doc_id").alias("c_doc_id")),
+        agree = sum(
+            (F.col(f"sig{i}") == F.col(f"c_sig{i}")).cast("int")
+            for i in range(N_SIGS)
+        )
+        cand = (
+            bb.join(
+                idx.select(
+                    "band",
+                    F.col("doc_id").alias("c_doc_id"),
+                    *[
+                        F.col(f"sig{i}").alias(f"c_sig{i}")
+                        for i in range(N_SIGS)
+                    ],
+                ),
                 "band",
             )
-            .select("doc_id", "c_doc_id")
+            .select(
+                "doc_id",
+                "c_doc_id",
+                (agree >= F.lit(sig_agree_min)).alias("_sig_verdict"),
+            )
             .distinct()
         )
         c_sh = corpus_text.select(
@@ -230,11 +247,19 @@ def ingest_batch(
         )
         inter = F.size(F.array_intersect("_b_sh", "_c_sh"))
         union = F.size("_b_sh") + F.size("_c_sh") - inter
+        # LEFT join to the text store: a candidate whose corpus doc is
+        # absent from corpus_text (stale snapshot, text store lagging the
+        # index) must NOT be silently dropped-and-accepted — it falls
+        # back to the signature-agreement verdict, which needs no text.
         near = (
-            pairs.join(c_sh, "c_doc_id")
+            cand.join(c_sh, "c_doc_id", "left")
             .join(b_sh, "doc_id")
-            .filter(union > 0)
-            .filter(inter / union >= F.lit(jaccard_threshold))
+            .filter(
+                F.when(
+                    F.col("_c_sh").isNotNull() & (union > 0),
+                    inter / union >= F.lit(jaccard_threshold),
+                ).otherwise(F.col("_sig_verdict"))
+            )
             .select("doc_id")
             .distinct()
         )

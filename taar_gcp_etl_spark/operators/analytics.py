@@ -19,8 +19,27 @@ per-step state is one (user, ts) row — never the user's event history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def equal_width_bin(
+    col: Column, lo: float, hi: float, n_bins: int
+) -> Column:
+    """Clamped equal-width bin index over [lo, hi]: values outside the
+    domain land in the edge bins (the comparison stays total), NULL stays
+    NULL — the when() guard is load-bearing because greatest/least SKIP
+    nulls (greatest(NULL, 0) = 0 would silently file nulls into bin 0).
+    Shared by the batch PSI and the streaming drift bins so the two can
+    never disagree on edge handling."""
+    span = (hi - lo) or 1.0
+    raw = F.floor(
+        (col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(n_bins)
+    )
+    return F.when(
+        raw.isNotNull(),
+        F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int"),
+    )
 
 
 def funnel_steps(
@@ -53,9 +72,13 @@ def funnel_steps(
     convention as distributed_prefix_sum."""
     from pyspark import StorageLevel
 
+    spark = events.sparkSession
+    if not steps:
+        return spark.createDataFrame(
+            [], "step_idx int, step string, users bigint"
+        )
     frontier: DataFrame | None = None
     counts: list[DataFrame] = []
-    spark = events.sparkSession
     for i, step in enumerate(steps):
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
@@ -83,9 +106,7 @@ def funnel_steps(
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)
-    return out if counts else spark.createDataFrame(
-        [], "step_idx int, step string, users bigint"
-    )
+    return out
 
 
 def cohort_retention(
@@ -106,8 +127,15 @@ def cohort_retention(
     the final count groups on a tiny key space (cohorts × offsets). The
     events relation is read once per aggregate; no user's history ever
     co-locates beyond its (user, period) distinct rows."""
+    fixed_seconds = {"week": 7 * 86400, "day": 86400}
+    if period not in fixed_seconds:
+        raise ValueError(
+            f"cohort_retention supports fixed-width periods "
+            f"{sorted(fixed_seconds)}, got {period!r} (calendar periods "
+            "like 'month' need months_between, not second arithmetic)"
+        )
     p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
-    seconds = {"week": 7 * 86400, "day": 86400}[period]
+    seconds = fixed_seconds[period]
     first = events.groupBy(F.col(user_col).alias("_u")).agg(
         F.min(p).alias("cohort")
     )
@@ -148,17 +176,8 @@ def distribution_psi(
     total). Each side is one partial-aggregated groupBy on a ≤n_bins key
     — two scans, a 2×n_bins-row join, zero rows of data movement beyond
     the bin counts. `eps` smooths empty bins so the log stays finite."""
-    span = (hi - lo) or 1.0
-
     def binned(df: DataFrame, name: str) -> DataFrame:
-        raw = F.floor(
-            (F.col(value_col).cast("double") - F.lit(lo))
-            / F.lit(span)
-            * F.lit(n_bins)
-        )
-        clamped = F.least(
-            F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
-        ).cast("int")
+        clamped = equal_width_bin(F.col(value_col), lo, hi, n_bins)
         counted = (
             df.filter(F.col(value_col).isNotNull())
             .select(clamped.alias("bin"))

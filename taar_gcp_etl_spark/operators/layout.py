@@ -111,31 +111,54 @@ def compact_partitions(
     partition, touching only the fragmented slice of the directory (the
     Delta OPTIMIZE shape, expressed on plain parquet).
 
-    The swap uses the Hadoop FileSystem API (rename + delete), so it is
-    object-store/HDFS-correct, not a driver-local `os.rename`. The swap
-    is NOT atomic for concurrent readers — run it from the writer that
-    owns the directory (the ingest maintenance window), the same
+    The swap uses the Hadoop FileSystem API (renames), so it is
+    object-store/HDFS-correct, not a driver-local `os.rename`, and it
+    NEVER deletes the live data before the replacement is in place:
+    src → .old backup, staged → src, then drop the backup. A crash
+    between the two renames leaves the rows in the dot-prefixed backup
+    instead of destroyed; the next invocation detects the orphaned
+    backup (src missing) and restores it before compacting. The swap is
+    still NOT atomic for concurrent readers — run it from the writer
+    that owns the directory (the ingest maintenance window), the same
     single-writer assumption the append path already makes."""
-    counts = partition_file_counts(spark, root, partition_col)
-    todo = sorted(p for p, n in counts.items() if n > max_files)
-    if not todo:
-        return {}
-
     jvm = spark._jvm  # type: ignore[attr-defined]
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(root).getFileSystem(
         spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
     )
+
+    def _paths(part: str) -> tuple[str, str, str]:
+        src = f"{root}/{partition_col}={part}"
+        # dot-prefixed: invisible to parquet listings mid-swap
+        return (
+            src,
+            f"{root}/.compact_{partition_col}={part}",
+            f"{root}/.old_{partition_col}={part}",
+        )
+
+    # crash recovery: a previous run that died mid-swap left the rows in
+    # the backup dir with no live partition — restore before proceeding
+    status = fs.globStatus(hpath(f"{root}/.old_{partition_col}=*"))
+    for st in status or []:
+        bak = st.getPath()
+        part = bak.getName().split("=", 1)[1]
+        src = hpath(f"{root}/{partition_col}={part}")
+        if not fs.exists(src):
+            fs.rename(bak, src)
+        else:
+            fs.delete(bak, True)  # swap completed; stale backup
+
+    counts = partition_file_counts(spark, root, partition_col)
+    todo = sorted(p for p, n in counts.items() if n > max_files)
     done: dict[str, int] = {}
     for part in todo:
-        src = f"{root}/{partition_col}={part}"
-        # dot-prefixed staging dir: invisible to parquet listings mid-swap
-        tmp = f"{root}/.compact_{partition_col}={part}"
+        src, tmp, bak = _paths(part)
         n = compact_parquet_dir(
             spark, src, tmp, target_file_bytes=target_file_bytes
         )
-        fs.delete(hpath(src), True)
+        fs.rename(hpath(src), hpath(bak))
         fs.rename(hpath(tmp), hpath(src))
+        fs.delete(hpath(bak), True)
         done[part] = n
     return done
 

@@ -106,6 +106,21 @@ def als_recommend(
     donor_clusters)."""
     from pyspark.ml.recommendation import ALS
 
+    # MLlib ALS ids are int32. Under ANSI-off a long→int cast WRAPS
+    # (the int8-quantization bug class, docs/NEXT.md), which would merge
+    # distinct users into collided ids with zero errors — so the id
+    # domain is validated first. One partial-aggregated scan of the
+    # ratings, noise next to the factorization it guards.
+    mx = ratings.agg(
+        F.max(F.abs(F.col(user_col).cast("long"))).alias("u"),
+        F.max(F.abs(F.col(item_col).cast("long"))).alias("i"),
+    ).collect()[0]
+    if max(mx["u"] or 0, mx["i"] or 0) > 2**31 - 1:
+        raise ValueError(
+            "ALS ids must fit int32; dense-rank or StringIndexer the "
+            f"{user_col}/{item_col} ids first (max seen: user "
+            f"{mx['u']}, item {mx['i']})"
+        )
     prepared = ratings.select(
         F.col(user_col).cast("int").alias("_user"),
         F.col(item_col).cast("int").alias("_item"),

@@ -189,24 +189,29 @@ def weighted_sample_threshold(
     millions (re-sharding a corpus, not picking a demo sample) that merge
     IS a collect. This variant never orders the full relation:
 
-      1. one aggregate pass counts the eligible rows (map-side combine);
-      2. one aggregate pass sketches the key distribution
-         (approx_percentile, t-digest — an O(1)-memory accumulator) and
-         reads the threshold t that keeps ~n·overshoot rows;
-      3. a pure Column filter `key >= t` keeps the candidate set — the
-         corpus itself never shuffles;
-      4. the exact boundary is settled only among the ~n·overshoot
+      1. ONE aggregate pass over the narrow (key, weight) projection
+         computes the eligible count AND a t-digest percentile LADDER of
+         the key distribution (approx_percentile takes an array — the
+         needed keep-fraction isn't known until the count is, so the
+         ladder brackets it and the next-coarser rung is picked, its
+         granularity providing margin on top of `overshoot`);
+      2. a pure Column filter `key >= t` keeps the candidate set — the
+         corpus itself never shuffles — and one count verifies the
+         sketch delivered ≥ n (if not: pathological distribution, fall
+         back to the whole eligible set, still exact);
+      3. the exact boundary is settled only among the ~n·overshoot
          candidates with the two-phase distributed prefix sum
          (packing.distributed_prefix_sum — range partition + per-partition
          windows, no single-task global sort), keeping rows with
          cum_before < n.
 
-    If the sketch under-delivers (quantile error on a pathological key
-    distribution), the threshold is re-derived at double the overshoot —
-    at most 3 driver-cheap retries, then the exact top-n path is the
-    fallback. Output rows and the selection boundary are IDENTICAL to
-    `weighted_sample_n` (same keys, same (key desc, id asc) total order),
-    which is exactly what the equivalence test pins."""
+    Total cost: 3 passes over the (column-pruned, re-hashed) projection —
+    the stats agg, the verify count, and the prefix-sum input. Output
+    rows and the selection boundary are IDENTICAL to `weighted_sample_n`
+    (same keys, same (key desc, id asc) total order), which is exactly
+    what the equivalence test pins. Like distributed_prefix_sum, the
+    returned plan reads a persisted intermediate — the CALLER owns
+    eviction (spark.catalog.clearCache() or materialize the result)."""
     from taar_gcp_etl_spark.operators.packing import distributed_prefix_sum
 
     u = (hash_bucket(F.col(key_col), buckets) + F.lit(0.5)) / F.lit(
@@ -215,26 +220,35 @@ def weighted_sample_threshold(
     w = F.col(weight_col).cast("double")
     keyed = df.filter(w > 0).withColumn("_es_key", F.log(u) / w)
 
-    total = keyed.count()
+    # keep-fractions bracketing any plausible n/total; percentile points
+    # are 1-f (largest keys kept)
+    ladder = [0.0001, 0.001, 0.01, 0.05, 0.1, 0.25, 0.5]
+    pcts = ", ".join(str(1.0 - f) for f in ladder)
+    stats = (
+        keyed.select("_es_key")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.expr(
+                f"approx_percentile(_es_key, array({pcts}), 10000)"
+            ).alias("ts"),
+        )
+        .collect()[0]
+    )
+    total = stats["total"]
     if total <= n:
         return keyed.drop("_es_key")
 
-    cand = None
-    factor = overshoot
-    for _ in range(3):
-        frac = min(1.0, (n * factor) / total)
-        t = keyed.agg(
-            F.expr(
-                f"approx_percentile(_es_key, {1.0 - frac}, 10000)"
-            ).alias("t")
-        ).collect()[0]["t"]
-        attempt = keyed.filter(F.col("_es_key") >= F.lit(t))
-        if attempt.count() >= n:
-            cand = attempt
-            break
-        factor *= 2.0
-    if cand is None:  # sketch failed 3×: exact top-n on the full relation
-        cand = keyed
+    needed = min(1.0, (n * overshoot) / total)
+    rung = next(
+        (i for i, f in enumerate(ladder) if f >= needed), None
+    )
+    cand = (
+        keyed.filter(F.col("_es_key") >= F.lit(stats["ts"][rung]))
+        if rung is not None
+        else keyed  # needed > 50%: just settle the boundary exactly
+    )
+    if rung is not None and cand.count() < n:
+        cand = keyed  # sketch under-delivered: exact fallback
 
     summed = distributed_prefix_sum(
         cand.withColumn("_one", F.lit(1)),

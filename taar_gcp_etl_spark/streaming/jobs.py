@@ -371,12 +371,18 @@ def apply_cdc_batch(
         .drop("_rn")
     )
 
-    try:
-        cur = spark.read.parquet(table_dir)
-        exists = True
-    except Exception:  # noqa: BLE001 — first batch: empty table
-        cur = None
-        exists = False
+    # explicit existence probe, NOT try/except around the read: a bare
+    # except would also swallow a transient storage error and then
+    # OVERWRITE the table with only this batch's upserts — silent
+    # wholesale data loss. With the probe, a flaky read raises and the
+    # streaming query retries the batch instead.
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    )
+    exists = fs.exists(hpath)
+    cur = spark.read.parquet(table_dir) if exists else None
 
     upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
     deletes = latest.filter(F.col(op_col) == "D").select(
@@ -506,18 +512,10 @@ def stream_drift_bins(
     because the group key is the window expression); the PSI itself is
     computed on read by `psi_against_reference`, so the reference
     distribution can change without touching stream state."""
-    span = (hi - lo) or 1.0
-    raw = F.floor(
-        (F.col(value_col).cast("double") - F.lit(lo))
-        / F.lit(span)
-        * F.lit(n_bins)
-    )
-    # when() guard: greatest/least SKIP nulls (greatest(NULL, 0) = 0),
-    # which would silently file null values into bin 0
-    clamped = F.when(
-        raw.isNotNull(),
-        F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int"),
-    )
+    from taar_gcp_etl_spark.operators.analytics import equal_width_bin
+
+    # shared with the batch PSI — null-preserving clamp (see helper)
+    clamped = equal_width_bin(F.col(value_col), lo, hi, n_bins)
     # a null-valued event carries no histogram mass but must still move
     # event time. ANY null filter in this plan — before or even AFTER
     # the aggregation (group-key filters push through aggregates) — gets

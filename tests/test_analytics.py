@@ -57,6 +57,14 @@ class TestFunnel:
         }
         assert out == {"view": 1, "click": 0}
 
+    def test_empty_steps_returns_empty_frame(self, spark):
+        import datetime as dt
+
+        df = _ev(spark, [(1, "view", dt.datetime(2024, 1, 1))])
+        out = funnel_steps(df, [])
+        assert out.collect() == []
+        assert out.columns == ["step_idx", "step", "users"]
+
     def test_monotone_on_fixture(self, spark):
         from taar_gcp_etl_spark.queries import SPARK_QUERIES
 
@@ -86,6 +94,17 @@ class TestCohortRetention:
         assert zero == 2
         plus1 = [r for r in out if r.periods_since == 1]
         assert len(plus1) == 1 and plus1[0].n_users == 1
+
+
+class TestCohortValidation:
+    def test_calendar_period_rejected_with_clear_error(self, spark):
+        import datetime as dt
+
+        import pytest
+
+        df = _ev(spark, [(1, "view", dt.datetime(2024, 1, 1))])
+        with pytest.raises(ValueError, match="month"):
+            cohort_retention(df, period="month")
 
 
 class TestDistributionPsi:

@@ -175,6 +175,39 @@ class TestExactVerify:
         assert rep_exact["accepted"] == 1
 
 
+class TestExactVerifyFallback:
+    def test_missing_corpus_text_falls_back_to_signature_verdict(
+        self, spark, tmp_path
+    ):
+        """A candidate whose corpus doc is absent from the text store
+        must NOT be silently accepted (the inner-join bug class): it
+        falls back to the signature verdict, which drops a near-identical
+        doc exactly like the no-text path."""
+        index_dir = str(tmp_path / "index")
+        corpus = _corpus(spark)
+        incremental_ingest.build_corpus_index(corpus, index_dir)
+
+        target = corpus.orderBy("doc_id").limit(1).collect()[0]
+        batch = spark.createDataFrame(
+            [(3100, target.text + " extra token")],
+            "doc_id long, text string",
+        )
+        # text store MISSING the colliding doc
+        lagging = corpus.filter(F.col("doc_id") != target.doc_id)
+        _, rep = incremental_ingest.ingest_batch(
+            spark,
+            batch,
+            index_dir,
+            update_index=False,
+            corpus_text=lagging,
+            jaccard_threshold=0.99,  # exact verify would KEEP at 0.99...
+        )
+        # ...but the text is missing, so the signature verdict (agree
+        # >= 2/4 for a near-identical doc) drops it
+        assert rep["corpus_near_dup"] == 1
+        assert rep["accepted"] == 0
+
+
 class TestIndexCompaction:
     def test_append_fragmentation_compacted_in_place(self, spark, tmp_path):
         """Three accepted batches append three files into any touched pfx
@@ -219,6 +252,47 @@ class TestIndexCompaction:
             for r in spark.read.parquet(digests_dir).collect()
         }
         assert rows_after == rows_before
+
+    def test_crash_recovery_restores_orphaned_backup(self, spark, tmp_path):
+        """Simulate a compaction crash between the two swap renames: the
+        live partition dir is gone, its rows sit in the .old_ backup.
+        The next compact_partitions call must restore it before doing
+        anything else — no rows lost, partition readable again."""
+        import shutil
+
+        from taar_gcp_etl_spark.operators.layout import compact_partitions
+
+        index_dir = str(tmp_path / "index")
+        incremental_ingest.build_corpus_index(_corpus(spark), index_dir)
+        digests_dir = os.path.join(index_dir, "digests")
+        rows_before = {
+            (r.digest, r.doc_id)
+            for r in spark.read.parquet(digests_dir).collect()
+        }
+        # pick one partition and fake the mid-swap crash state
+        part = next(
+            d for d in os.listdir(digests_dir) if d.startswith("pfx=")
+        )
+        val = part.split("=", 1)[1]
+        shutil.move(
+            os.path.join(digests_dir, part),
+            os.path.join(digests_dir, f".old_pfx={val}"),
+        )
+        partial = {
+            (r.digest, r.doc_id)
+            for r in spark.read.parquet(digests_dir).collect()
+        }
+        assert partial < rows_before  # the hole is real pre-recovery
+
+        compact_partitions(spark, digests_dir, max_files=64)
+        rows_after = {
+            (r.digest, r.doc_id)
+            for r in spark.read.parquet(digests_dir).collect()
+        }
+        assert rows_after == rows_before
+        assert not any(
+            d.startswith(".old_") for d in os.listdir(digests_dir)
+        )
 
     def test_unfragmented_index_is_noop(self, spark, tmp_path):
         index_dir = str(tmp_path / "index")
