@@ -1,0 +1,78 @@
+"""Distributed ranking-quality metrics: recall@k, MRR@k, NDCG@k.
+
+Every approximate retrieval operator in this engine (ann_bucketed,
+ann_ivf, ann_int8, PQ, tfidf_sim) trades recall for cost; the trade is
+only manageable if recall is MEASURED, continuously, at corpus scale —
+not eyeballed on a notebook sample. This operator turns (predictions,
+ground truth) into per-query metrics with plain joins and aggregates, so
+the evaluation runs on the same cluster pass as the retrieval itself
+(the recall harness in tests/test_consolidations.py collapses to one
+call of this).
+
+Shape: one equi-join of predictions against the relevant set on
+(query, item) — both sides are top-k-bounded, so the join moves
+O(queries × k) rows regardless of corpus size — then one aggregate per
+query. Binary relevance (a truth row = relevant); the ideal DCG derives
+from the relevant-set size in a Column-side fold, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ranking_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Per-query retrieval quality of `pred` (ranked rows: query, item,
+    rank) against `truth` (relevant rows: query, item): returns
+    (query_col, n_rel, recall, mrr, ndcg), all metrics @k.
+
+      - recall@k  = |pred∩truth| / |truth|  (per query)
+      - MRR@k     = 1 / rank of the first relevant prediction (0 if none)
+      - NDCG@k    = Σ_hits 1/log2(rank+1)  /  Σ_{i=1..min(k,|truth|)}
+                    1/log2(i+1)   (binary relevance)
+
+    Every query present in `truth` gets a row (a query with no
+    predictions scores 0s, not silence — silent omission is how recall
+    regressions hide). Ranks beyond k are ignored so callers can pass an
+    over-fetched prediction set."""
+    rel = truth.select(query_col, item_col).distinct()
+    n_rel = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+
+    hits = (
+        pred.filter(F.col(rank_col) <= k)
+        .select(query_col, item_col, rank_col)
+        .join(rel, [query_col, item_col])
+    )
+    per_q = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("_hits"),
+        F.min(rank_col).alias("_first"),
+        F.sum(1.0 / F.log2(F.col(rank_col) + 1)).alias("_dcg"),
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, least({k}, n_rel)), 0D, "
+        "(acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return (
+        n_rel.join(per_q, query_col, "left")
+        .select(
+            query_col,
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall"),
+            F.round(
+                F.coalesce(1.0 / F.col("_first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg"),
+        )
+    )

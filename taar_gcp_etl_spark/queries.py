@@ -1869,6 +1869,26 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, emb.filter(F.col("vec_id") < 20), k=2)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard (operators/metrics.ranking_metrics):
+    recall@2 / MRR@2 / NDCG@2 of the sign-LSH bucketed ANN against the
+    exact cosine top-2, per query (vec_id < 20) — the recall harness as
+    a first-class oracle-paired query, not just a test. Both sides are
+    deterministic (rounded score + id tiebreak), the metrics join moves
+    O(queries × k) rows."""
+    from taar_gcp_etl_spark.operators.metrics import ranking_metrics
+    from taar_gcp_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_bucketed,
+    )
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    truth = cosine_topk_bruteforce(emb, queries_df, k=2)
+    pred = cosine_topk_bucketed(emb, queries_df, k=2)
+    return ranking_metrics(pred, truth, k=2)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution entropy per document — the cheap gibberish /
     boilerplate quality signal (explode → two-level aggregate, linear in
@@ -2164,6 +2184,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi": q_drift_psi,
     "corpus_diff": q_corpus_diff,
     "basket_rules": q_basket_rules,
+    "ann_recall": q_ann_recall,
     # --- rows-only tail: no SQL-expressible oracle ---
     "als_recs": q_als_recs,
     "approx_distinct": q_approx_distinct,
@@ -3619,6 +3640,52 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN v2.digest IS NULL THEN 'removed'
                     ELSE 'retained' END AS status
         FROM v1 FULL OUTER JOIN v2 ON v1.digest = v2.digest
+    """,
+    "ann_recall": f"""
+        WITH truth AS (
+            SELECT query_id, neighbor_id, rnk FROM (
+                SELECT s.*, CAST(row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+                ) AS INTEGER) AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           {_COS} AS cos
+                    FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+                    JOIN embeddings c ON c.vec_id != q.vec_id
+                ) s
+            ) WHERE rnk <= 2),
+        withb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket
+                  FROM embeddings),
+        pred AS (
+            SELECT query_id, neighbor_id, rnk FROM (
+                SELECT s.*, CAST(row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+                ) AS INTEGER) AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           {_COS} AS cos
+                    FROM (SELECT * FROM withb WHERE vec_id < 20) q
+                    JOIN withb c
+                      ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+                ) s
+            ) WHERE rnk <= 2),
+        rel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+                FROM truth GROUP BY query_id),
+        hits AS (SELECT p.query_id, p.rnk
+                 FROM pred p JOIN truth t
+                   ON t.query_id = p.query_id
+                  AND t.neighbor_id = p.neighbor_id),
+        agg AS (SELECT query_id, COUNT(*) AS n_hits, MIN(rnk) AS first_rnk,
+                       SUM(1.0 / log2(rnk + 1)) AS dcg
+                FROM hits GROUP BY query_id)
+        SELECT rel.query_id, rel.n_rel,
+               ROUND(COALESCE(agg.n_hits, 0) / rel.n_rel, 6) AS recall,
+               ROUND(COALESCE(1.0 / agg.first_rnk, 0.0), 6) AS mrr,
+               ROUND(COALESCE(agg.dcg, 0.0) /
+                     list_sum(list_transform(
+                         generate_series(1, LEAST(2, rel.n_rel)),
+                         i -> 1.0 / log2(i + 1))), 6) AS ndcg
+        FROM rel LEFT JOIN agg ON agg.query_id = rel.query_id
     """,
     "basket_rules": """
         WITH b AS (SELECT DISTINCT o.o_custkey AS c, p.p_brand AS i

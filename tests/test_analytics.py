@@ -246,6 +246,47 @@ class TestStreamingDrift:
         assert all(r.psi is not None for r in psi)
 
 
+class TestRankingMetrics:
+    def test_hand_computed_values(self, spark):
+        """Query 1: truth {a,b}, pred ranks [a@1, c@2] → recall 1/2,
+        MRR 1, NDCG = (1/log2(2)) / (1/log2(2)+1/log2(3)). Query 2:
+        truth {x}, pred [y@1, z@2] → all zeros. Query 3: truth {m}, no
+        pred rows at all → row still emitted, zeros (silent omission is
+        how recall regressions hide)."""
+        import math
+
+        from taar_gcp_etl_spark.operators.metrics import ranking_metrics
+
+        truth = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "x"), (3, "m")],
+            "query_id long, neighbor_id string",
+        )
+        pred = spark.createDataFrame(
+            [(1, "a", 1), (1, "c", 2), (2, "y", 1), (2, "z", 2)],
+            "query_id long, neighbor_id string, rnk int",
+        )
+        out = {
+            r.query_id: (r.n_rel, r.recall, r.mrr, r.ndcg)
+            for r in ranking_metrics(pred, truth, k=2).collect()
+        }
+        ideal2 = 1 / math.log2(2) + 1 / math.log2(3)
+        assert out[1] == (2, 0.5, 1.0, round((1 / math.log2(2)) / ideal2, 6))
+        assert out[2] == (1, 0.0, 0.0, 0.0)
+        assert out[3] == (1, 0.0, 0.0, 0.0)
+
+    def test_ranks_beyond_k_ignored(self, spark):
+        from taar_gcp_etl_spark.operators.metrics import ranking_metrics
+
+        truth = spark.createDataFrame(
+            [(1, "a")], "query_id long, neighbor_id string"
+        )
+        pred = spark.createDataFrame(
+            [(1, "a", 3)], "query_id long, neighbor_id string, rnk int"
+        )
+        row = ranking_metrics(pred, truth, k=2).collect()[0]
+        assert (row.recall, row.mrr) == (0.0, 0.0)
+
+
 class TestSnapshotDiff:
     def test_classification(self, spark):
         old = spark.createDataFrame([("a",), ("b",)], "k string")
