@@ -1889,6 +1889,35 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(pred, truth, k=2)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts appearing in the
+    same order, both directions — the co-install graph shape of the
+    reference's guid_coinstallation contract at part granularity).
+    Iterative → rows-only check; determinism and rank-mass conservation
+    are unit-tested (operators/graph.py). 5 iterations, lineage cut
+    mid-run; orders deterministically md5-sampled (25%) to bound the
+    demo's per-iteration shuffle. The symmetric edge set has no dangling
+    nodes, so the operator's static-dangling-set detection skips every
+    per-iteration driver aggregate."""
+    from taar_gcp_etl_spark.operators.graph import pagerank
+    from taar_gcp_etl_spark.operators.sampling import hash_bucket
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(hash_bucket(F.col("l_orderkey"), 100) < 25)
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst")
+    )
+    edges = a.join(b, "o").filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, iters=5, checkpoint_every=3)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution entropy per document — the cheap gibberish /
     boilerplate quality signal (explode → two-level aggregate, linear in
@@ -2187,6 +2216,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     # --- rows-only tail: no SQL-expressible oracle ---
     "als_recs": q_als_recs,
+    "pagerank": q_pagerank,
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,
     "donor_curves": q_donor_curves,

@@ -313,3 +313,49 @@ class TestSnapshotDiff:
         assert exchange_blocks, "expected at least one exchange in the diff"
         for b in exchange_blocks:
             assert "payload" not in b
+
+
+class TestPageRank:
+    def test_star_graph_center_dominates_and_mass_conserved(self, spark):
+        """Star: 1..4 all link to 0, 0 links to 1. Node 0 must hold the
+        highest rank; total mass stays 1 (dangling + damping handled)."""
+        from taar_gcp_etl_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 5)] + [(0, 1)], "src long, dst long"
+        )
+        # the 0↔1 two-cycle converges slowly (rank oscillates with
+        # iteration parity); 40 iterations settle it on this 5-node graph
+        out = {r.node: r.rank for r in pagerank(edges, iters=40).collect()}
+        assert max(out, key=out.get) == 0
+        # analytic fixed point: r0 = 0.1065/(1-0.7225) ≈ 0.4757
+        assert abs(out[0] - 0.4757) < 1e-3
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+        spark.catalog.clearCache()
+
+    def test_dangling_nodes_do_not_leak_mass(self, spark):
+        """2 is a sink (no out-edges): its mass redistributes uniformly
+        instead of vanishing — total stays 1."""
+        from taar_gcp_etl_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2)], "src long, dst long"
+        )
+        out = {r.node: r.rank for r in pagerank(edges, iters=8).collect()}
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+        assert out[2] > out[0]  # downstream of the chain accumulates
+        spark.catalog.clearCache()
+
+    def test_deterministic_and_duplicate_edges_ignored(self, spark):
+        from taar_gcp_etl_spark.operators.graph import pagerank
+
+        e1 = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        e2 = spark.createDataFrame(
+            [(0, 1), (0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        a = sorted(pagerank(e1, iters=6).collect())
+        b = sorted(pagerank(e2, iters=6).collect())
+        assert a == b
+        spark.catalog.clearCache()
