@@ -79,25 +79,21 @@ def basket_rules(
     )
 
 
-def als_recommend(
+def als_fit(
     ratings: DataFrame,
     user_col: str,
     item_col: str,
     rating_col: str,
-    k: int = 3,
     rank: int = 8,
     reg: float = 0.1,
     seed: int = 42,
     implicit: bool = True,
     max_iter: int = 5,
-) -> DataFrame:
-    """Seeded collaborative filtering: factorize the user×item matrix
-    with ALS and return the top-k recommendations per user as
-    (user, item, rec_rank) — rank, not raw score, because factor scores
-    are only meaningful ordinally and float tails differ across BLAS
-    implementations. Items the user already interacted with are NOT
-    excluded (the caller anti-joins if the product surface wants only
-    novel items — that is a business rule, not a model property).
+):
+    """Seeded ALS factorization of the user×item matrix; returns the
+    fitted model (callers derive user recommendations OR item-item
+    neighbors from the one fit — see als_recommendations /
+    als_item_neighbors).
 
     Implicit-feedback mode by default (interaction counts are confidence,
     not preference — the Hu/Koren/Volinsky formulation), which is the
@@ -126,7 +122,7 @@ def als_recommend(
         F.col(item_col).cast("int").alias("_item"),
         F.col(rating_col).cast("float").alias("_rating"),
     )
-    model = ALS(
+    return ALS(
         userCol="_user",
         itemCol="_item",
         ratingCol="_rating",
@@ -137,6 +133,17 @@ def als_recommend(
         coldStartStrategy="drop",
         maxIter=max_iter,
     ).fit(prepared)
+
+
+def als_recommendations(
+    model, user_col: str, item_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k recommendations per user from a fitted ALS model, as
+    (user, item, rec_rank) — rank, not raw score, because factor scores
+    are only meaningful ordinally and float tails differ across BLAS
+    implementations. Items the user already interacted with are NOT
+    excluded (the caller anti-joins if the product surface wants only
+    novel items — that is a business rule, not a model property)."""
     recs = model.recommendForAllUsers(k)
     return recs.select(
         F.col("_user").alias(user_col),
@@ -145,4 +152,72 @@ def als_recommend(
         user_col,
         F.col("_rec._item").alias(item_col),
         (F.col("_pos") + 1).alias("rec_rank"),
+    )
+
+
+def als_recommend(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    k: int = 3,
+    rank: int = 8,
+    reg: float = 0.1,
+    seed: int = 42,
+    implicit: bool = True,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Fit + recommend in one call (see als_fit / als_recommendations);
+    kept as the single-shot convenience API."""
+    model = als_fit(
+        ratings,
+        user_col,
+        item_col,
+        rating_col,
+        rank=rank,
+        reg=reg,
+        seed=seed,
+        implicit=implicit,
+        max_iter=max_iter,
+    )
+    return als_recommendations(model, user_col, item_col, k)
+
+
+def als_item_neighbors(
+    model, item_col: str, k: int = 3, items: DataFrame | None = None
+) -> DataFrame:
+    """Item-item "related items" from the LEARNED item factors: cosine
+    top-k over the factor vectors, served through the SAME search
+    operator as the raw-embedding ANN family
+    (similarity.cosine_topk_bruteforce — and at catalog scale the
+    factors drop into ann_bucketed/ann_ivf unchanged: a factor matrix is
+    just another embedding table). Returns (item, neighbor, cos, rnk).
+
+    `items` (a one-column DataFrame of item ids) bounds WHICH items get
+    neighbors — the brute-force path broadcasts the query side, so "all
+    items" is only sane for bounded catalogs; a full-catalog sweep
+    should go through the bucketed/IVF operators instead.
+
+    Factor-space neighbors capture behavioral similarity (co-interaction
+    patterns) rather than content similarity — the classic "users who
+    liked X liked Y" surface, derived from the one ALS fit."""
+    from taar_gcp_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    factors = model.itemFactors.select(
+        F.col("id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries = factors
+    if items is not None:
+        ids = items.select(
+            F.col(items.columns[0]).cast("int").alias("vec_id")
+        )
+        queries = factors.join(ids, "vec_id", "left_semi")
+    out = cosine_topk_bruteforce(factors, queries, k=k)
+    return out.select(
+        F.col("query_id").alias(item_col),
+        F.col("neighbor_id").alias("neighbor"),
+        "cos",
+        "rnk",
     )

@@ -1579,27 +1579,65 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded implicit-feedback ALS over customer×part purchase counts
-    (operators/recommend.als_recommend): top-3 parts per customer by
-    factor score, emitted as ranks. The collaborative recommender the
-    donor-clustering contract approximates. Customers are deterministically
-    subsampled (md5 bucket) to keep the demo fit bounded — the operator
-    itself is full-scale MLlib ALS. Iterative ML → rows-only check."""
-    from taar_gcp_etl_spark.operators.recommend import als_recommend
+# q_als_recs and q_als_neighbors derive from the ONE seeded ALS fit —
+# same memo discipline as the KMeans _cluster_index
+_ALS_MEMO: dict = {}
+
+
+def _als_model(spark: SparkSession, sf_dir: str):
+    from taar_gcp_etl_spark.operators.recommend import als_fit
     from taar_gcp_etl_spark.operators.sampling import hash_bucket
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ratings = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .filter(hash_bucket(F.col("o_custkey"), 100) < 10)
-        .groupBy("o_custkey", "l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _ALS_MEMO:
+        for stale in [k for k in _ALS_MEMO if k[0] != app_id]:
+            del _ALS_MEMO[stale]
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        ratings = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(hash_bucket(F.col("o_custkey"), 100) < 10)
+            .groupBy("o_custkey", "l_partkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        _ALS_MEMO[key] = als_fit(
+            ratings, "o_custkey", "l_partkey", "n", rank=8, seed=42
+        )
+    return _ALS_MEMO[key]
+
+
+def q_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded implicit-feedback ALS over customer×part purchase counts
+    (operators/recommend.als_fit + als_recommendations): top-3 parts per
+    customer by factor score, emitted as ranks. The collaborative
+    recommender the donor-clustering contract approximates. Customers
+    are deterministically subsampled (md5 bucket) to keep the demo fit
+    bounded — the operator itself is full-scale MLlib ALS. Iterative ML
+    → rows-only check."""
+    from taar_gcp_etl_spark.operators.recommend import als_recommendations
+
+    return als_recommendations(
+        _als_model(spark, sf_dir), "o_custkey", "l_partkey", k=3
     )
-    return als_recommend(
-        ratings, "o_custkey", "l_partkey", "n", k=3, rank=8, seed=42
+
+
+def q_als_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related items from the LEARNED item factors (operators/recommend
+    .als_item_neighbors): behavioral cosine top-3 per item for a bounded
+    item subset, reusing q_als_recs' memoized fit — one factorization
+    serves both the user-rec and the item-item surface, and the factor
+    matrix rides the same search operator as the embedding ANN family.
+    Rows-only check (iterative ML upstream)."""
+    from taar_gcp_etl_spark.operators.recommend import als_item_neighbors
+
+    model = _als_model(spark, sf_dir)
+    items = model.itemFactors.select(F.col("id")).filter(
+        F.col("id") < 100
     )
+    return als_item_neighbors(model, "l_partkey", k=3, items=items)
 
 
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2216,6 +2254,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     # --- rows-only tail: no SQL-expressible oracle ---
     "als_recs": q_als_recs,
+    "als_neighbors": q_als_neighbors,
     "pagerank": q_pagerank,
     "approx_distinct": q_approx_distinct,
     "donor_clusters": q_donor_clusters,

@@ -88,6 +88,24 @@ class TestAlsRecommend:
         key = lambda r: (r.user, r.rec_rank)  # noqa: E731
         assert sorted(a, key=key) == sorted(b, key=key)
 
+    def test_item_neighbors_recover_coliked_block(self, spark):
+        """In factor space, 10's nearest neighbor is its co-liked twin 11
+        (both consumed by the same user block), not the other block's
+        items — behavioral similarity from the one fit. The `items`
+        subset bounds which queries run (broadcast-side control)."""
+        from taar_gcp_etl_spark.operators.recommend import (
+            als_fit,
+            als_item_neighbors,
+        )
+
+        model = als_fit(
+            self._ratings(spark), "user", "item", "n", rank=4, seed=7
+        )
+        items = spark.createDataFrame([(10,)], "item long")
+        out = als_item_neighbors(model, "item", k=1, items=items).collect()
+        assert len(out) == 1
+        assert out[0].item == 10 and out[0].neighbor == 11
+
     def test_block_preferences_recovered(self, spark):
         """Users in the 10/11 block should rank their own block's items
         first — the minimal sanity bar for the factorization."""
