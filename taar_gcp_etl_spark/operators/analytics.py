@@ -19,7 +19,7 @@ per-step state is one (user, ts) row — never the user's event history.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -153,6 +153,77 @@ def cohort_retention(
         .groupBy("cohort", "periods_since")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_hours: int = 24,
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion
+    event to ONE touch event of the same user inside the lookback
+    window — `last_touch` (most recent touch at-or-before the
+    conversion) or `first_touch` (earliest touch inside the window).
+    Returns (id_col, user_col, conv_ts, touch_type, touch_ts); a
+    conversion with no in-window touch keeps null touch columns (it
+    must stay visible — unattributed conversions are the metric that
+    tells you the lookback is wrong).
+
+    Shape: both sides filter by type (pushed to the scan), the join is a
+    user-keyed equi-join with the time window as a residual predicate —
+    per-user event counts bound the fan-out, exactly like the interval
+    join family — and the per-conversion pick is a partitioned
+    row_number (ties broken by touch ts then type for determinism)."""
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(
+            f"model must be 'last_touch' or 'first_touch', got {model!r}"
+        )
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col).alias("conv_ts"),
+    )
+    touch = events.filter(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("touch_ts"),
+    )
+    lb = F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+    joined = conv.join(touch, user_col, "left").withColumn(
+        "_in_window",
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - lb),
+    )
+    in_w = joined.filter(F.col("_in_window"))
+    order = (
+        [F.desc("touch_ts"), F.asc("touch_type")]
+        if model == "last_touch"
+        else [F.asc("touch_ts"), F.asc("touch_type")]
+    )
+    w = Window.partitionBy(id_col).orderBy(*order)
+    credited = (
+        in_w.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, user_col, "conv_ts", "touch_type", "touch_ts")
+    )
+    unattributed = conv.join(
+        credited.select(id_col), id_col, "left_anti"
+    ).select(
+        id_col,
+        user_col,
+        "conv_ts",
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast(conv.schema["conv_ts"].dataType).alias(
+            "touch_ts"
+        ),
+    )
+    return credited.unionByName(unattributed)
 
 
 def distribution_psi(

@@ -1544,6 +1544,21 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(v1, v2, ["digest"])
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/analytics
+    .attribute_conversions): each purchase credits the user's most
+    recent view/click in the prior 24 h; unattributed purchases emit
+    null touch columns. User-keyed join + partitioned pick."""
+    from taar_gcp_etl_spark.operators.analytics import (
+        attribute_conversions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev, "purchase", ["view", "click"], lookback_hours=24
+    )
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FP-Growth association rules over customer×brand baskets
     (operators/recommend.basket_rules) — the confidence/lift-scored
@@ -2252,6 +2267,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "basket_rules": q_basket_rules,
     "ann_recall": q_ann_recall,
+    "attribution": q_attribution,
     # --- rows-only tail: no SQL-expressible oracle ---
     "als_recs": q_als_recs,
     "als_neighbors": q_als_neighbors,
@@ -3709,6 +3725,35 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN v2.digest IS NULL THEN 'removed'
                     ELSE 'retained' END AS status
         FROM v1 FULL OUTER JOIN v2 ON v1.digest = v2.digest
+    """,
+    "attribution": """
+        WITH conv AS (SELECT event_id, user_id, ts AS conv_ts
+                      FROM events WHERE event_type = 'purchase'),
+        touch AS (SELECT user_id, event_type AS touch_type,
+                         ts AS touch_ts
+                  FROM events WHERE event_type IN ('view', 'click')),
+        credited AS (
+            SELECT event_id, user_id, conv_ts, touch_type, touch_ts FROM (
+                SELECT c.*, t.touch_type, t.touch_ts,
+                       row_number() OVER (
+                           PARTITION BY c.event_id
+                           ORDER BY t.touch_ts DESC, t.touch_type ASC
+                       ) AS rn
+                FROM conv c JOIN touch t
+                  ON t.user_id = c.user_id
+                 AND t.touch_ts <= c.conv_ts
+                 AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOURS
+            ) WHERE rn = 1)
+        SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+               CAST(conv_ts AS TIMESTAMP) AS conv_ts,
+               touch_type, CAST(touch_ts AS TIMESTAMP) AS touch_ts
+        FROM credited
+        UNION ALL
+        SELECT CAST(c.event_id AS BIGINT), c.user_id,
+               CAST(c.conv_ts AS TIMESTAMP),
+               NULL, NULL
+        FROM conv c
+        WHERE c.event_id NOT IN (SELECT event_id FROM credited)
     """,
     "ann_recall": f"""
         WITH truth AS (

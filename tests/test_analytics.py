@@ -78,6 +78,59 @@ class TestFunnel:
         assert users[0] > 0
 
 
+class TestAttribution:
+    def test_last_vs_first_touch_and_window_bound(self, spark):
+        """User 1: view@0:00, click@0:30, purchase@1:00 → last-touch
+        credits the click, first-touch the view. User 2's only touch is
+        25h before the purchase — outside the 24h lookback → null
+        credit row (visible, not dropped)."""
+        import datetime as dt
+
+        from taar_gcp_etl_spark.operators.analytics import (
+            attribute_conversions,
+        )
+
+        t = lambda h, m=0: dt.datetime(2024, 1, 2, h, m)  # noqa: E731
+        rows = [
+            (1, 1, "view", t(0)),
+            (2, 1, "click", t(0, 30)),
+            (3, 1, "purchase", t(1)),
+            (4, 2, "view", dt.datetime(2024, 1, 1, 0)),  # 25h before
+            (5, 2, "purchase", dt.datetime(2024, 1, 2, 1)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+            "ts timestamp"
+        )
+        last = {
+            r.event_id: r.touch_type
+            for r in attribute_conversions(
+                df, "purchase", ["view", "click"], 24, "last_touch"
+            ).collect()
+        }
+        first = {
+            r.event_id: r.touch_type
+            for r in attribute_conversions(
+                df, "purchase", ["view", "click"], 24, "first_touch"
+            ).collect()
+        }
+        assert last == {3: "click", 5: None}
+        assert first == {3: "view", 5: None}
+
+    def test_invalid_model_rejected(self, spark):
+        import pytest
+
+        from taar_gcp_etl_spark.operators.analytics import (
+            attribute_conversions,
+        )
+
+        df = spark.createDataFrame(
+            [], "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="last_touch"):
+            attribute_conversions(df, "purchase", ["view"], 24, "linear")
+
+
 class TestCohortRetention:
     def test_offset_zero_covers_every_user_once(self, spark):
         """Every user is active in their own cohort week by definition,
