@@ -423,3 +423,25 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark):
+    """Registry-wide structural audit: NO query plan may contain a
+    CartesianProduct — the join shape that dies first at scale. Unlike
+    the named-subset test above (which also bans BroadcastNestedLoop),
+    this sweep allows bounded-broadcast BNLJ (1-row aggregate joins like
+    winsorize's bounds) but a true cartesian is never acceptable.
+    Exemption: als_recs — MLlib's recommendForAllUsers internally scores
+    user×item FACTOR BLOCKS pairwise (a blocked, bounded cross product —
+    the algorithm, not a planning accident)."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    exempt = {"als_recs"}
+    offenders = []
+    for name, fn in SPARK_QUERIES.items():
+        if name in exempt:
+            continue
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
