@@ -191,22 +191,21 @@ def ingest_batch(
     signed = minhash_signatures(b2, text_col, id_col).drop("shingles")
     bb = _band_rows(signed, id_col)
     idx = _pruned(band_index, bb)
+    # one definition of the signature-agreement verdict and the aliased
+    # index projection for BOTH verify modes — the text-verify fallback
+    # must never diverge from the no-text path
+    agree = sum(
+        (F.col(f"sig{i}") == F.col(f"c_sig{i}")).cast("int")
+        for i in range(N_SIGS)
+    )
+    idx_sigs = idx.select(
+        "band",
+        F.col("doc_id").alias("c_doc_id"),
+        *[F.col(f"sig{i}").alias(f"c_sig{i}") for i in range(N_SIGS)],
+    )
     if corpus_text is None:
-        agree = sum(
-            (F.col(f"sig{i}") == F.col(f"c_sig{i}")).cast("int")
-            for i in range(N_SIGS)
-        )
         near = (
-            bb.join(
-                idx.select(
-                    "band",
-                    *[
-                        F.col(f"sig{i}").alias(f"c_sig{i}")
-                        for i in range(N_SIGS)
-                    ],
-                ),
-                "band",
-            )
+            bb.join(idx_sigs, "band")
             .filter(agree >= F.lit(sig_agree_min))
             .select("doc_id")
             .distinct()
@@ -214,22 +213,8 @@ def ingest_batch(
     else:
         from taar_gcp_etl_spark.operators.dedup import token_shingles
 
-        agree = sum(
-            (F.col(f"sig{i}") == F.col(f"c_sig{i}")).cast("int")
-            for i in range(N_SIGS)
-        )
         cand = (
-            bb.join(
-                idx.select(
-                    "band",
-                    F.col("doc_id").alias("c_doc_id"),
-                    *[
-                        F.col(f"sig{i}").alias(f"c_sig{i}")
-                        for i in range(N_SIGS)
-                    ],
-                ),
-                "band",
-            )
+            bb.join(idx_sigs, "band")
             .select(
                 "doc_id",
                 "c_doc_id",

@@ -195,12 +195,10 @@ def attribute_conversions(
         F.col(ts_col).alias("touch_ts"),
     )
     lb = F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
-    joined = conv.join(touch, user_col, "left").withColumn(
-        "_in_window",
+    in_w = conv.join(touch, user_col).filter(
         (F.col("touch_ts") <= F.col("conv_ts"))
-        & (F.col("touch_ts") >= F.col("conv_ts") - lb),
+        & (F.col("touch_ts") >= F.col("conv_ts") - lb)
     )
-    in_w = joined.filter(F.col("_in_window"))
     order = (
         [F.desc("touch_ts"), F.asc("touch_type")]
         if model == "last_touch"

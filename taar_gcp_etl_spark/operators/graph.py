@@ -73,6 +73,12 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    # prev-generation cache is released only AFTER the next generation
+    # has materialized (collect or checkpoint) — unpersisting eagerly
+    # would evict the relation the lazy next generation is built on and
+    # make each materialization recompute the whole window since the
+    # last checkpoint (quadratic work between checkpoints).
+    retired: DataFrame | None = None
     for i in range(iters):
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         # mass of dangling nodes (no out-edges) — redistributed uniformly
@@ -86,6 +92,9 @@ def pagerank(
             if has_dangling
             else 0.0
         )
+        if retired is not None:  # this generation just materialized
+            retired.unpersist()
+            retired = None
         contribs = (
             ed.join(ranks, ed["_src"] == ranks["node"])
             .select(
@@ -106,5 +115,17 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-        prev.unpersist()
-    return ranks
+            prev.unpersist()  # checkpoint cut the lineage; safe now
+        else:
+            retired = prev
+    # final eager checkpoint decouples the result from every cached
+    # intermediate, so ALL of the operator's cache is released before
+    # return — callers get a self-contained relation and no executor
+    # memory leaks across repeated pagerank calls
+    out = ranks.localCheckpoint(eager=True)
+    for cached in (retired, nodes, ed, dangling_nodes):
+        if cached is not None:
+            cached.unpersist()
+    if ranks is not out:
+        ranks.unpersist()
+    return out

@@ -136,29 +136,43 @@ def compact_partitions(
             f"{root}/.old_{partition_col}={part}",
         )
 
+    def _rename(a: str, b: str) -> None:
+        # Hadoop FileSystem.rename signals failure by RETURNING FALSE
+        # (not raising) — e.g. the destination already exists, in which
+        # case HDFS semantics would MOVE a INTO b as a nested dir.
+        # Unchecked, that silently corrupts the partition while the
+        # function reports success; so every swap step is verified.
+        if not fs.rename(hpath(a), hpath(b)):
+            raise IOError(f"rename failed: {a} -> {b}")
+
+    def _delete(a: str) -> None:
+        if fs.exists(hpath(a)) and not fs.delete(hpath(a), True):
+            raise IOError(f"delete failed: {a}")
+
     # crash recovery: a previous run that died mid-swap left the rows in
     # the backup dir with no live partition — restore before proceeding
     status = fs.globStatus(hpath(f"{root}/.old_{partition_col}=*"))
     for st in status or []:
         bak = st.getPath()
         part = bak.getName().split("=", 1)[1]
-        src = hpath(f"{root}/{partition_col}={part}")
-        if not fs.exists(src):
-            fs.rename(bak, src)
+        src = f"{root}/{partition_col}={part}"
+        if not fs.exists(hpath(src)):
+            _rename(bak.toString(), src)
         else:
-            fs.delete(bak, True)  # swap completed; stale backup
+            _delete(bak.toString())  # swap completed; stale backup
 
     counts = partition_file_counts(spark, root, partition_col)
     todo = sorted(p for p, n in counts.items() if n > max_files)
     done: dict[str, int] = {}
     for part in todo:
         src, tmp, bak = _paths(part)
+        _delete(tmp)  # stale staging from a pre-write crash
         n = compact_parquet_dir(
             spark, src, tmp, target_file_bytes=target_file_bytes
         )
-        fs.rename(hpath(src), hpath(bak))
-        fs.rename(hpath(tmp), hpath(src))
-        fs.delete(hpath(bak), True)
+        _rename(src, bak)
+        _rename(tmp, src)
+        _delete(bak)
         done[part] = n
     return done
 

@@ -371,17 +371,27 @@ def apply_cdc_batch(
         .drop("_rn")
     )
 
-    # explicit existence probe, NOT try/except around the read: a bare
-    # except would also swallow a transient storage error and then
-    # OVERWRITE the table with only this batch's upserts — silent
-    # wholesale data loss. With the probe, a flaky read raises and the
-    # streaming query retries the batch instead.
+    # explicit DATA probe, NOT try/except around the read: a bare except
+    # would also swallow a transient storage error and then OVERWRITE
+    # the table with only this batch's upserts — silent wholesale data
+    # loss. And a bare exists() probe is wrong the other way: a
+    # pre-created EMPTY dir (provisioning mkdir, or a crash that left
+    # only _temporary from a failed first overwrite) would make the
+    # schema-less read raise forever and wedge the stream. So the probe
+    # asks for actual data files (non-hidden entries); a flaky listing
+    # still raises and the streaming query retries the batch.
     jvm = spark._jvm  # type: ignore[attr-defined]
     hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
     fs = hpath.getFileSystem(
         spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
     )
-    exists = fs.exists(hpath)
+    exists = False
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                exists = True
+                break
     cur = spark.read.parquet(table_dir) if exists else None
 
     upserts = latest.filter(F.col(op_col) != "D").drop(op_col)
