@@ -224,6 +224,38 @@ def attribute_conversions(
     return credited.unionByName(unattributed)
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order journey transitions: count (from_type → to_type) over
+    each user's time-ordered event sequence — the Markov matrix behind
+    "what do users do next", and the sanity input for funnel-step design
+    (a step pair users never traverse adjacently is a funnel that will
+    never convert).
+
+    One partitioned lag window per user (a user's events are the natural
+    window unit, same contract as sessionize) + one small-key aggregate;
+    ties on ts break by id_col so the sequence — and therefore the
+    matrix — is deterministic under concurrent timestamps."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        events.select(
+            F.col(user_col),
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def distribution_psi(
     a: DataFrame,
     b: DataFrame,

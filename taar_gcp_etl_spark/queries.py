@@ -1559,6 +1559,14 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (operators/analytics
+    .event_transitions): per-user lag window + small-key aggregate."""
+    from taar_gcp_etl_spark.operators.analytics import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FP-Growth association rules over customer×brand baskets
     (operators/recommend.basket_rules) — the confidence/lift-scored
@@ -2268,6 +2276,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_rules": q_basket_rules,
     "ann_recall": q_ann_recall,
     "attribution": q_attribution,
+    "transitions": q_transitions,
     # --- rows-only tail: no SQL-expressible oracle ---
     "als_recs": q_als_recs,
     "als_neighbors": q_als_neighbors,
@@ -3725,6 +3734,18 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN v2.digest IS NULL THEN 'removed'
                     ELSE 'retained' END AS status
         FROM v1 FULL OUTER JOIN v2 ON v1.digest = v2.digest
+    """,
+    "transitions": """
+        WITH seq AS (
+            SELECT user_id,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS from_type,
+                   event_type AS to_type
+            FROM events)
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
     """,
     "attribution": """
         WITH conv AS (SELECT event_id, user_id, ts AS conv_ts

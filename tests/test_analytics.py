@@ -412,3 +412,44 @@ class TestPageRank:
         b = sorted(pagerank(e2, iters=6).collect())
         assert a == b
         spark.catalog.clearCache()
+
+
+class TestEventTransitions:
+    def test_per_user_sequences_counted(self, spark):
+        """u1: a→b→a (transitions a→b, b→a); u2: a→b. Matrix:
+        a→b = 2, b→a = 1. Each user's first event has no predecessor."""
+        import datetime as dt
+
+        from taar_gcp_etl_spark.operators.analytics import event_transitions
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            (1, 1, "a", t(0)), (2, 1, "b", t(1)), (3, 1, "a", t(2)),
+            (4, 2, "a", t(0)), (5, 2, "b", t(1)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+            "ts timestamp"
+        )
+        out = {
+            (r.from_type, r.to_type): r.n
+            for r in event_transitions(df).collect()
+        }
+        assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+    def test_equal_timestamps_break_by_id(self, spark):
+        import datetime as dt
+
+        from taar_gcp_etl_spark.operators.analytics import event_transitions
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(2, 1, "b", t0), (1, 1, "a", t0)]  # same ts; id orders
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, "
+            "ts timestamp"
+        )
+        out = {
+            (r.from_type, r.to_type): r.n
+            for r in event_transitions(df).collect()
+        }
+        assert out == {("a", "b"): 1}
