@@ -80,7 +80,13 @@ def pagerank(
     # last checkpoint (quadratic work between checkpoints).
     retired: DataFrame | None = None
     for i in range(iters):
-        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        # per-generation caching pays ONLY when something materializes
+        # mid-loop (the dangling collect reads each generation); with no
+        # dangling nodes the only materializations are the checkpoints,
+        # each consuming its window exactly once — caching every
+        # generation there is pure write overhead
+        if has_dangling:
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
         # mass of dangling nodes (no out-edges) — redistributed uniformly
         dangling = (
             (
