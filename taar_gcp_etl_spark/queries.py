@@ -1975,7 +1975,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst")
     )
     edges = a.join(b, "o").filter(F.col("src") != F.col("dst"))
-    ranks = pagerank(edges, iters=5, checkpoint_every=3)
+    # checkpoint cadence > iters: a 5-deep lineage needs no mid-run cut,
+    # so the only materialization is the operator's final checkpoint —
+    # one full evaluation instead of two (the cadence matters for LONG
+    # runs, where plan growth is the bottleneck; see operators/graph.py)
+    ranks = pagerank(edges, iters=5, checkpoint_every=10)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
