@@ -125,6 +125,20 @@ def main(argv: list[str] | None = None) -> int:
         help="probe only: do not append accepted docs to the index",
     )
 
+    p = sub.add_parser(
+        "compact_index",
+        help="incremental-ingest index maintenance: rewrite any pfx"
+        " partition fragmented past the file bound (in-place,"
+        " crash-safe rename swap)",
+    )
+    p.add_argument("--index", required=True, help="index dir")
+    p.add_argument(
+        "--max-files",
+        type=int,
+        default=8,
+        help="files-per-partition bound above which a partition compacts",
+    )
+
     args = parser.parse_args(argv)
 
     from taar_gcp_etl_spark.session import get_spark
@@ -227,6 +241,18 @@ def main(argv: list[str] | None = None) -> int:
             accepted.write.mode("overwrite").parquet(args.out)
             with open(args.report, "w") as fh:
                 _json.dump(report, fh, sort_keys=True)
+        elif args.job == "compact_index":
+            from taar_gcp_etl_spark.jobs import incremental_ingest
+
+            result = incremental_ingest.compact_index(
+                spark, args.index, max_files_per_partition=args.max_files
+            )
+            print(
+                {
+                    sub_idx: len(parts)
+                    for sub_idx, parts in result.items()
+                }
+            )
         elif args.job == "amodump":
             from taar_gcp_etl_spark.jobs import amodump
 

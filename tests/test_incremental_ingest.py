@@ -392,3 +392,23 @@ class TestIngestCli:
         assert report["corpus_exact_dup"] == 1
         assert report["accepted"] == 1
         assert spark.read.parquet(out).collect()[0].doc_id == 7001
+
+    def test_compact_index_cli(self, spark, tmp_path):
+        from taar_gcp_etl_spark.__main__ import main
+
+        idx = str(tmp_path / "idx")
+        incremental_ingest.build_corpus_index(_corpus(spark), idx)
+        for i in range(2):
+            batch = spark.createDataFrame(
+                [(8800 + i, f"cli compaction batch {i} fresh text")],
+                "doc_id long, text string",
+            )
+            incremental_ingest.ingest_batch(spark, batch, idx)
+        n_before = spark.read.parquet(os.path.join(idx, "digests")).count()
+        assert (
+            main(["compact_index", "--index", idx, "--max-files", "1"]) == 0
+        )
+        assert (
+            spark.read.parquet(os.path.join(idx, "digests")).count()
+            == n_before
+        )
