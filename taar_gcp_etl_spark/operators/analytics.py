@@ -70,16 +70,43 @@ def funnel_steps(
     |surviving users| rows per step. The CALLER owns eviction
     (spark.catalog.clearCache() or materialize the result) — the same
     convention as distributed_prefix_sum."""
-    from pyspark import StorageLevel
-
     spark = events.sparkSession
     if not steps:
         return spark.createDataFrame(
             [], "step_idx int, step string, users bigint"
         )
-    frontier: DataFrame | None = None
     counts: list[DataFrame] = []
-    for i, step in enumerate(steps):
+    for i, (step, frontier) in enumerate(
+        zip(steps, _funnel_frontiers(events, steps, user_col, type_col, ts_col))
+    ):
+        counts.append(
+            frontier.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                "users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _funnel_frontiers(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+) -> list[DataFrame]:
+    """The per-step conversion frontiers behind funnel_steps /
+    funnel_step_timing: one persisted (_u, _fts) relation per step —
+    each user surviving step k with their step-k conversion time."""
+    from pyspark import StorageLevel
+
+    frontier: DataFrame | None = None
+    out: list[DataFrame] = []
+    for step in steps:
         ev = events.filter(F.col(type_col) == step).select(
             F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
         )
@@ -96,16 +123,68 @@ def funnel_steps(
                 .agg(F.min("_ts").alias("_fts"))
             )
         frontier = frontier.persist(StorageLevel.MEMORY_AND_DISK)
-        counts.append(
-            frontier.agg(F.count(F.lit(1)).alias("users")).select(
+        out.append(frontier)
+    return out
+
+
+def funnel_step_timing(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert between consecutive funnel steps: for every step
+    k ≥ 1, the converting users' seconds elapsed since THEIR step-(k-1)
+    conversion — (step_idx, step, users, median_secs, avg_secs). The
+    speed half of the funnel (funnel_steps is the volume half): two
+    funnels with identical counts but hour-vs-week step gaps are
+    different products.
+
+    Joins consecutive persisted frontiers on the user (|survivors| rows
+    each side — never events), one small aggregate per step. Exact
+    interpolated percentile for engine parity (same choice as
+    winsorize). Same caller-owns-eviction contract as funnel_steps."""
+    spark = events.sparkSession
+    if len(steps) < 2:
+        return spark.createDataFrame(
+            [],
+            "step_idx int, step string, users bigint, "
+            "median_secs double, avg_secs double",
+        )
+    frontiers = _funnel_frontiers(events, steps, user_col, type_col, ts_col)
+    parts: list[DataFrame] = []
+    for i in range(1, len(steps)):
+        prev_f = frontiers[i - 1].select(
+            "_u", F.col("_fts").alias("_prev_ts")
+        )
+        # exact integer micros diff, ONE double division — mirrors the
+        # oracle's (epoch_us(a) - epoch_us(b)) / 1e6 bit for bit. The
+        # ntz→ltz cast is identity under the pinned UTC session (same
+        # handling as trend_fit).
+        delta = (
+            F.unix_micros(F.col("_fts").cast("timestamp"))
+            - F.unix_micros(F.col("_prev_ts").cast("timestamp"))
+        ) / F.lit(1e6)
+        parts.append(
+            frontiers[i]
+            .join(prev_f, "_u")
+            .agg(
+                F.count(F.lit(1)).alias("users"),
+                F.round(F.percentile(delta, 0.5), 6).alias("median_secs"),
+                F.round(F.avg(delta), 6).alias("avg_secs"),
+            )
+            .select(
                 F.lit(i).alias("step_idx"),
-                F.lit(step).alias("step"),
+                F.lit(steps[i]).alias("step"),
                 "users",
+                "median_secs",
+                "avg_secs",
             )
         )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 

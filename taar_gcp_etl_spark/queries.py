@@ -1559,6 +1559,17 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel steps (operators/analytics
+    .funnel_step_timing): per converting user, seconds since their
+    previous-step conversion — median + mean per step. The speed half of
+    the funnel; frontiers join on users, never events."""
+    from taar_gcp_etl_spark.operators.analytics import funnel_step_timing
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_step_timing(ev, ["view", "click", "purchase"])
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition matrix (operators/analytics
     .event_transitions): per-user lag window + small-key aggregate."""
@@ -2281,6 +2292,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "attribution": q_attribution,
     "transitions": q_transitions,
+    "funnel_timing": q_funnel_timing,
     # --- rows-only tail: no SQL-expressible oracle ---
     "als_recs": q_als_recs,
     "als_neighbors": q_als_neighbors,
@@ -3738,6 +3750,35 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN v2.digest IS NULL THEN 'removed'
                     ELSE 'retained' END AS status
         FROM v1 FULL OUTER JOIN v2 ON v1.digest = v2.digest
+    """,
+    "funnel_timing": """
+        WITH s0 AS (SELECT user_id, MIN(ts) AS fts FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, MIN(e.ts) AS fts FROM events e
+               JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.fts
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS fts FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.fts
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        d1 AS (SELECT (epoch_us(CAST(s1.fts AS TIMESTAMP))
+                       - epoch_us(CAST(s0.fts AS TIMESTAMP))) / 1000000.0
+                       AS secs
+               FROM s1 JOIN s0 ON s1.user_id = s0.user_id),
+        d2 AS (SELECT (epoch_us(CAST(s2.fts AS TIMESTAMP))
+                       - epoch_us(CAST(s1.fts AS TIMESTAMP))) / 1000000.0
+                       AS secs
+               FROM s2 JOIN s1 ON s2.user_id = s1.user_id)
+        SELECT CAST(1 AS INTEGER) AS step_idx, 'click' AS step,
+               CAST(COUNT(*) AS BIGINT) AS users,
+               ROUND(CAST(quantile_cont(secs, 0.5) AS DOUBLE), 6)
+                   AS median_secs,
+               ROUND(AVG(secs), 6) AS avg_secs
+        FROM d1
+        UNION ALL
+        SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT),
+               ROUND(CAST(quantile_cont(secs, 0.5) AS DOUBLE), 6),
+               ROUND(AVG(secs), 6)
+        FROM d2
     """,
     "transitions": """
         WITH seq AS (

@@ -453,3 +453,37 @@ class TestEventTransitions:
             for r in event_transitions(df).collect()
         }
         assert out == {("a", "b"): 1}
+
+
+class TestFunnelTiming:
+    def test_deltas_match_hand_computation(self, spark):
+        """u1: view@0:00 click@0:10 purchase@0:40 → click delta 600s,
+        purchase delta 1800s. u2: view@0:00 click@0:30 (no purchase) →
+        click delta 1800s. Step 'click': users 2, median/avg of
+        {600, 1800}; step 'purchase': users 1."""
+        import datetime as dt
+
+        from taar_gcp_etl_spark.operators.analytics import funnel_step_timing
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            (1, "view", t(0)), (1, "click", t(10)), (1, "purchase", t(40)),
+            (2, "view", t(0)), (2, "click", t(30)),
+        ]
+        out = {
+            r.step: (r.users, r.median_secs, r.avg_secs)
+            for r in funnel_step_timing(
+                _ev(spark, rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out["click"] == (2, 1200.0, 1200.0)
+        assert out["purchase"] == (1, 1800.0, 1800.0)
+        spark.catalog.clearCache()
+
+    def test_single_step_returns_empty(self, spark):
+        import datetime as dt
+
+        from taar_gcp_etl_spark.operators.analytics import funnel_step_timing
+
+        df = _ev(spark, [(1, "view", dt.datetime(2024, 1, 1))])
+        assert funnel_step_timing(df, ["view"]).collect() == []
