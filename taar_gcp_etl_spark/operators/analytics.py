@@ -325,7 +325,6 @@ def event_transitions(
     )
     return (
         events.select(
-            F.col(user_col),
             F.lag(type_col).over(w).alias("from_type"),
             F.col(type_col).alias("to_type"),
         )
