@@ -6,10 +6,13 @@ never pass through the JVM heap twice (no string codec), metadata columns
 stay prunable, and partition sizing accounts for blob width.
 
 Decode/feature-extraction executes as Arrow-batched Pandas UDFs over
-`mapInPandas` — the Spark-side plumbing (schema, batch shape, partitioning)
-is real and tested; the codec call itself is STUBBED (`_decode_image_stub`)
-because media libraries (Pillow/ffmpeg) are not in this container. Swapping
-the stub for a real decoder changes no plan shape.
+`mapInPandas`. UNCOMPRESSED formats decode for real — PPM (P6) and
+24-bit BMP to pixel arrays, PCM WAV to sample arrays — with numpy +
+stdlib only (decode_media). Compressed codecs (JPEG/PNG/MP4) stay behind
+`_decode_image_stub` because the container has no Pillow/ffmpeg; swapping
+the stub for a real codec changes no plan shape. Feature extraction over
+decoded pixels/samples (brightness, channel means, RMS, zero-crossings)
+is real numpy either way.
 """
 
 from __future__ import annotations
@@ -57,6 +60,140 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def decode_ppm(content: bytes):
+    """P6 (binary) PPM → uint8 ndarray of shape (h, w, 3). Pure
+    header-parse + frombuffer: zero-copy into numpy, no codec library."""
+    import numpy as np
+
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end of line
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(content[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def decode_bmp(content: bytes):
+    """Uncompressed 24-bit BMP (BI_RGB) → uint8 ndarray (h, w, 3) in RGB
+    order. Parses the file+info headers, handles the 4-byte row padding
+    and bottom-up row order — stdlib struct + numpy only."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_wav(content: bytes):
+    """PCM WAV → (float samples in [-1, 1] shape (n, channels), rate).
+    stdlib `wave` handles the RIFF container; numpy views the frames."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        n, ch, width, rate = (
+            wf.getnframes(),
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+        )
+        raw = wf.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported sample width {width}")
+    samples = np.frombuffer(raw, dtype=dtype).reshape(-1, ch)
+    if width == 1:  # 8-bit WAV is unsigned
+        return (samples.astype(np.float64) - 128.0) / 128.0, rate
+    return samples.astype(np.float64) / float(2 ** (8 * width - 1)), rate
+
+
+def _image_features(img) -> list[float]:
+    """8-dim real features from a decoded (h, w, 3) uint8 array: dims,
+    per-channel means, grayscale std, aspect ratio."""
+    h, w = img.shape[0], img.shape[1]
+    means = img.reshape(-1, 3).mean(axis=0)
+    gray = img.mean(axis=2)
+    return [
+        float(w),
+        float(h),
+        float(means[0]) / 255.0,
+        float(means[1]) / 255.0,
+        float(means[2]) / 255.0,
+        float(gray.std()) / 255.0,
+        float(w) / float(h) if h else 0.0,
+        3.0,
+    ]
+
+
+def _audio_features(samples, rate: int) -> list[float]:
+    """8-dim real features from decoded PCM samples: duration, rate,
+    mean |amplitude|, RMS, peak, zero-crossing rate, channels."""
+    import numpy as np
+
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    zc = float(np.count_nonzero(np.diff(np.signbit(mono)))) / max(1, n - 1)
+    return [
+        float(n) / float(rate) if rate else 0.0,
+        float(rate),
+        float(np.abs(mono).mean()) if n else 0.0,
+        float(np.sqrt((mono**2).mean())) if n else 0.0,
+        float(np.abs(mono).max()) if n else 0.0,
+        zc,
+        float(samples.shape[1]),
+        float(n),
+    ]
+
+
+def decode_media(content: bytes, mime: str | None) -> list[float]:
+    """Dispatch on mime: REAL decode + features for the uncompressed
+    formats (image/x-portable-pixmap, image/bmp, audio/wav); the
+    deterministic stub for everything else (compressed codecs need
+    libraries this container lacks — the dispatch point is where they
+    plug in)."""
+    if mime == "image/x-portable-pixmap":
+        return _image_features(decode_ppm(content))
+    if mime == "image/bmp":
+        return _image_features(decode_bmp(content))
+    if mime in ("audio/wav", "audio/x-wav"):
+        return _audio_features(*decode_wav(content))
+    return _decode_image_stub(content)
+
+
 def _decode_image_stub(content: bytes) -> list[float]:
     """STUB — deterministic fake 8-dim feature vector from content bytes.
     Replace with a real decoder (Pillow → resize → embed); the container
@@ -82,8 +219,8 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
         for pdf in batches:
             content = pdf["content"]
             # column-at-a-time over the Arrow batch — no row loop; the
-            # decode call is the only per-element work (batched through the
-            # codec when a real decoder replaces the stub)
+            # decode dispatch is the only per-element work (real numpy
+            # decode for uncompressed formats, stub for codec formats)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -96,17 +233,16 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                         if c is not None
                         else None
                     ),
-                    "feat": content.map(
-                        lambda c: _decode_image_stub(c)
-                        if c is not None
-                        else None
-                    ),
+                    "feat": [
+                        decode_media(c, m) if c is not None else None
+                        for c, m in zip(content, pdf["mime"])
+                    ],
                 }
             )
 
-    return df.select("media_id", "kind", "content").mapInPandas(
-        run, schema=FEATURES_SCHEMA
-    )
+    return df.select(
+        "media_id", "kind", "content", F.col("meta.mime").alias("mime")
+    ).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

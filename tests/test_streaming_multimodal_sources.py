@@ -427,6 +427,142 @@ class TestMultimodal:
         assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
 
 
+def _ppm_bytes(w, h, pixels):
+    """Encode (h, w, 3) nested list as binary P6 PPM."""
+    body = bytes(v for row in pixels for px in row for v in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def _bmp_bytes(w, h, pixels):
+    """Encode (h, w, 3) nested RGB list as bottom-up 24-bit BMP."""
+    import struct
+
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    body = b""
+    for row in reversed(pixels):  # bottom-up
+        body += bytes(v for px in row for v in reversed(px)) + pad  # BGR
+    offset = 14 + 40
+    header = b"BM" + struct.pack(
+        "<IHHI", offset + len(body), 0, 0, offset
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info + body
+
+
+def _wav_bytes(samples, rate=8000):
+    """Encode int16 mono samples as a PCM WAV."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            b"".join(struct.pack("<h", s) for s in samples)
+        )
+    return buf.getvalue()
+
+
+class TestRealDecoders:
+    """The uncompressed-format decode path is REAL (numpy/stdlib): bytes
+    → pixels/samples → measured features, end to end through the Arrow
+    mapInPandas plumbing — only compressed codecs remain stubbed."""
+
+    PIXELS = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]  # 2x2: red, green / blue, white
+
+    def _expected_means(self):
+        import numpy as np
+
+        img = np.array(self.PIXELS, dtype=np.uint8)
+        return img.reshape(-1, 3).mean(axis=0) / 255.0
+
+    def test_ppm_decodes_to_true_pixels(self, spark):
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            decode_ppm,
+            extract_features,
+        )
+
+        content = _ppm_bytes(2, 2, self.PIXELS)
+        import numpy as np
+
+        assert (decode_ppm(content) == np.array(self.PIXELS)).all()
+
+        df = spark.createDataFrame(
+            [
+                Row(
+                    media_id=10,
+                    kind="image",
+                    content=content,
+                    meta=Row(
+                        mime="image/x-portable-pixmap",
+                        width=2,
+                        height=2,
+                        duration_ms=None,
+                    ),
+                )
+            ],
+            MEDIA_SCHEMA,
+        )
+        feat = extract_features(df).collect()[0].feat
+        exp = self._expected_means()
+        assert feat[0] == 2.0 and feat[1] == 2.0  # true decoded dims
+        assert feat[2] == pytest.approx(exp[0])
+        assert feat[3] == pytest.approx(exp[1])
+        assert feat[4] == pytest.approx(exp[2])
+
+    def test_bmp_roundtrip_matches_ppm(self, spark):
+        """The same pixels through the BMP container (bottom-up rows,
+        BGR order, 4-byte padding) must decode identically to the PPM."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            decode_bmp,
+            decode_ppm,
+        )
+
+        bmp = decode_bmp(_bmp_bytes(2, 2, self.PIXELS))
+        ppm = decode_ppm(_ppm_bytes(2, 2, self.PIXELS))
+        assert (bmp == ppm).all()
+        # odd width exercises the row padding
+        px3 = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)]]
+        assert (
+            decode_bmp(_bmp_bytes(3, 1, px3)) == np.array(px3)
+        ).all()
+
+    def test_wav_features_measure_the_signal(self, spark):
+        from taar_gcp_etl_spark.operators.multimodal import decode_media
+
+        # full-scale square wave at 8 kHz: peak 1, RMS 1, zcr ~1
+        square = [32767, -32768] * 100
+        feat = decode_media(_wav_bytes(square, rate=8000), "audio/wav")
+        assert feat[1] == 8000.0  # rate
+        assert feat[0] == pytest.approx(200 / 8000.0)  # duration
+        assert feat[4] == pytest.approx(1.0, abs=1e-4)  # peak
+        assert feat[3] == pytest.approx(1.0, abs=1e-4)  # RMS
+        assert feat[5] == pytest.approx(1.0, abs=1e-2)  # zero-cross rate
+
+    def test_unknown_mime_falls_back_to_stub(self, spark):
+        from taar_gcp_etl_spark.operators.multimodal import (
+            _decode_image_stub,
+            decode_media,
+        )
+
+        payload = bytes(range(16))
+        assert decode_media(payload, "image/png") == _decode_image_stub(
+            payload
+        )
+
+
 class TestRestSource:
     def test_fetch_urls_offline(self, spark):
         def fake(url):
