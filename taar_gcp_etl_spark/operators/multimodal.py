@@ -245,6 +245,87 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     ).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def decode_pixels(content: bytes, mime: str | None):
+    """Pixel array for the really-decodable image formats, None for
+    anything else (the caller decides whether undecodable means skip or
+    error)."""
+    if mime == "image/x-portable-pixmap":
+        return decode_ppm(content)
+    if mime == "image/bmp":
+        return decode_bmp(content)
+    return None
+
+
+def dhash64(img, hash_size: int = 8) -> tuple[int, int]:
+    """Difference hash over a decoded (h, w, 3) array: grayscale,
+    nearest-neighbor downsample to (hash_size, hash_size+1), one bit per
+    adjacent-pixel brightness comparison — the classic perceptual hash
+    that survives re-encoding, scaling, and small edits. Returned as two
+    unsigned-32 words (hi, lo), the same shape as the text SimHash, so
+    the SAME banded Hamming pairing serves image near-dup."""
+    import numpy as np
+
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(hash_size) * h) // hash_size
+    xs = (np.arange(hash_size + 1) * w) // (hash_size + 1)
+    small = gray[np.ix_(ys, xs)]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    value = 0
+    for b in bits:
+        value = (value << 1) | int(b)
+    return (value >> 32) & 0xFFFFFFFF, value & 0xFFFFFFFF
+
+
+def media_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual hashes for every decodable image row:
+    (media_id, simhash_hi, simhash_lo) — column names deliberately match
+    the text-SimHash digest relation so dedup.simhash_hamming_pairs
+    consumes it unchanged (see media_near_dup). Undecodable rows (codec
+    formats, null content) are dropped here: no pixels, no perceptual
+    identity."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, content, mime in zip(
+                pdf["media_id"], pdf["content"], pdf["mime"]
+            ):
+                if content is None:
+                    continue
+                img = decode_pixels(content, mime)
+                if img is None:
+                    continue
+                hi, lo = dhash64(img)
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "simhash_hi": his, "simhash_lo": los}
+            )
+
+    return df.select(
+        "media_id", "content", F.col("meta.mime").alias("mime")
+    ).mapInPandas(
+        run, schema="media_id long, simhash_hi long, simhash_lo long"
+    )
+
+
+def media_near_dup(df: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    a direct reuse of the text pipeline's banded pairing
+    (dedup.simhash_hamming_pairs): candidates from 16-bit band
+    equi-joins, popcount verify inside the join stage, hot-band cap.
+    One dedup engine, two modalities."""
+    from taar_gcp_etl_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        media_dhash(df), id_col="media_id", max_hamming=max_hamming
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode each video row into the frame
     timestamps a decoder would extract (the decode itself is stubbed — the

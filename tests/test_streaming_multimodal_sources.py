@@ -551,6 +551,87 @@ class TestRealDecoders:
         assert feat[3] == pytest.approx(1.0, abs=1e-4)  # RMS
         assert feat[5] == pytest.approx(1.0, abs=1e-2)  # zero-cross rate
 
+    def test_perceptual_dedup_finds_near_identical_images(self, spark):
+        """Two 32x32 gradients differing by one dim pixel hash within
+        Hamming distance 8 of each other; an inverted gradient does not.
+        The pairing is the TEXT pipeline's banded Hamming join consuming
+        image dHashes unchanged."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_near_dup,
+        )
+
+        g = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+        base = np.stack([g, g, g], axis=2)
+        tweaked = base.copy()
+        tweaked[5, 5] = [3, 3, 3]  # tiny edit
+        inverted = base[:, ::-1]  # mirrored gradient: different structure
+
+        def ppm(img):
+            h, w, _ = img.shape
+            return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+        rows = [
+            Row(
+                media_id=i,
+                kind="image",
+                content=ppm(img),
+                meta=Row(
+                    mime="image/x-portable-pixmap",
+                    width=32,
+                    height=32,
+                    duration_ms=None,
+                ),
+            )
+            for i, img in ((1, base), (2, tweaked), (3, inverted))
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in media_near_dup(df, max_hamming=8).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_dhash_deterministic_and_undecodable_dropped(self, spark):
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_dhash,
+        )
+
+        rows = [
+            Row(
+                media_id=1,
+                kind="image",
+                content=_ppm_bytes(2, 2, TestRealDecoders.PIXELS),
+                meta=Row(
+                    mime="image/x-portable-pixmap",
+                    width=2,
+                    height=2,
+                    duration_ms=None,
+                ),
+            ),
+            Row(
+                media_id=2,
+                kind="image",
+                content=b"\x89PNG...",
+                meta=Row(
+                    mime="image/png", width=2, height=2, duration_ms=None
+                ),
+            ),
+            Row(media_id=3, kind="image", content=None, meta=None),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        a = {(r.media_id, r.simhash_hi, r.simhash_lo) for r in media_dhash(df).collect()}
+        b = {(r.media_id, r.simhash_hi, r.simhash_lo) for r in media_dhash(df).collect()}
+        assert a == b
+        assert {r[0] for r in a} == {1}  # codec + null rows dropped
+
     def test_unknown_mime_falls_back_to_stub(self, spark):
         from taar_gcp_etl_spark.operators.multimodal import (
             _decode_image_stub,
