@@ -386,3 +386,117 @@ def distribution_psi(
             ).alias("psi_term"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Exact frequent-element detection without a full-key-space shuffle:
+    returns every key with frequency strictly above n/k as
+    (key_col, freq) with EXACT counts.
+
+    Two phases, the classic sketch-then-verify shape:
+
+    1. CANDIDATES, shuffle-free: one `mapInPandas` pass emits, per Arrow
+       batch, the keys whose in-batch count exceeds len(batch)/k — a
+       vectorized `value_counts`, no Python row loop. The pigeonhole
+       guarantee makes this a superset of the answer: a key with global
+       freq > n/k must exceed n_b/k in at least one batch (if it trailed
+       the threshold in every batch, summing gives freq ≤ n/k); and at
+       most k-1 keys can qualify per batch, so the candidate relation is
+       bounded by (k-1) × num_batches rows REGARDLESS of input key
+       cardinality — that bound, not the data, sizes the next step.
+    2. VERIFY, shuffle bounded by candidates: exact recount restricted to
+       the candidate set (broadcast left_semi — the 100 TB side never
+       shuffles on non-candidate keys), then filter against the exact
+       total. Both the count and the threshold are exact, so the output
+       equals `GROUP BY key HAVING count(*) > n/k` — the sketch phase is
+       purely a pruning optimization, which is what makes this
+       SQL-oracle-pairable while the usual Misra-Gries/SpaceSaving
+       summary (approximate counts) is not.
+
+    At fixture scale every key fits every batch so pruning is a no-op;
+    at 100 TB with zipf keys the semi-join is the difference between
+    shuffling 10^9 distinct keys and shuffling the few thousand that
+    could possibly matter."""
+    field = df.schema[key_col]
+    spark = df.sparkSession
+
+    def gen(batches):
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=True)
+            hot = vc[vc > len(pdf) / k]
+            yield hot.index.to_frame(index=False, name=key_col)
+
+    from pyspark.sql.types import StructType
+
+    cands = (
+        df.select(key_col)
+        .mapInPandas(gen, schema=StructType([field]))
+        .distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") > F.col("_n") / F.lit(float(k)))
+        .select(key_col, "freq")
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lookback: int = 5,
+    min_periods: int = 3,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling-window anomaly detection: flag rows whose value
+    deviates more than ``z`` sample standard deviations from the mean of
+    the key's previous ``lookback`` observations (the trailing frame
+    EXCLUDES the current row — an anomaly must not dilute the baseline
+    it is judged against). Rows with fewer than ``min_periods`` prior
+    observations or a degenerate (zero/null) baseline spread are never
+    flagged — a cold-start row is unknown, not anomalous.
+
+    Output: input row + round-6 roll_mean / roll_std / zscore.
+
+    Scale shape: one window over PARTITION BY key ORDER BY order_cols —
+    the partition key is the high-cardinality entity (user, device,
+    sensor), so state per task is one entity's short history, never a
+    global or per-type sort; this is the window-partitioning discipline
+    the repo pins with its no-partitionless-window test. The frame is
+    ROWS-bounded (constant memory per row), and the three aggregates
+    (avg/stddev/count) share the single frame scan."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    cnt = F.count(v).over(w)
+    return (
+        df.withColumn("_m", mean)
+        .withColumn("_s", std)
+        .withColumn("_c", cnt)
+        .filter(
+            (F.col("_c") >= min_periods)
+            & F.col("_s").isNotNull()
+            & (F.col("_s") > 0)
+            & (F.abs((v - F.col("_m")) / F.col("_s")) > z)
+        )
+        .select(
+            *df.columns,
+            F.round(F.col("_m"), 6).alias("roll_mean"),
+            F.round(F.col("_s"), 6).alias("roll_std"),
+            F.round((v - F.col("_m")) / F.col("_s"), 6).alias("zscore"),
+        )
+    )

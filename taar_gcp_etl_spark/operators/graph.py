@@ -1,5 +1,6 @@
 """Iterative graph operators (beyond the connected components in
-operators/dedup.py): PageRank over an edge list.
+operators/dedup.py): PageRank, multi-source BFS, and label-propagation
+communities over an edge list.
 
 Co-occurrence graphs fall out of this engine's own outputs — co-install
 pairs (the reference's guid_coinstallation contract), co-purchase edges,
@@ -135,3 +136,146 @@ def pagerank(
     if ranks is not out:
         ranks.unpersist()
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over a directed edge list → (node, hops), hops =
+    minimum edge count from ANY source node, bounded by ``max_hops``.
+    Unreached nodes are absent from the output (no sentinel rows).
+
+    The standard "blast radius" question over the graphs this engine
+    already produces — how far does a near-dup cluster / co-install
+    neighborhood / recalled-addon set propagate (reference contract the
+    coinstall graph feeds: taar_etl/taar_lite_guid_guid.py) — and the
+    iterative twin of the recursive-CTE the SQL oracle runs.
+
+    Scale shape: the frontier relation is the ONLY thing that grows, and
+    it is capped at |V| rows of (long, int) per round by the min-hop
+    dedup; each round is one equi-join frontier⋈edges (edge relation
+    persisted once, re-shuffled on src per round — O(E) per round, same
+    discipline as pagerank) plus one groupBy(node).min(hops) partial-agg.
+    Visited-set subtraction is a broadcast-resistant left_anti on the
+    accumulated distance relation, which is also ≤ |V| rows. Lineage is
+    cut per round with an eager localCheckpoint — max_hops is small by
+    contract (BFS depth, not diameter), so every round checkpoints; see
+    connected_components' docstring for why persist() alone is not
+    enough. On a real cluster swap localCheckpoint → checkpoint()."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("_src"),
+            F.col(dst_col).cast("long").alias("_dst"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = (
+        sources.select(F.col(node_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["_src"] == frontier["node"])
+            .select(F.col("_dst").alias("node"))
+            # min-hop dedup: a node reached twice THIS round is one row
+            .distinct()
+            # ...and a node reached in ANY earlier round keeps its
+            # earlier (smaller) hop count: drop it from the frontier
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation →
+    (node, community). Each round every node adopts the label most
+    frequent among its neighbors, ties broken by the SMALLEST label —
+    with a fixed round count and uniform init (label = node id) the
+    result is fully deterministic: no sampling, no visit order, no seed.
+
+    Communities are the modularity-flavored sibling of
+    connected_components (operators/dedup.py): CC answers "which nodes
+    are linked at all", LPA answers "which nodes are linked densely" —
+    on a co-install / co-purchase graph that distinction is the
+    difference between one giant component and usable item groupings.
+
+    Scale shape per round: one join frontier⋈edges keyed on src (edge
+    relation persisted once, O(E) rows shuffled per round), one
+    groupBy(node, lbl) count — partial-aggregated map-side, so the
+    shuffle carries at most one row per (node, distinct neighbor label)
+    — and one per-node argmax via max_by on the (count desc, label asc)
+    ordering encoded as a single struct comparison. Labels are cut with
+    eager localCheckpoint per round (see connected_components for why);
+    round count is a fixed small constant by contract, not
+    to-convergence — LPA oscillates on bipartite shapes, so a bounded
+    synchronous schedule is both the deterministic and the robust
+    choice."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("_src"),
+        F.col(dst_col).cast("long").alias("_dst"),
+    )
+    # symmetrize in one pass over the upstream lineage (same trick as
+    # connected_components: explode both directions, then distinct)
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_src").alias("s"), F.col("_dst").alias("d")
+                    ),
+                    F.struct(
+                        F.col("_dst").alias("s"), F.col("_src").alias("d")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.s").alias("_src"), F.col("p.d").alias("_dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("_src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        nbr = (
+            sym.join(labels, sym["_dst"] == labels["node"])
+            .select(F.col("_src").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        prev = labels
+        # argmax by (count DESC, label ASC): max_by over a struct whose
+        # natural ordering is (n, -lbl) — single reduce-side pass, no
+        # window, no row_number
+        labels = nbr.groupBy("node").agg(
+            F.max_by(
+                F.col("lbl"), F.struct(F.col("n"), (-F.col("lbl")).alias("t"))
+            ).alias("lbl")
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    sym.unpersist()
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -2162,6 +2162,126 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric part co-purchase edge list (src, dst), src ≠ dst, over a
+    deterministic 3% md5 sample of orders — the shared graph fixture for
+    the recursive-oracle queries (cc_clusters / bfs_hops / communities).
+    Small on purpose: the DuckDB twin runs a transitive-closure recursive
+    CTE over it, so the sample bounds the closure, not Spark."""
+    from taar_gcp_etl_spark.operators.sampling import hash_bucket
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(hash_bucket(F.col("l_orderkey"), 100) < 3)
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+# shared edge-list CTE for the recursive-graph oracles (DuckDB twin of
+# _copurchase_edges — same md5 bucket, same a≠b symmetric join)
+_EDGES_CTE = """
+    li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 < 3),
+    eu AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+"""
+
+
+def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the co-purchase graph
+    (operators/dedup.connected_components: min-label propagation +
+    pointer doubling, O(log diameter) rounds) — oracle-paired against a
+    DuckDB RECURSIVE CTE computing min reachable node id. The iterative
+    closure is the one query class Spark expresses as a driver loop of
+    declarative steps; pairing it against recursive SQL pins the loop's
+    semantics, not just its determinism."""
+    from taar_gcp_etl_spark.operators.dedup import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return connected_components(
+        edges, src_col="src", dst_col="dst", id_col="node"
+    ).select(F.col("node").cast("long"), F.col("cluster_id").cast("long"))
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.bfs_distances): minimum hop count
+    from a deterministic 10% seed set over the co-purchase graph, depth ≤ 4
+    — oracle-paired against a depth-bounded recursive CTE. The frontier
+    loop's min-hop dedup and visited-set subtraction are exactly what the
+    UNION-dedup recursion does declaratively."""
+    from taar_gcp_etl_spark.operators.graph import bfs_distances
+    from taar_gcp_etl_spark.operators.sampling import hash_bucket
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(hash_bucket(F.col("node"), 100) < 10)
+    )
+    out = bfs_distances(edges, seeds, max_hops=4)
+    return out.select(
+        F.col("node").cast("long"), F.col("hops").cast("int")
+    )
+
+
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.label_propagation):
+    4 synchronous rounds, most-frequent-neighbor-label with min-label tie
+    break — deterministic but not SQL-expressible (the per-round argmax
+    needs window/aggregate state inside the recursion, which recursive
+    CTEs disallow) → rows-only check; determinism and community-structure
+    properties are unit-tested."""
+    from taar_gcp_etl_spark.operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return label_propagation(edges, iters=4)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent users: every user_id with > n/150 of all events, exact
+    counts via the sketch-then-verify shape (operators/analytics
+    .heavy_hitters: per-batch pigeonhole candidates, then a semi-join
+    bounded exact recount) — equal to plain GROUP BY ... HAVING, which is
+    what the oracle runs; the candidate pass is pure pruning."""
+    from taar_gcp_etl_spark.operators.analytics import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"), key_col="user_id", k=150
+    ).select(F.col("user_id").cast("long"), F.col("freq").cast("long"))
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling-window anomaly detection (operators/analytics
+    .rolling_zscore): |value − mean(prev 5)| > 3 sample stddevs, trailing
+    frame excludes the current row, cold-start rows never flagged. The
+    window partitions on the high-cardinality user key — per-entity
+    history state, no global sort."""
+    from taar_gcp_etl_spark.operators.analytics import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return rolling_zscore(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        lookback=5,
+        min_periods=3,
+        z=2.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2293,7 +2413,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "transitions": q_transitions,
     "funnel_timing": q_funnel_timing,
+    "cc_clusters": q_cc_clusters,
+    "bfs_hops": q_bfs_hops,
+    "heavy_hitters": q_heavy_hitters,
+    "rolling_anomaly": q_rolling_anomaly,
     # --- rows-only tail: no SQL-expressible oracle ---
+    "communities": q_communities,
     "als_recs": q_als_recs,
     "als_neighbors": q_als_neighbors,
     "pagerank": q_pagerank,
@@ -3888,5 +4013,56 @@ ORACLE_SQL: dict[str, str] = {
         JOIN item a ON a.i = pair.ia
         JOIN item cons ON cons.i = pair.ib, n
         WHERE cp / n.nb >= 0.4 AND cp / a.ci >= 0.6
+    """,
+
+    "cc_clusters": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        reach(node, lbl) AS (
+            SELECT DISTINCT src, src FROM eu
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN eu e ON e.src = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(min(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    "bfs_hops": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        seeds AS (SELECT DISTINCT src AS node FROM eu
+                  WHERE ('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 < 10),
+        walk(node, d) AS (
+            SELECT node, 0 FROM seeds
+            UNION
+            SELECT e.dst, w.d + 1 FROM walk w JOIN eu e ON e.src = w.node
+            WHERE w.d < 4
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS INTEGER) AS hops
+        FROM walk GROUP BY node
+    """,
+    "heavy_hitters": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM events GROUP BY user_id
+        HAVING count(*) > (SELECT count(*) FROM events) / 150.0
+    """,
+    "rolling_anomaly": """
+        WITH r AS (
+            SELECT event_id, user_id, ts, value,
+                   avg(value) OVER w AS m,
+                   stddev_samp(value) OVER w AS s,
+                   count(value) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(ts AS TIMESTAMP) AS ts, value,
+               ROUND(m, 6) AS roll_mean,
+               ROUND(s, 6) AS roll_std,
+               ROUND((value - m) / s, 6) AS zscore
+        FROM r
+        WHERE c >= 3 AND s IS NOT NULL AND s > 0
+          AND abs((value - m) / s) > 2.5
     """,
 }

@@ -487,3 +487,183 @@ class TestFunnelTiming:
 
         df = _ev(spark, [(1, "view", dt.datetime(2024, 1, 1))])
         assert funnel_step_timing(df, ["view"]).collect() == []
+
+
+class TestBfsDistances:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, ["src", "dst"])
+
+    def test_hand_graph_min_hops(self, spark):
+        from taar_gcp_etl_spark.operators.graph import bfs_distances
+
+        # 1→2→3→4→5 chain plus shortcut 1→4; directed
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {r["node"]: r["hops"] for r in bfs_distances(e, seeds).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+
+    def test_max_hops_bounds_and_multi_source_min(self, spark):
+        from taar_gcp_etl_spark.operators.graph import bfs_distances
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (9, 4)])
+        seeds = spark.createDataFrame([(1,), (9,)], ["node"])
+        got = {
+            r["node"]: r["hops"]
+            for r in bfs_distances(e, seeds, max_hops=2).collect()
+        }
+        # node 4 is 3 hops from source 1 but 1 hop from source 9 → 1;
+        # node 5 is 2 hops via 9→4→5; nothing beyond depth 2 appears
+        assert got == {1: 0, 9: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+
+    def test_unreached_nodes_absent(self, spark):
+        from taar_gcp_etl_spark.operators.graph import bfs_distances
+
+        e = self._edges(spark, [(1, 2), (7, 8)])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        nodes = {r["node"] for r in bfs_distances(e, seeds).collect()}
+        assert nodes == {1, 2}
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge_split(self, spark):
+        from taar_gcp_etl_spark.operators.graph import label_propagation
+
+        # two triangles joined by one bridge edge — LPA should keep them
+        # as two communities (the bridge is outvoted by clique neighbors)
+        tri1 = [(1, 2), (2, 3), (1, 3)]
+        tri2 = [(11, 12), (12, 13), (11, 13)]
+        bridge = [(3, 11)]
+        e = spark.createDataFrame(tri1 + tri2 + bridge, ["src", "dst"])
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(e, iters=4).collect()
+        }
+        assert len(set(got.values())) == 2
+        assert got[1] == got[2] == got[3]
+        assert got[11] == got[12] == got[13]
+
+    def test_deterministic_across_runs(self, spark):
+        from taar_gcp_etl_spark.operators.graph import label_propagation
+
+        import random
+
+        rng = random.Random(7)
+        pairs = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(80)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        e = spark.createDataFrame(pairs, ["src", "dst"])
+        a = sorted(map(tuple, label_propagation(e, iters=5).collect()))
+        b = sorted(map(tuple, label_propagation(e, iters=5).collect()))
+        assert a == b
+
+    def test_labels_are_node_ids(self, spark):
+        from taar_gcp_etl_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+        rows = label_propagation(e, iters=3).collect()
+        nodes = {r["node"] for r in rows}
+        assert {r["community"] for r in rows} <= nodes
+
+
+class TestHeavyHitters:
+    def test_exact_threshold_semantics(self, spark):
+        from taar_gcp_etl_spark.operators.analytics import heavy_hitters
+
+        # 60 rows: key 'a'×30, 'b'×20, then c..l ×1 each → n/k with k=4
+        # is 15: a and b qualify, the singletons never do
+        data = (
+            [("a",)] * 30 + [("b",)] * 20 + [(c,) for c in "cdefghijkl"]
+        )
+        df = spark.createDataFrame(data, ["k"]).repartition(8)
+        got = {r["k"]: r["freq"] for r in heavy_hitters(df, "k", k=4).collect()}
+        assert got == {"a": 30, "b": 20}
+
+    def test_pigeonhole_guarantee_across_partitions(self, spark):
+        from taar_gcp_etl_spark.operators.analytics import heavy_hitters
+
+        # the true heavy hitter is spread thin across many partitions —
+        # candidate generation must still surface it from SOME batch
+        import random
+
+        rng = random.Random(3)
+        rows = [("hot",)] * 400 + [(f"u{i}", ) for i in range(600)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, ["k"]).repartition(16)
+        got = {r["k"]: r["freq"] for r in heavy_hitters(df, "k", k=3).collect()}
+        # n=1000, threshold n/3≈333.3 → only "hot" (400) qualifies
+        assert got == {"hot": 400}
+
+    def test_matches_plain_group_by(self, spark):
+        from taar_gcp_etl_spark.operators.analytics import heavy_hitters
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(2000)
+            .select((F.col("id") % 37).cast("string").alias("k"))
+            .repartition(8)
+        )
+        k = 30
+        expect = {
+            r["k"]: r["freq"]
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > 2000 / k)
+            .collect()
+        }
+        got = {r["k"]: r["freq"] for r in heavy_hitters(df, "k", k=k).collect()}
+        assert got == expect
+
+
+class TestRollingZscore:
+    def test_spike_flagged_cold_start_not(self, spark):
+        from taar_gcp_etl_spark.operators.analytics import rolling_zscore
+
+        # steady 10±1 series with one large spike at t=8; the first rows
+        # lack min_periods history and must never be flagged even though
+        # their values equal the spike's
+        rows = [
+            (1, 1, 100.0),  # would be "anomalous" but no history
+            (1, 2, 10.0), (1, 3, 11.0), (1, 4, 9.0), (1, 5, 10.5),
+            (1, 6, 9.5), (1, 7, 10.0), (1, 8, 100.0), (1, 9, 10.0),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+        got = rolling_zscore(
+            df, "user_id", ["seq"], "value", lookback=5,
+            min_periods=3, z=3.0,
+        ).collect()
+        assert [r["seq"] for r in got] == [8]
+        assert got[0]["zscore"] > 3
+
+    def test_zero_variance_baseline_never_flags(self, spark):
+        from taar_gcp_etl_spark.operators.analytics import rolling_zscore
+
+        rows = [(1, i, 5.0) for i in range(1, 7)] + [(1, 7, 6.0)]
+        df = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+        got = rolling_zscore(
+            df, "user_id", ["seq"], "value", lookback=5,
+            min_periods=3, z=3.0,
+        ).collect()
+        # baseline stddev is exactly 0 → division guarded, nothing flagged
+        assert got == []
+
+    def test_partitions_by_key(self, spark):
+        from taar_gcp_etl_spark.operators.analytics import rolling_zscore
+
+        # two users, identical spike pattern — flags land per user; also
+        # pins that the window is partitioned (no global sort): the plan
+        # must contain a hash-partitioned window, not a single-partition one
+        rows = []
+        for u in (1, 2):
+            rows += [(u, i, 10.0 + (i % 3) * 0.5) for i in range(1, 8)]
+            rows += [(u, 8, 50.0)]
+        df = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+        out = rolling_zscore(
+            df, "user_id", ["seq"], "value", lookback=5,
+            min_periods=3, z=3.0,
+        )
+        assert sorted((r["user_id"], r["seq"]) for r in out.collect()) == [
+            (1, 8), (2, 8),
+        ]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "user_id" in plan
