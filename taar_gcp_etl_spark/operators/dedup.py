@@ -485,7 +485,12 @@ def connected_components(
             ),
         )
         # pointer doubling: lbl <- label(lbl); labels are node ids, so the
-        # parent lookup is a self-join on the label relation
+        # parent lookup is a self-join on the label relation. Exactly ONE
+        # doubling hop per round: a second hop was tried and REJECTED with
+        # measurements (sf0.1 co-purchase graph, 11.6k-node giant
+        # component: 15 s → 22 s) — the min only flows one EDGE per round
+        # regardless, so extra label-space compression doesn't cut round
+        # count enough to pay for two more shuffled joins per round.
         parent = propagated.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("parent_lbl")
         )

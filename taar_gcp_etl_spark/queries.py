@@ -2170,10 +2170,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE over it, so the sample bounds the closure, not Spark."""
     from taar_gcp_etl_spark.operators.sampling import hash_bucket
 
+    # Sample through ORDERS, not lineitem: the md5 bucket is CPU-bound
+    # per row, and filtering the fact table directly runs it over every
+    # lineitem row INSIDE the single-split scan stage (Catalyst pushes
+    # deterministic filters below a repartition, so _wide can't rescue a
+    # filter — measured 3.5 s serialized at bench sf). Hashing the 4×
+    # smaller key side and broadcasting the sampled keys into the fact
+    # scan is also the 100 TB shape: the corpus-side table never pays
+    # per-row hashing for a dimension-keyed sample.
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .filter(hash_bucket(F.col("o_orderkey"), 100) < 3)
+    )
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .filter(hash_bucket(F.col("l_orderkey"), 100) < 3)
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_partkey")
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
@@ -2186,11 +2200,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared edge-list CTE for the recursive-graph oracles (DuckDB twin of
-# _copurchase_edges — same md5 bucket, same a≠b symmetric join)
+# _copurchase_edges — same md5 bucket on the orders key, same a≠b
+# symmetric join; l_orderkey ⊆ o_orderkey, so sampling through orders is
+# row-identical to filtering lineitem directly)
 _EDGES_CTE = """
+    o AS (SELECT o_orderkey FROM orders
+          WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                % 100 < 3),
     li AS (SELECT l_orderkey, l_partkey FROM lineitem
-           WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
-                 % 100 < 3),
+           JOIN o ON l_orderkey = o_orderkey),
     eu AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
            FROM li a JOIN li b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
