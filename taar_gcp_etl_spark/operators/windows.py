@@ -270,3 +270,43 @@ def resample_fill(
         ),
     )
     return out
+
+
+def time_range_rolling(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lookback_sec: int = 3600,
+) -> DataFrame:
+    """Trailing TIME-range rolling aggregates per key: sum / count / avg of
+    ``value_col`` over [ts − lookback, ts] — a RANGE frame, not a ROWS
+    frame, so the window adapts to event density (a burst contributes all
+    its rows; a quiet hour contributes few) and rows with the SAME
+    timestamp are peers that see each other. This is the "last hour of
+    activity per user" shape ROWS frames get subtly wrong.
+
+    The frame is keyed on exact integer epoch-MICROSECONDS
+    (`unix_micros`), never float seconds — integer range bounds are
+    engine-portable (DuckDB twin: `epoch_us(ts)`), and a double frame
+    bound would drift on large epochs.
+
+    Scale: one window partitioned by the high-cardinality entity key —
+    per-task state is one entity's in-frame rows; the RANGE frame adds a
+    moving lower bound over the sorted run, still one pass."""
+    # cast covers TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
+    # the session timezone is pinned UTC, so the cast is value-preserving
+    # and matches DuckDB's naive epoch_us exactly)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-lookback_sec * 1_000_000, 0)
+    )
+    v = F.col(value_col)
+    return df.select(
+        *df.columns,
+        F.round(F.sum(v).over(w), 6).alias("win_sum"),
+        F.count(v).over(w).alias("win_n"),
+        F.round(F.avg(v).over(w), 6).alias("win_avg"),
+    )

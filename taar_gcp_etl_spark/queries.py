@@ -2300,6 +2300,44 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregates (operators/windows.time_range_rolling):
+    trailing 1-hour sum/count/avg per user on exact epoch-microsecond
+    frame bounds — the density-adaptive frame ROWS windows get wrong.
+    Restricted to user_id < 40 to keep the fixture result compact."""
+    from taar_gcp_etl_spark.operators.windows import time_range_rolling
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return time_range_rolling(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        lookback_sec=3600,
+    )
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops — INTERSECT ALL / EXCEPT ALL over customer
+    keys of order-status slices. The multiplicity-preserving twins of
+    q_set_ops' set-semantics composition: EXCEPT ALL keeps a row once per
+    count difference, INTERSECT ALL once per min(count) — semantics a
+    plain join-based rewrite silently gets wrong."""
+    o = _t(spark, sf_dir, "orders")
+
+    def keys(status: str) -> DataFrame:
+        return o.filter(F.col("o_orderstatus") == status).select("o_custkey")
+
+    both = (
+        keys("O").intersectAll(keys("F")).withColumn("tag", F.lit("o_and_f"))
+    )
+    extra = (
+        keys("O").exceptAll(keys("F")).withColumn("tag", F.lit("o_minus_f"))
+    )
+    return both.unionByName(extra)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2435,6 +2473,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hops": q_bfs_hops,
     "heavy_hitters": q_heavy_hitters,
     "rolling_anomaly": q_rolling_anomaly,
+    "range_window": q_range_window,
+    "set_ops_all": q_set_ops_all,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4063,6 +4103,29 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS freq
         FROM events GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events) / 150.0
+    """,
+    "range_window": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(ts AS TIMESTAMP) AS ts, value,
+               ROUND(sum(value) OVER w, 6) AS win_sum,
+               CAST(count(value) OVER w AS BIGINT) AS win_n,
+               ROUND(avg(value) OVER w, 6) AS win_avg
+        FROM events
+        WHERE user_id < 40
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    "set_ops_all": """
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey, 'o_and_f' AS tag
+        FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              INTERSECT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey, 'o_minus_f' AS tag
+        FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+              EXCEPT ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
     "rolling_anomaly": """
         WITH r AS (

@@ -667,3 +667,48 @@ class TestRollingZscore:
         ]
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "user_id" in plan
+
+
+class TestTimeRangeRolling:
+    def test_range_frame_adapts_to_density_and_peers(self, spark):
+        from datetime import datetime
+
+        from taar_gcp_etl_spark.operators.windows import time_range_rolling
+
+        def t(m, s=0):
+            return datetime(2026, 1, 1, 10, m, s)
+
+        rows = [
+            # burst: three events within one minute, one of them a peer
+            # (identical timestamp) — RANGE peers must see each other
+            (1, 1, t(0), 1.0),
+            (2, 1, t(0), 2.0),
+            (3, 1, t(1), 4.0),
+            # quiet: next event 2 hours later — window must have dropped
+            # everything
+            (4, 1, t(0) .replace(hour=13), 8.0),
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+        got = {
+            r["event_id"]: (r["win_sum"], r["win_n"])
+            for r in time_range_rolling(
+                df, "user_id", "ts", "value", lookback_sec=3600
+            ).collect()
+        }
+        assert got[1] == (3.0, 2)  # peer rows see each other: 1+2
+        assert got[2] == (3.0, 2)
+        assert got[3] == (7.0, 3)
+        assert got[4] == (8.0, 1)  # 2h gap: frame emptied
+
+    def test_rows_frame_would_differ(self, spark):
+        # sanity that this is genuinely RANGE semantics: a ROWS(2) frame
+        # over the same burst would give event 3 a different count
+        from datetime import datetime
+
+        from taar_gcp_etl_spark.operators.windows import time_range_rolling
+
+        base = datetime(2026, 1, 1, 10, 0)
+        rows = [(i, 1, base, 1.0) for i in range(5)]  # 5 peers, same ts
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+        out = time_range_rolling(df, "user_id", "ts", "value").collect()
+        assert all(r["win_n"] == 5 for r in out)
