@@ -2300,6 +2300,36 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the 80/10/10 assignment is an
+    md5 bucket of the near-dup CLUSTER id, not the document id — every
+    transitively-linked near-duplicate lands in the SAME split, so no
+    eval document has a training-set twin (the train-test-contamination
+    gate run as a split invariant rather than a post-hoc scan; composes
+    dedup_clusters' components with the deterministic sampling bucket).
+    Singleton documents are their own cluster. The no-straddle invariant
+    is unit-tested over the actual near-dup pairs."""
+    from taar_gcp_etl_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from taar_gcp_etl_spark.operators.sampling import hash_bucket
+
+    docs = _wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    pairs = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    labels = connected_components(pairs)
+    cluster = F.coalesce("cluster_id", F.col("doc_id"))
+    b = hash_bucket(cluster, 100)
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE rolling aggregates (operators/windows.time_range_rolling):
     trailing 1-hour sum/count/avg per user on exact epoch-microsecond
@@ -2475,6 +2505,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_anomaly": q_rolling_anomaly,
     "range_window": q_range_window,
     "set_ops_all": q_set_ops_all,
+    "leak_safe_split": q_leak_safe_split,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4103,6 +4134,40 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS freq
         FROM events GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events) / 150.0
+    """,
+    "leak_safe_split": f"""
+        WITH RECURSIVE toked AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                                 WHERE doc_id < 256),
+        sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toked),
+        nz AS (SELECT * FROM sh WHERE len(s) > 0),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.5
+        ),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        labels AS (SELECT node, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY node),
+        assigned AS (
+            SELECT d.doc_id,
+                   COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 256) d
+            LEFT JOIN labels l ON l.node = d.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 80 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                          1, 8))::BIGINT % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
     """,
     "range_window": """
         SELECT CAST(event_id AS BIGINT) AS event_id,

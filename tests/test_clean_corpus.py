@@ -219,3 +219,40 @@ class TestBuildTrainingSet:
         assert vocab_ids == set(range(20))
         sample = rows[0].token_ids
         assert all(t == -1 or t in vocab_ids for t in sample)
+
+
+class TestLeakSafeSplit:
+    def test_near_dup_pairs_never_straddle_splits(self, spark):
+        """The invariant the query exists for: every near-dup pair's two
+        documents carry the SAME split label (an eval doc can never have
+        a training-set twin)."""
+        from taar_gcp_etl_spark.operators.dedup import ngram_jaccard_pairs
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES, _wide
+
+        sf = "/root/testdata/sf0.001"
+        split = SPARK_QUERIES["leak_safe_split"](spark, sf)
+        docs = _wide(spark, sf, "documents").filter(F.col("doc_id") < 256)
+        pairs = ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+        a = split.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+        )
+        b = split.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+        )
+        straddlers = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .count()
+        )
+        assert pairs.count() > 0  # fixture actually has near-dups
+        assert straddlers == 0
+
+    def test_every_document_assigned_exactly_once(self, spark):
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        split = SPARK_QUERIES["leak_safe_split"](spark, sf)
+        rows = split.collect()
+        assert len(rows) == len({r["doc_id"] for r in rows})
+        assert {r["split"] for r in rows} <= {"train", "val", "test"}
