@@ -164,3 +164,85 @@ def snapshot_diff(
     return lo.join(ln, key_cols, "full_outer").select(
         *key_cols, status.alias("status")
     )
+
+
+def refresh_aggregate(
+    agg_store: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    measures: dict[str, Column],
+    broadcast_delta_keys: bool = True,
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: bring a stored
+    per-key aggregate table up to date for a delta batch WITHOUT
+    re-aggregating the full history. ``measures`` maps output column
+    names to MERGEABLE aggregate expressions over the delta rows (sum /
+    count / min / max — anything where merge(old, partial) is the same
+    aggregate over the partial pair; avg must be maintained as
+    sum + count and derived on read).
+
+    The maintenance identity: agg(history ∪ delta) = merge(agg(history),
+    agg(delta)) per key. So the plan only ever touches
+      1. the DELTA (one partial aggregate, map-side combined), and
+      2. the stored rows whose keys appear in the delta (broadcast
+         semi/outer join on the delta's distinct keys — the store's
+         untouched rows carry over with NO shuffle and NO rewrite of
+         their values; with a key-partitioned store the untouched read
+         is partition-pruned exactly like `upsert`).
+    Cost scales with |delta| + |touched keys|, never |history| — at
+    100 TB of history and a 100 GB daily batch that asymmetry IS the
+    operator. Replays are NOT idempotent by design (applying the same
+    delta twice double-counts — dedup upstream, e.g. with
+    dropDuplicatesWithinWatermark or the ingest index).
+
+    Output schema = keys + sorted(measure names); the store must carry
+    the same measure columns (new keys insert with the delta partial
+    alone)."""
+    mnames = sorted(measures)
+    partial = delta.groupBy(*keys).agg(
+        *[measures[m].alias(f"_d_{m}") for m in mnames]
+    )
+    dkeys = partial.select(*keys)
+    if broadcast_delta_keys:
+        dkeys = F.broadcast(dkeys)
+    untouched = agg_store.join(dkeys, keys, "left_anti").select(
+        *keys, *mnames
+    )
+    touched = partial.join(
+        F.broadcast(agg_store.join(dkeys, keys, "left_semi"))
+        if broadcast_delta_keys
+        else agg_store.join(dkeys, keys, "left_semi"),
+        keys,
+        "left",
+    ).select(
+        *keys,
+        *[
+            _merge_measure(m, measures[m]).alias(m)
+            for m in mnames
+        ],
+    )
+    return untouched.unionByName(touched)
+
+
+def _merge_measure(name: str, expr: Column) -> Column:
+    """merge(stored, delta-partial) for one measure: the stored value and
+    the delta partial combine with the aggregate's own merge op, derived
+    from the expression's aggregate function name (sum/count → +,
+    min → least, max → greatest). New keys have NULL stored values —
+    coalesce to the delta partial."""
+    # Column repr is "Column<'sum(v)'>" in classic mode — the stable
+    # public-ish surface across Spark 4 (Column._jc.expr() is gone)
+    fn = str(expr).split("<'", 1)[-1].split("(")[0].strip().lower()
+    stored, part = F.col(name), F.col(f"_d_{name}")
+    if fn in ("sum", "count"):
+        merged = stored + part
+    elif fn == "min":
+        merged = F.least(stored, part)
+    elif fn == "max":
+        merged = F.greatest(stored, part)
+    else:
+        raise ValueError(
+            f"measure {name!r}: aggregate {fn!r} is not mergeable here — "
+            "use sum/count/min/max (maintain avg as sum+count)"
+        )
+    return F.coalesce(merged, part, stored)

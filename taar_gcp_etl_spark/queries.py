@@ -2300,6 +2300,36 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (operators/merge
+    .refresh_aggregate): per-user sum/count/max kept current by merging a
+    delta batch's partial aggregate into the stored table — cost scales
+    with the delta, never the history. The fixture splits events 3:1 by
+    event_id bucket into history/delta; the oracle is the full
+    re-aggregate the incremental path must equal (the maintenance
+    identity IS the correctness contract)."""
+    from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    history = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    measures = {
+        "total": F.sum("value"),
+        "n": F.count("value"),
+        "mx": F.max("value"),
+    }
+    store = history.groupBy("user_id").agg(
+        *[measures[m].alias(m) for m in sorted(measures)]
+    )
+    out = refresh_aggregate(store, delta, ["user_id"], measures)
+    return out.select(
+        "user_id",
+        _r6(F.col("total")).alias("total"),
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("mx")).alias("mx"),
+    )
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the 80/10/10 assignment is an
     md5 bucket of the near-dup CLUSTER id, not the document id — every
@@ -2506,6 +2536,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_window": q_range_window,
     "set_ops_all": q_set_ops_all,
     "leak_safe_split": q_leak_safe_split,
+    "agg_refresh": q_agg_refresh,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4134,6 +4165,13 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS freq
         FROM events GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events) / 150.0
+    """,
+    "agg_refresh": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               ROUND(sum(value), 6) AS total,
+               CAST(count(value) AS BIGINT) AS n,
+               ROUND(max(value), 6) AS mx
+        FROM events GROUP BY user_id
     """,
     "leak_safe_split": f"""
         WITH RECURSIVE toked AS (SELECT doc_id, {_TOKS} AS t FROM documents

@@ -737,3 +737,91 @@ class TestPhoneticBlocking:
         df = spark.createDataFrame([(1, "Robert Jones")], "id long, name string")
         plan = formatted_plan(df.withColumn("blk", phonetic_block("name")))
         assert "Exchange" not in plan
+
+
+class TestRefreshAggregate:
+    def _store(self, spark):
+        return spark.createDataFrame(
+            [(1, 10.0, 3, 2.0), (2, 20.0, 2, 5.0)],
+            ["k", "total", "n", "mx"],
+        )
+
+    def test_equals_full_recompute(self, spark):
+        """The maintenance identity: incremental refresh over (history,
+        delta) equals a full re-aggregate over history ∪ delta."""
+        from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+
+        history = spark.createDataFrame(
+            [(1, 2.0), (1, 6.0), (1, 2.0), (2, 15.0), (2, 5.0)],
+            ["k", "v"],
+        )
+        delta = spark.createDataFrame(
+            [(1, 7.0), (3, 4.0), (3, 1.0)], ["k", "v"]
+        )
+        measures = {
+            "total": F.sum("v"),
+            "n": F.count("v"),
+            "mx": F.max("v"),
+        }
+        store = history.groupBy("k").agg(
+            *[m.alias(name) for name, m in sorted(measures.items())]
+        ).select("k", "mx", "n", "total")
+        got = refresh_aggregate(store, delta, ["k"], measures)
+        full = (
+            history.unionByName(delta)
+            .groupBy("k")
+            .agg(*[m.alias(name) for name, m in sorted(measures.items())])
+        )
+        norm = lambda df: sorted(  # noqa: E731
+            tuple(r) for r in df.select("k", "mx", "n", "total").collect()
+        )
+        assert norm(got) == norm(full)
+
+    def test_untouched_rows_carry_over_without_shuffle(self, spark):
+        """Key 2 is absent from the delta: its stored row must survive
+        bit-identical, and the untouched branch must reach the output
+        through a broadcast anti-join (store never shuffles)."""
+        from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+        from taar_gcp_etl_spark.plans import formatted_plan
+
+        delta = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+        out = refresh_aggregate(
+            self._store(spark),
+            delta,
+            ["k"],
+            {"total": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+        )
+        rows = {r["k"]: r for r in out.collect()}
+        assert (rows[2]["total"], rows[2]["n"], rows[2]["mx"]) == (
+            20.0, 2, 5.0,
+        )
+        assert (rows[1]["total"], rows[1]["n"], rows[1]["mx"]) == (
+            11.0, 4, 2.0,
+        )
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_new_key_inserts_with_delta_partial(self, spark):
+        from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+
+        delta = spark.createDataFrame([(9, 3.0), (9, 4.0)], ["k", "v"])
+        out = refresh_aggregate(
+            self._store(spark),
+            delta,
+            ["k"],
+            {"total": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+        )
+        row = {r["k"]: r for r in out.collect()}[9]
+        assert (row["total"], row["n"], row["mx"]) == (7.0, 2, 4.0)
+
+    def test_non_mergeable_aggregate_rejected(self, spark):
+        import pytest
+
+        from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+
+        delta = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+        with pytest.raises(ValueError, match="avg"):
+            refresh_aggregate(
+                self._store(spark), delta, ["k"], {"total": F.avg("v")}
+            ).collect()
