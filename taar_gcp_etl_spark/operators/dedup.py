@@ -661,3 +661,4 @@ def segment_dedup(
             ).alias("cleaned_text"),
         )
     )
+
