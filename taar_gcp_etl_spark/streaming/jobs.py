@@ -648,3 +648,108 @@ def stream_ingest_dedup(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def _data_files_exist(spark, table_dir: str) -> bool:
+    """True iff `table_dir` holds actual data files (non-hidden entries) —
+    the same explicit probe apply_cdc_batch uses: a bare exists() wedges
+    on provisioning-mkdir'd empty dirs, a bare try/except around the read
+    swallows transient storage errors and then overwrites the table."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    )
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
+def refresh_aggregate_store(
+    batch_df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    measures: dict,
+    epoch_id: int | None = None,
+) -> bool:
+    """Apply one micro-batch to a stored materialized aggregate
+    (operators/merge.refresh_aggregate): merge the batch's per-key
+    partial into the parquet store; first batch bootstraps the store.
+    Returns True if applied, False if skipped as a replay.
+
+    refresh is NOT naturally idempotent (re-applying a batch
+    double-counts), and foreachBatch is at-least-once — so each applied
+    epoch leaves a marker under `_epochs/` and a replayed epoch_id is
+    skipped BEFORE any read. Marker-after-write ordering means a crash
+    between the table overwrite and the marker touch re-applies the
+    batch — the residual at-least-once window every non-transactional
+    two-file commit has; a table format's atomic commit is the
+    production answer (same honesty contract as apply_cdc_batch's
+    no-tombstone note).
+
+    Scale: identical to the batch operator — cost per micro-batch is
+    O(batch + touched keys); the untouched store rows are rewritten to
+    parquet here only because the store is a flat directory (a
+    key-partitioned store would prune the rewrite exactly like
+    merge.upsert's partition-overwrite note)."""
+    from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+
+    spark = batch_df.sparkSession
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    conf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+    marker = None
+    if epoch_id is not None:
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{table_dir}/_epochs/{epoch_id}"
+        )
+        fs = marker.getFileSystem(conf)
+        if fs.exists(marker):
+            return False
+    mnames = sorted(measures)
+    if _data_files_exist(spark, table_dir):
+        store = spark.read.parquet(table_dir).select(*keys, *mnames)
+        out = refresh_aggregate(store, batch_df, keys, measures)
+    else:
+        out = batch_df.groupBy(*keys).agg(
+            *[measures[m].alias(m) for m in mnames]
+        )
+    out.select(*keys, *mnames).localCheckpoint(
+        eager=True
+    ).write.mode("overwrite").parquet(table_dir)
+    if marker is not None:
+        fs = marker.getFileSystem(conf)
+        fs.mkdirs(marker.getParent())
+        fs.create(marker, True).close()
+    return True
+
+
+def stream_refresh_aggregate(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    measures: dict,
+):
+    """Continuously-maintained materialized aggregate via foreachBatch —
+    the streaming face of operators/merge.refresh_aggregate. Unlike
+    continuous_minute_rollup (windowed partials in state-store memory,
+    watermark-evicted), this maintains an UNWINDOWED per-key table of
+    mergeable aggregates on storage: state never grows with time, only
+    with key cardinality, and readers see a plain parquet table. The
+    epoch guard in refresh_aggregate_store makes replayed micro-batches
+    no-ops (see its crash-window caveat)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        refresh_aggregate_store(
+            batch_df, table_dir, keys, measures, epoch_id=epoch_id
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

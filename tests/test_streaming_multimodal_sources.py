@@ -826,3 +826,76 @@ class TestCdcApply:
             r.id: r.val for r in spark.read.parquet(table).collect()
         }
         assert rows == {1: "a9"}
+
+
+class TestStreamRefreshAggregate:
+    def test_batches_accumulate_and_replay_skipped(self, spark, tmp_path):
+        """Two applied micro-batches accumulate into the stored aggregate;
+        re-applying an epoch is a no-op (the at-least-once guard)."""
+        from taar_gcp_etl_spark.streaming.jobs import (
+            refresh_aggregate_store,
+        )
+
+        table = str(tmp_path / "mv")
+        measures = {"total": F.sum("v"), "n": F.count("v")}
+        b1 = spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 1.0)], ["k", "v"])
+        b2 = spark.createDataFrame([(1, 5.0), (3, 7.0)], ["k", "v"])
+        assert refresh_aggregate_store(b1, table, ["k"], measures, 0)
+        assert refresh_aggregate_store(b2, table, ["k"], measures, 1)
+        # replay of epoch 1 must change nothing
+        assert not refresh_aggregate_store(b2, table, ["k"], measures, 1)
+        rows = {
+            r["k"]: (r["total"], r["n"])
+            for r in spark.read.parquet(table).collect()
+        }
+        assert rows == {1: (10.0, 3), 2: (1.0, 1), 3: (7.0, 1)}
+
+    def test_streaming_end_to_end_matches_full_aggregate(
+        self, spark, tmp_path
+    ):
+        from taar_gcp_etl_spark.streaming.jobs import (
+            stream_refresh_aggregate,
+        )
+
+        src = tmp_path / "mv_src"
+        src.mkdir()
+        table = str(tmp_path / "mv2")
+        rows1 = [(1, 2.0), (2, 4.0), (1, 6.0)]
+        rows2 = [(2, 1.0), (3, 3.0)]
+        spark.createDataFrame(rows1, ["k", "v"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_refresh_aggregate(
+            stream,
+            table,
+            str(tmp_path / "mv_ckpt"),
+            ["k"],
+            {"total": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ["k", "v"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            r["k"]: (r["total"], r["n"], r["mx"])
+            for r in spark.read.parquet(table).collect()
+        }
+        full = spark.createDataFrame(rows1 + rows2, ["k", "v"]).groupBy(
+            "k"
+        ).agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.max("v").alias("mx"),
+        )
+        expect = {
+            r["k"]: (r["total"], r["n"], r["mx"]) for r in full.collect()
+        }
+        assert got == expect
