@@ -445,3 +445,43 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_heavy_hitters_verify_joins_are_broadcast(spark):
+    """The sketch-then-verify contract: the exact recount must reach the
+    fact side through BROADCAST joins on the bounded candidate/total
+    relations — a SortMergeJoin here would shuffle the 100 TB side on
+    every key and defeat the candidate pruning."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    plan = formatted_plan(SPARK_QUERIES["heavy_hitters"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the candidate pass is Python (mapInPandas); the recount itself is
+    # JVM-side (the formatted plan may print the candidate subtree twice
+    # — once per consumer branch — so assert presence, not count)
+    assert "MapInPandas" in plan
+    assert "HashAggregate" in plan
+
+
+def test_agg_refresh_untouched_store_never_shuffles(spark):
+    """Incremental maintenance promise: the stored aggregate reaches the
+    output through broadcast anti/semi joins on the delta's keys — no
+    SortMergeJoin, so the history-sized side never shuffles."""
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    plan = formatted_plan(SPARK_QUERIES["agg_refresh"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_windows_are_hash_partitioned(spark):
+    """rolling_anomaly / range_window: every Window node partitions on
+    the entity key (hashpartitioning in its required distribution) — the
+    no-global-sort discipline, asserted on the executed plan."""
+    for name in ("rolling_anomaly", "range_window"):
+        df = SPARK_QUERIES[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan, name
+        # a partitionless window plans a SinglePartition exchange
+        assert "SinglePartition" not in plan, name
