@@ -1086,7 +1086,8 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — ranking/analytic window suite: rank, dense_rank, ntile,
-    first/last over a range frame, all in one window pass."""
+    percent_rank, cume_dist, first/last over a range frame, all in one
+    window pass."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
@@ -1100,6 +1101,8 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(2).over(w).alias("half"),
+        _r6(F.percent_rank().over(w)).alias("prnk"),
+        _r6(F.cume_dist().over(w)).alias("cdist"),
         F.first("l_quantity").over(w).alias("min_qty"),
         _r2(
             F.sum("l_extendedprice").over(
@@ -3658,6 +3661,8 @@ ORACLE_SQL: dict[str, str] = {
                CAST(rank() OVER w AS INTEGER) AS rnk,
                CAST(dense_rank() OVER w AS INTEGER) AS drnk,
                CAST(ntile(2) OVER w AS INTEGER) AS half,
+               ROUND(percent_rank() OVER w, 6) AS prnk,
+               ROUND(cume_dist() OVER w, 6) AS cdist,
                first_value(l_quantity) OVER w AS min_qty,
                ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey), 2)
                    AS order_total
