@@ -392,54 +392,77 @@ def heavy_hitters(
     df: DataFrame,
     key_col: str,
     k: int = 100,
+    max_broadcast_candidates: int = 1_000_000,
 ) -> DataFrame:
     """Exact frequent-element detection without a full-key-space shuffle:
-    returns every key with frequency strictly above n/k as
-    (key_col, freq) with EXACT counts.
+    returns every NON-NULL key with frequency strictly above n/k as
+    (key_col, freq) with EXACT counts, where n counts the non-null keys.
+    NULL keys are excluded up front — the contract is explicit (and the
+    paired SQL oracle filters the same way) because "the null group is a
+    heavy hitter" is a data-quality alarm, not a frequency answer.
 
     Two phases, the classic sketch-then-verify shape:
 
-    1. CANDIDATES, shuffle-free: one `mapInPandas` pass emits, per Arrow
+    1. CANDIDATES, shuffle-free: one `mapInArrow` pass emits, per Arrow
        batch, the keys whose in-batch count exceeds len(batch)/k — a
-       vectorized `value_counts`, no Python row loop. The pigeonhole
-       guarantee makes this a superset of the answer: a key with global
-       freq > n/k must exceed n_b/k in at least one batch (if it trailed
-       the threshold in every batch, summing gives freq ≤ n/k); and at
-       most k-1 keys can qualify per batch, so the candidate relation is
-       bounded by (k-1) × num_batches rows REGARDLESS of input key
-       cardinality — that bound, not the data, sizes the next step.
-    2. VERIFY, shuffle bounded by candidates: exact recount restricted to
-       the candidate set (broadcast left_semi — the 100 TB side never
-       shuffles on non-candidate keys), then filter against the exact
-       total. Both the count and the threshold are exact, so the output
-       equals `GROUP BY key HAVING count(*) > n/k` — the sketch phase is
-       purely a pruning optimization, which is what makes this
+       vectorized `pyarrow.compute.value_counts`, no Python row loop and
+       NO pandas conversion (pandas coerces int64-with-nulls to float64,
+       silently corrupting 64-bit ids past 2^53 — the same hazard the
+       Avro fallback reader documents; operating on Arrow arrays keeps
+       exact integers end-to-end, and the null filter runs before the
+       exchange anyway). The pigeonhole guarantee makes the emitted set
+       a superset of the answer: a key with global freq > n/k must
+       exceed n_b/k in at least one batch (if it trailed the threshold
+       in every batch, summing gives freq ≤ n/k); at most k-1 keys can
+       qualify per batch, so candidate volume is bounded by
+       (k-1) × num_batches — independent of key cardinality, but NOT
+       independent of LAYOUT: input clustered/sorted by key makes most
+       keys locally frequent, so the bound degrades toward the distinct
+       key count.
+    2. VERIFY, shuffle bounded by candidates: exact recount restricted
+       to the candidate set, then filter against the exact total. Both
+       the count and the threshold are exact, so the output equals
+       `GROUP BY key HAVING count(*) > n/k` — the sketch phase is purely
+       a pruning optimization, which is what makes this
        SQL-oracle-pairable while the usual Misra-Gries/SpaceSaving
        summary (approximate counts) is not.
 
-    At fixture scale every key fits every batch so pruning is a no-op;
-    at 100 TB with zipf keys the semi-join is the difference between
-    shuffling 10^9 distinct keys and shuffling the few thousand that
-    could possibly matter."""
-    field = df.schema[key_col]
-    spark = df.sparkSession
+    The candidate relation is persisted (it is consumed by a sizing
+    count AND the semi-join — unpersisted, the Python candidate pass
+    would run twice) and BROADCAST only while its measured size is under
+    ``max_broadcast_candidates`` — key-clustered layouts degrade
+    candidates toward all-distinct-keys, and an unconditional broadcast
+    there is a driver OOM; past the bound the semi-join falls back to a
+    shuffle join and AQE picks the strategy. Cache lifecycle follows the
+    lsh_near_dup_pairs precedent: the persisted relation is candidate-
+    sized (bounded, narrow), and the caller frees it via `unpersist()` /
+    `spark.catalog.clearCache()` / session teardown."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nn = df.select(key_col).where(F.col(key_col).isNotNull())
 
     def gen(batches):
-        for pdf in batches:
-            vc = pdf[key_col].value_counts(dropna=True)
-            hot = vc[vc > len(pdf) / k]
-            yield hot.index.to_frame(index=False, name=key_col)
+        for batch in batches:
+            n_b = batch.num_rows
+            if n_b == 0:
+                continue
+            vc = pc.value_counts(batch.column(0))
+            hot = vc.filter(pc.greater(vc.field("counts"), n_b / k))
+            yield pa.RecordBatch.from_arrays(
+                [hot.field("values")], schema=batch.schema
+            )
 
-    from pyspark.sql.types import StructType
-
-    cands = (
-        df.select(key_col)
-        .mapInPandas(gen, schema=StructType([field]))
-        .distinct()
+    cands = nn.mapInArrow(gen, schema=nn.schema).distinct().persist()
+    n_cands = cands.count()
+    cand_rel = (
+        F.broadcast(cands)
+        if n_cands <= max_broadcast_candidates
+        else cands
     )
-    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    total = nn.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        df.join(F.broadcast(cands), key_col, "left_semi")
+        nn.join(cand_rel, key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("freq"))
         .crossJoin(F.broadcast(total))
@@ -474,6 +497,14 @@ def rolling_zscore(
     the repo pins with its no-partitionless-window test. The frame is
     ROWS-bounded (constant memory per row), and the three aggregates
     (avg/stddev/count) share the single frame scan."""
+    clash = {"_rz_m", "_rz_s", "_rz_c"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"rolling_zscore: input already carries working columns "
+            f"{sorted(clash)} — rename them first (withColumn would "
+            "silently overwrite and the output would leak window "
+            "internals under the caller's names)"
+        )
     w = (
         Window.partitionBy(key_col)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -484,19 +515,21 @@ def rolling_zscore(
     std = F.stddev_samp(v).over(w)
     cnt = F.count(v).over(w)
     return (
-        df.withColumn("_m", mean)
-        .withColumn("_s", std)
-        .withColumn("_c", cnt)
+        df.withColumn("_rz_m", mean)
+        .withColumn("_rz_s", std)
+        .withColumn("_rz_c", cnt)
         .filter(
-            (F.col("_c") >= min_periods)
-            & F.col("_s").isNotNull()
-            & (F.col("_s") > 0)
-            & (F.abs((v - F.col("_m")) / F.col("_s")) > z)
+            (F.col("_rz_c") >= min_periods)
+            & F.col("_rz_s").isNotNull()
+            & (F.col("_rz_s") > 0)
+            & (F.abs((v - F.col("_rz_m")) / F.col("_rz_s")) > z)
         )
         .select(
             *df.columns,
-            F.round(F.col("_m"), 6).alias("roll_mean"),
-            F.round(F.col("_s"), 6).alias("roll_std"),
-            F.round((v - F.col("_m")) / F.col("_s"), 6).alias("zscore"),
+            F.round(F.col("_rz_m"), 6).alias("roll_mean"),
+            F.round(F.col("_rz_s"), 6).alias("roll_std"),
+            F.round((v - F.col("_rz_m")) / F.col("_rz_s"), 6).alias(
+                "zscore"
+            ),
         )
     )

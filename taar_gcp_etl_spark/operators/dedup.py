@@ -661,4 +661,3 @@ def segment_dedup(
             ).alias("cleaned_text"),
         )
     )
-

@@ -196,6 +196,10 @@ def bfs_distances(
         )
         if nxt.limit(1).count() == 0:
             break
+        # superseded rounds' checkpoint blocks free via the
+        # ContextCleaner when the old `dist`/`frontier` references drop
+        # (localCheckpoint doesn't register with the CacheManager, so an
+        # explicit unpersist would be a no-op)
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     e.unpersist()
@@ -267,15 +271,16 @@ def label_propagation(
             .groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        prev = labels
         # argmax by (count DESC, label ASC): max_by over a struct whose
         # natural ordering is (n, -lbl) — single reduce-side pass, no
-        # window, no row_number
+        # window, no row_number. The superseded round's localCheckpoint
+        # blocks are NOT unpersist-able (checkpoints don't register with
+        # the CacheManager); they free via the ContextCleaner once the
+        # previous `labels` reference drops here.
         labels = nbr.groupBy("node").agg(
             F.max_by(
                 F.col("lbl"), F.struct(F.col("n"), (-F.col("lbl")).alias("t"))
             ).alias("lbl")
         ).localCheckpoint(eager=True)
-        prev.unpersist()
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))

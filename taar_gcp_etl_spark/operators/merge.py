@@ -170,20 +170,29 @@ def refresh_aggregate(
     agg_store: DataFrame,
     delta: DataFrame,
     keys: list[str],
-    measures: dict[str, Column],
+    measures: dict[str, tuple[str, str]],
     broadcast_delta_keys: bool = True,
 ) -> DataFrame:
     """Incremental materialized-aggregate maintenance: bring a stored
     per-key aggregate table up to date for a delta batch WITHOUT
     re-aggregating the full history. ``measures`` maps output column
-    names to MERGEABLE aggregate expressions over the delta rows (sum /
-    count / min / max — anything where merge(old, partial) is the same
-    aggregate over the partial pair; avg must be maintained as
-    sum + count and derived on read).
+    names to EXPLICIT mergeable-aggregate specs ``(op, column)`` with op
+    in {'sum', 'count', 'min', 'max'} ('count' over a column counts its
+    non-nulls; 'count' over '*' counts rows). The op vocabulary is
+    closed ON PURPOSE: these are the aggregates where merge(old,
+    partial) equals the aggregate over the combined inputs. Specs are
+    data, not Column expressions — an earlier Column-based signature
+    dispatched on the expression's repr, and `F.sum_distinct` reprs
+    identically to `F.sum`, silently merging distinct-counts with '+'
+    (wrong results, no error). Non-mergeable aggregates: maintain avg as
+    sum + count and derive on read; distinct-counts need a sketch (HLL)
+    or the full key set, not this operator.
 
     The maintenance identity: agg(history ∪ delta) = merge(agg(history),
     agg(delta)) per key. So the plan only ever touches
-      1. the DELTA (one partial aggregate, map-side combined), and
+      1. the DELTA (ONE partial aggregate — materialized with an eager
+         localCheckpoint so the anti/semi/merge branches all read the
+         computed partial instead of re-scanning the delta per branch),
       2. the stored rows whose keys appear in the delta (broadcast
          semi/outer join on the delta's distinct keys — the store's
          untouched rows carry over with NO shuffle and NO rewrite of
@@ -200,8 +209,11 @@ def refresh_aggregate(
     alone)."""
     mnames = sorted(measures)
     partial = delta.groupBy(*keys).agg(
-        *[measures[m].alias(f"_d_{m}") for m in mnames]
-    )
+        *[
+            _measure_agg(measures[m]).alias(f"_d_{m}")
+            for m in mnames
+        ]
+    ).localCheckpoint(eager=True)
     dkeys = partial.select(*keys)
     if broadcast_delta_keys:
         dkeys = F.broadcast(dkeys)
@@ -217,32 +229,41 @@ def refresh_aggregate(
     ).select(
         *keys,
         *[
-            _merge_measure(m, measures[m]).alias(m)
+            _merge_measure(m, measures[m][0]).alias(m)
             for m in mnames
         ],
     )
     return untouched.unionByName(touched)
 
 
-def _merge_measure(name: str, expr: Column) -> Column:
-    """merge(stored, delta-partial) for one measure: the stored value and
-    the delta partial combine with the aggregate's own merge op, derived
-    from the expression's aggregate function name (sum/count → +,
-    min → least, max → greatest). New keys have NULL stored values —
-    coalesce to the delta partial."""
-    # Column repr is "Column<'sum(v)'>" in classic mode — the stable
-    # public-ish surface across Spark 4 (Column._jc.expr() is gone)
-    fn = str(expr).split("<'", 1)[-1].split("(")[0].strip().lower()
-    stored, part = F.col(name), F.col(f"_d_{name}")
-    if fn in ("sum", "count"):
-        merged = stored + part
-    elif fn == "min":
-        merged = F.least(stored, part)
-    elif fn == "max":
-        merged = F.greatest(stored, part)
-    else:
+_MERGEABLE_OPS = ("sum", "count", "min", "max")
+
+
+def _measure_agg(spec: tuple[str, str]) -> Column:
+    """Build the partial-aggregate Column for one (op, column) spec."""
+    op, col = spec
+    if op not in _MERGEABLE_OPS:
         raise ValueError(
-            f"measure {name!r}: aggregate {fn!r} is not mergeable here — "
-            "use sum/count/min/max (maintain avg as sum+count)"
+            f"aggregate {op!r} is not mergeable — use one of "
+            f"{_MERGEABLE_OPS} (maintain avg as sum+count, distinct "
+            "counts as a sketch)"
         )
+    if op == "count":
+        return (
+            F.count(F.lit(1)) if col == "*" else F.count(F.col(col))
+        )
+    return getattr(F, op)(F.col(col))
+
+
+def _merge_measure(name: str, op: str) -> Column:
+    """merge(stored, delta-partial) for one measure: sum/count → +,
+    min → least, max → greatest. New keys have NULL stored values —
+    coalesce to the delta partial."""
+    stored, part = F.col(name), F.col(f"_d_{name}")
+    if op in ("sum", "count"):
+        merged = stored + part
+    elif op == "min":
+        merged = F.least(stored, part)
+    else:
+        merged = F.greatest(stored, part)
     return F.coalesce(merged, part, stored)

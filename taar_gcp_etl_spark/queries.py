@@ -2317,12 +2317,14 @@ def q_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = ev.filter(F.col("event_id") % 4 != 0)
     delta = ev.filter(F.col("event_id") % 4 == 0)
     measures = {
-        "total": F.sum("value"),
-        "n": F.count("value"),
-        "mx": F.max("value"),
+        "total": ("sum", "value"),
+        "n": ("count", "value"),
+        "mx": ("max", "value"),
     }
     store = history.groupBy("user_id").agg(
-        *[measures[m].alias(m) for m in sorted(measures)]
+        F.sum("value").alias("total"),
+        F.count("value").alias("n"),
+        F.max("value").alias("mx"),
     )
     out = refresh_aggregate(store, delta, ["user_id"], measures)
     return out.select(
@@ -4168,8 +4170,10 @@ ORACLE_SQL: dict[str, str] = {
     "heavy_hitters": """
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(count(*) AS BIGINT) AS freq
-        FROM events GROUP BY user_id
-        HAVING count(*) > (SELECT count(*) FROM events) / 150.0
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+        HAVING count(*) > (SELECT count(*) FROM events
+                           WHERE user_id IS NOT NULL) / 150.0
     """,
     "agg_refresh": """
         SELECT CAST(user_id AS BIGINT) AS user_id,

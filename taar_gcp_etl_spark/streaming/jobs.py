@@ -683,7 +683,9 @@ def refresh_aggregate_store(
 
     refresh is NOT naturally idempotent (re-applying a batch
     double-counts), and foreachBatch is at-least-once — so each applied
-    epoch leaves a marker under `_epochs/` and a replayed epoch_id is
+    epoch leaves a marker in a SIBLING `<table_dir>_epochs/` directory
+    (inside the table dir it would be wiped by every overwrite, shrinking
+    the guard to only the latest epoch) and a replayed epoch_id is
     skipped BEFORE any read. Marker-after-write ordering means a crash
     between the table overwrite and the marker touch re-applies the
     batch — the residual at-least-once window every non-transactional
@@ -704,7 +706,7 @@ def refresh_aggregate_store(
     marker = None
     if epoch_id is not None:
         marker = jvm.org.apache.hadoop.fs.Path(
-            f"{table_dir}/_epochs/{epoch_id}"
+            f"{table_dir.rstrip('/')}_epochs/{epoch_id}"
         )
         fs = marker.getFileSystem(conf)
         if fs.exists(marker):
@@ -714,8 +716,10 @@ def refresh_aggregate_store(
         store = spark.read.parquet(table_dir).select(*keys, *mnames)
         out = refresh_aggregate(store, batch_df, keys, measures)
     else:
+        from taar_gcp_etl_spark.operators.merge import _measure_agg
+
         out = batch_df.groupBy(*keys).agg(
-            *[measures[m].alias(m) for m in mnames]
+            *[_measure_agg(measures[m]).alias(m) for m in mnames]
         )
     out.select(*keys, *mnames).localCheckpoint(
         eager=True

@@ -594,6 +594,25 @@ class TestHeavyHitters:
         # n=1000, threshold n/3≈333.3 → only "hot" (400) qualifies
         assert got == {"hot": 400}
 
+    def test_null_keys_excluded_and_int64_exact(self, spark):
+        """NULL keys are out of contract (both engines filter them), and
+        64-bit ids past 2^53 survive the candidate pass exactly even
+        when the batch carries nulls — the mapInArrow path never visits
+        pandas, whose int64-with-nulls -> float64 coercion corrupted
+        snowflake-scale ids."""
+        from taar_gcp_etl_spark.operators.analytics import heavy_hitters
+
+        big_a = (1 << 60) + 1
+        big_b = (1 << 60) + 3  # collides with big_a after float64 rounding
+        rows = (
+            [(big_a,)] * 6 + [(big_b,)] * 2 + [(None,)] * 8 + [(7,)] * 1
+        )
+        df = spark.createDataFrame(rows, "k long").repartition(2)
+        got = {r["k"]: r["freq"] for r in heavy_hitters(df, "k", k=2).collect()}
+        # n (non-null) = 9, threshold 4.5 -> only big_a qualifies, with
+        # its exact id and exact count
+        assert got == {big_a: 6}
+
     def test_matches_plain_group_by(self, spark):
         from taar_gcp_etl_spark.operators.analytics import heavy_hitters
         from pyspark.sql import functions as F

@@ -457,10 +457,10 @@ def test_heavy_hitters_verify_joins_are_broadcast(spark):
     plan = formatted_plan(SPARK_QUERIES["heavy_hitters"](spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # the candidate pass is Python (mapInPandas); the recount itself is
-    # JVM-side (the formatted plan may print the candidate subtree twice
-    # — once per consumer branch — so assert presence, not count)
-    assert "MapInPandas" in plan
+    # the candidate pass is Python (Arrow-native mapInArrow — shows as
+    # InMemoryTableScan over the persisted candidate relation or as
+    # MapInArrow when uncached); the recount itself is JVM-side
+    assert "MapInArrow" in plan or "InMemoryTableScan" in plan
     assert "HashAggregate" in plan
 
 

@@ -759,18 +759,24 @@ class TestRefreshAggregate:
             [(1, 7.0), (3, 4.0), (3, 1.0)], ["k", "v"]
         )
         measures = {
-            "total": F.sum("v"),
-            "n": F.count("v"),
-            "mx": F.max("v"),
+            "total": ("sum", "v"),
+            "n": ("count", "v"),
+            "mx": ("max", "v"),
         }
         store = history.groupBy("k").agg(
-            *[m.alias(name) for name, m in sorted(measures.items())]
+            F.max("v").alias("mx"),
+            F.count("v").alias("n"),
+            F.sum("v").alias("total"),
         ).select("k", "mx", "n", "total")
         got = refresh_aggregate(store, delta, ["k"], measures)
         full = (
             history.unionByName(delta)
             .groupBy("k")
-            .agg(*[m.alias(name) for name, m in sorted(measures.items())])
+            .agg(
+                F.sum("v").alias("total"),
+                F.count("v").alias("n"),
+                F.max("v").alias("mx"),
+            )
         )
         norm = lambda df: sorted(  # noqa: E731
             tuple(r) for r in df.select("k", "mx", "n", "total").collect()
@@ -789,7 +795,7 @@ class TestRefreshAggregate:
             self._store(spark),
             delta,
             ["k"],
-            {"total": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+            {"total": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
         )
         rows = {r["k"]: r for r in out.collect()}
         assert (rows[2]["total"], rows[2]["n"], rows[2]["mx"]) == (
@@ -810,7 +816,7 @@ class TestRefreshAggregate:
             self._store(spark),
             delta,
             ["k"],
-            {"total": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+            {"total": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
         )
         row = {r["k"]: r for r in out.collect()}[9]
         assert (row["total"], row["n"], row["mx"]) == (7.0, 2, 4.0)
@@ -823,5 +829,21 @@ class TestRefreshAggregate:
         delta = spark.createDataFrame([(1, 1.0)], ["k", "v"])
         with pytest.raises(ValueError, match="avg"):
             refresh_aggregate(
-                self._store(spark), delta, ["k"], {"total": F.avg("v")}
+                self._store(spark), delta, ["k"], {"total": ("avg", "v")}
+            ).collect()
+
+    def test_distinct_aggregates_rejected_not_mismerged(self, spark):
+        """The old Column-based signature dispatched on the expression
+        repr, and F.sum_distinct reprs as plain 'sum' — it was silently
+        merged with '+' and produced wrong results. The spec vocabulary
+        is closed, so any distinct variant is a hard error."""
+        import pytest
+
+        from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+
+        delta = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+        with pytest.raises(ValueError, match="sum_distinct"):
+            refresh_aggregate(
+                self._store(spark), delta, ["k"],
+                {"total": ("sum_distinct", "v")},
             ).collect()

@@ -837,13 +837,17 @@ class TestStreamRefreshAggregate:
         )
 
         table = str(tmp_path / "mv")
-        measures = {"total": F.sum("v"), "n": F.count("v")}
+        measures = {"total": ("sum", "v"), "n": ("count", "v")}
         b1 = spark.createDataFrame([(1, 2.0), (1, 3.0), (2, 1.0)], ["k", "v"])
         b2 = spark.createDataFrame([(1, 5.0), (3, 7.0)], ["k", "v"])
         assert refresh_aggregate_store(b1, table, ["k"], measures, 0)
         assert refresh_aggregate_store(b2, table, ["k"], measures, 1)
         # replay of epoch 1 must change nothing
         assert not refresh_aggregate_store(b2, table, ["k"], measures, 1)
+        # replay of an OLDER epoch must also be skipped: markers live in
+        # a sibling directory precisely so the table overwrite cannot
+        # wipe them (in-table markers guarded only the latest epoch)
+        assert not refresh_aggregate_store(b1, table, ["k"], measures, 0)
         rows = {
             r["k"]: (r["total"], r["n"])
             for r in spark.read.parquet(table).collect()
@@ -875,7 +879,7 @@ class TestStreamRefreshAggregate:
             table,
             str(tmp_path / "mv_ckpt"),
             ["k"],
-            {"total": F.sum("v"), "n": F.count("v"), "mx": F.max("v")},
+            {"total": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
         )
         q.processAllAvailable()
         spark.createDataFrame(rows2, ["k", "v"]).coalesce(1).write.mode(
