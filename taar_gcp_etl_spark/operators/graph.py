@@ -284,3 +284,108 @@ def label_propagation(
         ).localCheckpoint(eager=True)
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def graph_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node structural statistics over an undirected edge list:
+    (node, degree, triangles, clustering) — triangle membership counts
+    and the local clustering coefficient 2·t / (d·(d−1)), the standard
+    "how clique-like is this node's neighborhood" signal (boilerplate
+    mirror clusters in a near-dup graph score ~1; hub spam scores ~0).
+
+    Triangle enumeration uses DEGREE ORIENTATION — each undirected edge
+    is directed from its lower-(degree, id) endpoint to the higher one,
+    wedges are built only between each node's out-neighbors, and a wedge
+    closes iff its third edge exists in the same orientation. Every
+    triangle is counted exactly once, and total wedge volume is bounded
+    by O(E^1.5) REGARDLESS of skew (Schank-Wagner / Latapy bound: a
+    hub's wedge count collapses because almost all its neighbors have
+    lower degree, so the hub generates no out-wedges) — the id-ordered
+    textbook variant is quadratic in the hottest node's degree, which at
+    corpus scale is exactly the node that matters. The result is
+    orientation-invariant, so the SQL oracle can verify with plain
+    id-ordering.
+
+    Shuffles: degree aggregate (narrow), two wedge joins keyed on node /
+    edge pair, one membership explode + aggregate. No iteration, no
+    driver loop."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    # symmetric neighbor view (one scan, both directions), then degrees
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("u"), F.col("dst").alias("v")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("u"), F.col("src").alias("v")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    # orient: u → v iff (deg(u), u) < (deg(v), v)
+    du = deg.select(F.col("u").alias("_n1"), F.col("degree").alias("_d1"))
+    dv = deg.select(F.col("u").alias("_n2"), F.col("degree").alias("_d2"))
+    oriented = (
+        sym.join(du, sym["u"] == du["_n1"])
+        .join(dv, sym["v"] == dv["_n2"])
+        .filter(
+            (F.col("_d1") < F.col("_d2"))
+            | ((F.col("_d1") == F.col("_d2")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .persist()
+    )
+    # wedges between out-neighbors of the same center; (a, b) ordered by
+    # the same (degree, id) ranking because out-edges are — close with
+    # an oriented edge a → b
+    w1 = oriented.select(F.col("u").alias("c"), F.col("v").alias("a"))
+    w2 = oriented.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    wedges = w1.join(w2, "c").filter(F.col("a") != F.col("b"))
+    closer = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tri = wedges.join(closer, ["a", "b"], "left_semi")
+    members = tri.select(
+        F.explode(F.array("c", "a", "b")).alias("node")
+    )
+    tri_n = members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    out = (
+        deg.select(F.col("u").alias("node"), "degree")
+        .join(tri_n, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+    # wedge dedup note: (a,b) pairs from w1⋈w2 appear once per direction
+    # — the a≠b filter keeps both (a,b) and (b,a), but only ONE matches
+    # the oriented closer (orientation is a total order), so each
+    # triangle closes exactly once per center and 3 times total, one per
+    # member — which is exactly the per-node membership count.
+    return out

@@ -2303,6 +2303,17 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree / triangle count / clustering coefficient over the
+    co-purchase graph (operators/graph.graph_stats): degree-oriented
+    triangle enumeration, O(E^1.5) wedge volume regardless of hub skew.
+    Orientation-invariant result — the oracle verifies with plain
+    id-ordered SQL joins."""
+    from taar_gcp_etl_spark.operators.graph import graph_stats
+
+    return graph_stats(_copurchase_edges(spark, sf_dir))
+
+
 def q_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance (operators/merge
     .refresh_aggregate): per-user sum/count/max kept current by merging a
@@ -2542,6 +2553,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_all": q_set_ops_all,
     "leak_safe_split": q_leak_safe_split,
     "agg_refresh": q_agg_refresh,
+    "graph_stats": q_graph_stats,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4174,6 +4186,26 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events
                            WHERE user_id IS NOT NULL) / 150.0
+    """,
+    "graph_stats": f"""
+        WITH {_EDGES_CTE},
+        el AS (SELECT src AS a, dst AS b FROM eu WHERE src < dst),
+        tri AS (
+            SELECT x.a AS ta, x.b AS tb, y.b AS tc
+            FROM el x
+            JOIN el y ON y.a = x.b
+            JOIN el z ON z.a = x.a AND z.b = y.b),
+        tn AS (SELECT unnest([ta, tb, tc]) AS node FROM tri),
+        tcount AS (SELECT node, count(*) AS triangles FROM tn GROUP BY node),
+        deg AS (SELECT src AS node, count(*) AS degree FROM eu GROUP BY src)
+        SELECT CAST(d.node AS BIGINT) AS node,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN ROUND(2.0 * COALESCE(t.triangles, 0)
+                               / (d.degree * (d.degree - 1)), 6)
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN tcount t ON t.node = d.node
     """,
     "agg_refresh": """
         SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -731,3 +731,37 @@ class TestTimeRangeRolling:
         df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
         out = time_range_rolling(df, "user_id", "ts", "value").collect()
         assert all(r["win_n"] == 5 for r in out)
+
+
+class TestGraphStats:
+    def test_hand_counted_triangles_and_clustering(self, spark):
+        from taar_gcp_etl_spark.operators.graph import graph_stats
+
+        # triangle 1-2-3 plus pendant 3-4: node 3 has degree 3 and one
+        # triangle -> clustering 2*1/(3*2) = 1/3; node 4 degree 1 -> 0
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+        )
+        got = {
+            r["node"]: (r["degree"], r["triangles"], r["clustering"])
+            for r in graph_stats(e).collect()
+        }
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (2, 1, 1.0)
+        assert got[3] == (3, 1, round(1 / 3, 6))
+        assert got[4] == (1, 0, 0.0)
+
+    def test_each_triangle_counted_once_under_skew(self, spark):
+        """Hub star + one closing edge: the hub's (deg, id) orientation
+        must not double-count, and the skew bound holds — the hub emits
+        no out-wedges because every neighbor has lower degree."""
+        from taar_gcp_etl_spark.operators.graph import graph_stats
+
+        hub = [(100, i) for i in range(1, 20)]  # hub degree 19
+        closing = [(1, 2)]  # exactly one triangle: (100, 1, 2)
+        e = spark.createDataFrame(hub + closing, ["src", "dst"])
+        got = {
+            r["node"]: r["triangles"] for r in graph_stats(e).collect()
+        }
+        assert got[100] == 1 and got[1] == 1 and got[2] == 1
+        assert sum(got.values()) == 3  # one triangle, three memberships
