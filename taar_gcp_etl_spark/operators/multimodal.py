@@ -343,3 +343,110 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def audio_fingerprint64(samples, rate: int, n_bands: int = 64) -> tuple[int, int]:
+    """64-bit spectral-profile fingerprint of decoded PCM: the audio
+    analogue of the image dHash, collapsed to the same (hi, lo) digest
+    shape the text/image SimHash relations use so one banded Hamming
+    engine pairs all three modalities.
+
+    Per 1024-sample half-overlapping Hann frame: rfft magnitude →
+    ``n_bands`` log-spaced band energies, averaged over frames → bit b =
+    1 iff band b carries MORE than the uniform 1/n_bands share of total
+    energy. Share-vs-uniform is gain-invariant (a re-encoded or
+    volume-shifted copy keeps its profile) and robust to low-level
+    additive noise (noise spreads roughly evenly, so it lifts every
+    band's share together); temporal structure is deliberately NOT
+    encoded — the profile is length-invariant, which is what a
+    dedup-grade identity wants (a clip and its re-export at different
+    length still match). Temporal-delta bits (Chromaprint-style) were
+    tried and REJECTED: on steady or sparse spectra the frame-to-frame
+    deltas are numerical noise and the digest decorrelates from its own
+    noisy copy. Deterministic, numpy-vectorized, no codec deps."""
+    import numpy as np
+
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    frame, hop = 1024, 512
+    if len(mono) < frame * 2:  # need ≥2 frames for a stable profile
+        return 0, 0
+    n_frames = 1 + (len(mono) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    windows = mono[idx] * np.hanning(frame)[None, :]
+    mags = np.abs(np.fft.rfft(windows, axis=1))
+    # log-spaced band edges over the positive spectrum (skip DC); low
+    # bins collapse under int truncation, so fall back to linear edges
+    # when the log grid can't yield n_bands distinct starts — reduceat
+    # start indices must stay strictly inside the spectrum
+    n_bins = mags.shape[1]
+    edges = np.unique(np.geomspace(1, n_bins - 1, n_bands + 1).astype(int))
+    if len(edges) < n_bands + 1:
+        edges = np.unique(
+            np.linspace(1, n_bins - 1, n_bands + 1).astype(int)
+        )
+    band_e = np.add.reduceat(mags**2, edges[:-1], axis=1)[:, :n_bands]
+    profile = band_e.mean(axis=0)
+    total = profile.sum()
+    if total <= 0:
+        return 0, 0
+    hot = profile / total > 1.0 / n_bands
+    digest = 0
+    for b, bit in enumerate(hot[:64]):
+        if bit:
+            digest |= 1 << b
+    if digest == 0:
+        return 0, 0
+    return (digest >> 32) & 0xFFFFFFFF, digest & 0xFFFFFFFF
+
+
+def media_audio_dhash(df: DataFrame) -> DataFrame:
+    """Spectral fingerprints for every decodable audio row:
+    (media_id, simhash_hi, simhash_lo) — the same digest relation shape
+    as media_dhash/text SimHash, so dedup.simhash_hamming_pairs pairs
+    near-duplicate AUDIO through the one banded Hamming engine. Rows
+    that aren't PCM WAV (codec formats, nulls, too-short clips) drop
+    here: no samples, no spectral identity."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, content, mime in zip(
+                pdf["media_id"], pdf["content"], pdf["mime"]
+            ):
+                if content is None or mime not in (
+                    "audio/wav", "audio/x-wav",
+                ):
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(content))
+                except Exception:  # noqa: BLE001 — undecodable = no identity
+                    continue
+                hi, lo = audio_fingerprint64(samples, rate)
+                if hi == 0 and lo == 0:
+                    continue  # too short for a spectral identity
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "simhash_hi": his, "simhash_lo": los}
+            )
+
+    return df.select(
+        "media_id", "content", F.col("meta.mime").alias("mime")
+    ).mapInPandas(
+        run, schema="media_id long, simhash_hi long, simhash_lo long"
+    )
+
+
+def audio_near_dup(df: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Audio near-duplicate pairs: spectral fingerprints through the
+    shared banded Hamming pairing (dedup.simhash_hamming_pairs) — one
+    dedup engine, three modalities (text SimHash, image dHash, audio
+    spectral hash)."""
+    from taar_gcp_etl_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        media_audio_dhash(df), id_col="media_id", max_hamming=max_hamming
+    )

@@ -79,6 +79,7 @@ def column_profile(
     cols: list[str],
     include_rows: bool = False,
     approx: bool = False,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """Data-validation profile: per-column null count, exact distinct
     count, min/max/mean — the expectation-suite statistics a pipeline
@@ -96,17 +97,36 @@ def column_profile(
     string min/max casts differ between engines in timestamp formatting).
     `include_rows=True` appends the batch row count to every output row
     (same value repeated — it rides the same single agg, for consumers
-    that need rates, e.g. validate_batch's null-rate bound)."""
+    that need rates, e.g. validate_batch's null-rate bound).
+
+    ``exact_decimals=d`` computes the mean over INTEGER-scaled values
+    (sum of round(col·10^d) longs, divided back) — for fixed-decimal
+    domains (money, rates) the sum is then order-independent and
+    engine-exact, where a double AVG over millions of rows differs in
+    the last ulp between engines' summation orders and can flip the
+    rounded 6th decimal (observed: l_discount mean 0.0499185 at sf0.01
+    — exactly on the rounding boundary). Long cents overflow at ~9·10^18
+    total scaled units; at that scale switch the cast to decimal(38,0).
+    """
     nd_fn = F.approx_count_distinct if approx else F.count_distinct
     aggs = []
     for c in cols:
         col = F.col(c).cast("double")
+        if exact_decimals is None:
+            mean = F.round(F.avg(col), 6)
+        else:
+            scale = 10 ** exact_decimals
+            mean = F.round(
+                F.sum(F.round(col * scale, 0).cast("long"))
+                / (F.lit(float(scale)) * F.count(col)),
+                6,
+            )
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
             nd_fn(col).alias(f"{c}__nd"),
             F.min(col).alias(f"{c}__mn"),
             F.max(col).alias(f"{c}__mx"),
-            F.round(F.avg(col), 6).alias(f"{c}__mean"),
+            mean.alias(f"{c}__mean"),
         ]
     if include_rows:
         aggs.append(F.count(F.lit(1)).alias("__nrows"))
@@ -124,7 +144,11 @@ def column_profile(
     )
 
 
-def validate_batch(df: DataFrame, expectations: DataFrame) -> DataFrame:
+def validate_batch(
+    df: DataFrame,
+    expectations: DataFrame,
+    exact_decimals: int | None = None,
+) -> DataFrame:
     """Expectation-suite gate: check a batch's column profile against
     bounds stored as DATA — (column, min_allowed, max_allowed,
     max_null_rate, min_distinct) — and emit one verdict row per column
@@ -137,7 +161,9 @@ def validate_batch(df: DataFrame, expectations: DataFrame) -> DataFrame:
     expectations there are; the join adds nothing at scale (|cols| rows).
     A column whose min/max are NULL (all-null batch) fails closed."""
     cols = [r["column"] for r in expectations.select("column").collect()]
-    prof = column_profile(df, cols, include_rows=True)
+    prof = column_profile(
+        df, cols, include_rows=True, exact_decimals=exact_decimals
+    )
     joined = prof.join(F.broadcast(expectations), "column")
     ok = (
         ((F.col("n_nulls") / F.col("n_rows")) <= F.col("max_null_rate"))

@@ -1738,7 +1738,7 @@ def q_validate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column string, min_allowed double, max_allowed double,"
         " max_null_rate double, min_distinct long",
     )
-    return validate_batch(li, exp)
+    return validate_batch(li, exp, exact_decimals=2)
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2027,8 +2027,14 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taar_gcp_etl_spark.operators.quality import column_profile
 
     li = _wide(spark, sf_dir, "lineitem")
+    # exact_decimals=2: lineitem numerics are fixed 2-decimal domains, so
+    # the integer-scaled mean is order-independent and engine-exact — a
+    # double AVG sat exactly on a round-6 boundary at sf0.01 (l_discount
+    # mean 0.0499185) and flipped between engines' summation orders
     return column_profile(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"]
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"],
+        exact_decimals=2,
     )
 
 
@@ -2590,7 +2596,8 @@ def _validate_batch_sql() -> str:
                CAST({nn} AS BIGINT) AS n_nulls,
                COUNT(DISTINCT {cd}) AS n_distinct,
                MIN({cd}) AS min_val, MAX({cd}) AS max_val,
-               ROUND(AVG({cd}), 6) AS mean_val,
+               ROUND(SUM(CAST(round({cd} * 100) AS BIGINT))
+                     / (100.0 * COUNT({cd})), 6) AS mean_val,
                CAST(COALESCE(
                    {nn} / COUNT(*) <= {nr}
                    AND COUNT(DISTINCT {cd}) >= {nd}
@@ -3053,7 +3060,8 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT) AS n_nulls,
                COUNT(DISTINCT l_quantity) AS n_distinct,
                MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
-               ROUND(AVG(l_quantity), 6) AS mean_val
+               ROUND(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                     / (100.0 * COUNT(l_quantity)), 6) AS mean_val
         FROM lineitem
         UNION ALL
         SELECT 'l_extendedprice',
@@ -3061,7 +3069,8 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT),
                COUNT(DISTINCT l_extendedprice),
                MIN(l_extendedprice), MAX(l_extendedprice),
-               ROUND(AVG(l_extendedprice), 6)
+               ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     / (100.0 * COUNT(l_extendedprice)), 6)
         FROM lineitem
         UNION ALL
         SELECT 'l_discount',
@@ -3069,7 +3078,8 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT),
                COUNT(DISTINCT l_discount),
                MIN(l_discount), MAX(l_discount),
-               ROUND(AVG(l_discount), 6)
+               ROUND(SUM(CAST(round(l_discount * 100) AS BIGINT))
+                     / (100.0 * COUNT(l_discount)), 6)
         FROM lineitem
         UNION ALL
         SELECT 'l_orderkey',
@@ -3078,7 +3088,9 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(DISTINCT CAST(l_orderkey AS DOUBLE)),
                MIN(CAST(l_orderkey AS DOUBLE)),
                MAX(CAST(l_orderkey AS DOUBLE)),
-               ROUND(AVG(CAST(l_orderkey AS DOUBLE)), 6)
+               ROUND(SUM(CAST(round(CAST(l_orderkey AS DOUBLE) * 100)
+                              AS BIGINT))
+                     / (100.0 * COUNT(l_orderkey)), 6)
         FROM lineitem
     """,
     "trend_fit": """

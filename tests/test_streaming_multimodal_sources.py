@@ -903,3 +903,89 @@ class TestStreamRefreshAggregate:
             r["k"]: (r["total"], r["n"], r["mx"]) for r in full.collect()
         }
         assert got == expect
+
+
+class TestAudioFingerprint:
+    def _chord(self, freqs, n=16384, rate=8000, noise=0.0, seed=1):
+        """Multi-tone signal — realistic audio has many spectral
+        components; a noisy copy keeps its band profile while a
+        different chord moves it."""
+        import math
+        import random
+
+        rng = random.Random(seed)
+        amp = 24000 / max(1, len(freqs))
+        return [
+            int(
+                sum(
+                    amp * math.sin(2 * math.pi * f * i / rate)
+                    for f in freqs
+                )
+                + (rng.uniform(-1, 1) * 32767 * noise)
+            )
+            for i in range(n)
+        ]
+
+    CHORD_A = (220, 440, 660, 990, 1480, 2220)
+    CHORD_B = (310, 520, 780, 1170, 1760, 2640)
+
+    def _media(self, spark, rows):
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+        return spark.createDataFrame(
+            [
+                Row(
+                    media_id=mid,
+                    kind="audio",
+                    content=content,
+                    meta=Row(
+                        mime="audio/wav", width=None, height=None,
+                        duration_ms=None,
+                    ),
+                )
+                for mid, content in rows
+            ],
+            MEDIA_SCHEMA,
+        )
+
+    def test_noisy_copy_is_near_same_tone_far_from_other(self, spark):
+        """The robustness contract: a mildly-noised copy of a tone keeps
+        a small Hamming distance to the original, while a different
+        frequency is far — the property the banded near-dup pairing
+        depends on."""
+        from taar_gcp_etl_spark.operators.multimodal import (
+            media_audio_dhash,
+        )
+
+        a = _wav_bytes(self._chord(self.CHORD_A))
+        a_noisy = _wav_bytes(self._chord(self.CHORD_A, noise=0.02, seed=7))
+        b = _wav_bytes(self._chord(self.CHORD_B))
+        df = self._media(spark, [(1, a), (2, a_noisy), (3, b)])
+        fp = {
+            r["media_id"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in media_audio_dhash(df).collect()
+        }
+
+        def ham(x, y):
+            return bin(((x[0] ^ y[0]) << 32) | (x[1] ^ y[1])).count("1")
+
+        assert ham(fp[1], fp[2]) <= 4
+        assert ham(fp[1], fp[3]) >= 8
+
+    def test_near_dup_pairs_through_shared_engine(self, spark):
+        from taar_gcp_etl_spark.operators.multimodal import audio_near_dup
+
+        a = _wav_bytes(self._chord(self.CHORD_A))
+        a_noisy = _wav_bytes(self._chord(self.CHORD_A, noise=0.02, seed=7))
+        b = _wav_bytes(self._chord(self.CHORD_B))
+        short = _wav_bytes([0] * 100)  # below 2 frames → no identity
+        df = self._media(
+            spark, [(1, a), (2, a_noisy), (3, b), (4, short), (5, None)]
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in audio_near_dup(df, max_hamming=8).collect()
+        }
+        assert pairs == {(1, 2)}
