@@ -13,7 +13,7 @@ explicit tools for pathological keys (one key = 30% of a 100 TB table):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +89,48 @@ def null_skew_left_join(
                for c in right_cols]
     )
     return matched.unionByName(nulls.select(matched.columns))
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Key-skew diagnostics: the ``top_n`` hottest keys with row count,
+    share of total, cumulative share, and rank — the operational report
+    behind every salting/AQE-skew decision this module automates ("which
+    key would melt the reducer, and how much of the table is it").
+
+    One narrow aggregate (key, count) + one window over the AGGREGATED
+    relation (|keys| rows, not |input| — the window sorts key counts,
+    never data rows) + TakeOrdered for the top slice. The total rides a
+    1-row broadcast, so no second scan of the input."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    # rank/cumsum windows run AFTER the TakeOrdered top-n cut, on a
+    # relation bounded at top_n rows — partitionBy(lit) makes the
+    # single-partition sort explicit and deliberate (the package-wide
+    # no-unpartitioned-window rule stays greppable)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("n_rows"), F.asc(key_col)
+    )
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc(key_col))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.sum("n_rows")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("_total"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

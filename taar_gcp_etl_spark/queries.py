@@ -2309,6 +2309,24 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over lineitem's part key (operators/skew
+    .skew_report): top-20 hottest keys with share and cumulative share —
+    the report behind every salting/AQE decision. Windows run after the
+    TakeOrdered cut, on a 20-row relation."""
+    from taar_gcp_etl_spark.operators.skew import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "lineitem"), key_col="l_partkey", top_n=20
+    ).select(
+        F.col("rank").cast("int"),
+        F.col("l_partkey").cast("long"),
+        F.col("n_rows").cast("long"),
+        "share",
+        "cum_share",
+    )
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degree / triangle count / clustering coefficient over the
     co-purchase graph (operators/graph.graph_stats): degree-oriented
@@ -2560,6 +2578,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leak_safe_split": q_leak_safe_split,
     "agg_refresh": q_agg_refresh,
     "graph_stats": q_graph_stats,
+    "skew_report": q_skew_report,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4198,6 +4217,27 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events
                            WHERE user_id IS NOT NULL) / 150.0
+    """,
+    "skew_report": """
+        WITH counts AS (
+            SELECT l_partkey, count(*) AS n_rows
+            FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM counts),
+        top AS (
+            SELECT l_partkey, n_rows,
+                   CAST(row_number() OVER (
+                       ORDER BY n_rows DESC, l_partkey ASC
+                   ) AS INTEGER) AS rank
+            FROM counts
+            ORDER BY n_rows DESC, l_partkey ASC LIMIT 20)
+        SELECT rank, CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               ROUND(n_rows / tot.total, 6) AS share,
+               ROUND(sum(n_rows) OVER (
+                   ORDER BY n_rows DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / tot.total, 6) AS cum_share
+        FROM top, tot
     """,
     "graph_stats": f"""
         WITH {_EDGES_CTE},
