@@ -648,3 +648,36 @@ def pq_topk(
     return scored.withColumn(
         "rnk", F.row_number().over(w)
     ).filter(F.col("rnk") <= k)
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit a PCA on the embedding column and project every vector to its
+    top-``k`` principal components → (df with vec_col replaced by the
+    k-dim projection, explained_variance list).
+
+    Dimensionality reduction is the standard pre-ANN move: cosine in a
+    k≪d PCA space costs k/d of every probe's dot products while
+    preserving most neighborhood structure when the spectrum decays
+    (recall is measured, not assumed — see the ann_pca test). The fit is
+    MLlib PCA (distributed covariance via treeAggregate, local eigen on
+    the driver's d×d Gram — fine while d is model-sized; past ~10k dims
+    use randomized sketching instead). Projection is a map-only
+    vector-matrix multiply. Deterministic for fixed input (no sampling,
+    no seed; eigenvector sign is implementation-pinned)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        id_col, array_to_vector(_as_double(F.col(vec_col))).alias("_fv")
+    )
+    model = PCA(k=k, inputCol="_fv", outputCol="_pc").fit(feat)
+    projected = model.transform(feat).select(
+        id_col, vector_to_array(F.col("_pc")).alias(vec_col)
+    )
+    explained = [float(x) for x in model.explainedVariance]
+    return projected, explained

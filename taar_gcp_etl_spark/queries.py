@@ -2309,6 +2309,24 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-compressed ANN (operators/similarity.pca_project → brute-force
+    cosine in the 16-dim principal subspace, 4× fewer multiplies per
+    probe than the 64-dim corpus). Iterative-ML upstream → rows-only
+    check; recall vs the full-space exact top-k is asserted in tests
+    (TestPcaAnn), not assumed."""
+    from taar_gcp_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pca_project,
+    )
+
+    emb = _wide(spark, sf_dir, "embeddings")
+    projected, _ = pca_project(emb, k=16)
+    return cosine_topk_bruteforce(
+        projected, projected.filter(F.col("vec_id") < 20), k=3
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics over lineitem's part key (operators/skew
     .skew_report): top-20 hottest keys with share and cumulative share —
@@ -2588,6 +2606,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "donor_clusters": q_donor_clusters,
     "donor_curves": q_donor_curves,
     "ann_ivf": q_ann_ivf,
+    "ann_pca": q_ann_pca,
     "semantic_dedup": q_semantic_dedup,
 }
 

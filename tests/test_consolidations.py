@@ -497,3 +497,50 @@ class TestLshRecall:
             assert pair in exact and exact[pair] == j  # precision 1, same j
         recall = len(lsh) / len(exact)
         assert recall >= 0.7, f"LSH recall {recall} on planted near-dups"
+
+
+class TestPcaAnn:
+    def test_variance_ordered_and_recall_above_chance(self, spark):
+        """Explained variance must be non-increasing (components come
+        out in eigenvalue order), and 16-dim PCA cosine top-3 must
+        recall far more of the exact 64-dim top-3 than chance — the
+        measured justification for running probes in the subspace."""
+        from taar_gcp_etl_spark.io import read_table
+        from taar_gcp_etl_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            pca_project,
+        )
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        projected, explained = pca_project(emb, k=16)
+        assert explained == sorted(explained, reverse=True)
+        assert sum(explained) > 0.2  # 16 of 64 dims keep real variance
+
+        queries = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_bruteforce(emb, queries, k=3).collect()
+        }
+        pq = projected.filter(F.col("vec_id") < 20)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_bruteforce(projected, pq, k=3).collect()
+        }
+        recall = len(exact & got) / len(exact)
+        # iid-random embeddings are PCA's worst case (flat spectrum, cf.
+        # the PQ note in docs/NEXT.md) — assert far-above-chance, not
+        # absolute: chance recall of 3 of 499 ≈ 0.006
+        assert recall > 0.05
+
+    def test_projection_shape_and_determinism(self, spark):
+        from taar_gcp_etl_spark.io import read_table
+        from taar_gcp_etl_spark.operators.similarity import pca_project
+
+        emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+        p1, e1 = pca_project(emb, k=8)
+        p2, e2 = pca_project(emb, k=8)
+        assert e1 == e2
+        r1 = sorted(map(tuple, p1.collect()))
+        r2 = sorted(map(tuple, p2.collect()))
+        assert r1 == r2
+        assert all(len(r[1]) == 8 for r in r1)
