@@ -234,6 +234,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram CONTAINMENT — |A∩B| / min(|A|, |B|), the
+    ASYMMETRIC near-dup signal Jaccard misses: a short document quoted
+    wholesale inside a long one has containment ≈ 1 but Jaccard ≈
+    |short|/|long| ≈ 0, so Jaccard-gated dedup keeps both and the quoted
+    text trains twice. This is the quote/inclusion detector (RefinedWeb
+    and Dolma run exactly this gate next to their Jaccard gate).
+
+    Output: (doc_a, doc_b, containment) for pairs at or above the gate,
+    with the smaller-id doc first. Like ngram_jaccard_pairs this is the
+    exact bounded-subset baseline — at corpus scale seed candidates from
+    the LSH band join first (containment-heavy pairs still collide on
+    the contained side's bands) and verify with this formula."""
+    sh = df.select(
+        F.col(id_col), token_shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    containment = inter / F.least(F.size("a.sh"), F.size("b.sh"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(containment, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

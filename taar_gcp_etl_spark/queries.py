@@ -2309,6 +2309,17 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/inclusion detection (operators/dedup.containment_pairs):
+    n-gram containment |A∩B|/min(|A|,|B|) ≥ 0.5 over a bounded doc
+    subset — the asymmetric near-dup gate Jaccard misses (a short doc
+    quoted inside a long one scores ≈1 here, ≈0 on Jaccard)."""
+    from taar_gcp_etl_spark.operators.dedup import containment_pairs
+
+    docs = _wide(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    return containment_pairs(docs, min_containment=0.5)
+
+
 def q_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-compressed ANN (operators/similarity.pca_project → brute-force
     cosine in the 16-dim principal subspace, 4× fewer multiplies per
@@ -2597,6 +2608,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_refresh": q_agg_refresh,
     "graph_stats": q_graph_stats,
     "skew_report": q_skew_report,
+    "containment": q_containment,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4236,6 +4248,18 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events
                            WHERE user_id IS NOT NULL) / 150.0
+    """,
+    "containment": f"""
+        WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                       WHERE doc_id < 256),
+        sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toked),
+        nz AS (SELECT * FROM sh WHERE len(s) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / LEAST(len(a.s), len(b.s)), 6) AS containment
+        FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / LEAST(len(a.s), len(b.s)) >= 0.5
     """,
     "skew_report": """
         WITH counts AS (

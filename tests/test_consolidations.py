@@ -544,3 +544,28 @@ class TestPcaAnn:
         r2 = sorted(map(tuple, p2.collect()))
         assert r1 == r2
         assert all(len(r[1]) == 8 for r in r1)
+
+
+class TestContainment:
+    def test_quote_scores_high_where_jaccard_scores_low(self, spark):
+        """The asymmetric case the operator exists for: a short doc
+        quoted inside a much longer one — containment ≈ 1, Jaccard low."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"word{i}" for i in range(60))
+        rows = [(1, short), (2, filler + " " + short + " " + filler)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        cont = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(df, min_containment=0.8).collect()
+        }
+        assert cont.get((1, 2), 0) >= 0.99
+        jac = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df).collect()
+        }
+        assert jac[(1, 2)] < 0.1
