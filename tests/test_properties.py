@@ -495,3 +495,133 @@ def test_weighted_sample_threshold_equals_exact(spark, weights, n):
     )
     spark.catalog.clearCache()
     assert thresh == exact
+
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(-50, 50)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=kv_rows, k=st.integers(2, 6))
+def test_heavy_hitters_matches_group_by_having(spark, rows, k):
+    """heavy_hitters == GROUP BY key HAVING count > n/k on arbitrary
+    data — including empty inputs, single-key inputs, and exact-boundary
+    frequencies (strictly-greater must hold)."""
+    from taar_gcp_etl_spark.operators.analytics import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(str(a), b) for a, b in rows] or [("x", 0)],
+        "key string, v long",
+    )
+    if not rows:
+        df = df.limit(0)
+    got = {
+        (r["key"], r["freq"])
+        for r in heavy_hitters(df, "key", k=k).collect()
+    }
+    n = len(rows)
+    from collections import Counter
+
+    cnt = Counter(str(a) for a, _ in rows)
+    expect = {(key, c) for key, c in cnt.items() if c > n / k}
+    assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=kv_rows, split=st.integers(0, 4))
+def test_refresh_aggregate_identity_on_random_splits(spark, rows, split):
+    """agg(history ∪ delta) == merge(agg(history), agg(delta)) for any
+    split point of any data — the maintenance identity as a property,
+    covering empty history, empty delta, and delta-only keys."""
+    from taar_gcp_etl_spark.operators.merge import refresh_aggregate
+
+    history = [(a, float(b)) for a, b in rows if a % 5 >= split]
+    delta = [(a, float(b)) for a, b in rows if a % 5 < split]
+    hdf = spark.createDataFrame(history or [(0, 0.0)], "k long, v double")
+    if not history:
+        hdf = hdf.limit(0)
+    ddf = spark.createDataFrame(delta or [(0, 0.0)], "k long, v double")
+    if not delta:
+        ddf = ddf.limit(0)
+    measures = {
+        "total": ("sum", "v"),
+        "n": ("count", "v"),
+        "mx": ("max", "v"),
+        "mn": ("min", "v"),
+    }
+    store = hdf.groupBy("k").agg(
+        F.sum("v").alias("total"),
+        F.count("v").alias("n"),
+        F.max("v").alias("mx"),
+        F.min("v").alias("mn"),
+    )
+    got = {
+        r["k"]: (r["total"], r["n"], r["mx"], r["mn"])
+        for r in refresh_aggregate(store, ddf, ["k"], measures).collect()
+    }
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for a, b in history + delta:
+        by_key[a].append(b)
+    expect = {
+        a: (sum(vs), len(vs), max(vs), min(vs)) for a, vs in by_key.items()
+    }
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_connected_components_match_union_find(spark, pairs):
+    """Distributed min-label CC == single-node union-find on arbitrary
+    graphs (self-loops, parallel edges, stars, chains)."""
+    from taar_gcp_etl_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in pairs if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
