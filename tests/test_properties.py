@@ -625,3 +625,34 @@ def test_connected_components_match_union_find(spark, pairs):
         union(a, b)
     expect = {x: find(x) for x in parent}
     assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_alternating_cc_matches_propagation(spark, pairs):
+    """The large-star/small-star variant and min-label propagation must
+    produce identical labelings on arbitrary graphs."""
+    from taar_gcp_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    edges = [(a, b) for a, b in pairs if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    prop = sorted(map(tuple, connected_components(df).collect()))
+    alt = sorted(
+        map(tuple, connected_components_alternating(df).collect())
+    )
+    assert prop == alt
