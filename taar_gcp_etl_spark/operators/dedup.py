@@ -212,6 +212,42 @@ def lsh_near_dup_pairs(
     )
 
 
+def _all_pairs_shingle_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    score,
+    out_col: str,
+    min_score: float | None,
+) -> DataFrame:
+    """Shared all-pairs scaffold for the exact shingle-overlap baselines
+    (Jaccard / containment): shingle projection, empty filter, ordered
+    self-join, score, optional gate. The gate filters on the UNROUNDED
+    score — rounding first would admit boundary pairs the oracle's
+    unrounded WHERE rejects (a 0.79999997 pair must fail a 0.8 gate in
+    both engines); the rounded value is output-only."""
+    sh = df.select(
+        F.col(id_col), token_shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    raw = score(
+        F.size(F.array_intersect("a.sh", "b.sh")),
+        F.size("a.sh"),
+        F.size("b.sh"),
+    )
+    out = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        raw.alias("_raw"),
+    )
+    if min_score is not None:
+        out = out.filter(F.col("_raw") >= min_score)
+    return out.select(
+        "doc_a", "doc_b", F.round(F.col("_raw"), 6).alias(out_col)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -221,16 +257,11 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard — the exact (quadratic) baseline the LSH
     variant approximates. Only for bounded subsets (the caller filters);
     at corpus scale use lsh_near_dup_pairs."""
-    sh = df.select(
-        F.col(id_col), token_shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    return a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
-        F.col(f"a.{id_col}").alias("doc_a"),
-        F.col(f"b.{id_col}").alias("doc_b"),
-        F.round(inter / union, 6).alias("jaccard"),
+    return _all_pairs_shingle_scores(
+        df, text_col, id_col, shingle_n,
+        score=lambda inter, na, nb: inter / (na + nb - inter),
+        out_col="jaccard",
+        min_score=None,
     )
 
 
@@ -248,25 +279,17 @@ def containment_pairs(
     text trains twice. This is the quote/inclusion detector (RefinedWeb
     and Dolma run exactly this gate next to their Jaccard gate).
 
-    Output: (doc_a, doc_b, containment) for pairs at or above the gate,
-    with the smaller-id doc first. Like ngram_jaccard_pairs this is the
-    exact bounded-subset baseline — at corpus scale seed candidates from
-    the LSH band join first (containment-heavy pairs still collide on
-    the contained side's bands) and verify with this formula."""
-    sh = df.select(
-        F.col(id_col), token_shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    containment = inter / F.least(F.size("a.sh"), F.size("b.sh"))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.round(containment, 6).alias("containment"),
-        )
-        .filter(F.col("containment") >= min_containment)
+    Output: (doc_a, doc_b, containment) for pairs at or above the gate
+    (gated on the UNROUNDED ratio — see _all_pairs_shingle_scores), with
+    the smaller-id doc first. Like ngram_jaccard_pairs this is the exact
+    bounded-subset baseline — at corpus scale seed candidates from the
+    LSH band join first (containment-heavy pairs still collide on the
+    contained side's bands) and verify with this formula."""
+    return _all_pairs_shingle_scores(
+        df, text_col, id_col, shingle_n,
+        score=lambda inter, na, nb: inter / F.least(na, nb),
+        out_col="containment",
+        min_score=min_containment,
     )
 
 
@@ -809,8 +832,16 @@ def connected_components_alternating(
             e = e2
             break
         e, n_prev = e2, n_new
-    # star forest → labels; isolated/self-loop-only nodes label themselves
-    lbl = e.select(F.col("a").alias("node"), F.col("b").alias("lbl"))
+    # star forest → labels; isolated/self-loop-only nodes label
+    # themselves. The min-aggregate (not a bare projection) keeps the
+    # one-row-per-node contract even if max_rounds exhausted before the
+    # fixed point: an unconverged edge set can hold several (node, lbl)
+    # edges per node, and a bare projection would fan the node out into
+    # conflicting rows — min degrades to a valid partial labeling, the
+    # same failure mode as an unconverged propagation run.
+    lbl = e.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("lbl")
+    )
     out = (
         nodes.join(lbl, "node", "left")
         .select(

@@ -388,4 +388,12 @@ def graph_stats(
     # the oriented closer (orientation is a total order), so each
     # triangle closes exactly once per center and 3 times total, one per
     # member — which is exactly the per-node membership count.
+    #
+    # eager checkpoint decouples the result from the two persisted edge
+    # relations so they can be released before return (the same
+    # cache-lifecycle discipline as pagerank / the alternating CC —
+    # function-local persists must not outlive the call)
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    oriented.unpersist()
     return out

@@ -352,18 +352,22 @@ def audio_fingerprint64(samples, rate: int, n_bands: int = 64) -> tuple[int, int
     engine pairs all three modalities.
 
     Per 1024-sample half-overlapping Hann frame: rfft magnitude →
-    ``n_bands`` log-spaced band energies, averaged over frames → bit b =
-    1 iff band b carries MORE than the uniform 1/n_bands share of total
-    energy. Share-vs-uniform is gain-invariant (a re-encoded or
-    volume-shifted copy keeps its profile) and robust to low-level
-    additive noise (noise spreads roughly evenly, so it lifts every
-    band's share together); temporal structure is deliberately NOT
-    encoded — the profile is length-invariant, which is what a
-    dedup-grade identity wants (a clip and its re-export at different
-    length still match). Temporal-delta bits (Chromaprint-style) were
-    tried and REJECTED: on steady or sparse spectra the frame-to-frame
-    deltas are numerical noise and the digest decorrelates from its own
-    noisy copy. Deterministic, numpy-vectorized, no codec deps."""
+    ``n_bands`` linear FREQUENCY bands over the fixed 40 Hz – 4 kHz
+    analysis range, averaged over frames → bit b = 1 iff band b carries
+    MORE than the uniform 1/n_bands share of total energy. Band edges
+    live in Hz and map to FFT bins through the file's own sample rate,
+    so a RESAMPLED copy (44.1 kHz → 22.05 kHz re-export) lands its
+    energy in the same bands — bin-index bands would shift the whole
+    profile and miss exactly the re-encode duplicates this exists for.
+    Share-vs-uniform is gain-invariant and robust to low-level additive
+    noise (noise spreads roughly evenly); temporal structure is
+    deliberately NOT encoded — the profile is length-invariant, which is
+    what a dedup-grade identity wants (a clip and its re-export at
+    different length still match). Temporal-delta bits
+    (Chromaprint-style) were tried and REJECTED: on steady or sparse
+    spectra the frame-to-frame deltas are numerical noise and the digest
+    decorrelates from its own noisy copy. Deterministic,
+    numpy-vectorized, no codec deps."""
     import numpy as np
 
     mono = samples.mean(axis=1) if samples.ndim == 2 else samples
@@ -374,22 +378,30 @@ def audio_fingerprint64(samples, rate: int, n_bands: int = 64) -> tuple[int, int
     idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
     windows = mono[idx] * np.hanning(frame)[None, :]
     mags = np.abs(np.fft.rfft(windows, axis=1))
-    # log-spaced band edges over the positive spectrum (skip DC); low
-    # bins collapse under int truncation, so fall back to linear edges
-    # when the log grid can't yield n_bands distinct starts — reduceat
-    # start indices must stay strictly inside the spectrum
+    # band edges in FREQUENCY (40 Hz – 4 kHz, capped at Nyquist), mapped
+    # to this file's bins via its own rate — rate-invariant identity;
+    # clip/unique guard degenerate low-rate files (too few distinct
+    # bins) and keep reduceat start indices strictly inside the spectrum
     n_bins = mags.shape[1]
-    edges = np.unique(np.geomspace(1, n_bins - 1, n_bands + 1).astype(int))
-    if len(edges) < n_bands + 1:
-        edges = np.unique(
-            np.linspace(1, n_bins - 1, n_bands + 1).astype(int)
+    f_hi = min(4000.0, rate / 2.0) if rate else 4000.0
+    edges_hz = np.linspace(40.0, f_hi, n_bands + 1)
+    edges = np.unique(
+        np.clip(
+            (edges_hz * frame / rate).astype(int) if rate else
+            np.linspace(1, n_bins - 1, n_bands + 1).astype(int),
+            1,
+            n_bins - 1,
         )
+    )
+    if len(edges) < 3:  # degenerate rate: no usable band structure
+        return 0, 0
     band_e = np.add.reduceat(mags**2, edges[:-1], axis=1)[:, :n_bands]
+    n_eff = band_e.shape[1]
     profile = band_e.mean(axis=0)
     total = profile.sum()
     if total <= 0:
         return 0, 0
-    hot = profile / total > 1.0 / n_bands
+    hot = profile / total > 1.0 / n_eff
     digest = 0
     for b, bit in enumerate(hot[:64]):
         if bit:

@@ -989,3 +989,24 @@ class TestAudioFingerprint:
             for r in audio_near_dup(df, max_hamming=8).collect()
         }
         assert pairs == {(1, 2)}
+
+
+    def test_resampled_copy_keeps_its_fingerprint(self, spark):
+        """Band edges live in Hz, not bin indices: the same chord
+        rendered at 8 kHz and 16 kHz must fingerprint near-identically —
+        the re-encode duplicate case the operator exists for."""
+        from taar_gcp_etl_spark.operators.multimodal import (
+            audio_fingerprint64,
+            decode_wav,
+        )
+
+        a8 = _wav_bytes(self._chord(self.CHORD_A, rate=8000), rate=8000)
+        a16 = _wav_bytes(
+            self._chord(self.CHORD_A, n=32768, rate=16000), rate=16000
+        )
+        fp8 = audio_fingerprint64(*decode_wav(a8))
+        fp16 = audio_fingerprint64(*decode_wav(a16))
+        ham = bin(
+            ((fp8[0] ^ fp16[0]) << 32) | (fp8[1] ^ fp16[1])
+        ).count("1")
+        assert ham <= 6
