@@ -18,7 +18,7 @@ from the relevant-set size in a Column-side fold, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,5 +74,62 @@ def ranking_metrics(
             F.round(
                 F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6
             ).alias("ndcg"),
+        )
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_decimals: int = 3,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label, computed as the
+    Mann-Whitney U statistic over SCORE GROUPS: for each distinct
+    (rounded) score, count positives and negatives; sorting those groups
+    ascending, U = Σ_s pos_s · (neg_below_s + ½·neg_s) — every
+    (positive, negative) pair contributes 1 if the positive outscores,
+    ½ on ties. One row out: (auc, n_pos, n_neg).
+
+    Scale shape: the heavy input collapses FIRST through a groupBy on
+    the quantized score (map-side combined, one row per distinct score);
+    the ordered cumulative-negative window then runs on that BOUNDED
+    relation — scores are rounded to ``score_decimals`` exactly so the
+    window's input is domain-bounded (≤ 10^decimals·range rows), never
+    corpus-sized: the standard quantized-AUC trade, and the quantization
+    is part of the metric's definition here, applied identically in the
+    SQL oracle (so the two engines agree exactly, not approximately).
+    The single-partition window is explicit (partitionBy(lit)) and
+    deliberate, same pattern as skew_report's bounded top-n."""
+    s = F.round(F.col(score_col).cast("double"), score_decimals)
+    lab = F.col(label_col).cast("boolean")
+    grouped = (
+        df.select(s.alias("_s"), lab.alias("_y"))
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_pos"),
+            F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_neg"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.asc("_s"))
+    below = F.coalesce(
+        F.sum("_neg").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    contrib = F.col("_pos") * (below + 0.5 * F.col("_neg"))
+    return (
+        grouped.withColumn("_u", contrib)
+        .agg(
+            F.sum("_u").alias("_usum"),
+            F.sum("_pos").alias("n_pos"),
+            F.sum("_neg").alias("n_neg"),
+        )
+        .select(
+            F.round(
+                F.col("_usum") / (F.col("n_pos") * F.col("n_neg")), 6
+            ).alias("auc"),
+            F.col("n_pos").cast("long"),
+            F.col("n_neg").cast("long"),
         )
     )

@@ -2344,6 +2344,20 @@ def q_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of event value as a purchase score (operators/metrics
+    .binary_auc): grouped Mann-Whitney U over the quantized score domain
+    — the heavy input collapses through one score-group aggregate before
+    any ordered work. Quantization (round-3) is part of the metric's
+    definition and applied identically in the oracle."""
+    from taar_gcp_etl_spark.operators.metrics import binary_auc
+
+    ev = _t(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("is_purchase")
+    )
+    return binary_auc(ev, "value", "is_purchase", score_decimals=3)
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics over lineitem's part key (operators/skew
     .skew_report): top-20 hottest keys with share and cumulative share —
@@ -2615,6 +2629,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_stats": q_graph_stats,
     "skew_report": q_skew_report,
     "containment": q_containment,
+    "binary_auc": q_binary_auc,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4254,6 +4269,28 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events
                            WHERE user_id IS NOT NULL) / 150.0
+    """,
+    "binary_auc": """
+        WITH g AS (
+            SELECT ROUND(value, 3) AS s,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS pos,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+                       AS neg
+            FROM events WHERE value IS NOT NULL
+            GROUP BY ROUND(value, 3)),
+        c AS (
+            SELECT pos, neg,
+                   COALESCE(SUM(neg) OVER (
+                       ORDER BY s ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS below
+            FROM g)
+        SELECT ROUND(SUM(pos * (below + 0.5 * neg))
+                     / (SUM(pos) * SUM(neg)), 6) AS auc,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg
+        FROM c
     """,
     "containment": f"""
         WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents

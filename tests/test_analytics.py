@@ -765,3 +765,49 @@ class TestGraphStats:
         }
         assert got[100] == 1 and got[1] == 1 and got[2] == 1
         assert sum(got.values()) == 3  # one triangle, three memberships
+
+
+class TestBinaryAuc:
+    def _auc(self, spark, rows):
+        from taar_gcp_etl_spark.operators.metrics import binary_auc
+
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        return binary_auc(df, "score", "y").collect()[0]
+
+    def test_perfect_and_inverted_and_random(self, spark):
+        perfect = [(float(i + 10), True) for i in range(5)] + [
+            (float(i), False) for i in range(5)
+        ]
+        r = self._auc(spark, perfect)
+        assert (r["auc"], r["n_pos"], r["n_neg"]) == (1.0, 5, 5)
+        inverted = [(s, not y) for s, y in perfect]
+        assert self._auc(spark, inverted)["auc"] == 0.0
+
+    def test_ties_contribute_half(self, spark):
+        # one positive and one negative at the SAME score: U = 0.5
+        r = self._auc(spark, [(1.0, True), (1.0, False)])
+        assert r["auc"] == 0.5
+
+    def test_matches_sklearn_free_reference(self, spark):
+        """Hand reference: pairwise comparison over a small mixed set
+        (including ties) must equal the grouped rank-sum result."""
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (round(rng.uniform(0, 1), 2), rng.random() < 0.4)
+            for _ in range(80)
+        ]
+        if not any(y for _, y in rows):
+            rows[0] = (rows[0][0], True)
+        if all(y for _, y in rows):
+            rows[1] = (rows[1][0], False)
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        u = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0)
+            for p in pos
+            for n in neg
+        )
+        expect = round(u / (len(pos) * len(neg)), 6)
+        assert self._auc(spark, rows)["auc"] == expect
