@@ -133,3 +133,36 @@ def binary_auc(
             F.col("n_neg").cast("long"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data: scores in [0, 1] bucketed into
+    ``n_bins`` equal-width bins → (bin, n, mean_score, pos_rate) — the
+    calibration companion to binary_auc (AUC says the ranking is good;
+    this says whether 0.8 MEANS 80%). Out-of-range scores clamp into the
+    edge bins, the comparison stays total.
+
+    One shuffled aggregate on the bin key, map-side combined; output is
+    n_bins rows. No windows, no second scan."""
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    y = F.col(label_col).cast("boolean")
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("mean_score"),
+            F.round(
+                F.avg(F.when(y, 1.0).otherwise(0.0)), 6
+            ).alias("pos_rate"),
+        )
+    )

@@ -2358,6 +2358,20 @@ def q_binary_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_auc(ev, "value", "is_purchase", score_decimals=3)
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of a derived purchase-propensity score
+    (operators/metrics.calibration_bins): value scaled into [0,1] via a
+    fixed divisor, 10 equal-width bins, observed purchase rate per bin.
+    One map-side-combined aggregate, 10 rows out."""
+    from taar_gcp_etl_spark.operators.metrics import calibration_bins
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") / F.lit(1000.0)).alias("score"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    return calibration_bins(ev, "score", "is_purchase", n_bins=10)
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics over lineitem's part key (operators/skew
     .skew_report): top-20 hottest keys with share and cumulative share —
@@ -2630,6 +2644,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report": q_skew_report,
     "containment": q_containment,
     "binary_auc": q_binary_auc,
+    "calibration": q_calibration,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4269,6 +4284,18 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id
         HAVING count(*) > (SELECT count(*) FROM events
                            WHERE user_id IS NOT NULL) / 150.0
+    """,
+    "calibration": """
+        WITH s AS (SELECT value / 1000.0 AS score,
+                          (event_type = 'purchase') AS y
+                   FROM events WHERE value IS NOT NULL),
+        b AS (SELECT LEAST(GREATEST(CAST(FLOOR(score * 10) AS INTEGER), 0), 9)
+                     AS bin, score, y
+              FROM s)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               ROUND(AVG(score), 6) AS mean_score,
+               ROUND(AVG(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS pos_rate
+        FROM b GROUP BY bin
     """,
     "binary_auc": """
         WITH g AS (

@@ -811,3 +811,22 @@ class TestBinaryAuc:
         )
         expect = round(u / (len(pos) * len(neg)), 6)
         assert self._auc(spark, rows)["auc"] == expect
+
+
+class TestCalibrationBins:
+    def test_bin_rates_and_clamping(self, spark):
+        from taar_gcp_etl_spark.operators.metrics import calibration_bins
+
+        rows = (
+            [(0.05, False)] * 9 + [(0.05, True)]       # bin 0: 10% pos
+            + [(0.95, True)] * 8 + [(0.95, False)] * 2  # bin 9: 80% pos
+            + [(1.7, True), (-0.3, False)]              # clamp to 9 / 0
+        )
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        got = {
+            r["bin"]: (r["n"], r["pos_rate"])
+            for r in calibration_bins(df, "score", "y").collect()
+        }
+        assert got[0] == (11, round(1 / 11, 6))
+        assert got[9] == (11, round(9 / 11, 6))
+        assert set(got) == {0, 9}
