@@ -2519,10 +2519,8 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # percentiles+count_distinct_agg ⊂ agg_profile (same table+grouping).
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "install_ranking": q_install_ranking,
-    "top_k": q_top_k,
     "distinct_optout": q_distinct_optout,
     "filter_project": q_filter_project,
-    "json_extract": q_json_extract,
     "anti_join_delete": q_anti_join_delete,
     "enrich_left_join": q_enrich_left_join,
     "semi_intersection": q_semi_intersection,
@@ -2544,10 +2542,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "asof_join": q_asof_join,
     "pivot_unpivot": q_pivot_unpivot,
-    "window_ranks": q_window_ranks,
-    "scalar_functions": q_scalar_functions,
     "tpch_q20": q_tpch_q20,
-    "repetition": q_repetition,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "segment_dedup": q_segment_dedup,
@@ -2556,17 +2551,39 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "quality_filter": q_quality_filter,
     "text_profile": q_text_profile,
-    "lm_score": q_lm_score,
-    "source_mix": q_source_mix,
     "winnow": q_winnow,
     "dedup_exact": q_dedup_exact,
-    "minhash_signatures": q_minhash_signatures,
     "lsh_near_dup": q_lsh_near_dup,
     "dedup_clusters": q_dedup_clusters,
     "sample_stratified": q_sample_stratified,
     "simhash_hamming": q_simhash_hamming,
     "cosine_topk": q_cosine_topk,
     "ann_bucketed": q_ann_bucketed,
+    # r4 curation: the driver artifact records only registry positions 1-50,
+    # so the hardest oracle-paired proofs belong in-budget. Promoted here:
+    # the partsupp-derived TPC-H heavies (q2 correlated-min, q9 5-way join,
+    # q11 group-vs-global threshold, q16 anti-join + count-distinct, q21
+    # exists/not-exists double-correlation), funnel (ordered event-sequence
+    # match), cc_clusters (large-star/small-star connected components vs a
+    # DuckDB recursive-CTE oracle), binary_auc (grouped Mann-Whitney
+    # rank-sum), and fuzzy_join (blocked entity resolution). Demoted to the
+    # locally-oracled overflow, each with its planner shape still pinned
+    # in-budget by a promoted or remaining query: top_k (TakeOrdered ≡
+    # tpch_q3's LIMIT), json_extract (F14 ≡ serving_pack), scalar_functions
+    # (F8-F13 folded through many in-budget projections), window_ranks
+    # (rank windows ≡ grouped_top_k), repetition / lm_score (text folds ≡
+    # text_profile + quality_filter + char_entropy), source_mix (sampling ≡
+    # sample_stratified), minhash_signatures (its exact signature values
+    # gate the in-budget lsh_near_dup banding, same memoized relation).
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q21": q_tpch_q21,
+    "funnel": q_funnel,
+    "cc_clusters": q_cc_clusters,
+    "binary_auc": q_binary_auc,
+    "fuzzy_join": q_fuzzy_join,
     # --- oracle-paired overflow (entries 51+): locally verified by
     # tests/test_oracle.py; outside the driver's 50-row artifact budget,
     # ordered before the rows-only tail so a larger budget covers them.
@@ -2581,13 +2598,20 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tpch_q7 moved here to make room for lm_score / source_mix /
     # pack_sequences (anti-join and shuffled-agg planner shapes stay
     # in-budget via anti_join_delete, tpch_q17/q20, grouping_sets) ---
+    "top_k": q_top_k,
+    "json_extract": q_json_extract,
+    "scalar_functions": q_scalar_functions,
+    "window_ranks": q_window_ranks,
+    "repetition": q_repetition,
+    "lm_score": q_lm_score,
+    "source_mix": q_source_mix,
+    "minhash_signatures": q_minhash_signatures,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
     "simhash": q_simhash,
     "tpch_q18": q_tpch_q18,
-    "tpch_q21": q_tpch_q21,
     "tpch_q4": q_tpch_q4,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
@@ -2601,10 +2625,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q19": q_tpch_q19,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q16": q_tpch_q16,
     "pack_sequences": q_pack_sequences,
     "ann_int8": q_ann_int8,
     "rollup_cascade": q_rollup_cascade,
@@ -2617,13 +2637,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,
     "token_budget": q_token_budget,
     "weighted_sample": q_weighted_sample,
-    "fuzzy_join": q_fuzzy_join,
     "validate_batch": q_validate_batch,
     "interleave": q_interleave,
     "resample_fill": q_resample_fill,
     "winsorize": q_winsorize,
     "binary_stats": q_binary_stats,
-    "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "drift_psi": q_drift_psi,
     "corpus_diff": q_corpus_diff,
@@ -2632,7 +2650,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "transitions": q_transitions,
     "funnel_timing": q_funnel_timing,
-    "cc_clusters": q_cc_clusters,
     "bfs_hops": q_bfs_hops,
     "heavy_hitters": q_heavy_hitters,
     "rolling_anomaly": q_rolling_anomaly,
@@ -2643,7 +2660,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_stats": q_graph_stats,
     "skew_report": q_skew_report,
     "containment": q_containment,
-    "binary_auc": q_binary_auc,
     "calibration": q_calibration,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
