@@ -1,0 +1,276 @@
+"""Transaction-log table layout (taar_gcp_etl_spark/txn.py): atomic
+manifest-swap commits, snapshot isolation, time travel, epoch replay
+guards, CDC tombstones, and the two crash windows the plain-parquet
+paths document as their limitations (VERDICT r3 next-2):
+
+* delete-op CDC replay — a stale upsert after a newer delete must NOT
+  resurrect the row (tombstone retention), and
+* kill between the snapshot write and the manifest publish — the table
+  must be unchanged, and the replay must apply exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark import txn
+
+CDC_SCHEMA = "id long, val string, seq long, op string"
+
+
+def _rows(df):
+    return {r.id: (r.val, r.seq) for r in df.collect()}
+
+
+class TestCommitRead:
+    def test_roundtrip_and_versions(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        v1 = txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        v2 = txn.commit_txn(
+            spark.createDataFrame([(1, "b"), (2, "c")], "id long, val string"),
+            t,
+        )
+        assert (v1, v2) == (1, 2)
+        assert _rows(
+            txn.read_txn(spark, t).withColumn("seq", F.lit(0))
+        ) == {1: ("b", 0), 2: ("c", 0)}
+        # time travel: version 1 still readable after version 2 commits
+        old = txn.read_txn(spark, t, version=1)
+        assert [r.val for r in old.collect()] == ["a"]
+
+    def test_empty_table_reads_none(self, spark, tmp_path):
+        assert txn.read_txn(spark, str(tmp_path / "missing")) is None
+
+    def test_commit_may_read_own_table(self, spark, tmp_path):
+        """The committed plan can lazily scan the current snapshot — the
+        new snapshot is a fresh directory, so no lineage cut is needed
+        (the plain-parquet overwrite path must localCheckpoint)."""
+        t = str(tmp_path / "t")
+        txn.commit_txn(
+            spark.createDataFrame([(1, 10)], "id long, v long"), t
+        )
+        cur = txn.read_txn(spark, t)
+        txn.commit_txn(cur.withColumn("v", F.col("v") + 1), t)
+        assert txn.read_txn(spark, t).collect()[0].v == 11
+
+    def test_epoch_replay_skipped(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, "a")], "id long, val string")
+        assert txn.commit_txn(df, t, epoch_id=0) == 1
+        assert txn.commit_txn(df, t, epoch_id=1) == 2
+        # same and older epochs are skipped before any write
+        assert txn.commit_txn(df, t, epoch_id=1) is None
+        assert txn.commit_txn(df, t, epoch_id=0) is None
+        assert len(txn._list_manifest_versions(spark, t)) == 2
+
+    def test_version_conflict_retries_to_next_slot(self, spark, tmp_path):
+        """Optimistic concurrency: if another writer took the target
+        manifest slot between log-read and publish, the commit re-reads
+        and lands on the next version instead of clobbering."""
+        t = str(tmp_path / "t")
+        txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        # squat on version 2 as a concurrent writer would
+        squat = {
+            "version": 2,
+            "snapshot": "data/v0000000002-squat",
+            "epoch_id": None,
+            "parent": 1,
+        }
+        spark.createDataFrame(
+            [(2, "x")], "id long, val string"
+        ).write.parquet(f"{t}/data/v0000000002-squat")
+        txn._write_bytes(
+            spark,
+            f"{t}/_log/{txn._manifest_name(2)}",
+            json.dumps(squat).encode(),
+        )
+        v = txn.commit_txn(
+            spark.createDataFrame([(3, "c")], "id long, val string"), t
+        )
+        assert v == 3
+        assert txn.latest_manifest(spark, t)["version"] == 3
+        assert [r.val for r in txn.read_txn(spark, t).collect()] == ["c"]
+
+
+class TestCrashWindow:
+    def test_kill_between_snapshot_write_and_manifest_publish(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """THE crash test: the snapshot lands but the process dies before
+        the manifest rename. The table must still read as the previous
+        version (orphan snapshot invisible), and re-running the batch
+        must apply it exactly once."""
+        t = str(tmp_path / "mv")
+        measures = {"total": ("sum", "v"), "n": ("count", "v")}
+        b1 = spark.createDataFrame([(1, 2.0), (2, 1.0)], ["k", "v"])
+        b2 = spark.createDataFrame([(1, 5.0)], ["k", "v"])
+        assert txn.refresh_aggregate_store_txn(b1, t, ["k"], measures, 0)
+
+        real_write = txn._write_bytes
+        boom = RuntimeError("killed before manifest publish")
+
+        def dying_write(spark_, path, data):
+            if "/_log/" in path:
+                raise boom
+            return real_write(spark_, path, data)
+
+        monkeypatch.setattr(txn, "_write_bytes", dying_write)
+        with pytest.raises(RuntimeError, match="killed before"):
+            txn.refresh_aggregate_store_txn(b2, t, ["k"], measures, 1)
+        monkeypatch.undo()
+
+        # crash left the table at epoch-0 state — no partial apply
+        assert txn.latest_manifest(spark, t)["version"] == 1
+        assert {
+            r.k: (r.total, r.n)
+            for r in txn.read_txn(spark, t).collect()
+        } == {1: (2.0, 1), 2: (1.0, 1)}
+
+        # replayed batch applies EXACTLY once; a second replay is skipped
+        assert txn.refresh_aggregate_store_txn(b2, t, ["k"], measures, 1)
+        assert not txn.refresh_aggregate_store_txn(
+            b2, t, ["k"], measures, 1
+        )
+        assert {
+            r.k: (r.total, r.n)
+            for r in txn.read_txn(spark, t).collect()
+        } == {1: (7.0, 2), 2: (1.0, 1)}
+
+        # the orphan snapshot from the crash is garbage-collected
+        report = txn.vacuum_txn(spark, t, keep_last=2)
+        assert report["removed_snapshots"] >= 1
+        assert txn.read_txn(spark, t) is not None
+
+
+class TestCdcTombstones:
+    def test_stale_upsert_cannot_resurrect_deleted_key(
+        self, spark, tmp_path
+    ):
+        """THE delete-replay test: I(seq1) → D(seq4) → replayed stale
+        U(seq3). The plain-parquet path documents this as its
+        resurrection gap; the tombstone's seq must win here."""
+        t = str(tmp_path / "dim")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "a0", 1, "I"), (2, "b0", 2, "I")], CDC_SCHEMA
+            ),
+            t,
+        )
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, None, 4, "D")], CDC_SCHEMA), t
+        )
+        # stale update from before the delete, replayed after it
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, "a1", 3, "U")], CDC_SCHEMA), t
+        )
+        live = _rows(txn.read_cdc_table(spark, t))
+        assert live == {2: ("b0", 2)}  # key 1 stays dead
+        raw = txn.read_cdc_table(spark, t, include_tombstones=True)
+        tomb = {r.id: (r.seq, r._deleted) for r in raw.collect()}
+        assert tomb[1] == (4, True)  # tombstone retained with delete seq
+
+    def test_delete_of_unseen_key_guards_future_stale_inserts(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "dim")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(7, None, 10, "D")], CDC_SCHEMA), t
+        )
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(7, "zombie", 9, "I")], CDC_SCHEMA), t
+        )
+        assert txn.read_cdc_table(spark, t).count() == 0
+        # a genuinely NEWER insert does revive the key
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(7, "fresh", 11, "I")], CDC_SCHEMA), t
+        )
+        assert _rows(txn.read_cdc_table(spark, t)) == {7: ("fresh", 11)}
+
+    def test_seq_guard_and_in_batch_ordering_parity(self, spark, tmp_path):
+        """Same guarantees as the plain-parquet CDC tests, on the txn
+        layout: in-batch latest-seq wins; replayed stale ops no-op."""
+        t = str(tmp_path / "dim")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "x1", 1, "I"), (1, "x3", 3, "U"), (1, "x2", 2, "U")],
+                CDC_SCHEMA,
+            ),
+            t,
+        )
+        assert _rows(txn.read_cdc_table(spark, t)) == {1: ("x3", 3)}
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, "x1", 1, "I")], CDC_SCHEMA), t
+        )
+        assert _rows(txn.read_cdc_table(spark, t)) == {1: ("x3", 3)}
+
+    def test_epoch_stamped_replay_skips_before_merge(self, spark, tmp_path):
+        t = str(tmp_path / "dim")
+        b = spark.createDataFrame([(1, "a", 1, "I")], CDC_SCHEMA)
+        assert txn.apply_cdc_batch_txn(b, t, epoch_id=5) == 1
+        assert txn.apply_cdc_batch_txn(b, t, epoch_id=5) is None
+
+    def test_tombstone_compaction_respects_horizon(self, spark, tmp_path):
+        t = str(tmp_path / "dim")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [
+                    (1, None, 3, "D"),
+                    (2, None, 8, "D"),
+                    (3, "live", 9, "I"),
+                ],
+                CDC_SCHEMA,
+            ),
+            t,
+        )
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=5)
+        raw = txn.read_cdc_table(spark, t, include_tombstones=True)
+        state = {r.id: r._deleted for r in raw.collect()}
+        # seq-3 tombstone retired, seq-8 tombstone (>= horizon) kept,
+        # live row untouched
+        assert state == {2: True, 3: False}
+
+    def test_streaming_cdc_txn_end_to_end(self, spark, tmp_path):
+        from taar_gcp_etl_spark.txn import stream_cdc_apply_txn
+
+        src = tmp_path / "cdc_src"
+        src.mkdir()
+        t = str(tmp_path / "dim")
+        spark.createDataFrame(
+            [(1, "a0", 1, "I"), (2, "b0", 2, "I")], CDC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        changes = (
+            spark.readStream.schema(CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_cdc_apply_txn(changes, t, str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, None, 3, "D"), (1, "a9", 4, "U")], CDC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        q.stop()
+        assert _rows(txn.read_cdc_table(spark, t)) == {1: ("a9", 4)}
+
+
+class TestVacuum:
+    def test_vacuum_keeps_readable_recent_versions(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        for i in range(5):
+            txn.commit_txn(
+                spark.createDataFrame([(i, "v")], "id long, val string"), t
+            )
+        report = txn.vacuum_txn(spark, t, keep_last=2)
+        assert report["removed_snapshots"] == 3
+        assert report["kept_versions"] == [4, 5]
+        assert txn.read_txn(spark, t).collect()[0].id == 4
+        assert txn.read_txn(spark, t, version=4).collect()[0].id == 3
+        with pytest.raises(Exception):
+            txn.read_txn(spark, t, version=2)
