@@ -6,13 +6,13 @@ never pass through the JVM heap twice (no string codec), metadata columns
 stay prunable, and partition sizing accounts for blob width.
 
 Decode/feature-extraction executes as Arrow-batched Pandas UDFs over
-`mapInPandas`. UNCOMPRESSED formats decode for real — PPM (P6) and
-24-bit BMP to pixel arrays, PCM WAV to sample arrays — with numpy +
-stdlib only (decode_media). Compressed codecs (JPEG/PNG/MP4) stay behind
-`_decode_image_stub` because the container has no Pillow/ffmpeg; swapping
-the stub for a real codec changes no plan shape. Feature extraction over
-decoded pixels/samples (brightness, channel means, RMS, zero-crossings)
-is real numpy either way.
+`mapInPandas`. PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate — see
+decode_png), and PCM WAV decode FOR REAL with numpy + stdlib only
+(decode_media). Codecs that genuinely need external libraries (JPEG/MP4
+— no Pillow/ffmpeg in the container) stay behind `_decode_image_stub`;
+swapping the stub for a real codec changes no plan shape. Feature
+extraction over decoded pixels/samples (brightness, channel means, RMS,
+zero-crossings) is real numpy either way.
 """
 
 from __future__ import annotations
@@ -116,6 +116,103 @@ def decode_bmp(content: bytes):
     return img[::-1] if bottom_up else img
 
 
+def decode_png(content: bytes):
+    """PNG → uint8 ndarray (h, w, 3) in RGB order, stdlib zlib + numpy
+    only — the one compressed image format that needs no external codec
+    (DEFLATE is the stdlib's; the rest is chunk parsing + scanline
+    unfiltering).
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced, all five scanline filters.
+    Alpha is dropped, gray broadcast, palette mapped — output is always
+    (h, w, 3) so the downstream dHash / feature path is format-blind.
+    Unfiltering is vectorized per scanline where the filter allows (None
+    and Up fully; Sub via a grouped modular cumsum); Average and Paeth
+    carry a left-pixel dependency and fall back to a per-pixel loop on
+    just those rows — encoder-typical images are mostly Sub/Up, and the
+    decode runs inside the Arrow-batched mapInPandas stage anyway.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    if content[:8] != SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row, f = data[y], int(filters[y])
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 2:  # Up
+            rec = row + prev  # uint8 wraps mod 256 — the spec's arithmetic
+        elif f == 1:  # Sub: modular prefix sum per byte-lane within a pixel
+            rec = (
+                np.cumsum(
+                    row.astype(np.int64).reshape(-1, bpp), axis=0
+                ).astype(np.uint8)
+            ).reshape(-1)
+        else:  # Average (3) / Paeth (4): left-neighbor dependency
+            rec = np.empty(stride, dtype=np.uint8)
+            ri, pi = row.astype(np.int64), prev.astype(np.int64)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(pi[i])
+                if f == 3:
+                    rec[i] = (ri[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (ri[i] + pred) & 0xFF
+        out[y], prev = rec, rec
+    px = out.reshape(h, w, channels)
+    if color == 2:
+        return px
+    if color == 6:
+        return px[:, :, :3].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    return plte[px[:, :, 0]]
+
+
 def decode_wav(content: bytes):
     """PCM WAV → (float samples in [-1, 1] shape (n, channels), rate).
     stdlib `wave` handles the RIFF container; numpy views the frames."""
@@ -189,6 +286,8 @@ def decode_media(content: bytes, mime: str | None) -> list[float]:
         return _image_features(decode_ppm(content))
     if mime == "image/bmp":
         return _image_features(decode_bmp(content))
+    if mime == "image/png":
+        return _image_features(decode_png(content))
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_features(*decode_wav(content))
     return _decode_image_stub(content)
@@ -253,6 +352,8 @@ def decode_pixels(content: bytes, mime: str | None):
         return decode_ppm(content)
     if mime == "image/bmp":
         return decode_bmp(content)
+    if mime == "image/png":
+        return decode_png(content)
     return None
 
 
@@ -281,9 +382,10 @@ def media_dhash(df: DataFrame) -> DataFrame:
     """Perceptual hashes for every decodable image row:
     (media_id, simhash_hi, simhash_lo) — column names deliberately match
     the text-SimHash digest relation so dedup.simhash_hamming_pairs
-    consumes it unchanged (see media_near_dup). Undecodable rows (codec
-    formats, null content) are dropped here: no pixels, no perceptual
-    identity."""
+    consumes it unchanged (see media_near_dup). Undecodable rows — codec
+    formats without a decoder, null content, and CORRUPT bytes (decode
+    raising) — are dropped here: no pixels, no perceptual identity, and
+    one truncated blob must not fail a whole-corpus job."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -295,7 +397,10 @@ def media_dhash(df: DataFrame) -> DataFrame:
             ):
                 if content is None:
                     continue
-                img = decode_pixels(content, mime)
+                try:
+                    img = decode_pixels(content, mime)
+                except ValueError:
+                    continue
                 if img is None:
                     continue
                 hi, lo = dhash64(img)

