@@ -41,6 +41,50 @@ def read_event_stream(
     )
 
 
+def read_event_stream_rate(
+    spark: SparkSession,
+    path: str,
+    rows_per_batch: int = 500,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Rate-source replay of an event fixture: the SAME EVENTS_SCHEMA
+    contract as read_event_stream, but arrival is driven by Spark's
+    deterministic `rate-micro-batch` source instead of file drops —
+    exactly ``rows_per_batch`` events per micro-batch, in ``order_col``
+    order, regardless of how the fixture is laid out on disk.
+
+    Why it exists: the file source can only test watermark/late-data
+    semantics post-hoc (drop files, hope the trigger picks them up one
+    at a time); this harness pins ARRIVAL ORDER at the source boundary,
+    so a test can deliver an out-of-order event in a chosen later batch
+    and assert the watermark drops it (see TestRateSourceParity). It is
+    also the load-replay tool: rows_per_batch is events-per-trigger.
+
+    Mechanics: the rate stream's monotone `value` equi-joins the
+    fixture's 0-based arrival index (stream-static inner join — fully
+    supported, no state). The global row_number over ``order_col`` is a
+    replay-fixture cost, not a production path: a real deployment swaps
+    this function for the Kafka reader, which brings its own order.
+    Once the fixture is exhausted the join emits empty batches — the
+    caller stops on a condition, not on processAllAvailable (a rate
+    source never runs dry)."""
+    static = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+    indexed = static.withColumn(
+        "_arrival",
+        F.row_number().over(Window.orderBy(order_col)).cast("long") - 1,
+    )
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        # rate's (timestamp, value) clash with EVENTS_SCHEMA columns
+        .select(F.col("value").alias("_tick"))
+    )
+    return rate.join(
+        indexed, rate["_tick"] == indexed["_arrival"]
+    ).select(*[f.name for f in EVENTS_SCHEMA.fields])
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 day", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -162,6 +162,184 @@ class TestStreamingEquivalence:
         assert got == want
 
 
+def _await_stream(q, predicate, timeout_s=120):
+    """Poll until `predicate()` holds, then stop the query. A rate source
+    never runs dry, so processAllAvailable cannot terminate it — stopping
+    on an observed condition is the harness contract (liveness enforced
+    by the timeout)."""
+    import time
+
+    deadline = time.time() + timeout_s
+    ok = False
+    try:
+        while time.time() < deadline:
+            if predicate():
+                ok = True
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return ok
+
+
+class TestRateSourceParity:
+    """read_event_stream_rate: the rate-micro-batch replay source honors
+    the same EVENTS_SCHEMA contract and windowed-operator semantics as
+    the file source — and, unlike file drops, pins ARRIVAL ORDER at the
+    source boundary, so watermark/late-data behavior is tested where it
+    happens (VERDICT r3 next-4)."""
+
+    def test_tumbling_equivalence_through_rate_source(self, spark, tmp_path):
+        """Same assertion as the file-source equivalence test: once the
+        fixture has fully replayed through the rate source, the streaming
+        tumbling aggregate equals the batch operator exactly."""
+        events = read_table(spark, SF_SMOKE, "events")
+        src = str(tmp_path / "events_rate")
+        events.repartition(4).write.parquet(src)
+        total = events.count()
+
+        stream = stream_jobs.read_event_stream_rate(
+            spark, src, rows_per_batch=max(1, total // 3), order_col="ts"
+        )
+        agg = stream_jobs.tumbling_counts(stream)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rate_tumbling_out")
+            .start()
+        )
+
+        def all_delivered():
+            rows = spark.sql(
+                "SELECT coalesce(sum(n), 0) s FROM rate_tumbling_out"
+            ).collect()
+            return rows[0].s == total
+
+        assert _await_stream(q, all_delivered), "fixture never fully replayed"
+
+        got = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM rate_tumbling_out").collect()
+        }
+        batch = tumbling_window_agg(
+            events,
+            "ts",
+            "1 day",
+            ["event_type"],
+            [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+        )
+        want = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in batch.collect()
+        }
+        assert got == want
+
+    def test_stateful_totals_through_rate_source(self, spark, tmp_path):
+        events = read_table(spark, SF_SMOKE, "events")
+        src = str(tmp_path / "events_rate_state")
+        events.repartition(4).write.parquet(src)
+        want = {
+            r.user_id: (r.n, r.s)
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("s"),
+            )
+            .collect()
+        }
+
+        stream = stream_jobs.read_event_stream_rate(
+            spark, src, rows_per_batch=max(1, events.count() // 3)
+        )
+        totals = stream_jobs.running_user_totals(stream)
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("rate_state_out")
+            .start()
+        )
+
+        def totals_converged():
+            final = spark.sql(
+                """
+                SELECT user_id, n_events, sum_value FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY user_id ORDER BY n_events DESC
+                    ) rn FROM rate_state_out
+                ) WHERE rn = 1
+                """
+            )
+            got = {
+                r.user_id: (r.n_events, r.sum_value) for r in final.collect()
+            }
+            return got == want
+
+        assert _await_stream(q, totals_converged), "state never converged"
+
+    def test_late_event_dropped_at_source_boundary(self, spark, tmp_path):
+        """THE source-boundary late-data test: arrival order is pinned by
+        event_id, so the seq-7 event (event-time 10:00:30) arrives two
+        batches after the watermark passed its window — it must be
+        dropped, and the closed 10:00 window must count 2, not 3. File
+        drops cannot pin batch boundaries this precisely; the rate
+        harness can. (One batch of separation matters: Spark filters
+        late rows with the PREVIOUS batch's watermark and evicts with
+        the current one, so a row arriving in the same batch its window
+        closes still merges — pinning that nuance is exactly what a
+        source-boundary harness is for.)"""
+        import datetime as dt
+
+        def ts(m, s):
+            return dt.datetime(2024, 1, 1, 10, m, s)
+
+        rows = [
+            # (event_id = arrival order, ts, user, type, value, props)
+            (1, ts(0, 10), 1, "a", 1.0, None),
+            (2, ts(0, 20), 1, "a", 1.0, None),   # batch 0 ends
+            (3, ts(30, 0), 1, "a", 1.0, None),
+            (4, ts(30, 5), 1, "a", 1.0, None),   # batch 1 → wm 10:29:05
+            (5, ts(40, 0), 1, "a", 1.0, None),
+            (6, ts(40, 5), 1, "a", 1.0, None),   # batch 2: 10:00 win closes
+            (7, ts(0, 30), 1, "a", 1.0, None),   # LATE: filter wm 10:29:05
+            (8, ts(59, 0), 1, "a", 1.0, None),   # batch 3 → flush 10:40
+        ]
+        src = str(tmp_path / "late_src")
+        spark.createDataFrame(
+            rows, stream_jobs.EVENTS_SCHEMA
+        ).write.parquet(src)
+
+        stream = stream_jobs.read_event_stream_rate(
+            spark, src, rows_per_batch=2
+        )
+        agg = stream_jobs.tumbling_counts(
+            stream, width="1 minute", watermark="1 minute"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rate_late_out")
+            .start()
+        )
+
+        def windows_closed():
+            starts = {
+                r.window_start
+                for r in spark.sql(
+                    "SELECT window_start FROM rate_late_out"
+                ).collect()
+            }
+            return {ts(0, 0), ts(30, 0), ts(40, 0)} <= starts
+
+        assert _await_stream(q, windows_closed), "windows never closed"
+        got = {
+            r.window_start: r.n
+            for r in spark.sql("SELECT * FROM rate_late_out").collect()
+        }
+        assert got[ts(0, 0)] == 2  # late seq-7 event NOT counted
+        assert got[ts(30, 0)] == 2
+        assert got[ts(40, 0)] == 2
+
+
 class TestLateData:
     def test_watermark_drops_late_events_in_append_mode(self, spark, tmp_path):
         """Late-data contract: with a 30-min watermark in append mode, a
