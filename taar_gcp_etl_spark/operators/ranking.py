@@ -56,8 +56,38 @@ def grouped_top_k(
     )
 
 
+def _coinstall_membership(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None,
+) -> DataFrame:
+    """Distinct (group, item) membership, optionally dropping groups with
+    more than `max_group_size` items — the hot-key guard both coinstall
+    operators share. A group's self-join fan-out is quadratic in its
+    size, so one pathological client (a bot with 10k 'addons') costs
+    10⁸ candidate pairs; a group that hot is automation, not
+    co-installation signal. The windowed count is one pass and its
+    group-key exchange is exactly the partitioning the self-join wants
+    (same argument as dedup.drop_hot_bands)."""
+    memb = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_group_size is None:
+        return memb
+    w = Window.partitionBy("g")
+    return (
+        memb.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_group_size)
+        .drop("_n")
+    )
+
+
 def coinstall_pairs(
-    df: DataFrame, group_col: str, item_col: str
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """§2.10 — coinstallation pair counts (guid_coinstallation.json contract,
     README.md:108-113): for each group (client), every unordered pair of
@@ -67,11 +97,10 @@ def coinstall_pairs(
     shrinks the data to one row per membership — then an equi self-join on
     the group key with an `<` predicate to emit each unordered pair once.
     AQE handles skewed groups; at 100 TB, items/group is bounded (addons per
-    client), so the join fan-out per group is quadratic in a small constant.
+    client) — and `max_group_size` enforces that bound against adversarial
+    clients (see _coinstall_membership).
     """
-    pairs = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
+    pairs = _coinstall_membership(df, group_col, item_col, max_group_size)
     a = pairs.alias("a")
     b = pairs.alias("b")
     return (
@@ -82,7 +111,11 @@ def coinstall_pairs(
 
 
 def coinstall_rates(
-    df: DataFrame, group_col: str, item_col: str, round_to: int = 6
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    round_to: int = 6,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """§2.10 — the actual guid_coinstallation.json contract: conditional
     rates P(item_b | item_a) over ORDERED pairs (README.md:108-113 — 'rate
@@ -92,10 +125,9 @@ def coinstall_rates(
     The denominator table is small (one row per item) → broadcast join onto
     the pair counts; no second shuffle of the pair table. The raw pair_count
     rides along in the output, so this one query also carries the
-    pair-counts contract (coinstall_pairs is its unordered projection)."""
-    memb = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
+    pair-counts contract (coinstall_pairs is its unordered projection).
+    `max_group_size` is the hot-client guard (_coinstall_membership)."""
+    memb = _coinstall_membership(df, group_col, item_col, max_group_size)
     a, b = memb.alias("a"), memb.alias("b")
     ordered_pairs = (
         a.join(

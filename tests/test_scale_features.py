@@ -847,3 +847,118 @@ class TestRefreshAggregate:
                 self._store(spark), delta, ["k"],
                 {"total": ("sum_distinct", "v")},
             ).collect()
+
+
+class TestSkewKillSwitch:
+    """Adversarial hot-key fixtures (VERDICT r3 next-7): the hot-band /
+    hot-block / hot-group caps exist as code — these tests hit them with
+    deliberately pathological keys and assert the CANDIDATE VOLUME is
+    actually bounded (measured counts, not just output correctness)."""
+
+    def test_fuzzy_join_hot_block_bounds_candidates(self, spark):
+        """One degenerate block of 500 rows (an empty-domain placeholder)
+        next to 20 healthy blocks. Uncapped, the hot block alone is
+        C(500,2) = 124,750 candidate DP comparisons; with the cap its
+        contribution must be ZERO and the total candidate volume stays
+        at the healthy blocks' sum."""
+        from taar_gcp_etl_spark.operators.dedup import drop_hot_bands
+        from taar_gcp_etl_spark.operators.joins import fuzzy_self_join
+
+        hot = [(i, f"hotname{i:04d}", "") for i in range(500)]
+        cold = [
+            (1000 + b * 10 + j, f"entity{b:02d}x{j}", f"dom{b:02d}")
+            for b in range(20)
+            for j in range(3)
+        ]
+        df = spark.createDataFrame(
+            hot + cold, "id long, name string, dom string"
+        )
+
+        # measured candidate volume = sum over surviving blocks of C(n,2),
+        # computed on the SAME capped relation the join consumes
+        capped = drop_hot_bands(df.withColumn("_blk", F.col("dom")), "_blk", 50)
+        cand = (
+            capped.groupBy("_blk")
+            .count()
+            .selectExpr("sum(count * (count - 1) / 2) as cands")
+            .collect()[0]
+            .cands
+        )
+        assert cand == 20 * 3  # 20 blocks × C(3,2); hot block contributes 0
+        uncapped_hot = 500 * 499 / 2
+        assert cand < uncapped_hot / 1000  # three orders of magnitude
+
+        out = fuzzy_self_join(
+            df, "name", "id", ["dom"], max_distance=2, max_block_size=50
+        ).collect()
+        ids = {r.id_a for r in out} | {r.id_b for r in out}
+        assert ids and all(i >= 1000 for i in ids)  # no hot-block survivors
+        # healthy entities still resolve: entityNNxJ names differ by 1 char
+        assert {(r.id_a, r.id_b) for r in out} >= {(1000, 1001), (1001, 1002)}
+
+    def test_lsh_hot_band_bounds_candidates(self, spark):
+        """300 boilerplate-identical documents share every band — the
+        classic viral-header blowup (C(300,2) = 44,850 candidates per
+        band uncapped). With max_band_size=50 the boilerplate bands are
+        dropped wholesale while a genuine near-dup pair in healthy
+        documents still surfaces."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            lsh_near_dup_pairs,
+            minhash_signatures,
+        )
+
+        boiler = [(i, "subscribe to our newsletter terms apply today") for i in range(300)]
+        real = [
+            (1000, "the quick brown fox jumps over the lazy dog tonight"),
+            (1001, "the quick brown fox jumps over the lazy dog again"),
+            (1002, "completely unrelated text about distributed query engines"),
+        ]
+        df = spark.createDataFrame(boiler + real, "doc_id long, text string")
+        signed = minhash_signatures(df)
+        pairs = lsh_near_dup_pairs(
+            signed, max_band_size=50, jaccard_threshold=0.5
+        ).collect()
+        ids = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+        assert all(i >= 1000 for i in ids)  # zero boilerplate pairs
+        assert (1000, 1001) in {(r.doc_a, r.doc_b) for r in pairs}
+
+    def test_coinstall_hot_group_bounds_fanout(self, spark):
+        """A bot client with 200 distinct items is C(200,2) = 19,900
+        pairs on its own — more than every real client combined. With
+        max_group_size the bot is excluded and the pair counts equal the
+        bot-free result exactly; candidate volume is provably ≤
+        groups × C(cap, 2)."""
+        from taar_gcp_etl_spark.operators.ranking import (
+            _coinstall_membership,
+            coinstall_pairs,
+        )
+
+        bot = [("bot", f"item{i:03d}") for i in range(200)]
+        normal = [
+            (f"u{u:02d}", f"item{(u + j) % 10:03d}")
+            for u in range(50)
+            for j in range(4)
+        ]
+        df = spark.createDataFrame(bot + normal, "client string, addon string")
+
+        memb = _coinstall_membership(df, "client", "addon", 20)
+        max_group = (
+            memb.groupBy("g").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert max_group <= 20  # fan-out per group ≤ C(20,2)
+
+        capped = {
+            (r.item_a, r.item_b): r.pair_count
+            for r in coinstall_pairs(
+                df, "client", "addon", max_group_size=20
+            ).collect()
+        }
+        botless = {
+            (r.item_a, r.item_b): r.pair_count
+            for r in coinstall_pairs(
+                spark.createDataFrame(normal, "client string, addon string"),
+                "client",
+                "addon",
+            ).collect()
+        }
+        assert capped == botless  # bot contributes nothing, others exact
