@@ -294,3 +294,176 @@ def fuzzy_self_join(
             dist.cast("int").alias("dist"),
         )
     )
+
+def _common_affix_lengths(
+    df: DataFrame, text_col: str
+) -> tuple[int, int]:
+    """Corpus-wide longest common prefix / suffix lengths, one tiny
+    aggregate (lexicographic min & max bound the LCP of the whole set;
+    same for reversed strings and the suffix), clamped so prefix+suffix
+    never exceed the shortest string. Driver receives ONE row — the
+    bounded-collect pattern (cf. int8_quantization_stats)."""
+    row = df.select(
+        F.min(text_col).alias("lo"),
+        F.max(text_col).alias("hi"),
+        F.min(F.reverse(F.col(text_col))).alias("rlo"),
+        F.max(F.reverse(F.col(text_col))).alias("rhi"),
+        F.min(F.length(text_col)).alias("minlen"),
+    ).collect()[0]
+    if row.lo is None:
+        return 0, 0
+
+    def lcp(a: str, b: str) -> int:
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    p = lcp(row.lo, row.hi)
+    s = min(lcp(row.rlo, row.rhi), max(0, row.minlen - p))
+    return p, s
+
+
+def fuzzy_self_join_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    max_distance: int = 2,
+    trim_common_affixes: bool = True,
+) -> DataFrame:
+    """Scalable EXACT blocking for the approximate-string self-join:
+    pigeonhole segment join (the PassJoin family — Li, Deng, Feng 2011,
+    a published exact-edit-distance join algorithm).
+
+    Why fuzzy_self_join's categorical blocking caps out: its block COUNT
+    is fixed by the blocking domain (25 nations x 5 segments = 125), so
+    at 10x data each block has 10x members and the per-block self-join
+    does 100x DP comparisons — the r4 sf1.0 soak measured exactly that
+    curve (34x wall-clock at 10x rows). Segment blocking replaces the
+    fixed domain with CONTENT-derived keys whose cardinality grows with
+    the corpus, so candidates per key stay O(1) and total work O(n).
+
+    Pigeonhole: split each string into d+1 contiguous pieces. Any ≤ d
+    edit operations leave at least one piece untouched, and ≤ d indels
+    shift its position by at most d — so for every true pair, one side's
+    exact piece occurs in the other side within a ±d position window.
+    INDEX side emits its d+1 pieces keyed (segment#, content); PROBE
+    side emits, for each partner length L within ±d and each shift in
+    ±d, the same-length substring at the shifted boundary. Equality on
+    (segment#, piece [, block_cols]) is then a standard shuffled
+    equi-join — complete by construction (no recall loss: the final
+    levenshtein verify is exact), so the DuckDB all-pairs oracle is
+    unchanged.
+
+    Costs: index fan-out d+1 rows/string; probe fan-out ≤
+    (d+1)(2d+1)² distinct keys/string (~45 at d=2, after dedup usually
+    far fewer since adjacent L/shift combinations repeat substrings).
+    Candidates carry IDS ONLY through the key join; texts join back
+    per-candidate afterwards (the LSH narrow-rows discipline). Strings
+    shorter than d+1 produce empty pieces that key all short strings in
+    a block together — correct, and bounded because such strings are by
+    definition near everything their length admits.
+
+    LOW-ENTROPY AFFIX DEGENERACY (and its exact fix): templated strings
+    like TPC-H's 'Customer#%09d' share a constant prefix, so the piece
+    covering it is one corpus-wide hot key and candidates go quadratic
+    again — measured: the first segment-join soak run stayed at ~30x
+    wall-clock at 10x rows. `trim_common_affixes` removes the
+    corpus-constant prefix/suffix before segmenting. This is EXACT:
+    Levenshtein's affix-trimming property says ed(P·a·S, P·b·S) =
+    ed(a, b), every pair shares at least the corpus-wide affixes, and
+    the verify still runs on the ORIGINAL strings. The affix lengths
+    come from one tiny aggregate (_common_affix_lengths). Residual
+    low-entropy structure INSIDE strings would need frequency-adaptive
+    piece selection (Ed-Join-style content filtering) — not needed for
+    any fixture this engine ships."""
+    d = max_distance
+    nseg = d + 1
+    block_cols = block_cols or []
+    trim_p, trim_s = (
+        _common_affix_lengths(df, text_col) if trim_common_affixes else (0, 0)
+    )
+    trimmed = F.expr(
+        f"substring({text_col}, {trim_p} + 1, "
+        f"greatest(length({text_col}) - {trim_p + trim_s}, 0))"
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_orig"),
+        trimmed.alias("_t"),
+        F.length(trimmed).alias("_len"),
+        *block_cols,
+    )
+
+    piece = (
+        "substring(_t, cast(floor({i} * {L} / %(nseg)d) as int) + 1 + {s}, "
+        "cast(floor(({i} + 1) * {L} / %(nseg)d) "
+        "- floor({i} * {L} / %(nseg)d) as int))" % {"nseg": nseg}
+    )
+    idx_keys = (
+        "transform(sequence(0, %(d)d), i -> "
+        "named_struct('seg', i, 'piece', %(p)s))"
+        % {"d": d, "p": piece.format(i="i", L="_len", s="0")}
+    )
+    # probe enumerates (segment, partner length L, shift s); invalid
+    # positions (outside [1, len]) collapse to null and are filtered
+    probe_piece = piece.format(i="i", L="L", s="s")
+    probe_keys = (
+        "array_distinct(filter(flatten(flatten("
+        "transform(sequence(0, %(d)d), i -> "
+        "transform(sequence(greatest(_len - %(d)d, 1), _len + %(d)d), L -> "
+        "transform(sequence(-%(d)d, %(d)d), s -> "
+        "CASE WHEN cast(floor(i * L / %(n)d) as int) + 1 + s >= 1 "
+        "AND cast(floor(i * L / %(n)d) as int) + s "
+        "+ cast(floor((i + 1) * L / %(n)d) - floor(i * L / %(n)d) as int) "
+        "<= _len "
+        "THEN named_struct('seg', i, 'piece', %(p)s) END))))), "
+        "x -> x IS NOT NULL))" % {"d": d, "n": nseg, "p": probe_piece}
+    )
+
+    idx = base.select(
+        F.col("_id").alias("_id_i"),
+        *block_cols,
+        F.explode(F.expr(idx_keys)).alias("_k"),
+    ).select("_id_i", *block_cols, "_k.seg", "_k.piece")
+    probe = base.select(
+        F.col("_id").alias("_id_p"),
+        *block_cols,
+        F.explode(F.expr(probe_keys)).alias("_k"),
+    ).select("_id_p", *block_cols, "_k.seg", "_k.piece")
+
+    cand = (
+        idx.join(probe, ["seg", "piece", *block_cols])
+        .filter(F.col("_id_i") != F.col("_id_p"))
+        .select(
+            F.least("_id_i", "_id_p").alias("id_a"),
+            F.greatest("_id_i", "_id_p").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = base.select("_id", F.col("_orig").alias("_t"), "_len")
+    dist = F.levenshtein(F.col("_t_a"), F.col("_t_b"))
+    return (
+        cand.join(
+            texts.select(
+                F.col("_id").alias("id_a"),
+                F.col("_t").alias("_t_a"),
+                F.col("_len").alias("_l_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("_id").alias("id_b"),
+                F.col("_t").alias("_t_b"),
+                F.col("_len").alias("_l_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.abs(F.col("_l_a") - F.col("_l_b")) <= d)
+        .filter(dist <= d)
+        .select("id_a", "id_b", dist.cast("int").alias("dist"))
+    )

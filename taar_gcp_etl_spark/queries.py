@@ -1742,18 +1742,22 @@ def q_validate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked approximate-string self-join (entity resolution): customer
-    names within edit distance 2, candidates only from (nation, segment)
-    blocks, length-window prune before the levenshtein DP. The all-pairs
-    rewrite discipline is the same as LSH banding — never a cartesian.
-    _wide: the left side drives the broadcast self-join's parallelism (a
-    single local split would serialize every DP onto one core; measured
-    24 s → 0.7 s warm at sf0.1), and the composite block bounds the candidate
-    count — block-key choice IS the cost knob, exactly like LSH bands."""
-    from taar_gcp_etl_spark.operators.joins import fuzzy_self_join
+    """Approximate-string self-join (entity resolution): customer names
+    within edit distance 2, candidates only from same (nation, segment).
+    r4 switched the candidate generator from categorical blocking
+    (fuzzy_self_join) to the PassJoin-style pigeonhole SEGMENT join:
+    the (nation, segment) domain is fixed at 125 blocks, so block
+    membership grows with the corpus and per-block DP work grows
+    quadratically — the sf1.0 soak measured 34x wall-clock at 10x rows.
+    Segment keys are content-derived, so their cardinality scales with
+    the data and candidates stay O(n); the method is EXACT (pigeonhole
+    over d+1 pieces + levenshtein verify), so the all-pairs DuckDB
+    oracle is unchanged. The categorical columns remain in the join key
+    as the semantic filter."""
+    from taar_gcp_etl_spark.operators.joins import fuzzy_self_join_segments
 
     cust = _wide(spark, sf_dir, "customer")
-    return fuzzy_self_join(
+    return fuzzy_self_join_segments(
         cust,
         "c_name",
         "c_custkey",
@@ -2143,16 +2147,29 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star dedup — SemDeDup-style semantic near-dup collapse:
-    KMeans-cluster embeddings (memoized donor_index fit), within-cluster
-    salted pair join at cosine ≥ 0.95, connected components → one
-    canonical doc per duplicate group. Iterative-ML upstream → rows-only
-    check; synthetic-fixture + determinism tests in
-    tests/test_consolidations.py."""
+    KMeans-cluster embeddings, within-cluster salted pair join at cosine
+    ≥ 0.95, connected components → one canonical doc per duplicate
+    group. Iterative-ML upstream → rows-only check; synthetic-fixture +
+    determinism tests in tests/test_consolidations.py.
+
+    k scales with the corpus (r4 soak finding): within-cluster pair work
+    is Σ|cluster|²/salt, so a FIXED k curves quadratically — 19x
+    wall-clock at 10x rows, right at the soak bound. Target ~250
+    vectors/cluster (k = n/250, clamped) keeps cluster size constant →
+    pair work O(n); the KMeans fit is O(n·k·iters) with k capped at
+    4096, the SemDeDup regime (large-but-sublinear k; the paper runs
+    ~100k clusters for billions of docs). Small corpora (≤ 4000, the
+    driver SFs) reuse the shared memoized k=8 donor fit unchanged."""
     from taar_gcp_etl_spark.operators.similarity import semantic_dedup
 
     emb = _wide(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n <= 4000:
+        return semantic_dedup(
+            emb, threshold=0.95, assignments=_clusters(spark, sf_dir)
+        )
     return semantic_dedup(
-        emb, threshold=0.95, assignments=_clusters(spark, sf_dir)
+        emb, threshold=0.95, k=min(4096, max(8, n // 250))
     )
 
 

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # local mode: driver == all executors, so the default 1g heap is
+        # the whole cluster's memory — size it to the machine (128 GiB
+        # box; JVM heap is lazily committed). Must be set before the JVM
+        # launches, hence here and not per-query.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

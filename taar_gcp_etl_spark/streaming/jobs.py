@@ -62,17 +62,20 @@ def read_event_stream_rate(
 
     Mechanics: the rate stream's monotone `value` equi-joins the
     fixture's 0-based arrival index (stream-static inner join — fully
-    supported, no state). The global row_number over ``order_col`` is a
-    replay-fixture cost, not a production path: a real deployment swaps
-    this function for the Kafka reader, which brings its own order.
-    Once the fixture is exhausted the join emits empty batches — the
-    caller stops on a condition, not on processAllAvailable (a rate
-    source never runs dry)."""
+    supported, no state). The arrival index comes from the engine's
+    two-phase distributed prefix sum (packing.distributed_prefix_sum) —
+    even the replay fixture refuses the global-window single-task sort
+    the package-wide audit bans. A real deployment swaps this function
+    for the Kafka reader, which brings its own order. Once the fixture
+    is exhausted the join emits empty batches — the caller stops on a
+    condition, not on processAllAvailable (a rate source never runs
+    dry)."""
+    from taar_gcp_etl_spark.operators.packing import distributed_prefix_sum
+
     static = spark.read.schema(EVENTS_SCHEMA).parquet(path)
-    indexed = static.withColumn(
-        "_arrival",
-        F.row_number().over(Window.orderBy(order_col)).cast("long") - 1,
-    )
+    indexed = distributed_prefix_sum(
+        static.withColumn("_one", F.lit(1)), "_one", [order_col]
+    ).withColumn("_arrival", F.col("cum_before").cast("long"))
     rate = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rows_per_batch)
