@@ -131,21 +131,53 @@ def latest_manifest(spark: SparkSession, table_dir: str) -> dict | None:
 
 
 def read_txn(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    buckets: list[int] | None = None,
 ) -> DataFrame | None:
     """Read the latest committed snapshot (or a pinned ``version`` — time
     travel). Returns None for a table with no committed version yet:
     orphan snapshot dirs from interrupted commits are invisible, which is
-    the whole point."""
+    the whole point.
+
+    Handles both layouts: plain (one snapshot dir per version) and
+    BUCKETED (the manifest maps each hash bucket to the snapshot dir
+    that currently owns it — see apply_cdc_batch_bucketed). For a
+    bucketed table, ``buckets`` restricts the read to those buckets,
+    and because each owning dir is hash-partitioned on the bucket
+    column, the isin() filter prunes to exactly those partition
+    directories — the read cost is O(selected buckets), not O(table)."""
     if version is None:
         man = latest_manifest(spark, table_dir)
     else:
         man = read_manifest(spark, table_dir, version)
     if man is None:
         return None
-    return spark.read.parquet(
-        f"{table_dir.rstrip('/')}/{man['snapshot']}"
-    )
+    table_dir = table_dir.rstrip("/")
+    if "snapshot" in man:
+        return spark.read.parquet(f"{table_dir}/{man['snapshot']}")
+    mapping = man["buckets"]
+    sel = {
+        int(b): d
+        for b, d in mapping.items()
+        if buckets is None or int(b) in set(buckets)
+    }
+    if not sel:
+        return None
+    by_dir: dict[str, list[int]] = {}
+    for b, d in sel.items():
+        by_dir.setdefault(d, []).append(b)
+    parts = [
+        spark.read.parquet(f"{table_dir}/{d}").filter(
+            F.col(BUCKET_COL).isin(bs)
+        )
+        for d, bs in sorted(by_dir.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def last_committed_epoch(
@@ -153,6 +185,26 @@ def last_committed_epoch(
 ) -> int | None:
     man = latest_manifest(spark, table_dir)
     return None if man is None else man.get("epoch_id")
+
+
+def _publish_manifest(
+    spark: SparkSession, table_dir: str, manifest: dict, token: str
+) -> bool:
+    """Atomically publish one manifest: write a fully-formed temp file,
+    rename into the versioned slot. False = lost the version race
+    (caller re-reads the log and retries). The rename is THE commit
+    point for every layout this module supports."""
+    version = manifest["version"]
+    log_dir = f"{table_dir.rstrip('/')}/{_LOG}"
+    tmp = f"{log_dir}/.tmp-{token}-{version}.json"
+    final = f"{log_dir}/{_manifest_name(version)}"
+    _write_bytes(spark, tmp, json.dumps(manifest, sort_keys=True).encode())
+    jvm, fs, tmp_p = _fs(spark, tmp)
+    final_p = jvm.org.apache.hadoop.fs.Path(final)
+    if not fs.exists(final_p) and fs.rename(tmp_p, final_p):
+        return True
+    fs.delete(tmp_p, False)
+    return False
 
 
 def commit_txn(
@@ -193,19 +245,10 @@ def commit_txn(
             "epoch_id": epoch_id,
             "parent": man["version"] if man else None,
         }
-        log_dir = f"{table_dir}/{_LOG}"
-        tmp = f"{log_dir}/.tmp-{token}-{version}.json"
-        final = f"{log_dir}/{_manifest_name(version)}"
-        _write_bytes(
-            spark, tmp, json.dumps(manifest, sort_keys=True).encode()
-        )
-        jvm, fs, tmp_p = _fs(spark, tmp)
-        final_p = jvm.org.apache.hadoop.fs.Path(final)
-        if not fs.exists(final_p) and fs.rename(tmp_p, final_p):
+        if _publish_manifest(spark, table_dir, manifest, token):
             return version
-        # lost the race for this version: drop the temp manifest, leave
-        # the orphan snapshot for vacuum, re-read the log and retry
-        fs.delete(tmp_p, False)
+        # lost the race for this version: the orphan snapshot stays for
+        # vacuum; re-read the log and retry
     raise RuntimeError(
         f"commit_txn: gave up after {max_attempts} version conflicts on "
         f"{table_dir} — concurrent writers exceed the optimistic retry "
@@ -223,14 +266,24 @@ def vacuum_txn(
 
     Safety window is the usual table-format one: a reader holding a
     DataFrame pinned to a deleted old version will fail on its next
-    action — keep_last is the retention knob."""
+    action — keep_last is the retention knob.
+
+    Bucketed layouts: a kept manifest references every dir its bucket
+    mapping points at — an OLD dir stays live for as long as any kept
+    version still owns a bucket in it, so incremental commits never
+    strand data they didn't rewrite."""
     table_dir = table_dir.rstrip("/")
     versions = _list_manifest_versions(spark, table_dir)
     keep_versions = versions[-keep_last:] if keep_last > 0 else []
-    keep_snaps = {
-        read_manifest(spark, table_dir, v)["snapshot"].split("/", 1)[1]
-        for v in keep_versions
-    }
+    keep_snaps = set()
+    for v in keep_versions:
+        man = read_manifest(spark, table_dir, v)
+        refs = (
+            [man["snapshot"]]
+            if "snapshot" in man
+            else list(man["buckets"].values())
+        )
+        keep_snaps.update(r.split("/", 1)[1] for r in refs)
     jvm, fs, data_p = _fs(spark, f"{table_dir}/data")
     removed_snaps = 0
     if fs.exists(data_p):
@@ -259,6 +312,188 @@ def vacuum_txn(
 # ---------------------------------------------------------------------------
 
 DELETED_COL = "_deleted"
+BUCKET_COL = "_bucket"
+
+
+def _bucket_of(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _stage_cdc_batch(
+    batch_df: DataFrame, key_col: str, op_col: str, seq_col: str
+) -> DataFrame:
+    """Reduce a CDC micro-batch to its latest op per key and stage it in
+    stored-table shape: payload (nulled on delete), seq, _deleted."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+    latest = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    payload_cols = [
+        c for c in latest.columns if c not in (key_col, op_col, seq_col)
+    ]
+    is_del = F.col(op_col) == "D"
+    return latest.select(
+        F.col(key_col),
+        *[F.when(~is_del, F.col(c)).alias(c) for c in payload_cols],
+        F.col(seq_col),
+        is_del.alias(DELETED_COL),
+    )
+
+
+def _merge_cdc(
+    cur: DataFrame | None, staged: DataFrame, key_col: str, seq_col: str
+) -> DataFrame:
+    """Seq-guarded merge of staged CDC rows into the current state (both
+    in stored shape): a staged row applies iff its seq is strictly newer
+    than the stored row's — tombstones included, so stale upserts cannot
+    resurrect deletes."""
+    if cur is None:
+        return staged
+    cur_seq = cur.select(F.col(key_col), F.col(seq_col).alias("_cur_seq"))
+    applied = (
+        staged.join(cur_seq, key_col, "left")
+        .filter(
+            F.col("_cur_seq").isNull()
+            | (F.col(seq_col) > F.col("_cur_seq"))
+        )
+        .drop("_cur_seq")
+    )
+    return cur.join(
+        applied.select(key_col), key_col, "left_anti"
+    ).unionByName(applied)
+
+
+def apply_cdc_batch_bucketed(
+    batch_df: DataFrame,
+    table_dir: str,
+    key_col: str = "id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+    n_buckets: int = 64,
+    epoch_id: int | None = None,
+    max_attempts: int = 5,
+) -> int | None:
+    """Partition-pruned CDC apply — the fact-sized variant of
+    apply_cdc_batch_txn.
+
+    The flat transactional apply rewrites O(table) per micro-batch:
+    right for dimension tables, ruinous for a fact-sized keyed table
+    where each batch touches a sliver of the key space. Here the key
+    space is hashed into ``n_buckets`` and the manifest maps EACH BUCKET
+    to the snapshot dir that currently owns it. One micro-batch then:
+
+    1. stages its ops and computes their bucket set (a ≤ n_buckets-row
+       collect — bounded by construction);
+    2. reads ONLY the touched buckets' current state — the per-dir
+       isin() filter prunes to those hash-partition directories, so the
+       read is O(touched fraction of table), never a full scan;
+    3. merges (same seq guard + tombstones as the flat path) and writes
+       one new dir holding just the touched buckets, hash-partitioned;
+    4. publishes a manifest whose mapping repoints the touched buckets
+       at the new dir and leaves every other bucket where it was — the
+       untouched ~(1 - |touched|/n_buckets) of the table is NOT
+       rewritten, not even copied.
+
+    Atomicity is unchanged (the manifest rename is the single commit
+    point; crash before it leaves state untouched, epoch replay skips),
+    and the whole read-merge-write runs inside the CAS retry loop, so a
+    lost version race recomputes against the fresh state instead of
+    committing a stale merge. ``n_buckets`` sizes the pruning
+    granularity: at 100 TB pick buckets ~ a few GB so a daily batch
+    touching 1% of keys rewrites ~1% of files; vacuum_txn keeps old
+    dirs alive for exactly as long as any kept manifest still owns a
+    bucket in them. Returns the committed version (None = replay skip).
+    """
+    spark = batch_df.sparkSession
+    table_dir = table_dir.rstrip("/")
+    staged_all = _stage_cdc_batch(
+        batch_df, key_col, op_col, seq_col
+    ).withColumn(BUCKET_COL, _bucket_of(key_col, n_buckets))
+    staged_all = staged_all.localCheckpoint(eager=True)
+    touched = sorted(
+        r[0] for r in staged_all.select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return None
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        man = latest_manifest(spark, table_dir)
+        if man is not None:
+            last = man.get("epoch_id")
+            if (
+                epoch_id is not None
+                and last is not None
+                and epoch_id <= last
+            ):
+                return None
+            if "snapshot" in man:
+                raise ValueError(
+                    f"{table_dir} is a flat txn table; bucketed apply "
+                    "requires a bucketed (or empty) table"
+                )
+            if man["n_buckets"] != n_buckets:
+                raise ValueError(
+                    f"n_buckets mismatch: table has {man['n_buckets']}, "
+                    f"caller passed {n_buckets}"
+                )
+        version = (man["version"] if man else 0) + 1
+        cur = read_txn(spark, table_dir, buckets=touched)
+        merged = _merge_cdc(cur, staged_all, key_col, seq_col)
+        snap_rel = f"data/v{version:010d}-{token}"
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            f"{table_dir}/{snap_rel}"
+        )
+        mapping = dict(man["buckets"]) if man else {}
+        for b in touched:
+            mapping[str(b)] = snap_rel
+        manifest = {
+            "version": version,
+            "buckets": mapping,
+            "n_buckets": n_buckets,
+            "epoch_id": epoch_id,
+            "parent": man["version"] if man else None,
+        }
+        if _publish_manifest(spark, table_dir, manifest, token):
+            return version
+    raise RuntimeError(
+        f"apply_cdc_batch_bucketed: gave up after {max_attempts} version "
+        f"conflicts on {table_dir}"
+    )
+
+
+def stream_cdc_apply_bucketed(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    key_col: str = "id",
+    op_col: str = "op",
+    seq_col: str = "seq",
+    n_buckets: int = 64,
+):
+    """Streaming face of apply_cdc_batch_bucketed — exactly-once CDC
+    maintenance of a fact-sized keyed table with per-batch cost bounded
+    by the touched key range, not the table."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_cdc_batch_bucketed(
+            batch_df,
+            table_dir,
+            key_col,
+            op_col,
+            seq_col,
+            n_buckets=n_buckets,
+            epoch_id=epoch_id,
+        )
+
+    return (
+        changes.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 def apply_cdc_batch_txn(
@@ -290,49 +525,13 @@ def apply_cdc_batch_txn(
       so the two guards are belt and braces).
 
     Cost per batch is O(table) rewrite like the plain path — right for
-    dimension-sized tables; returns commit_txn's version (None = replay
-    skip).
+    dimension-sized tables (apply_cdc_batch_bucketed is the fact-sized
+    variant); returns commit_txn's version (None = replay skip).
     """
-    from pyspark.sql import Window
-
     spark = batch_df.sparkSession
-    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
-    latest = (
-        batch_df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    payload_cols = [
-        c for c in latest.columns if c not in (key_col, op_col, seq_col)
-    ]
-    is_del = F.col(op_col) == "D"
-    staged = latest.select(
-        F.col(key_col),
-        *[
-            F.when(~is_del, F.col(c)).alias(c) for c in payload_cols
-        ],
-        F.col(seq_col),
-        is_del.alias(DELETED_COL),
-    )
-
+    staged = _stage_cdc_batch(batch_df, key_col, op_col, seq_col)
     cur = read_txn(spark, table_dir)
-    if cur is None:
-        new = staged
-    else:
-        cur_seq = cur.select(
-            F.col(key_col), F.col(seq_col).alias("_cur_seq")
-        )
-        applied = (
-            staged.join(cur_seq, key_col, "left")
-            .filter(
-                F.col("_cur_seq").isNull()
-                | (F.col(seq_col) > F.col("_cur_seq"))
-            )
-            .drop("_cur_seq")
-        )
-        new = cur.join(
-            applied.select(key_col), key_col, "left_anti"
-        ).unionByName(applied)
+    new = _merge_cdc(cur, staged, key_col, seq_col)
     return commit_txn(new, table_dir, epoch_id=epoch_id)
 
 
@@ -342,13 +541,15 @@ def read_cdc_table(
     include_tombstones: bool = False,
     version: int | None = None,
 ) -> DataFrame | None:
-    """Live rows of a transactional CDC table (tombstones filtered; pass
+    """Live rows of a transactional CDC table — flat or bucketed
+    (tombstones filtered, the bucket column hidden; pass
     include_tombstones=True for the raw keyed state, or ``version`` for
     time travel)."""
     df = read_txn(spark, table_dir, version=version)
     if df is None or include_tombstones:
         return df
-    return df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+    out = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+    return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out
 
 
 def compact_cdc_tombstones(
@@ -361,13 +562,38 @@ def compact_cdc_tombstones(
     caller's promise that no producer can still emit a sequence number
     under that horizon (e.g. the streaming checkpoint's committed
     offset). Tombstones at/above the horizon keep guarding; live rows
-    are never touched. Commits a new version (None if nothing to do)."""
+    are never touched. Commits a new version (None if nothing to do).
+    On a bucketed table this is the one full-rewrite maintenance op —
+    it re-materializes every bucket into a single fresh dir (keeping
+    the bucketed layout), which also serves as compaction for mappings
+    fragmented across many incremental dirs."""
+    man = latest_manifest(spark, table_dir)
     cur = read_txn(spark, table_dir)
     if cur is None:
         return None
     keep = cur.filter(
         ~(F.col(DELETED_COL) & (F.col(seq_col) < F.lit(min_live_seq)))
     )
+    if man is not None and "buckets" in man:
+        token = uuid.uuid4().hex[:8]
+        for _ in range(5):
+            man = latest_manifest(spark, table_dir)
+            version = man["version"] + 1
+            snap_rel = f"data/v{version:010d}-{token}"
+            keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+                f"{table_dir.rstrip('/')}/{snap_rel}"
+            )
+            mapping = {b: snap_rel for b in man["buckets"]}
+            manifest = {
+                "version": version,
+                "buckets": mapping,
+                "n_buckets": man["n_buckets"],
+                "epoch_id": man.get("epoch_id"),
+                "parent": man["version"],
+            }
+            if _publish_manifest(spark, table_dir, manifest, token):
+                return version
+        raise RuntimeError(f"compact: version conflicts on {table_dir}")
     return commit_txn(keep, table_dir)
 
 

@@ -274,3 +274,178 @@ class TestVacuum:
         assert txn.read_txn(spark, t, version=4).collect()[0].id == 3
         with pytest.raises(Exception):
             txn.read_txn(spark, t, version=2)
+
+
+class TestBucketedCdc:
+    """Partition-pruned CDC (apply_cdc_batch_bucketed): per-batch cost
+    bounded by touched buckets, atomicity and tombstone semantics
+    identical to the flat path."""
+
+    def _apply(self, spark, t, rows, **kw):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, CDC_SCHEMA), t, n_buckets=8, **kw
+        )
+
+    def test_semantics_parity_with_flat_path(self, spark, tmp_path):
+        """The same op stream through flat and bucketed applies must
+        yield identical live rows — bucketing is a layout choice, not a
+        semantics choice."""
+        ops1 = [(i, f"v{i}", i, "I") for i in range(1, 21)]
+        ops2 = [(5, "v5b", 30, "U"), (6, None, 31, "D"), (21, "new", 32, "I")]
+        ops3 = [(6, "zombie", 29, "U"), (5, "stale", 7, "U")]  # all stale
+        flat, buck = str(tmp_path / "flat"), str(tmp_path / "buck")
+        for ops in (ops1, ops2, ops3):
+            df = spark.createDataFrame(ops, CDC_SCHEMA)
+            txn.apply_cdc_batch_txn(df, flat)
+            txn.apply_cdc_batch_bucketed(df, buck, n_buckets=8)
+        a = _rows(txn.read_cdc_table(spark, flat))
+        b = _rows(txn.read_cdc_table(spark, buck))
+        assert a == b and (5, ("v5b", 30)) in a.items() and 6 not in a
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        """THE incremental guarantee: a batch touching one key repoints
+        only that key's bucket; every other bucket's mapping entry (and
+        its files on disk) stays byte-identical to the previous
+        version."""
+        t = str(tmp_path / "buck")
+        self._apply(spark, t, [(i, f"v{i}", i, "I") for i in range(1, 41)])
+        m1 = txn.latest_manifest(spark, t)
+        self._apply(spark, t, [(1, "v1b", 100, "U")])
+        m2 = txn.latest_manifest(spark, t)
+        from pyspark.sql import functions as F2
+
+        b1 = spark.createDataFrame([(1,)], "id long").select(
+            txn._bucket_of("id", 8).alias("b")
+        ).collect()[0].b
+        assert m2["buckets"][str(b1)] != m1["buckets"][str(b1)]
+        unchanged = {
+            b: d for b, d in m2["buckets"].items() if b != str(b1)
+        }
+        assert unchanged == {
+            b: d for b, d in m1["buckets"].items() if b != str(b1)
+        }
+        assert len(set(m2["buckets"].values())) == 2  # old dir + new dir
+
+    def test_bucket_read_prunes_partitions(self, spark, tmp_path):
+        """The bucket restriction must reach the scan as a PARTITION
+        filter (directory pruning), not a post-scan row filter —
+        inputFiles() can't show this (it lists the base relation), the
+        physical plan can."""
+        t = str(tmp_path / "buck")
+        self._apply(spark, t, [(i, f"v{i}", i, "I") for i in range(1, 41)])
+        df = txn.read_txn(spark, t, buckets=[0])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        import re
+
+        assert re.search(r"PartitionFilters: \[[^\]]*_bucket", plan), plan
+        full = txn.read_txn(spark, t)
+        assert df.count() == full.filter(F.col("_bucket") == 0).count()
+        assert 0 < df.count() < full.count()
+
+    def test_tombstone_guard_and_epoch_replay(self, spark, tmp_path):
+        t = str(tmp_path / "buck")
+        assert self._apply(
+            spark, t, [(1, "a", 1, "I"), (2, "b", 2, "I")], epoch_id=0
+        ) == 1
+        assert self._apply(spark, t, [(1, None, 5, "D")], epoch_id=1) == 2
+        # stale upsert after delete: blocked by the bucketed tombstone
+        assert self._apply(spark, t, [(1, "back", 3, "U")], epoch_id=2) == 3
+        assert _rows(txn.read_cdc_table(spark, t)) == {2: ("b", 2)}
+        # epoch replay skipped before any read or write
+        assert self._apply(spark, t, [(9, "x", 9, "I")], epoch_id=2) is None
+
+    def test_crash_before_publish_leaves_state_and_replay_applies_once(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "buck")
+        self._apply(spark, t, [(1, "a", 1, "I")], epoch_id=0)
+
+        real = txn._publish_manifest
+
+        def dying(spark_, td, manifest, token):
+            raise RuntimeError("killed before publish")
+
+        monkeypatch.setattr(txn, "_publish_manifest", dying)
+        with pytest.raises(RuntimeError, match="killed"):
+            self._apply(spark, t, [(1, "a2", 2, "U")], epoch_id=1)
+        monkeypatch.undo()
+        assert _rows(txn.read_cdc_table(spark, t)) == {1: ("a", 1)}
+        assert self._apply(spark, t, [(1, "a2", 2, "U")], epoch_id=1) == 2
+        assert self._apply(spark, t, [(1, "a2", 2, "U")], epoch_id=1) is None
+        assert _rows(txn.read_cdc_table(spark, t)) == {1: ("a2", 2)}
+
+    def test_vacuum_keeps_old_dirs_still_owning_buckets(
+        self, spark, tmp_path
+    ):
+        """An old snapshot dir must survive vacuum for as long as any
+        kept manifest's mapping still points a bucket at it."""
+        t = str(tmp_path / "buck")
+        self._apply(spark, t, [(i, f"v{i}", i, "I") for i in range(1, 41)])
+        self._apply(spark, t, [(1, "v1b", 100, "U")])
+        self._apply(spark, t, [(2, "v2b", 101, "U")])
+        report = txn.vacuum_txn(spark, t, keep_last=1)
+        # latest mapping references up to 3 dirs (v1 remainder + v2 + v3):
+        # none of them may be deleted even though only 1 manifest is kept
+        assert _rows(txn.read_cdc_table(spark, t))[1] == ("v1b", 100)
+        assert _rows(txn.read_cdc_table(spark, t))[2] == ("v2b", 101)
+        assert _rows(txn.read_cdc_table(spark, t))[40] == ("v40", 40)
+        assert report["removed_manifests"] == 2
+        assert report["removed_snapshots"] == 0  # all dirs still owned
+
+    def test_compaction_consolidates_dirs_and_keeps_layout(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "buck")
+        self._apply(spark, t, [(i, f"v{i}", i, "I") for i in range(1, 41)])
+        self._apply(spark, t, [(1, None, 100, "D")])
+        self._apply(spark, t, [(2, "v2b", 101, "U")])
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=200)
+        man = txn.latest_manifest(spark, t)
+        assert "buckets" in man and len(set(man["buckets"].values())) == 1
+        live = _rows(txn.read_cdc_table(spark, t))
+        assert 1 not in live and live[2] == ("v2b", 101) and len(live) == 39
+        raw = txn.read_cdc_table(spark, t, include_tombstones=True)
+        assert raw.filter("_deleted").count() == 0  # horizon passed
+        # now vacuum can actually reclaim the fragmented dirs
+        report = txn.vacuum_txn(spark, t, keep_last=1)
+        assert report["removed_snapshots"] == 3
+
+    def test_layout_and_n_buckets_guards(self, spark, tmp_path):
+        flat = str(tmp_path / "flat")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, "a", 1, "I")], CDC_SCHEMA), flat
+        )
+        with pytest.raises(ValueError, match="flat txn table"):
+            self._apply(spark, flat, [(2, "b", 2, "I")])
+        buck = str(tmp_path / "buck")
+        self._apply(spark, buck, [(1, "a", 1, "I")])
+        with pytest.raises(ValueError, match="n_buckets mismatch"):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame([(2, "b", 2, "I")], CDC_SCHEMA),
+                buck,
+                n_buckets=16,
+            )
+
+    def test_streaming_bucketed_end_to_end(self, spark, tmp_path):
+        src = tmp_path / "cdc_src"
+        src.mkdir()
+        t = str(tmp_path / "buck")
+        spark.createDataFrame(
+            [(1, "a0", 1, "I"), (2, "b0", 2, "I")], CDC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        changes = (
+            spark.readStream.schema(CDC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = txn.stream_cdc_apply_bucketed(
+            changes, t, str(tmp_path / "ckpt"), n_buckets=8
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, None, 3, "D"), (1, "a9", 4, "U")], CDC_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        q.stop()
+        assert _rows(txn.read_cdc_table(spark, t)) == {1: ("a9", 4)}
