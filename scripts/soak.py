@@ -13,10 +13,14 @@ Scaling rules (copy k = 0..9, disjoint key ranges):
   copy-local, like a real corpus).
 - customer: custkey offset; c_name regenerated from the new key
   (TPC-H's own convention) so cross-copy rows are not exact-name dups.
-- documents: doc_id offset; every 5th token gets a copy-specific
-  suffix — cross-copy Jaccard drops below the near-dup threshold while
-  intra-copy dup structure is preserved exactly (dup DENSITY constant,
-  corpus 10x — the honest scale axis for dedup).
+- documents: doc_id offset; every 3rd token gets a copy-specific
+  suffix — a changed token kills every 3-shingle containing it, so
+  cross-copy Jaccard collapses to ~0 while intra-copy dup structure is
+  preserved exactly (dup DENSITY constant, corpus 10x — the honest
+  scale axis for dedup; the first r4 run used every 5th token, which
+  left cross-copy J≈0.25-0.4 — near-threshold pairs that r=1 LSH
+  banding candidates at rate ~bJ, measuring fixture dup inflation
+  instead of engine scaling).
 - embeddings: vec_id offset; coordinates circularly rotated by k — an
   exact isometry, so intra-copy cosine structure is untouched while
   cross-copy vectors decorrelate.
@@ -117,7 +121,7 @@ def build_scaled(spark) -> None:
             F.array_join(
                 F.expr(
                     "transform(split(text, ' '), (tok, i) -> "
-                    "if((i + _k) % 5 = 0 and _k > 0, "
+                    "if((i + _k) % 3 = 0 and _k > 0, "
                     "concat(tok, 'q', cast(_k as string)), tok))"
                 ),
                 " ",

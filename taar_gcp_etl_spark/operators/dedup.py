@@ -76,27 +76,39 @@ def minhash_signatures(
     this shape on the sf0.1 corpus at matched parallelism. CollapseProject
     keeps the split because the referenced arrays are expensive and
     multiply-referenced."""
-    if n_hashes > 4:
-        raise ValueError("n_hashes > 4 needs a second digest per shingle")
     sh = token_shingles(text_col, shingle_n)
-    # One md5 per shingle, sliced into four 32-bit (8-hex-char) independent
-    # signatures — 4× fewer hash evaluations than hashing per-signature,
-    # which dominates the cost of this operator at corpus scale.
+    # One md5 per shingle PER GROUP OF FOUR signatures, each digest sliced
+    # into four 32-bit (8-hex-char) independent signatures — 4× fewer hash
+    # evaluations than hashing per-signature, which dominates the cost of
+    # this operator at corpus scale. n_hashes > 4 (the larger b×r LSH
+    # profiles) derives further digests by salting the shingle with the
+    # digest-group index.
     shingled = df.filter(F.size(tokens(text_col)) >= shingle_n).select(
         id_col, sh.alias("shingles")
     )
+    n_digests = (n_hashes + 3) // 4
+
+    def digest(g: int):
+        if g == 0:
+            return F.transform(F.col("shingles"), lambda s: F.md5(s))
+        return F.transform(
+            F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
+        )
+
     base = shingled.select(
         id_col,
         "shingles",
-        F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("_hashes"),
+        *[digest(g).alias(f"_hashes{g}") for g in range(n_digests)],
     )
 
     def slice_min(i: int):
         # NB: single-parameter lambda — a second parameter makes Spark's
         # transform() pass the element INDEX into it.
+        g, off = divmod(i, 4)
         return F.array_min(
             F.transform(
-                F.col("_hashes"), lambda h: F.substring(h, 1 + 8 * i, 8)
+                F.col(f"_hashes{g}"),
+                lambda h: F.substring(h, 1 + 8 * off, 8),
             )
         ).alias(f"sig{i}")
 
@@ -137,6 +149,7 @@ def lsh_near_dup_pairs(
     jaccard_threshold: float = 0.5,
     max_band_size: int | None = 1000,
     persist_signatures: bool = True,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """LSH banding: one signature per band → band key; documents sharing any
     band key become candidate pairs; candidates are verified with exact
@@ -158,7 +171,20 @@ def lsh_near_dup_pairs(
     caller that already persisted `signed` keeps its own storage level and
     lifecycle — the guard never re-persists; loops over many corpora
     should unpersist after the action, or memoize one relation per corpus
-    as queries.py does."""
+    as queries.py does.
+
+    `rows_per_band` is the SELECTIVITY dial (classic banded-MinHash
+    b×r): band key b concatenates signatures sig[b·r .. b·r+r-1], so a
+    pair candidates with P = 1 − (1 − J^r)^b instead of r=1's
+    1 − (1 − J)^b. Against a corpus with a BACKGROUND similarity floor
+    — boilerplate, templated text, weak topical overlap — r=1 candidates
+    weakly-similar pairs at rate ~bJ, which the r4 sf10 soak measured as
+    the dominant cost (cross-copy J≈0.4 fixture: candidate volume grew
+    with pairs-above-J≈0.25, 51× wall-clock at 10× rows). r=2 with the
+    same band count drops the J=0.25 candidate rate ~4× while keeping
+    ~90%+ recall at the 0.5 verify threshold with b=8. The default stays
+    b=4, r=1 (the oracle-mirrored registry profile); feed
+    minhash_signatures(n_hashes=b·r) for larger profiles."""
     if persist_signatures:
         from pyspark import StorageLevel
 
@@ -168,12 +194,16 @@ def lsh_near_dup_pairs(
     # would otherwise ride through the self-join shuffle and the dedup. The
     # candidate set is small by construction (tracks duplicate density), so
     # the arrays are joined back per-candidate afterwards.
+    r = rows_per_band
     bands = signed.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.concat(F.lit(f"{b}:"), F.col(f"sig{b}"))
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        *[F.col(f"sig{b * r + i}") for i in range(r)],
+                    )
                     for b in range(n_bands)
                 ]
             )

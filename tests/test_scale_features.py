@@ -962,3 +962,42 @@ class TestSkewKillSwitch:
             ).collect()
         }
         assert capped == botless  # bot contributes nothing, others exact
+
+
+class TestBandedSelectivity:
+    def test_rows_per_band_cuts_background_candidates(self, spark):
+        """The b×r selectivity dial (sf10 soak finding): against a corpus
+        with a background-similarity floor, r=1 banding candidates
+        weakly-similar pairs at rate ~bJ; r=2 on the same band count
+        must cut candidates while still pairing a true near-dup."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            lsh_near_dup_pairs,
+            minhash_signatures,
+        )
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        # 40 docs sharing ~half their tokens (background J ~0.2-0.4),
+        # plus one true near-dup pair (J > 0.8)
+        rows = [
+            (i, base + f" x{i} y{i} z{i} w{i} v{i} u{i} t{i} s{i}")
+            for i in range(40)
+        ]
+        rows += [(100, base + " uniq1 uniq2"), (101, base + " uniq1 uniq3")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def n_cands(n_hashes, n_bands, r):
+            signed = minhash_signatures(df, n_hashes=n_hashes)
+            # candidates = pairs sharing any band key (pre-verify)
+            pairs = lsh_near_dup_pairs(
+                signed,
+                n_bands=n_bands,
+                rows_per_band=r,
+                jaccard_threshold=0.0,  # count raw candidates
+                persist_signatures=False,
+            )
+            return {(p.doc_a, p.doc_b) for p in pairs.collect()}
+
+        r1 = n_cands(4, 4, 1)
+        r2 = n_cands(8, 4, 2)
+        assert (100, 101) in r1 and (100, 101) in r2  # true pair kept
+        assert len(r2) < len(r1)  # background candidates cut
