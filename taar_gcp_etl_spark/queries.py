@@ -1845,8 +1845,11 @@ def _minhash_signed_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _MINHASH_MEMO:
         for stale in [k for k in _MINHASH_MEMO if k[0] != app_id]:
             del _MINHASH_MEMO[stale]
+        # 8 hashes: sig0..3 feed the minhash_signatures contract
+        # unchanged (same first digest); sig4..7 complete the b=4 r=2
+        # banding profile q_lsh_near_dup uses.
         _MINHASH_MEMO[key] = minhash_signatures(
-            _wide(spark, sf_dir, "documents")
+            _wide(spark, sf_dir, "documents"), n_hashes=8
         )
     return _MINHASH_MEMO[key]
 
@@ -1859,11 +1862,23 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.5."""
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.5.
+
+    Banding profile b=4, r=2 (8 hashes, two per band) — the textbook
+    design point for threshold 0.5 (t ≈ (1/b)^(1/r)). r4's sf10 soak
+    measured the old r=1 profile superlinear (26× at 10× rows): with
+    single-hash bands any corpus-frequent low-hash shingle makes band
+    membership scale with the corpus, so mid-size bands below the hot
+    cap grow quadratically. r=2 collides pairs at 1-(1-J²)^4, pushing
+    unrelated-doc collisions to coincidence level while keeping the
+    standard s-curve recall at the 0.5 verify threshold. The oracle
+    mirrors the same 8-hash banding."""
     from taar_gcp_etl_spark.operators.dedup import lsh_near_dup_pairs
 
     signed = _minhash_signed_cached(spark, sf_dir)
-    return lsh_near_dup_pairs(signed, jaccard_threshold=0.5)
+    return lsh_near_dup_pairs(
+        signed, jaccard_threshold=0.5, rows_per_band=2
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3971,15 +3986,26 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_near_dup": f"""
         WITH toked AS (SELECT doc_id, {_TOKS} AS t FROM documents),
         sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM toked WHERE len(t) >= 3),
+        -- b=4 r=2 banding: 8 signatures from two salted digests, band b
+        -- concatenates sig[2b] || sig[2b+1] (twin of lsh_near_dup_pairs
+        -- rows_per_band=2 over minhash_signatures n_hashes=8)
         sig AS (SELECT doc_id, s,
                    list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS s0,
                    list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS s1,
                    list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS s2,
-                   list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS s3
+                   list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS s3,
+                   list_min(list_transform(s,
+                       x -> substr(md5('1:' || x), 1, 8))) AS s4,
+                   list_min(list_transform(s,
+                       x -> substr(md5('1:' || x), 9, 8))) AS s5,
+                   list_min(list_transform(s,
+                       x -> substr(md5('1:' || x), 17, 8))) AS s6,
+                   list_min(list_transform(s,
+                       x -> substr(md5('1:' || x), 25, 8))) AS s7
                 FROM sh),
         bands AS (SELECT doc_id, s,
-                     unnest(['0:' || s0, '1:' || s1,
-                             '2:' || s2, '3:' || s3]) AS band
+                     unnest(['0:' || s0 || s1, '1:' || s2 || s3,
+                             '2:' || s4 || s5, '3:' || s6 || s7]) AS band
                   FROM sig),
         -- hot-band cap mirrored from drop_hot_bands(max_band_size=1000)
         -- so both engines drop the same boilerplate buckets
