@@ -177,6 +177,35 @@ def read_txn(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+
+    # merge-on-read: fold in delete overlays covering the selected
+    # buckets (see apply_cdc_batch_bucketed's delete-only fast path).
+    # The resolution window is the MoR read tax — paid only while
+    # overlays exist, and only over the selected buckets' rows; the
+    # next bucket rewrite or compaction folds the overlay in and the
+    # read plan goes back to a plain pruned scan.
+    overlay_dirs: dict[str, list[int]] = {}
+    for b_str, paths in (man.get("overlays") or {}).items():
+        if int(b_str) in sel:
+            for p in paths:
+                overlay_dirs.setdefault(p, []).append(int(b_str))
+    if overlay_dirs:
+        from pyspark.sql import Window
+
+        for d, bs in sorted(overlay_dirs.items()):
+            out = out.unionByName(
+                spark.read.parquet(f"{table_dir}/{d}").filter(
+                    F.col(BUCKET_COL).isin(bs)
+                )
+            )
+        key_col = man["key_col"]
+        seq_col = man["seq_col"]
+        w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return out
 
 
@@ -278,11 +307,12 @@ def vacuum_txn(
     keep_snaps = set()
     for v in keep_versions:
         man = read_manifest(spark, table_dir, v)
-        refs = (
-            [man["snapshot"]]
-            if "snapshot" in man
-            else list(man["buckets"].values())
-        )
+        if "snapshot" in man:
+            refs = [man["snapshot"]]
+        else:
+            refs = list(man["buckets"].values())
+            for paths in (man.get("overlays") or {}).values():
+                refs.extend(paths)
         keep_snaps.update(r.split("/", 1)[1] for r in refs)
     jvm, fs, data_p = _fs(spark, f"{table_dir}/data")
     removed_snaps = 0
@@ -407,6 +437,18 @@ def apply_cdc_batch_bucketed(
     touching 1% of keys rewrites ~1% of files; vacuum_txn keeps old
     dirs alive for exactly as long as any kept manifest still owns a
     bucket in them. Returns the committed version (None = replay skip).
+
+    **Delete-only fast path (merge-on-read overlays).** A batch that is
+    ALL deletes skips the read AND the rewrite entirely: its staged
+    tombstones land as one appended overlay dir (hash-partitioned) and
+    the manifest lists the overlay against the touched buckets — pure
+    O(batch) write, zero read. Correctness needs no current-state
+    lookup because tombstones win by SEQ at read time: read_txn
+    resolves latest-per-key across base + overlays, so a stale overlay
+    delete simply loses to the stored row. The read-time resolution
+    window is the MoR tax, paid only while overlays exist; the next
+    rewrite of a bucket folds its overlays in and clears them from the
+    manifest (compaction clears all).
     """
     spark = batch_df.sparkSession
     table_dir = table_dir.rstrip("/")
@@ -419,6 +461,9 @@ def apply_cdc_batch_bucketed(
     )
     if not touched:
         return None
+    delete_only = (
+        staged_all.filter(~F.col(DELETED_COL)).limit(1).count() == 0
+    )
     token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         man = latest_manifest(spark, table_dir)
@@ -441,19 +486,35 @@ def apply_cdc_batch_bucketed(
                     f"caller passed {n_buckets}"
                 )
         version = (man["version"] if man else 0) + 1
-        cur = read_txn(spark, table_dir, buckets=touched)
-        merged = _merge_cdc(cur, staged_all, key_col, seq_col)
-        snap_rel = f"data/v{version:010d}-{token}"
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-            f"{table_dir}/{snap_rel}"
-        )
-        mapping = dict(man["buckets"]) if man else {}
-        for b in touched:
-            mapping[str(b)] = snap_rel
+        overlays = dict((man or {}).get("overlays") or {})
+
+        if delete_only and man is not None:
+            over_rel = f"data/o{version:010d}-{token}"
+            staged_all.write.mode("overwrite").partitionBy(
+                BUCKET_COL
+            ).parquet(f"{table_dir}/{over_rel}")
+            for b in touched:
+                overlays[str(b)] = overlays.get(str(b), []) + [over_rel]
+            mapping = dict(man["buckets"])
+        else:
+            cur = read_txn(spark, table_dir, buckets=touched)
+            merged = _merge_cdc(cur, staged_all, key_col, seq_col)
+            snap_rel = f"data/v{version:010d}-{token}"
+            merged.write.mode("overwrite").partitionBy(
+                BUCKET_COL
+            ).parquet(f"{table_dir}/{snap_rel}")
+            mapping = dict(man["buckets"]) if man else {}
+            for b in touched:
+                mapping[str(b)] = snap_rel
+                overlays.pop(str(b), None)  # rewrite folds overlays in
+
         manifest = {
             "version": version,
             "buckets": mapping,
             "n_buckets": n_buckets,
+            "key_col": key_col,
+            "seq_col": seq_col,
+            "overlays": overlays,
             "epoch_id": epoch_id,
             "parent": man["version"] if man else None,
         }
@@ -588,6 +649,9 @@ def compact_cdc_tombstones(
                 "version": version,
                 "buckets": mapping,
                 "n_buckets": man["n_buckets"],
+                "key_col": man.get("key_col", "id"),
+                "seq_col": man.get("seq_col", "seq"),
+                "overlays": {},  # full rewrite folds every overlay in
                 "epoch_id": man.get("epoch_id"),
                 "parent": man["version"],
             }

@@ -449,3 +449,89 @@ class TestBucketedCdc:
         q.processAllAvailable()
         q.stop()
         assert _rows(txn.read_cdc_table(spark, t)) == {1: ("a9", 4)}
+
+
+class TestDeleteOverlays:
+    """Merge-on-read delete overlays: a delete-only batch appends O(batch)
+    tombstones and touches no bucket file; reads resolve latest-per-key
+    across base + overlays; the next rewrite folds overlays in."""
+
+    def _apply(self, spark, t, rows, **kw):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, CDC_SCHEMA), t, n_buckets=8, **kw
+        )
+
+    def _seed(self, spark, t, n=40):
+        self._apply(spark, t, [(i, f"v{i}", i, "I") for i in range(1, n + 1)])
+
+    def test_delete_only_batch_is_pure_append(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        self._seed(spark, t)
+        m1 = txn.latest_manifest(spark, t)
+        self._apply(spark, t, [(1, None, 100, "D"), (2, None, 101, "D")])
+        m2 = txn.latest_manifest(spark, t)
+        # no bucket repointed — mapping byte-identical; overlay recorded
+        assert m2["buckets"] == m1["buckets"]
+        assert sum(len(v) for v in m2["overlays"].values()) >= 1
+        live = _rows(txn.read_cdc_table(spark, t))
+        assert 1 not in live and 2 not in live and live[3] == ("v3", 3)
+
+    def test_stale_overlay_delete_loses_by_seq(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        self._seed(spark, t)
+        # key 5 stored at seq 5; a STALE delete at seq 3 must not kill it
+        self._apply(spark, t, [(5, None, 3, "D")])
+        assert _rows(txn.read_cdc_table(spark, t))[5] == ("v5", 5)
+
+    def test_overlay_guards_and_rewrite_folds_in(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        self._seed(spark, t)
+        self._apply(spark, t, [(1, None, 100, "D")])
+        # stale upsert after the overlay delete: loses to the tombstone
+        self._apply(spark, t, [(1, "zombie", 50, "U")])
+        assert 1 not in _rows(txn.read_cdc_table(spark, t))
+        # that upsert batch REWROTE key 1's bucket → overlay folded in
+        m = txn.latest_manifest(spark, t)
+        b1 = spark.createDataFrame([(1,)], "id long").select(
+            txn._bucket_of("id", 8).alias("b")
+        ).collect()[0].b
+        assert str(b1) not in m["overlays"]
+        # newer upsert revives
+        self._apply(spark, t, [(1, "fresh", 200, "U")])
+        assert _rows(txn.read_cdc_table(spark, t))[1] == ("fresh", 200)
+
+    def test_epoch_replay_skips_overlay_commit(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        self._seed(spark, t)
+        assert self._apply(spark, t, [(1, None, 100, "D")], epoch_id=7)
+        assert (
+            self._apply(spark, t, [(1, None, 100, "D")], epoch_id=7) is None
+        )
+        m = txn.latest_manifest(spark, t)
+        assert sum(len(v) for v in m["overlays"].values()) == 1
+
+    def test_compaction_clears_overlays_and_vacuum_reclaims(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "mor")
+        self._seed(spark, t)
+        self._apply(spark, t, [(1, None, 100, "D")])
+        self._apply(spark, t, [(2, None, 101, "D")])
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=1000)
+        m = txn.latest_manifest(spark, t)
+        assert m["overlays"] == {}
+        live = _rows(txn.read_cdc_table(spark, t))
+        assert 1 not in live and 2 not in live and len(live) == 38
+        report = txn.vacuum_txn(spark, t, keep_last=1)
+        assert report["removed_snapshots"] >= 2  # old base + overlay dirs
+        assert _rows(txn.read_cdc_table(spark, t)) == live
+
+    def test_vacuum_keeps_overlay_dirs_of_kept_manifests(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "mor")
+        self._seed(spark, t)
+        self._apply(spark, t, [(1, None, 100, "D")])
+        report = txn.vacuum_txn(spark, t, keep_last=1)
+        assert report["removed_snapshots"] == 0  # base + overlay all live
+        assert 1 not in _rows(txn.read_cdc_table(spark, t))
