@@ -535,3 +535,47 @@ class TestDeleteOverlays:
         report = txn.vacuum_txn(spark, t, keep_last=1)
         assert report["removed_snapshots"] == 0  # base + overlay all live
         assert 1 not in _rows(txn.read_cdc_table(spark, t))
+
+
+class TestBucketedCasRetry:
+    def test_stale_log_read_retries_against_fresh_state(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Concurrent-writer contract on the bucketed path: writer A reads
+        the log, writer B publishes meanwhile, A's publish loses the
+        version slot — A must RE-READ and re-merge against B's state,
+        not commit a merge computed from the stale snapshot. Simulated
+        by feeding A one stale manifest read; the retry loop re-invokes
+        latest_manifest, so B's committed update must survive in A's
+        final state."""
+        t = str(tmp_path / "cas")
+        df0 = spark.createDataFrame(
+            [(1, "a", 1, "I"), (2, "b", 2, "I")], CDC_SCHEMA
+        )
+        txn.apply_cdc_batch_bucketed(df0, t, n_buckets=8)
+        stale = txn.latest_manifest(spark, t)
+        # writer B lands an update
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(2, "b2", 10, "U")], CDC_SCHEMA),
+            t,
+            n_buckets=8,
+        )
+        real = txn.latest_manifest
+        calls = {"n": 0}
+
+        def stale_once(spark_, table_dir):
+            calls["n"] += 1
+            return stale if calls["n"] == 1 else real(spark_, table_dir)
+
+        monkeypatch.setattr(txn, "latest_manifest", stale_once)
+        # writer A updates key 1; its first attempt targets B's taken slot
+        v = txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(1, "a2", 11, "U")], CDC_SCHEMA),
+            t,
+            n_buckets=8,
+        )
+        monkeypatch.undo()
+        assert v == 3 and calls["n"] >= 2
+        live = _rows(txn.read_cdc_table(spark, t))
+        # BOTH writers' effects present — the stale merge never published
+        assert live == {1: ("a2", 11), 2: ("b2", 10)}
