@@ -755,3 +755,34 @@ def stream_refresh_aggregate_txn(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def overlay_pressure(spark: SparkSession, table_dir: str) -> int:
+    """Merge-on-read read-tax gauge: the maximum number of overlay dirs
+    stacked on any single bucket (0 = plain pruned-scan reads)."""
+    man = latest_manifest(spark, table_dir)
+    if man is None or "buckets" not in man:
+        return 0
+    overlays = man.get("overlays") or {}
+    return max((len(v) for v in overlays.values()), default=0)
+
+
+def maybe_compact_overlays(
+    spark: SparkSession,
+    table_dir: str,
+    max_overlays_per_bucket: int = 4,
+    min_live_seq: int = 0,
+) -> int | None:
+    """Fold merge-on-read overlays back into base files once any bucket
+    has accumulated more than ``max_overlays_per_bucket`` of them — the
+    standard MoR maintenance trigger (every stacked overlay adds a scan
+    leg and keeps the read-side latest-per-key window alive). Reuses
+    compact_cdc_tombstones as the rewrite, so tombstones below
+    ``min_live_seq`` retire in the same pass (0 retires nothing).
+    Returns the committed version, or None if pressure is under the
+    threshold. Call it from the foreachBatch writer after the apply —
+    cost is one full-table rewrite, amortized over the delete batches
+    that stacked the overlays."""
+    if overlay_pressure(spark, table_dir) <= max_overlays_per_bucket:
+        return None
+    return compact_cdc_tombstones(spark, table_dir, min_live_seq)

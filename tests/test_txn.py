@@ -579,3 +579,40 @@ class TestBucketedCasRetry:
         live = _rows(txn.read_cdc_table(spark, t))
         # BOTH writers' effects present — the stale merge never published
         assert live == {1: ("a2", 11), 2: ("b2", 10)}
+
+
+class TestOverlayAutoCompaction:
+    def test_pressure_gauge_and_threshold_trigger(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", i, "I") for i in range(1, 9)], CDC_SCHEMA
+            ),
+            t,
+            n_buckets=2,  # force overlay stacking on few buckets
+        )
+        assert txn.overlay_pressure(spark, t) == 0
+        for j, key in enumerate((1, 2, 3, 4)):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame(
+                    [(key, None, 100 + j, "D")], CDC_SCHEMA
+                ),
+                t,
+                n_buckets=2,
+            )
+        pressure = txn.overlay_pressure(spark, t)
+        assert pressure >= 2
+        # below threshold: no-op
+        assert (
+            txn.maybe_compact_overlays(
+                spark, t, max_overlays_per_bucket=pressure
+            )
+            is None
+        )
+        # above threshold: folds everything, pressure back to zero
+        assert txn.maybe_compact_overlays(
+            spark, t, max_overlays_per_bucket=pressure - 1
+        )
+        assert txn.overlay_pressure(spark, t) == 0
+        live = _rows(txn.read_cdc_table(spark, t))
+        assert set(live) == {5, 6, 7, 8}
