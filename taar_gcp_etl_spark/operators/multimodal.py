@@ -48,6 +48,19 @@ FEATURES_SCHEMA = (
 )
 
 
+# Everything a malformed blob can raise out of the stdlib decoders:
+# ValueError (explicit format guards), zlib.error (corrupt/truncated
+# IDAT inflate), struct.error (truncated fixed-size headers), and
+# IndexError (out-of-range palette indices / short arrays). Executor-side
+# decode sites catch exactly this set so one bad row drops instead of
+# failing a whole-corpus job — anything else raising is a real bug we
+# want surfaced, not swallowed.
+import struct as _struct
+import zlib as _zlib
+
+DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-Column metadata pass: byte length + content digest — no Python,
     runs at scan speed. The cheap pre-filter before any decode."""
@@ -293,6 +306,16 @@ def decode_media(content: bytes, mime: str | None) -> list[float]:
     return _decode_image_stub(content)
 
 
+def _safe_decode_media(content: bytes, mime: str | None):
+    """decode_media with corrupt-blob containment: a malformed payload
+    (truncated header, garbage deflate stream, bad palette index) yields
+    a null feature vector instead of failing the whole mapInPandas job."""
+    try:
+        return decode_media(content, mime)
+    except DECODE_ERRORS:
+        return None
+
+
 def _decode_image_stub(content: bytes) -> list[float]:
     """STUB — deterministic fake 8-dim feature vector from content bytes.
     Replace with a real decoder (Pillow → resize → embed); the container
@@ -333,7 +356,7 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                         else None
                     ),
                     "feat": [
-                        decode_media(c, m) if c is not None else None
+                        _safe_decode_media(c, m) if c is not None else None
                         for c, m in zip(content, pdf["mime"])
                     ],
                 }
@@ -399,7 +422,7 @@ def media_dhash(df: DataFrame) -> DataFrame:
                     continue
                 try:
                     img = decode_pixels(content, mime)
-                except ValueError:
+                except DECODE_ERRORS:
                     continue
                 if img is None:
                     continue

@@ -970,6 +970,97 @@ class TestRealDecoders:
             payload
         )
 
+    def _corrupt_rows(self):
+        """Malformed blobs covering every exception class the stdlib
+        decoders can raise: garbage deflate stream (zlib.error),
+        truncated fixed-size header (struct.error), out-of-range palette
+        index (IndexError), and a bad format guard (ValueError)."""
+        import struct
+        import zlib
+
+        import numpy as np
+        from pyspark.sql import Row
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        garbage_idat = sig + ihdr + chunk(b"IDAT", b"\xde\xad\xbe\xef" * 4)
+        truncated_header = sig + b"\x00\x00\x00\x0dIHDR\x00\x01"
+        pal = np.zeros((2, 3), dtype=np.uint8)
+        idx = np.full((2, 2, 1), 7, dtype=np.uint8)  # palette has 2 entries
+        bad_palette = _png_bytes(idx, color=3, palette=pal)
+        truncated_bmp = _bmp_bytes(2, 2, self.PIXELS)[:20]
+
+        def media_row(i, content, mime):
+            return Row(
+                media_id=i,
+                kind="image",
+                content=content,
+                meta=Row(mime=mime, width=2, height=2, duration_ms=None),
+            )
+
+        return [
+            media_row(1, _ppm_bytes(2, 2, self.PIXELS), "image/x-portable-pixmap"),
+            media_row(2, garbage_idat, "image/png"),
+            media_row(3, truncated_header, "image/png"),
+            media_row(4, bad_palette, "image/png"),
+            media_row(5, truncated_bmp, "image/bmp"),
+        ]
+
+    def test_corrupt_blobs_drop_instead_of_failing_dhash(self, spark):
+        """ADVICE r4: decode_png raises zlib.error / struct.error /
+        IndexError on corrupt input — one bad blob must not fail the
+        whole-corpus media_dhash job; the well-formed row survives."""
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_dhash,
+        )
+
+        df = spark.createDataFrame(self._corrupt_rows(), MEDIA_SCHEMA)
+        got = media_dhash(df).collect()
+        assert {r.media_id for r in got} == {1}
+
+    def test_corrupt_blobs_yield_null_features(self, spark):
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        df = spark.createDataFrame(self._corrupt_rows(), MEDIA_SCHEMA)
+        got = {r.media_id: r for r in extract_features(df).collect()}
+        assert len(got) == 5  # every row survives the pass
+        assert got[1].feat is not None
+        for mid in (2, 3, 4, 5):
+            assert got[mid].feat is None
+        # metadata columns still computed for corrupt rows
+        assert got[2].n_bytes == len(self._corrupt_rows()[1].content)
+
+    def test_decode_errors_cover_what_decoders_raise(self):
+        """The DECODE_ERRORS tuple must actually cover each decoder's
+        failure modes — pin the raw exception classes so a decoder change
+        that raises something new fails here, not in production."""
+        import pytest as _pytest
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            DECODE_ERRORS,
+            decode_bmp,
+            decode_png,
+        )
+
+        rows = {r.media_id: r.content for r in self._corrupt_rows()}
+        for mid in (2, 3, 4):
+            with _pytest.raises(DECODE_ERRORS):
+                decode_png(rows[mid])
+        with _pytest.raises(DECODE_ERRORS):
+            decode_bmp(rows[5])
+
 
 class TestRestSource:
     def test_fetch_urls_offline(self, spark):
