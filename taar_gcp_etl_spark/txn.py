@@ -200,7 +200,13 @@ def read_txn(
             )
         key_col = man["key_col"]
         seq_col = man["seq_col"]
-        w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+        # tiebreaker mirrors the write path's strict '>' guard: an
+        # overlay tombstone whose seq EQUALS the stored row's must lose
+        # deterministically (asc on _deleted → the non-tombstone/base
+        # row sorts first on seq ties), not win per-read at random
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc(seq_col), F.asc(DELETED_COL)
+        )
         out = (
             out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -236,13 +242,44 @@ def _publish_manifest(
     return False
 
 
+def _plan_reads_table(df: DataFrame, table_dir: str) -> bool:
+    """Best-effort: does this DataFrame's plan scan ``table_dir``? Used
+    to refuse a retry that would commit a merge computed against a
+    superseded snapshot (see commit_txn's read-modify-write contract)."""
+    try:
+        # inputFiles() resolves the actual scan locations; plan STRINGS
+        # truncate long paths (spark.sql.maxMetadataStringLength) and
+        # would miss the match
+        return any(table_dir in f for f in df.inputFiles())
+    except Exception:
+        return False
+
+
 def commit_txn(
-    df: DataFrame,
+    df,
     table_dir: str,
     epoch_id: int | None = None,
     max_attempts: int = 5,
+    spark: SparkSession | None = None,
 ) -> int | None:
-    """Atomically commit ``df`` as the table's next version.
+    """Atomically commit the table's next version.
+
+    ``df`` is either a DataFrame (blind write — content independent of
+    the table's current state) or a BUILDER ``f(current_version | None)
+    -> DataFrame`` for read-modify-write commits. The builder is
+    re-invoked on every CAS attempt with the version it must derive
+    from, so a lost version race recomputes the merge against the fresh
+    state instead of committing a result computed from the superseded
+    snapshot (read_txn resolves snapshot paths eagerly when the plan is
+    built, so merely re-executing a stale plan would re-read the OLD
+    snapshot and silently drop the concurrent writer's changes). Every
+    read-modify-write caller in this module (apply_cdc_batch_txn,
+    refresh_aggregate_store_txn, compact_cdc_tombstones) uses the
+    builder form; the bucketed path has its own equivalent loop.
+
+    As a safety net, a plain DataFrame whose plan scans ``table_dir``
+    raises on a lost race instead of retrying — the retry would be the
+    stale-merge bug; the error tells the caller to pass a builder.
 
     Returns the committed version, or None if ``epoch_id`` was already
     committed (replay skip — streaming epoch ids are monotonically
@@ -250,29 +287,47 @@ def commit_txn(
     foreachBatch replays re-run the SAME epoch, never an older one with
     new content).
 
-    The input may lazily read the table's current snapshot (the CDC
-    merge does): the new snapshot lands in a fresh directory, so no
-    localCheckpoint / lineage cut is needed — the plan never writes
-    over what it reads.
+    A builder may lazily read the snapshot it is given: the new
+    snapshot lands in a fresh directory, so no localCheckpoint /
+    lineage cut is needed — the plan never writes over what it reads.
     """
-    spark = df.sparkSession
+    is_builder = callable(df)
+    if is_builder:
+        if spark is None:
+            raise ValueError("commit_txn: builder form requires spark=")
+    else:
+        spark = df.sparkSession
     table_dir = table_dir.rstrip("/")
     token = uuid.uuid4().hex[:8]
-    for _ in range(max_attempts):
+    for attempt in range(max_attempts):
         man = latest_manifest(spark, table_dir)
         if epoch_id is not None and man is not None:
             last = man.get("epoch_id")
             if last is not None and epoch_id <= last:
                 return None
-        version = (man["version"] if man else 0) + 1
+        cur_version = man["version"] if man else None
+        if is_builder:
+            out = df(cur_version)
+        else:
+            if attempt > 0 and _plan_reads_table(df, table_dir):
+                raise RuntimeError(
+                    f"commit_txn: lost a version race on {table_dir} "
+                    "with a DataFrame whose plan reads the same table — "
+                    "re-executing it would merge against the superseded "
+                    "snapshot and drop the concurrent commit. Pass a "
+                    "builder (f(version) -> DataFrame) so the merge "
+                    "recomputes against the fresh state."
+                )
+            out = df
+        version = (cur_version or 0) + 1
         snap_rel = f"data/v{version:010d}-{token}"
-        df.write.mode("overwrite").parquet(f"{table_dir}/{snap_rel}")
+        out.write.mode("overwrite").parquet(f"{table_dir}/{snap_rel}")
 
         manifest = {
             "version": version,
             "snapshot": snap_rel,
             "epoch_id": epoch_id,
-            "parent": man["version"] if man else None,
+            "parent": cur_version,
         }
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
@@ -286,16 +341,29 @@ def commit_txn(
 
 
 def vacuum_txn(
-    spark: SparkSession, table_dir: str, keep_last: int = 2
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    grace_seconds: float = 0.0,
 ) -> dict:
     """Garbage-collect snapshots: keep the snapshot dirs referenced by the
     newest ``keep_last`` manifests, delete every other entry under
     ``data/`` (superseded versions AND orphans from interrupted or
     conflicted commits) plus the superseded manifests. Returns counts.
 
-    Safety window is the usual table-format one: a reader holding a
-    DataFrame pinned to a deleted old version will fail on its next
-    action — keep_last is the retention knob.
+    ``grace_seconds`` protects in-flight commits: a writer racing the
+    vacuum has written its snapshot dir but not yet renamed its
+    manifest, so the dir is unreferenced-but-about-to-be-published —
+    deleting it would let the commit publish a manifest pointing at
+    deleted data. Dirs whose modification time is younger than the
+    grace window are skipped (counted in ``skipped_young``). The
+    default 0 is only safe when no writer can be mid-commit (quiesced
+    maintenance); with concurrent writers set it comfortably above the
+    longest snapshot-write duration (e.g. 3600).
+
+    Safety window for readers is the usual table-format one: a reader
+    holding a DataFrame pinned to a deleted old version will fail on
+    its next action — keep_last is the retention knob.
 
     Bucketed layouts: a kept manifest references every dir its bucket
     mapping points at — an OLD dir stays live for as long as any kept
@@ -314,14 +382,22 @@ def vacuum_txn(
             for paths in (man.get("overlays") or {}).values():
                 refs.extend(paths)
         keep_snaps.update(r.split("/", 1)[1] for r in refs)
+    import time
+
     jvm, fs, data_p = _fs(spark, f"{table_dir}/data")
     removed_snaps = 0
+    skipped_young = 0
+    cutoff_ms = (time.time() - grace_seconds) * 1000.0
     if fs.exists(data_p):
         for st in fs.listStatus(data_p):
             name = st.getPath().getName()
-            if name not in keep_snaps:
-                fs.delete(st.getPath(), True)
-                removed_snaps += 1
+            if name in keep_snaps:
+                continue
+            if st.getModificationTime() > cutoff_ms:
+                skipped_young += 1  # possibly an in-flight commit
+                continue
+            fs.delete(st.getPath(), True)
+            removed_snaps += 1
     removed_manifests = 0
     for v in versions:
         if v not in keep_versions:
@@ -333,6 +409,7 @@ def vacuum_txn(
     return {
         "removed_snapshots": removed_snaps,
         "removed_manifests": removed_manifests,
+        "skipped_young": skipped_young,
         "kept_versions": keep_versions,
     }
 
@@ -591,9 +668,20 @@ def apply_cdc_batch_txn(
     """
     spark = batch_df.sparkSession
     staged = _stage_cdc_batch(batch_df, key_col, op_col, seq_col)
-    cur = read_txn(spark, table_dir)
-    new = _merge_cdc(cur, staged, key_col, seq_col)
-    return commit_txn(new, table_dir, epoch_id=epoch_id)
+
+    # builder form: a lost CAS race re-reads the table at the fresh
+    # version and re-merges, instead of re-committing a merge computed
+    # against the superseded snapshot (ADVICE r4: the stale-log-read
+    # bug the bucketed path already guards against)
+    def build(cur_version):
+        cur = (
+            read_txn(spark, table_dir, version=cur_version)
+            if cur_version is not None
+            else None
+        )
+        return _merge_cdc(cur, staged, key_col, seq_col)
+
+    return commit_txn(build, table_dir, epoch_id=epoch_id, spark=spark)
 
 
 def read_cdc_table(
@@ -629,19 +717,26 @@ def compact_cdc_tombstones(
     the bucketed layout), which also serves as compaction for mappings
     fragmented across many incremental dirs."""
     man = latest_manifest(spark, table_dir)
-    cur = read_txn(spark, table_dir)
-    if cur is None:
+    if man is None:
         return None
-    keep = cur.filter(
-        ~(F.col(DELETED_COL) & (F.col(seq_col) < F.lit(min_live_seq)))
-    )
-    if man is not None and "buckets" in man:
+
+    # recomputed per CAS attempt, pinned to the version being replaced —
+    # a lost race must re-read, not re-commit a stale filter result
+    def keep_at(version):
+        cur = read_txn(spark, table_dir, version=version)
+        return cur.filter(
+            ~(F.col(DELETED_COL) & (F.col(seq_col) < F.lit(min_live_seq)))
+        )
+
+    if "buckets" in man:
         token = uuid.uuid4().hex[:8]
         for _ in range(5):
             man = latest_manifest(spark, table_dir)
             version = man["version"] + 1
             snap_rel = f"data/v{version:010d}-{token}"
-            keep.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            keep_at(man["version"]).write.mode("overwrite").partitionBy(
+                BUCKET_COL
+            ).parquet(
                 f"{table_dir.rstrip('/')}/{snap_rel}"
             )
             mapping = {b: snap_rel for b in man["buckets"]}
@@ -658,7 +753,7 @@ def compact_cdc_tombstones(
             if _publish_manifest(spark, table_dir, manifest, token):
                 return version
         raise RuntimeError(f"compact: version conflicts on {table_dir}")
-    return commit_txn(keep, table_dir)
+    return commit_txn(keep_at, table_dir, spark=spark)
 
 
 def stream_cdc_apply_txn(
@@ -717,19 +812,27 @@ def refresh_aggregate_store_txn(
         if last is not None and epoch_id <= last:
             return False
     mnames = sorted(measures)
-    store = read_txn(spark, table_dir)
-    if store is not None:
-        out = refresh_aggregate(
-            store.select(*keys, *mnames), batch_df, keys, measures
+
+    # builder form (see commit_txn): re-merges against the fresh store
+    # version if the CAS loses a race
+    def build(cur_version):
+        store = (
+            read_txn(spark, table_dir, version=cur_version)
+            if cur_version is not None
+            else None
         )
-    else:
-        out = batch_df.groupBy(*keys).agg(
-            *[_measure_agg(measures[m]).alias(m) for m in mnames]
-        )
+        if store is not None:
+            out = refresh_aggregate(
+                store.select(*keys, *mnames), batch_df, keys, measures
+            )
+        else:
+            out = batch_df.groupBy(*keys).agg(
+                *[_measure_agg(measures[m]).alias(m) for m in mnames]
+            )
+        return out.select(*keys, *mnames)
+
     return (
-        commit_txn(
-            out.select(*keys, *mnames), table_dir, epoch_id=epoch_id
-        )
+        commit_txn(build, table_dir, epoch_id=epoch_id, spark=spark)
         is not None
     )
 

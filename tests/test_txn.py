@@ -616,3 +616,194 @@ class TestOverlayAutoCompaction:
         assert txn.overlay_pressure(spark, t) == 0
         live = _rows(txn.read_cdc_table(spark, t))
         assert set(live) == {5, 6, 7, 8}
+
+
+class TestFlatCasRetryFreshRead:
+    """ADVICE r4: the FLAT read-modify-write paths must re-read and
+    re-merge inside the CAS retry loop (commit_txn's builder form) —
+    losing a version race and re-committing the stale merge would
+    silently drop the concurrent writer's changes."""
+
+    def _stale_once(self, monkeypatch, stale):
+        real = txn.latest_manifest
+        calls = {"n": 0}
+
+        def fn(spark_, table_dir):
+            calls["n"] += 1
+            return stale if calls["n"] == 1 else real(spark_, table_dir)
+
+        monkeypatch.setattr(txn, "latest_manifest", fn)
+        return calls
+
+    def test_cdc_flat_retry_remerges_against_fresh_state(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "cas-flat")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "a", 1, "I"), (2, "b", 2, "I")], CDC_SCHEMA
+            ),
+            t,
+        )
+        stale = txn.latest_manifest(spark, t)
+        # writer B lands an update A hasn't seen
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(2, "b2", 10, "U")], CDC_SCHEMA), t
+        )
+        calls = self._stale_once(monkeypatch, stale)
+        v = txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, "a2", 11, "U")], CDC_SCHEMA), t
+        )
+        monkeypatch.undo()
+        assert v == 3 and calls["n"] >= 2
+        # BOTH writers' effects present — the stale merge never published
+        assert _rows(txn.read_cdc_table(spark, t)) == {
+            1: ("a2", 11),
+            2: ("b2", 10),
+        }
+
+    def test_aggregate_refresh_retry_remerges_against_fresh_state(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "cas-agg")
+        measures = {"total": ("sum", "v")}
+        txn.refresh_aggregate_store_txn(
+            spark.createDataFrame([(1, 2.0)], ["k", "v"]), t, ["k"], measures
+        )
+        stale = txn.latest_manifest(spark, t)
+        txn.refresh_aggregate_store_txn(
+            spark.createDataFrame([(1, 5.0)], ["k", "v"]), t, ["k"], measures
+        )
+        calls = self._stale_once(monkeypatch, stale)
+        assert txn.refresh_aggregate_store_txn(
+            spark.createDataFrame([(1, 1.0)], ["k", "v"]), t, ["k"], measures
+        )
+        monkeypatch.undo()
+        assert calls["n"] >= 2
+        # 2 + 5 + 1: B's partial (5.0) must survive A's retried merge
+        assert txn.read_txn(spark, t).collect()[0].total == 8.0
+
+    def test_compaction_retry_refilters_fresh_state(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "cas-compact")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "a", 1, "I"), (2, None, 2, "D")], CDC_SCHEMA
+            ),
+            t,
+        )
+        stale = txn.latest_manifest(spark, t)
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(3, "c", 5, "I")], CDC_SCHEMA), t
+        )
+        calls = self._stale_once(monkeypatch, stale)
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=3)
+        monkeypatch.undo()
+        assert calls["n"] >= 2
+        live = _rows(txn.read_cdc_table(spark, t))
+        assert live == {1: ("a", 1), 3: ("c", 5)}  # B's insert survived
+        raw = txn.read_txn(spark, t)
+        assert raw.filter(F.col(txn.DELETED_COL)).count() == 0
+
+    def test_plain_df_reading_own_table_raises_on_lost_race(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Safety net: a PLAIN DataFrame whose plan scans the table it
+        commits to must refuse the retry (its re-execution would read
+        the superseded snapshot) and tell the caller to pass a builder."""
+        t = str(tmp_path / "cas-plain")
+        txn.commit_txn(
+            spark.createDataFrame([(1, 10)], "id long, v long"), t
+        )
+        derived = txn.read_txn(spark, t).withColumn("v", F.col("v") + 1)
+        stale = txn.latest_manifest(spark, t)
+        txn.commit_txn(
+            spark.createDataFrame([(2, 20)], "id long, v long"), t
+        )
+        calls = self._stale_once(monkeypatch, stale)
+        with pytest.raises(RuntimeError, match="builder"):
+            txn.commit_txn(derived, t)
+        monkeypatch.undo()
+        assert calls["n"] >= 2
+        # the concurrent commit is still the table state — nothing clobbered
+        assert txn.latest_manifest(spark, t)["version"] == 2
+
+
+class TestMoRSeqTieDeterminism:
+    def test_equal_seq_overlay_tombstone_loses_to_base_row(
+        self, spark, tmp_path
+    ):
+        """ADVICE r4: write path applies a staged row iff seq is STRICTLY
+        newer; the merge-on-read resolution must match — an overlay
+        tombstone with seq EQUAL to the stored row's loses
+        deterministically (not per-read at random)."""
+        t = str(tmp_path / "mor-tie")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", 5, "I"), (2, "b", 3, "I")], CDC_SCHEMA
+            ),
+            t,
+            n_buckets=4,
+        )
+        # delete-only batch → overlay; key 1 ties the stored seq, key 2 wins
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, None, 5, "D"), (2, None, 9, "D")], CDC_SCHEMA
+            ),
+            t,
+            n_buckets=4,
+        )
+        assert txn.overlay_pressure(spark, t) >= 1  # really merge-on-read
+        for _ in range(5):  # deterministic across repeated reads
+            assert _rows(txn.read_cdc_table(spark, t)) == {1: ("a", 5)}
+
+
+class TestVacuumGrace:
+    def test_young_unreferenced_dirs_survive_grace_window(
+        self, spark, tmp_path
+    ):
+        """ADVICE r4: an in-flight commit's snapshot dir (written, not
+        yet published) must not be vacuumed out from under the publish —
+        dirs younger than grace_seconds are skipped."""
+        t = str(tmp_path / "vg")
+        txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        # simulate a concurrent writer mid-commit: snapshot written,
+        # manifest rename not yet executed
+        spark.createDataFrame(
+            [(9, "inflight")], "id long, val string"
+        ).write.parquet(f"{t}/data/v0000000002-inflight")
+
+        report = txn.vacuum_txn(spark, t, keep_last=2, grace_seconds=3600)
+        assert report["skipped_young"] == 1
+        assert report["removed_snapshots"] == 0
+        # the in-flight writer can still publish against its intact dir
+        txn._write_bytes(
+            spark,
+            f"{t}/_log/{txn._manifest_name(2)}",
+            json.dumps(
+                {
+                    "version": 2,
+                    "snapshot": "data/v0000000002-inflight",
+                    "epoch_id": None,
+                    "parent": 1,
+                }
+            ).encode(),
+        )
+        assert [r.val for r in txn.read_txn(spark, t).collect()] == [
+            "inflight"
+        ]
+
+    def test_zero_grace_reclaims_immediately(self, spark, tmp_path):
+        t = str(tmp_path / "vg0")
+        txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        spark.createDataFrame(
+            [(9, "orphan")], "id long, val string"
+        ).write.parquet(f"{t}/data/v0000000009-orphan")
+        report = txn.vacuum_txn(spark, t, keep_last=2, grace_seconds=0)
+        assert report["removed_snapshots"] == 1
+        assert report["skipped_young"] == 0
