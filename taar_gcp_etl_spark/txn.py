@@ -35,14 +35,18 @@ committed version — snapshot isolation, and time travel for free
 (``read_txn(version=...)``).
 
 Concurrency: manifests are versioned, and a commit that finds its
-target manifest name already taken re-reads the log and retries —
-optimistic concurrency on rename semantics. HDFS rename is atomic and
-fails on an existing destination; POSIX rename is atomic but can
-replace, so the exists-check narrows the local-mode race to
-single-writer guarantees (structured streaming's foreachBatch is
-single-writer per query, which is the deployment this serves); S3-style
-stores want a conditional-put manifest swap here, the one storage-
-specific seam.
+target manifest slot already claimed re-reads the log and retries —
+optimistic concurrency on an atomic put_if_absent of the versioned
+manifest. The claim strategy is pluggable (set_manifest_publisher, the
+one storage-specific seam): RenameManifestPublisher (default) for
+filesystems where rename is atomic and fails on an existing
+destination (HDFS; single-writer local), ConditionalPutManifestPublisher
+for object stores where the same CAS is a conditional PUT (S3
+If-None-Match, GCS generation-match) — S3-style "rename" is copy+delete
+with no destination guard and silently loses concurrent commits (the
+contract tests pin that failure mode). Read-modify-write commits use
+commit_txn's builder form so a lost race re-merges against the fresh
+state.
 
 Scale: a commit costs O(committed DataFrame) in write volume plus two
 metadata ops, independent of table history; snapshot resolution is one
@@ -222,24 +226,86 @@ def last_committed_epoch(
     return None if man is None else man.get("epoch_id")
 
 
+class RenameManifestPublisher:
+    """Publish by temp-write + rename-into-slot — the right strategy
+    where rename is atomic and fails on an existing destination (HDFS;
+    ABFS/GCS renames are likewise metadata-atomic). POSIX rename is
+    atomic but REPLACES, so the exists-check narrows the local-mode
+    race to single-writer guarantees (structured streaming's
+    foreachBatch is single-writer per query, the deployment this
+    default serves). NOT sufficient for true multi-writer on S3-style
+    stores, where "rename" is copy+delete with no destination guard —
+    use ConditionalPutManifestPublisher there (the contract test pins
+    the lost-update failure mode this avoids)."""
+
+    def put_if_absent(
+        self, spark: SparkSession, final: str, data: bytes, token: str
+    ) -> bool:
+        tmp = f"{final.rsplit('/', 1)[0]}/.tmp-{token}-{final.rsplit('/', 1)[1]}"
+        _write_bytes(spark, tmp, data)
+        jvm, fs, tmp_p = _fs(spark, tmp)
+        final_p = jvm.org.apache.hadoop.fs.Path(final)
+        if not fs.exists(final_p) and fs.rename(tmp_p, final_p):
+            return True
+        fs.delete(tmp_p, False)
+        return False
+
+
+class ConditionalPutManifestPublisher:
+    """Publish by create-if-absent — the multi-writer CAS for object
+    stores: map put_if_absent to a conditional PUT (S3
+    ``If-None-Match: *``, GCS ``x-goods-if-generation-match: 0``),
+    which is all-or-nothing at the object level, so exactly one of N
+    concurrent writers wins the version slot and every loser retries
+    against the fresh log. Through the Hadoop API this is
+    ``create(path, overwrite=false)``; on a real FILESYSTEM that has a
+    torn-write window (crash mid-write leaves a claimed, corrupt slot)
+    — prefer the rename publisher there; object-store PUTs upload the
+    whole object or nothing, which is exactly the semantics the commit
+    protocol needs."""
+
+    def put_if_absent(
+        self, spark: SparkSession, final: str, data: bytes, token: str
+    ) -> bool:
+        _, fs, p = _fs(spark, final)
+        try:
+            out = fs.create(p, False)  # overwrite=False → fails if taken
+        except Exception:
+            return False  # slot taken: lost the race, caller retries
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
+
+
+_manifest_publisher = RenameManifestPublisher()
+
+
+def set_manifest_publisher(publisher):
+    """Swap the manifest CAS strategy (returns the previous one) — THE
+    storage-specific seam of the commit protocol. Everything else in
+    this module is storage-agnostic: snapshot writes go to fresh
+    uniquely-named dirs (no contention), and correctness rests solely
+    on put_if_absent being an atomic claim of one versioned slot."""
+    global _manifest_publisher
+    prev = _manifest_publisher
+    _manifest_publisher = publisher
+    return prev
+
+
 def _publish_manifest(
     spark: SparkSession, table_dir: str, manifest: dict, token: str
 ) -> bool:
-    """Atomically publish one manifest: write a fully-formed temp file,
-    rename into the versioned slot. False = lost the version race
-    (caller re-reads the log and retries). The rename is THE commit
-    point for every layout this module supports."""
+    """Atomically publish one manifest into its versioned slot via the
+    configured publisher. False = lost the version race (caller
+    re-reads the log and retries). This claim is THE commit point for
+    every layout this module supports."""
     version = manifest["version"]
     log_dir = f"{table_dir.rstrip('/')}/{_LOG}"
-    tmp = f"{log_dir}/.tmp-{token}-{version}.json"
     final = f"{log_dir}/{_manifest_name(version)}"
-    _write_bytes(spark, tmp, json.dumps(manifest, sort_keys=True).encode())
-    jvm, fs, tmp_p = _fs(spark, tmp)
-    final_p = jvm.org.apache.hadoop.fs.Path(final)
-    if not fs.exists(final_p) and fs.rename(tmp_p, final_p):
-        return True
-    fs.delete(tmp_p, False)
-    return False
+    data = json.dumps(manifest, sort_keys=True).encode()
+    return _manifest_publisher.put_if_absent(spark, final, data, token)
 
 
 def _plan_reads_table(df: DataFrame, table_dir: str) -> bool:

@@ -618,6 +618,152 @@ class TestOverlayAutoCompaction:
         assert set(live) == {5, 6, 7, 8}
 
 
+class TestManifestPublisherSeam:
+    """The storage-specific CAS seam (NEXT.md r5 #1): commit atomicity
+    rests entirely on put_if_absent being an atomic claim of one
+    versioned manifest slot. These tests pin (a) WHY naive S3-style
+    rename semantics are insufficient — the lost-update failure mode —
+    and (b) that the conditional-put publisher gives exactly-one-winner
+    under the same interleaving."""
+
+    @staticmethod
+    def _b_manifest(spark, t, version=2):
+        """A concurrent writer's fully-committed version: snapshot dir +
+        manifest, written directly (as writer B's process would)."""
+        rel = f"data/v{version:010d}-writerb"
+        spark.createDataFrame(
+            [(99, "from-b")], "id long, val string"
+        ).write.parquet(f"{t}/{rel}")
+        txn._write_bytes(
+            spark,
+            f"{t}/_log/{txn._manifest_name(version)}",
+            json.dumps(
+                {
+                    "version": version,
+                    "snapshot": rel,
+                    "epoch_id": None,
+                    "parent": version - 1,
+                }
+            ).encode(),
+        )
+
+    def test_s3_style_rename_silently_loses_concurrent_commit(
+        self, spark, tmp_path
+    ):
+        """S3 "rename" is copy+delete with NO destination guard: a
+        check-then-copy publisher lets writer B land between A's
+        exists-check and A's copy, and A clobbers B's committed
+        manifest — both writers report success, B's commit is gone.
+        This is the failure mode the seam exists to prevent; the test
+        is the executable justification for ConditionalPutManifestPublisher
+        on object stores."""
+        t = str(tmp_path / "racy")
+        txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        test = self
+
+        class RacyS3RenamePublisher:
+            fired = False
+
+            def put_if_absent(self, spark_, final, data, token):
+                _, fs, p = txn._fs(spark_, final)
+                if fs.exists(p):
+                    return False
+                if not self.fired:  # writer B commits in the gap
+                    RacyS3RenamePublisher.fired = True
+                    test._b_manifest(spark_, t)
+                txn._write_bytes(spark_, final, data)  # unguarded copy
+                return True
+
+        prev = txn.set_manifest_publisher(RacyS3RenamePublisher())
+        try:
+            v = txn.commit_txn(
+                spark.createDataFrame(
+                    [(2, "from-a")], "id long, val string"
+                ),
+                t,
+            )
+        finally:
+            txn.set_manifest_publisher(prev)
+        # A believes it committed version 2 — and so did B
+        assert v == 2
+        # ...but B's committed state was silently destroyed
+        vals = [r.val for r in txn.read_txn(spark, t).collect()]
+        assert vals == ["from-a"] and "from-b" not in vals
+
+    def test_conditional_put_gives_exactly_one_winner(
+        self, spark, tmp_path
+    ):
+        """Same interleaving through the conditional-put publisher:
+        writer B claims the slot first, A's put_if_absent FAILS, A
+        retries against the fresh log and lands on the next version —
+        both commits survive."""
+        t = str(tmp_path / "cas-put")
+        txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        test = self
+
+        class ContendedConditionalPut(txn.ConditionalPutManifestPublisher):
+            fired = False
+
+            def put_if_absent(self, spark_, final, data, token):
+                if not ContendedConditionalPut.fired and final.endswith(
+                    txn._manifest_name(2)
+                ):
+                    ContendedConditionalPut.fired = True
+                    test._b_manifest(spark_, t)  # B wins the slot first
+                return super().put_if_absent(spark_, final, data, token)
+
+        prev = txn.set_manifest_publisher(ContendedConditionalPut())
+        try:
+            v = txn.commit_txn(
+                spark.createDataFrame(
+                    [(2, "from-a")], "id long, val string"
+                ),
+                t,
+            )
+        finally:
+            txn.set_manifest_publisher(prev)
+        assert v == 3  # A lost version 2, retried, won version 3
+        assert [r.val for r in txn.read_txn(spark, t).collect()] == [
+            "from-a"
+        ]
+        # B's commit is intact in the history (time travel to v2)
+        assert [
+            r.val for r in txn.read_txn(spark, t, version=2).collect()
+        ] == ["from-b"]
+
+    def test_put_if_absent_is_first_writer_wins(self, spark, tmp_path):
+        pub = txn.ConditionalPutManifestPublisher()
+        final = f"{tmp_path}/slot.json"
+        assert pub.put_if_absent(spark, final, b"first", "t1")
+        assert not pub.put_if_absent(spark, final, b"second", "t2")
+        assert txn._read_bytes(spark, final) == b"first"
+
+    def test_rename_publisher_still_default_and_race_safe(
+        self, spark, tmp_path
+    ):
+        """The default publisher keeps the exists-check + rename
+        semantics: claiming a taken slot fails and leaves no temp
+        litter in _log/."""
+        t = str(tmp_path / "ren")
+        txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        assert isinstance(
+            txn._manifest_publisher, txn.RenameManifestPublisher
+        )
+        final = f"{t}/_log/{txn._manifest_name(1)}"
+        assert not txn._manifest_publisher.put_if_absent(
+            spark, final, b"clobber", "tx"
+        )
+        _, fs, log_p = txn._fs(spark, f"{t}/_log")
+        names = [s.getPath().getName() for s in fs.listStatus(log_p)]
+        assert names == [txn._manifest_name(1)]
+
+
 class TestFlatCasRetryFreshRead:
     """ADVICE r4: the FLAT read-modify-write paths must re-read and
     re-merge inside the CAS retry loop (commit_txn's builder form) —
