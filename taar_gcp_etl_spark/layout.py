@@ -1,0 +1,430 @@
+"""Data layout for scan efficiency: Z-order clustering, per-file zone
+maps (min/max column stats in the transaction manifest), and
+stats-pruned scans.
+
+Why it matters at 100 TB: Catalyst already pushes predicates into the
+parquet reader, but the reader must still OPEN every file to consult its
+row-group stats — at 100 TB that is millions of footer reads per query.
+A table format keeps per-FILE min/max in the commit manifest, so a
+selective scan plans over metadata and never touches the disjoint
+files; and the skipping is only as good as the layout — randomly
+distributed values give every file the full value range (zone maps
+prune nothing), while Z-ORDER clustering gives each file a compact
+hyper-rectangle of the clustered columns, so single-column AND
+multi-column range predicates both prune. This module is the engine's
+version of Delta ``OPTIMIZE ZORDER BY`` / Iceberg metrics pruning,
+composed with txn.py's manifest-swap commit:
+
+* ``zorder_key``        — interleaved-bit key over N columns; each
+  column is first mapped to a 2^bits-bucket QUANTILE rank (skew-robust,
+  unlike linear min-max scaling) via approxQuantile boundaries — a
+  driver-bounded (2^bits - 1 cut points per column) one-pass sample.
+  The rank→interleave arithmetic is pure Column expressions (shift/or
+  unrolled ``bits`` times per column), JVM-side, codegen-friendly.
+* ``commit_clustered``  — range-repartition on the z-key (one shuffle,
+  the clustering pass), write ``n_files`` compact files, collect zone
+  maps DISTRIBUTEDLY (one read-back aggregation grouped by
+  input_file_name — one result row per file, the same O(files)
+  metadata any table format's manifest carries), publish atomically
+  through the txn CAS (pluggable publisher seam included).
+* ``optimize_zorder``   — Delta-style table maintenance: rewrite the
+  current snapshot clustered; readers see old or new version, never a
+  mix.
+* ``scan_pruned``       — plan a scan over only the files whose zone
+  maps intersect the predicate, then re-apply the predicate as a
+  residual filter (zone maps are necessarily coarse); correctness is
+  therefore independent of the stats, which only ever REMOVE provably
+  disjoint files.
+* ``prune_report``      — kept/total file counts for a predicate, the
+  observability hook the pruning tests assert on.
+
+Scale posture: the clustering pass is one range shuffle of the
+committed data (AQE-compatible); stats collection is a second pass over
+the just-written files with columns pruned to the stats set; manifests
+grow O(files × stats_cols), the standard table-format trade. Nothing
+here collects unbounded data to the driver: approxQuantile cut points
+(≤ (2^bits-1) per column) and one stats row per file are the only
+driver-side artifacts.
+
+Reference parity: the reference's BigQuery tables get clustering +
+block pruning from the warehouse (`cluster_by` on its CTAS jobs'
+destination tables); this is the Spark-native equivalent over parquet.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark import txn
+
+_NUMERICISH = ("int", "bigint", "smallint", "tinyint", "float", "double",
+               "decimal", "date", "timestamp")
+
+
+def _as_double(c: str, dtype: str) -> Column:
+    """Project a clusterable column onto the real line for quantile
+    bucketing. Numeric casts directly; date/timestamp through their
+    epoch representation. (Strings would need a prefix→int mapping —
+    not supported; cluster on a derived numeric key instead.)"""
+    base = dtype.split("(")[0]
+    if base == "date":
+        return F.unix_date(F.col(c)).cast("double")
+    if base.startswith("timestamp"):
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if any(base.startswith(n) for n in _NUMERICISH):
+        return F.col(c).cast("double")
+    raise ValueError(
+        f"zorder column {c!r} has unsupported type {dtype!r}: cluster on "
+        "numeric/date/timestamp columns (derive a numeric key for strings)"
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Append an interleaved-bit Z-order key column over ``cols``.
+
+    Each column is bucketed to its 2^bits quantile rank: boundaries come
+    from one approxQuantile pass (driver receives ≤ 2^bits - 1 doubles
+    per column — bounded), and the rank is ``size(filter(boundaries,
+    b -> b <= x))`` — a higher-order function over a tiny literal array,
+    evaluated JVM-side. Quantile ranks make the clustering skew-robust:
+    a heavy-hitter value occupies many buckets' worth of rows but the
+    rank mapping still spreads the REST of the domain evenly, where
+    linear min-max scaling would crush it into one bucket.
+
+    Bit interleave: z = Σ_b Σ_i ((rank_i >> b) & 1) << (b·N + i) —
+    unrolled into bits × N shift/or Column ops (N = len(cols)), all
+    inside whole-stage codegen. Returns (df_with_key, key_col_name).
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    dtypes = dict(df.dtypes)
+    n = len(cols)
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    key = f"_z_{uuid.uuid4().hex[:6]}"
+
+    tmp_cols = {c: f"{key}_d{i}" for i, c in enumerate(cols)}
+    proj = df
+    for c in cols:
+        proj = proj.withColumn(tmp_cols[c], _as_double(c, dtypes[c]))
+    # one pass for every column's boundaries (approxQuantile batches)
+    all_cuts = proj.stat.approxQuantile(
+        [tmp_cols[c] for c in cols], probs, 0.005
+    )
+    ranks = []
+    for c, cuts in zip(cols, all_cuts):
+        # dedupe keeps the filter array minimal under low-cardinality cols
+        uniq = sorted(set(cuts))
+        arr = F.array(*[F.lit(v) for v in uniq])
+        x = F.col(tmp_cols[c])
+        rank = F.when(
+            x.isNull(), F.lit((1 << bits) - 1)  # nulls cluster together, last
+        ).otherwise(
+            F.least(
+                F.size(F.filter(arr, lambda b: b <= x)),
+                F.lit((1 << bits) - 1),
+            )
+        )
+        ranks.append(rank.cast("long"))
+
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, rank in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * n + i
+                )
+            )
+    out = proj.withColumn(key, z).drop(*tmp_cols.values())
+    return out, key
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as ``n_files`` Z-clustered parquet files: one range
+    shuffle on the z-key (contiguous z-ranges per output file → compact
+    per-file hyper-rectangles in the clustered columns), sorted within
+    each file so parquet row-group stats are tight too."""
+    keyed, key = zorder_key(df, zorder_by, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def collect_file_stats(
+    spark: SparkSession, path: str, stats_cols: list[str]
+) -> list[dict]:
+    """Zone maps for every parquet file under ``path``: one DISTRIBUTED
+    aggregation grouped by input_file_name — the collect is bounded at
+    one row per file (the same O(files) metadata every table format's
+    manifest carries). min/max ignore nulls (SQL agg semantics), which
+    is exactly what makes comparison-predicate pruning sound: a
+    predicate can only match non-null values, so non-null extrema are
+    the right envelope and an all-null file (null stats) is provably
+    disjoint from any comparison."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    rows = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        name = r["_file"].rsplit("/", 1)[1]
+        stats = {}
+        for c in stats_cols:
+            lo, hi = r[f"_min_{c}"], r[f"_max_{c}"]
+            stats[c] = [_jsonable(lo), _jsonable(hi)]
+        out.append({"file": name, "rows": r["_rows"], "stats": stats})
+    return sorted(out, key=lambda d: d["file"])
+
+
+def _jsonable(v):
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _from_jsonable(v, dtype: str):
+    import datetime
+
+    base = dtype.split("(")[0]
+    if v is None:
+        return None
+    if base == "date":
+        return datetime.date.fromisoformat(v)
+    if base.startswith("timestamp"):
+        return datetime.datetime.fromisoformat(v)
+    return v
+
+
+def commit_clustered(
+    df: DataFrame,
+    table_dir: str,
+    zorder_by: list[str],
+    n_files: int = 16,
+    stats_cols: list[str] | None = None,
+    bits: int = 8,
+    epoch_id: int | None = None,
+    max_attempts: int = 5,
+    require_parent: int | None = None,
+) -> int | None:
+    """Commit ``df`` as the table's next version, Z-clustered on
+    ``zorder_by`` with per-file zone maps for ``stats_cols`` (defaults
+    to the zorder columns) recorded in the manifest. Atomicity,
+    epoch-replay skip, and CAS retry semantics are txn.commit_txn's;
+    the snapshot is written clustered and the manifest carries the
+    ``files`` list scan_pruned plans against.
+
+    ``require_parent`` pins a read-modify-write caller's expectation of
+    the version being replaced (optimize_zorder rewrites the snapshot
+    it read): if another writer moved the table past it, the commit
+    raises instead of replacing the concurrent writer's state with a
+    rewrite of older data — the caller re-reads and retries."""
+    spark = df.sparkSession
+    table_dir = table_dir.rstrip("/")
+    stats_cols = list(stats_cols or zorder_by)
+    dtypes = dict(df.dtypes)
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        man = txn.latest_manifest(spark, table_dir)
+        if epoch_id is not None and man is not None:
+            last = man.get("epoch_id")
+            if last is not None and epoch_id <= last:
+                return None
+        if require_parent is not None and (
+            man["version"] if man else None
+        ) != require_parent:
+            raise RuntimeError(
+                f"commit_clustered: table moved past expected parent "
+                f"{require_parent} — re-read and retry"
+            )
+        version = (man["version"] if man else 0) + 1
+        snap_rel = f"data/v{version:010d}-{token}"
+        snap_abs = f"{table_dir}/{snap_rel}"
+        write_clustered(df, snap_abs, zorder_by, n_files=n_files, bits=bits)
+        manifest = {
+            "version": version,
+            "snapshot": snap_rel,
+            "epoch_id": epoch_id,
+            "parent": man["version"] if man else None,
+            "clustered_by": zorder_by,
+            "stats_types": {c: dtypes[c] for c in stats_cols},
+            "files": collect_file_stats(spark, snap_abs, stats_cols),
+        }
+        if txn._publish_manifest(spark, table_dir, manifest, token):
+            return version
+    raise RuntimeError(
+        f"commit_clustered: gave up after {max_attempts} version conflicts "
+        f"on {table_dir}"
+    )
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    zorder_by: list[str],
+    n_files: int = 16,
+    stats_cols: list[str] | None = None,
+    bits: int = 8,
+) -> int | None:
+    """Table maintenance à la Delta ``OPTIMIZE ... ZORDER BY``: rewrite
+    the CURRENT snapshot clustered and commit it as the next version.
+    Runs inside commit_clustered's CAS loop reading the version being
+    replaced, so a concurrent commit is never silently dropped; readers
+    see the old or the new layout, never a mix. Returns the committed
+    version (None for an empty table)."""
+    if txn.latest_manifest(spark, table_dir) is None:
+        return None
+    # read-modify-write: pin each attempt to the version being replaced
+    # (require_parent), so a concurrent commit landing mid-rewrite makes
+    # THIS commit fail and retry against the fresh state — never the
+    # other way around
+    for _ in range(5):
+        man = txn.latest_manifest(spark, table_dir)
+        cur = txn.read_txn(spark, table_dir, version=man["version"])
+        try:
+            return commit_clustered(
+                cur,
+                table_dir,
+                zorder_by,
+                n_files=n_files,
+                stats_cols=stats_cols,
+                bits=bits,
+                max_attempts=1,
+                require_parent=man["version"],
+            )
+        except RuntimeError:
+            continue  # lost the slot: loop re-reads the fresh state
+    raise RuntimeError(f"optimize_zorder: version conflicts on {table_dir}")
+
+
+# ---------------------------------------------------------------------------
+# Stats-pruned scans
+# ---------------------------------------------------------------------------
+
+_OPS = ("<", "<=", ">", ">=", "=", "between")
+
+
+def _overlaps(lo, hi, op, val) -> bool:
+    """Could a file with [lo, hi] column extrema contain a row matching
+    ``col op val``? Conservative: unknown stats keep the file. All-null
+    stats (lo is hi is None with rows present) cannot match a comparison
+    — SQL comparisons never match null — so the file is skipped."""
+    if lo is None and hi is None:
+        return False  # only nulls in this file: no comparison matches
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    if op == "=":
+        return lo <= val <= hi
+    if op == "between":
+        vlo, vhi = val
+        return not (hi < vlo or lo > vhi)
+    raise ValueError(f"unsupported op {op!r} (supported: {_OPS})")
+
+
+def _residual(filters: list[tuple]) -> Column:
+    cond = F.lit(True)
+    for c, op, val in filters:
+        col = F.col(c)
+        if op == "between":
+            cond = cond & col.between(val[0], val[1])
+        elif op == "=":
+            cond = cond & (col == val)
+        else:
+            cond = cond & {
+                "<": col < val,
+                "<=": col <= val,
+                ">": col > val,
+                ">=": col >= val,
+            }[op]
+    return cond
+
+
+def prune_report(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple],
+    version: int | None = None,
+) -> dict:
+    """Metadata-only pruning decision for ``filters`` (list of
+    ``(col, op, value)`` with op in <, <=, >, >=, =, between): which of
+    the snapshot's files can be skipped by zone maps alone. No data is
+    read — this is the planning step scan_pruned executes."""
+    man = (
+        txn.latest_manifest(spark, table_dir)
+        if version is None
+        else txn.read_manifest(spark, table_dir, version)
+    )
+    if man is None or "files" not in man:
+        raise ValueError(
+            f"{table_dir} has no zone-map manifest (commit with "
+            "commit_clustered / optimize_zorder first)"
+        )
+    types = man.get("stats_types", {})
+    kept, skipped = [], []
+    for entry in man["files"]:
+        keep = True
+        for c, op, val in filters:
+            if c not in entry["stats"]:
+                continue  # no stats for this column: cannot prune on it
+            lo = _from_jsonable(entry["stats"][c][0], types.get(c, ""))
+            hi = _from_jsonable(entry["stats"][c][1], types.get(c, ""))
+            if not _overlaps(lo, hi, op, val):
+                keep = False
+                break
+        (kept if keep else skipped).append(entry["file"])
+    return {
+        "total_files": len(man["files"]),
+        "kept_files": len(kept),
+        "skipped_files": len(skipped),
+        "kept": kept,
+        "snapshot": man["snapshot"],
+    }
+
+
+def scan_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Scan the table with file-level skipping: plan over the manifest's
+    zone maps (prune_report), read only the intersecting files, and
+    re-apply ``filters`` as a residual predicate (zone maps are coarse;
+    the residual keeps correctness independent of stats quality — stats
+    only ever remove files PROVABLY disjoint from the predicate). The
+    residual also pushes into the parquet reader for row-group skipping
+    within the kept files, so the two pruning layers compose."""
+    rep = prune_report(spark, table_dir, filters, version=version)
+    table_dir = table_dir.rstrip("/")
+    snap_abs = f"{table_dir}/{rep['snapshot']}"
+    if not rep["kept"]:
+        return spark.read.parquet(snap_abs).filter(F.lit(False))
+    paths = [f"{snap_abs}/{f}" for f in rep["kept"]]
+    return spark.read.parquet(*paths).filter(_residual(filters))

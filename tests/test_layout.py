@@ -1,136 +1,280 @@
-"""Physical-layout operator tests: compaction, sorted writes, Z-order."""
+"""Z-order clustering + zone-map data skipping (taar_gcp_etl_spark/
+layout.py): the scan-efficiency layer over the txn table format.
+
+What must hold:
+* scan_pruned ≡ full-scan-and-filter for every supported predicate
+  (correctness independent of stats quality — stats only remove files
+  provably disjoint from the predicate);
+* Z-order actually earns its shuffle: single-column predicates prune
+  on EVERY clustered dimension (a linear sort prunes only its leading
+  column — pinned by a head-to-head);
+* the maintenance op (optimize_zorder) is transactional: old version
+  time-travels, concurrent commits are never replaced by a rewrite of
+  older data.
+"""
 
 from __future__ import annotations
 
-import glob
-
-from pyspark.sql import Row
+import pytest
 from pyspark.sql import functions as F
 
-from taar_gcp_etl_spark.io import read_table
-from taar_gcp_etl_spark.operators.layout import (
-    compact_parquet_dir,
-    minmax_scale_to_bits,
-    sorted_range_write,
-    zorder_key,
-)
-from tests.conftest import SF_SMOKE
+from taar_gcp_etl_spark import layout, txn
+
+SF = "/root/testdata/sf0.001"
 
 
-def _parquet_files(path: str) -> list[str]:
-    return sorted(glob.glob(f"{path}/*.parquet"))
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
 
 
-class TestCompaction:
-    def test_compact_shrinks_file_count_preserves_rows(self, spark, tmp_path):
-        events = read_table(spark, SF_SMOKE, "events")
-        src = str(tmp_path / "fragmented")
-        events.repartition(40).write.parquet(src)
-        assert len(_parquet_files(src)) == 40
-
-        dest = str(tmp_path / "compacted")
-        # huge target => everything fits one file
-        n = compact_parquet_dir(spark, src, dest, target_file_bytes=1 << 30)
-        assert n == 1
-        assert len(_parquet_files(dest)) == 1
-        got = spark.read.parquet(dest)
-        assert got.count() == events.count()
-        assert set(got.columns) == set(events.columns)
-
-    def test_compact_respects_target_size(self, spark, tmp_path):
-        events = read_table(spark, SF_SMOKE, "events")
-        src = str(tmp_path / "frag2")
-        events.repartition(40).write.parquet(src)
-        dest = str(tmp_path / "comp2")
-        # tiny target => several output files, none wildly oversized
-        n = compact_parquet_dir(spark, src, dest, target_file_bytes=16 * 1024)
-        assert n > 1
-        assert len(_parquet_files(dest)) == n
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
 
 
-class TestSortedRangeWrite:
-    def test_per_file_ranges_are_disjoint_and_sorted(self, spark, tmp_path):
-        events = read_table(spark, SF_SMOKE, "events")
-        dest = str(tmp_path / "sorted")
-        sorted_range_write(events, dest, ["user_id"], n_files=4)
-
-        per_file = (
-            spark.read.parquet(dest)
-            .select("user_id", F.input_file_name().alias("f"))
-            .groupBy("f")
-            .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
-            .collect()
+class TestZorderKey:
+    def test_interleave_is_deterministic_and_bounded(self, spark, orders):
+        keyed, key = layout.zorder_key(
+            orders, ["o_custkey", "o_totalprice"], bits=4
         )
-        assert len(per_file) == 4
-        spans = sorted([(r.lo, r.hi) for r in per_file])
-        for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
-            assert prev_hi <= next_lo  # disjoint global order
-
-    def test_rows_survive(self, spark, tmp_path):
-        events = read_table(spark, SF_SMOKE, "events")
-        dest = str(tmp_path / "sorted2")
-        sorted_range_write(events, dest, ["user_id", "ts"], n_files=3)
-        assert spark.read.parquet(dest).count() == events.count()
-
-
-class TestZOrder:
-    def test_interleave_matches_python_reference(self, spark):
-        def morton2(x: int, y: int, bits: int) -> int:
-            out = 0
-            for b in range(bits):
-                out |= ((x >> b) & 1) << (2 * b)
-                out |= ((y >> b) & 1) << (2 * b + 1)
-            return out
-
-        rows = [Row(x=x, y=y) for x in [0, 1, 5, 255] for y in [0, 3, 128, 255]]
-        df = spark.createDataFrame(rows)
-        got = df.select(
-            "x", "y", zorder_key(["x", "y"], bits=8).alias("z")
-        ).collect()
-        for r in got:
-            assert r.z == morton2(r.x, r.y, 8), (r.x, r.y)
-
-    def test_zorder_write_clusters_both_dimensions(self, spark, tmp_path):
-        """Sorting by the interleaved key must give BOTH dimensions tighter
-        per-file min/max spans than an unclustered layout (that span is
-        exactly what footer pruning uses)."""
-        import random
-
-        rng = random.Random(7)
-        rows = [
-            Row(x=rng.randrange(1 << 16), y=rng.randrange(1 << 16))
-            for _ in range(4000)
-        ]
-        df = spark.createDataFrame(rows)
-        z = df.withColumn("z", zorder_key(["x", "y"], bits=16))
-        dest = str(tmp_path / "zsorted")
-        sorted_range_write(z, dest, ["z"], n_files=8)
-
-        spans = (
-            spark.read.parquet(dest)
-            .select("x", "y", F.input_file_name().alias("f"))
-            .groupBy("f")
-            .agg(
-                (F.max("x") - F.min("x")).alias("xs"),
-                (F.max("y") - F.min("y")).alias("ys"),
-            )
-            .agg(F.avg("xs").alias("xs"), F.avg("ys").alias("ys"))
-            .collect()[0]
+        vals = [r[0] for r in keyed.select(key).collect()]
+        assert all(0 <= v < (1 << 8) for v in vals)  # 2 cols × 4 bits
+        keyed2, key2 = layout.zorder_key(
+            orders, ["o_custkey", "o_totalprice"], bits=4
         )
-        full = 1 << 16
-        # 8 files of a good 2-D clustering: each dimension's average span
-        # should be well under the full domain (random layout ≈ full span).
-        assert spans.xs < 0.8 * full
-        assert spans.ys < 0.8 * full
+        assert vals == [r[0] for r in keyed2.select(key2).collect()]
 
-    def test_minmax_scale_bounds(self, spark):
+    def test_string_column_rejected_with_guidance(self, spark, orders):
+        with pytest.raises(ValueError, match="unsupported type"):
+            layout.zorder_key(orders, ["o_orderstatus"])
+
+    def test_quantile_ranks_spread_skewed_domain(self, spark):
+        """Skew-robustness: one heavy-hitter value plus a long tail must
+        not crush the tail into a single bucket (the linear min-max
+        failure). The tail's ranks should span many buckets."""
+        rows = [(0.0,)] * 500 + [(float(i),) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, "x double")
+        keyed, key = layout.zorder_key(df, ["x"], bits=6)
+        tail_ranks = {
+            r[0]
+            for r in keyed.filter(F.col("x") > 0).select(key).collect()
+        }
+        assert len(tail_ranks) > 8
+
+
+class TestCommitClusteredAndPrune:
+    @pytest.fixture(scope="class")
+    def table(self, spark, orders, tmp_path_factory):
+        t = str(tmp_path_factory.mktemp("zt") / "orders_z")
+        v = layout.commit_clustered(
+            orders,
+            t,
+            ["o_custkey", "o_totalprice"],
+            n_files=8,
+            stats_cols=["o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        assert v == 1
+        return t
+
+    def test_manifest_carries_per_file_zone_maps(self, spark, table):
+        man = txn.latest_manifest(spark, table)
+        assert man["clustered_by"] == ["o_custkey", "o_totalprice"]
+        assert len(man["files"]) == 8
+        for entry in man["files"]:
+            assert entry["rows"] > 0
+            lo, hi = entry["stats"]["o_custkey"]
+            assert lo <= hi
+
+    def test_both_zorder_dimensions_prune(self, spark, table):
+        """THE z-order property: a range predicate on EITHER clustered
+        column alone skips files — each file covers a compact
+        hyper-rectangle, not a full-range slab."""
+        for filters in (
+            [("o_custkey", "between", (1, 30))],
+            [("o_totalprice", "between", (1000.0, 20000.0))],
+        ):
+            rep = layout.prune_report(spark, table, filters)
+            assert rep["total_files"] == 8
+            assert 0 < rep["kept_files"] < rep["total_files"], filters
+
+    def test_conjunction_prunes_at_least_as_hard(self, spark, table):
+        a = layout.prune_report(spark, table, [("o_custkey", "<=", 50)])
+        both = layout.prune_report(
+            spark,
+            table,
+            [("o_custkey", "<=", 50), ("o_totalprice", ">=", 150000.0)],
+        )
+        assert both["kept_files"] <= a["kept_files"]
+
+    @pytest.mark.parametrize(
+        "filters",
+        [
+            [("o_custkey", "between", (10, 40))],
+            [("o_custkey", "=", 7)],
+            [("o_totalprice", ">=", 250000.0)],
+            [("o_totalprice", "<", 5000.0)],
+            [("o_custkey", ">", 100), ("o_totalprice", "<=", 80000.0)],
+            [("o_orderdate", ">=", __import__("datetime").datetime(1997, 1, 1))],
+        ],
+    )
+    def test_pruned_scan_equals_full_filter(
+        self, spark, table, orders, filters
+    ):
+        got = _sorted_rows(layout.scan_pruned(spark, table, filters))
+        exp = _sorted_rows(orders.filter(layout._residual(filters)))
+        assert got == exp and len(exp) > 0
+
+    def test_disjoint_predicate_reads_zero_files(self, spark, table):
+        rep = layout.prune_report(
+            spark, table, [("o_custkey", ">", 10**9)]
+        )
+        assert rep["kept_files"] == 0
+        out = layout.scan_pruned(spark, table, [("o_custkey", ">", 10**9)])
+        assert out.count() == 0
+        assert out.columns == txn.read_txn(spark, table).columns
+
+    def test_zorder_beats_linear_sort_on_second_dimension(
+        self, spark, orders, tmp_path
+    ):
+        """Head-to-head that justifies the interleave: cluster the same
+        data linearly on o_custkey only — a o_totalprice predicate then
+        keeps (almost) every file, while the z-ordered layout skips a
+        meaningful fraction."""
+        lin = str(tmp_path / "linear")
+        layout.commit_clustered(
+            orders,
+            lin,
+            ["o_custkey"],
+            n_files=8,
+            stats_cols=["o_custkey", "o_totalprice"],
+        )
+        zed = str(tmp_path / "zed")
+        layout.commit_clustered(
+            orders,
+            zed,
+            ["o_custkey", "o_totalprice"],
+            n_files=8,
+            stats_cols=["o_custkey", "o_totalprice"],
+        )
+        pred = [("o_totalprice", "between", (1000.0, 20000.0))]
+        lin_rep = layout.prune_report(spark, lin, pred)
+        zed_rep = layout.prune_report(spark, zed, pred)
+        assert zed_rep["kept_files"] < lin_rep["kept_files"]
+        # and the leading column still prunes in both layouts
+        lead = [("o_custkey", "between", (1, 30))]
+        assert (
+            layout.prune_report(spark, lin, lead)["kept_files"]
+            < lin_rep["total_files"]
+        )
+
+
+class TestNullsAndTypes:
+    def test_null_heavy_column_prunes_and_stays_correct(self, spark, tmp_path):
+        rows = [(i, float(i) if i % 3 else None) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        t = str(tmp_path / "nulls")
+        layout.commit_clustered(df, t, ["id"], n_files=4, stats_cols=["id", "v"])
+        filters = [("v", ">=", 200.0)]
+        got = _sorted_rows(layout.scan_pruned(spark, t, filters))
+        exp = _sorted_rows(df.filter(F.col("v") >= 200.0))
+        assert got == exp
+
+    def test_all_null_file_is_provably_disjoint(self, spark, tmp_path):
+        """A file whose stats column is entirely null can never satisfy a
+        comparison predicate — it must be skipped, not kept."""
         df = spark.createDataFrame(
-            [Row(v=-5.0), Row(v=0.0), Row(v=50.0), Row(v=500.0)]
+            [(i, None if i < 100 else float(i)) for i in range(200)],
+            "id long, v double",
         )
-        got = df.select(
-            minmax_scale_to_bits("v", 0.0, 100.0, bits=8).alias("s")
-        ).collect()
-        vals = [r.s for r in got]
-        assert vals[0] == 0  # clamped low
-        assert vals[3] == 255  # clamped high
-        assert 0 <= vals[2] <= 255
+        t = str(tmp_path / "allnull")
+        # clustering on id puts the all-null-v rows in their own files
+        layout.commit_clustered(df, t, ["id"], n_files=4, stats_cols=["id", "v"])
+        man = txn.latest_manifest(df.sparkSession, t)
+        null_files = [
+            e["file"] for e in man["files"] if e["stats"]["v"][0] is None
+        ]
+        assert null_files  # layout really produced all-null-v files
+        rep = layout.prune_report(spark, t, [("v", ">=", 0.0)])
+        assert set(null_files) & set(rep["kept"]) == set()
+        got = _sorted_rows(layout.scan_pruned(spark, t, [("v", ">=", 0.0)]))
+        assert got == _sorted_rows(df.filter(F.col("v") >= 0.0))
+
+    def test_date_stats_roundtrip_through_manifest_json(self, spark, tmp_path):
+        import datetime
+
+        df = spark.createDataFrame(
+            [(i, datetime.date(2020, 1, 1) + datetime.timedelta(days=i))
+             for i in range(120)],
+            "id long, d date",
+        )
+        t = str(tmp_path / "dates")
+        layout.commit_clustered(df, t, ["d"], n_files=4)
+        filters = [("d", ">=", datetime.date(2020, 4, 1))]
+        rep = layout.prune_report(spark, t, filters)
+        assert 0 < rep["kept_files"] < rep["total_files"]
+        got = _sorted_rows(layout.scan_pruned(spark, t, filters))
+        assert got == _sorted_rows(
+            df.filter(F.col("d") >= "2020-04-01")
+        )
+
+
+class TestOptimizeZorder:
+    def test_rewrite_is_transactional_with_time_travel(
+        self, spark, orders, tmp_path
+    ):
+        t = str(tmp_path / "opt")
+        txn.commit_txn(orders, t)
+        with pytest.raises(ValueError, match="no zone-map manifest"):
+            layout.prune_report(spark, t, [("o_custkey", "=", 1)])
+        v = layout.optimize_zorder(
+            spark, t, ["o_custkey", "o_totalprice"], n_files=8
+        )
+        assert v == 2
+        # same rows, new layout; version 1 still time-travels
+        assert txn.read_txn(spark, t).count() == orders.count()
+        assert txn.read_txn(spark, t, version=1).count() == orders.count()
+        rep = layout.prune_report(
+            spark, t, [("o_custkey", "between", (1, 30))]
+        )
+        assert 0 < rep["kept_files"] < rep["total_files"]
+
+    def test_concurrent_commit_survives_optimize_race(
+        self, spark, orders, tmp_path, monkeypatch
+    ):
+        """optimize_zorder is read-modify-write: if a writer commits
+        while the rewrite runs, the rewrite must lose and retry against
+        the fresh state — the concurrent commit's rows end up in the
+        optimized table."""
+        t = str(tmp_path / "optrace")
+        txn.commit_txn(orders.limit(100), t)
+        stale = txn.latest_manifest(spark, t)
+        extra = orders.limit(150)
+        txn.commit_txn(extra, t)  # concurrent writer B
+        real = txn.latest_manifest
+        calls = {"n": 0}
+
+        def stale_once(spark_, table_dir):
+            calls["n"] += 1
+            return stale if calls["n"] <= 2 else real(spark_, table_dir)
+
+        monkeypatch.setattr(txn, "latest_manifest", stale_once)
+        v = layout.optimize_zorder(spark, t, ["o_custkey"], n_files=4)
+        monkeypatch.undo()
+        assert v == 3 and calls["n"] > 2
+        # B's 150-row state (not A's stale 100-row read) got optimized
+        assert txn.read_txn(spark, t).count() == 150
+
+    def test_epoch_replay_skipped(self, spark, orders, tmp_path):
+        t = str(tmp_path / "epoch")
+        assert (
+            layout.commit_clustered(
+                orders, t, ["o_custkey"], n_files=2, epoch_id=5
+            )
+            == 1
+        )
+        assert (
+            layout.commit_clustered(
+                orders, t, ["o_custkey"], n_files=2, epoch_id=5
+            )
+            is None
+        )
