@@ -2533,6 +2533,40 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(extra)
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping end-to-end (layout.py): orders is committed
+    Z-clustered on (o_custkey, o_totalprice) with per-file min/max stats
+    in the transaction manifest, then scanned through the stats-pruning
+    planner with a two-column range predicate. The pruned scan must
+    equal the plain filtered scan — the oracle is exactly that filter,
+    so the hash compare proves the skipped files were provably disjoint.
+    The clustered table is built once per (sf_dir, row-count) under the
+    system temp dir and reused across runs (an engine-managed layout,
+    like any table-format cache)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from taar_gcp_etl_spark import layout, txn
+
+    orders = _t(spark, sf_dir, "orders")
+    n = orders.count()
+    tag = hashlib.sha256(f"{sf_dir}|{n}".encode()).hexdigest()[:12]
+    t = os.path.join(tempfile.gettempdir(), f"taar-zorder-{tag}")
+    if txn.latest_manifest(spark, t) is None:
+        layout.commit_clustered(
+            orders, t, ["o_custkey", "o_totalprice"], n_files=8
+        )
+    return layout.scan_pruned(
+        spark,
+        t,
+        [
+            ("o_custkey", "between", (1, 200)),
+            ("o_totalprice", ">=", 50000.0),
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2687,6 +2721,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_anomaly": q_rolling_anomaly,
     "range_window": q_range_window,
     "set_ops_all": q_set_ops_all,
+    "zorder_scan": q_zorder_scan,
     "leak_safe_split": q_leak_safe_split,
     "agg_refresh": q_agg_refresh,
     "graph_stats": q_graph_stats,
@@ -4494,6 +4529,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
               EXCEPT ALL
               SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "zorder_scan": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_custkey BETWEEN 1 AND 200 AND o_totalprice >= 50000.0
     """,
     "rolling_anomaly": """
         WITH r AS (
