@@ -258,6 +258,10 @@ def commit_clustered(
                 f"commit_clustered: table moved past expected parent "
                 f"{require_parent} — re-read and retry"
             )
+        fields = txn._schema_fields(df)
+        txn.check_schema_evolution(
+            man.get("schema") if man else None, fields
+        )
         version = (man["version"] if man else 0) + 1
         snap_rel = f"data/v{version:010d}-{token}"
         snap_abs = f"{table_dir}/{snap_rel}"
@@ -267,6 +271,7 @@ def commit_clustered(
             "snapshot": snap_rel,
             "epoch_id": epoch_id,
             "parent": man["version"] if man else None,
+            "schema": fields,
             "clustered_by": zorder_by,
             "stats_types": {c: dtypes[c] for c in stats_cols},
             "files": collect_file_stats(spark, snap_abs, stats_cols),

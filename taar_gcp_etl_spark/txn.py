@@ -73,6 +73,48 @@ _LOG = "_log"
 _MANIFEST_DIGITS = 20
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution (additive-only contract)
+# ---------------------------------------------------------------------------
+
+def _schema_fields(df: DataFrame) -> list[list[str]]:
+    """[[name, dtype], ...] — the manifest's schema record (dtype is the
+    Spark simpleString, stable across sessions)."""
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def check_schema_evolution(
+    old: list[list[str]] | None, new: list[list[str]]
+) -> None:
+    """Enforce the additive-only evolution contract between a table's
+    recorded schema and an incoming commit: new columns may appear
+    (older snapshots read them as null), but dropping or retyping a
+    column is rejected — those silently corrupt downstream readers and
+    belong in an explicit migration (full rewrite under a new table
+    dir), exactly the stance the big table formats default to. Column
+    ORDER may change (resolution is by name throughout)."""
+    if old is None:
+        return
+    old_types = {n: t for n, t in old}
+    new_types = {n: t for n, t in new}
+    dropped = sorted(set(old_types) - set(new_types))
+    if dropped:
+        raise ValueError(
+            f"schema evolution rejected: commit drops column(s) {dropped} "
+            "— additive-only; migrate via an explicit rewrite to a new "
+            "table if a drop is intended"
+        )
+    retyped = sorted(
+        n for n in old_types if new_types[n] != old_types[n]
+    )
+    if retyped:
+        detail = {n: (old_types[n], new_types[n]) for n in retyped}
+        raise ValueError(
+            f"schema evolution rejected: commit changes column type(s) "
+            f"{detail} — additive-only"
+        )
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm  # type: ignore[attr-defined]
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -180,7 +222,10 @@ def read_txn(
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # dirs written before an additive schema evolution lack the new
+        # columns — they read as null (allowMissingColumns), the
+        # standard evolution-read semantics
+        out = out.unionByName(p, allowMissingColumns=True)
 
     # merge-on-read: fold in delete overlays covering the selected
     # buckets (see apply_cdc_batch_bucketed's delete-only fast path).
@@ -200,7 +245,8 @@ def read_txn(
             out = out.unionByName(
                 spark.read.parquet(f"{table_dir}/{d}").filter(
                     F.col(BUCKET_COL).isin(bs)
-                )
+                ),
+                allowMissingColumns=True,
             )
         key_col = man["key_col"]
         seq_col = man["seq_col"]
@@ -215,6 +261,19 @@ def read_txn(
             out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+        )
+    if "schema" in man:
+        # align to the manifest's (widest) schema: a bucket selection
+        # served entirely by pre-evolution dirs still presents the new
+        # columns (as null), in stable order
+        have = set(out.columns)
+        out = out.select(
+            *[
+                F.col(n)
+                if n in have
+                else F.lit(None).cast(t).alias(n)
+                for n, t in man["schema"]
+            ]
         )
     return out
 
@@ -385,6 +444,8 @@ def commit_txn(
                     "recomputes against the fresh state."
                 )
             out = df
+        fields = _schema_fields(out)
+        check_schema_evolution(man.get("schema") if man else None, fields)
         version = (cur_version or 0) + 1
         snap_rel = f"data/v{version:010d}-{token}"
         out.write.mode("overwrite").parquet(f"{table_dir}/{snap_rel}")
@@ -394,6 +455,7 @@ def commit_txn(
             "snapshot": snap_rel,
             "epoch_id": epoch_id,
             "parent": cur_version,
+            "schema": fields,
         }
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
@@ -523,9 +585,37 @@ def _merge_cdc(
     """Seq-guarded merge of staged CDC rows into the current state (both
     in stored shape): a staged row applies iff its seq is strictly newer
     than the stored row's — tombstones included, so stale upserts cannot
-    resurrect deletes."""
+    resurrect deletes.
+
+    Schema evolution: a batch may carry NEW payload columns (additive —
+    stored rows read them as null) but an UPSERT batch missing stored
+    payload columns is rejected: rows replace whole, so the missing
+    columns would silently null out committed data. Delete-only batches
+    are exempt (tombstones carry no payload). Shared columns must keep
+    their types."""
     if cur is None:
         return staged
+    meta = {key_col, seq_col, DELETED_COL, BUCKET_COL}
+    cur_types = {c: t for c, t in cur.dtypes}
+    staged_types = {c: t for c, t in staged.dtypes}
+    retyped = {
+        c: (cur_types[c], staged_types[c])
+        for c in set(cur_types) & set(staged_types)
+        if cur_types[c] != staged_types[c]
+    }
+    if retyped:
+        raise ValueError(
+            f"CDC schema evolution rejected: batch retypes column(s) "
+            f"{retyped} — additive-only"
+        )
+    missing = set(cur_types) - set(staged_types) - meta
+    if missing and staged.filter(~F.col(DELETED_COL)).limit(1).count():
+        raise ValueError(
+            f"CDC upsert batch is missing stored payload column(s) "
+            f"{sorted(missing)}: rows replace whole, so committing it "
+            "would silently null committed data — carry the full "
+            "payload (delete-only batches are exempt)"
+        )
     cur_seq = cur.select(F.col(key_col), F.col(seq_col).alias("_cur_seq"))
     applied = (
         staged.join(cur_seq, key_col, "left")
@@ -537,7 +627,7 @@ def _merge_cdc(
     )
     return cur.join(
         applied.select(key_col), key_col, "left_anti"
-    ).unionByName(applied)
+    ).unionByName(applied, allowMissingColumns=True)
 
 
 def apply_cdc_batch_bucketed(
@@ -639,9 +729,14 @@ def apply_cdc_batch_bucketed(
             for b in touched:
                 overlays[str(b)] = overlays.get(str(b), []) + [over_rel]
             mapping = dict(man["buckets"])
+            schema_fields = man.get("schema")  # tombstones don't evolve
         else:
             cur = read_txn(spark, table_dir, buckets=touched)
             merged = _merge_cdc(cur, staged_all, key_col, seq_col)
+            schema_fields = _schema_fields(merged)
+            check_schema_evolution(
+                man.get("schema") if man else None, schema_fields
+            )
             snap_rel = f"data/v{version:010d}-{token}"
             merged.write.mode("overwrite").partitionBy(
                 BUCKET_COL
@@ -661,6 +756,8 @@ def apply_cdc_batch_bucketed(
             "epoch_id": epoch_id,
             "parent": man["version"] if man else None,
         }
+        if schema_fields is not None:
+            manifest["schema"] = schema_fields
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
     raise RuntimeError(
@@ -800,9 +897,8 @@ def compact_cdc_tombstones(
             man = latest_manifest(spark, table_dir)
             version = man["version"] + 1
             snap_rel = f"data/v{version:010d}-{token}"
-            keep_at(man["version"]).write.mode("overwrite").partitionBy(
-                BUCKET_COL
-            ).parquet(
+            kdf = keep_at(man["version"])
+            kdf.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
                 f"{table_dir.rstrip('/')}/{snap_rel}"
             )
             mapping = {b: snap_rel for b in man["buckets"]}
@@ -815,6 +911,7 @@ def compact_cdc_tombstones(
                 "overlays": {},  # full rewrite folds every overlay in
                 "epoch_id": man.get("epoch_id"),
                 "parent": man["version"],
+                "schema": _schema_fields(kdf),
             }
             if _publish_manifest(spark, table_dir, manifest, token):
                 return version

@@ -618,6 +618,125 @@ class TestOverlayAutoCompaction:
         assert set(live) == {5, 6, 7, 8}
 
 
+class TestSchemaEvolution:
+    """Additive-only schema evolution: commits may ADD nullable columns
+    (older data reads them as null), never drop or retype — the table-
+    format default that keeps downstream readers from silently
+    corrupting. CDC upserts must carry the full stored payload (rows
+    replace whole); delete-only batches are exempt."""
+
+    def test_flat_add_column_then_drop_and_retype_rejected(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "evo")
+        txn.commit_txn(
+            spark.createDataFrame([(1, "a")], "id long, val string"), t
+        )
+        txn.commit_txn(
+            spark.createDataFrame(
+                [(1, "a", 7.5)], "id long, val string, score double"
+            ),
+            t,
+        )
+        got = txn.read_txn(spark, t).collect()[0]
+        assert (got.val, got.score) == ("a", 7.5)
+        # time travel shows the pre-evolution schema
+        assert "score" not in txn.read_txn(spark, t, version=1).columns
+        with pytest.raises(ValueError, match="drops column"):
+            txn.commit_txn(
+                spark.createDataFrame([(1,)], "id long"), t
+            )
+        with pytest.raises(ValueError, match="changes column type"):
+            txn.commit_txn(
+                spark.createDataFrame(
+                    [(1, 2, 0.0)], "id long, val int, score double"
+                ),
+                t,
+            )
+
+    def test_bucketed_cdc_additive_evolution_aligns_old_buckets(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "evo-b")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", i, "I") for i in range(1, 9)], CDC_SCHEMA
+            ),
+            t,
+            n_buckets=4,
+        )
+        # evolved batch touches ONE key: other buckets stay in the old dir
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "v1b", 100, "U", "extra!")],
+                "id long, val string, seq long, op string, note string",
+            ),
+            t,
+            n_buckets=4,
+        )
+        live = {r.id: (r.val, r.note) for r in txn.read_cdc_table(spark, t).collect()}
+        assert live[1] == ("v1b", "extra!")
+        # rows served from PRE-evolution dirs present the new column as null
+        assert all(live[i] == (f"v{i}", None) for i in range(2, 9))
+        man = txn.latest_manifest(spark, t)
+        assert ["note", "string"] in man["schema"]
+
+    def test_cdc_upsert_missing_payload_rejected_deletes_exempt(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "evo-guard")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, "a", 1, "I")], CDC_SCHEMA), t
+        )
+        with pytest.raises(ValueError, match="missing stored payload"):
+            txn.apply_cdc_batch_txn(
+                spark.createDataFrame(
+                    [(1, 2, "U")], "id long, seq long, op string"
+                ),
+                t,
+            )
+        # a delete-only batch without payload columns is fine
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, 9, "D")], "id long, seq long, op string"
+            ),
+            t,
+        )
+        assert txn.read_cdc_table(spark, t).count() == 0
+
+    def test_cdc_retype_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "evo-retype")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, "a", 1, "I")], CDC_SCHEMA), t
+        )
+        with pytest.raises(ValueError, match="retypes"):
+            txn.apply_cdc_batch_txn(
+                spark.createDataFrame(
+                    [(1, 5, 2, "U")], "id long, val int, seq long, op string"
+                ),
+                t,
+            )
+
+    def test_clustered_commit_enforces_evolution(self, spark, tmp_path):
+        from taar_gcp_etl_spark import layout
+
+        t = str(tmp_path / "evo-z")
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "id long, v double"
+        )
+        layout.commit_clustered(df, t, ["id"], n_files=2)
+        with pytest.raises(ValueError, match="drops column"):
+            layout.commit_clustered(
+                df.select("id"), t, ["id"], n_files=2
+            )
+        assert (
+            layout.commit_clustered(
+                df.withColumn("w", F.col("v") * 2), t, ["id"], n_files=2
+            )
+            == 2
+        )
+
+
 class TestManifestPublisherSeam:
     """The storage-specific CAS seam (NEXT.md r5 #1): commit atomicity
     rests entirely on put_if_absent being an atomic claim of one
