@@ -7,12 +7,13 @@ stay prunable, and partition sizing accounts for blob width.
 
 Decode/feature-extraction executes as Arrow-batched Pandas UDFs over
 `mapInPandas`. PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate — see
-decode_png), and PCM WAV decode FOR REAL with numpy + stdlib only
-(decode_media). Codecs that genuinely need external libraries (JPEG/MP4
-— no Pillow/ffmpeg in the container) stay behind `_decode_image_stub`;
-swapping the stub for a real codec changes no plan shape. Feature
-extraction over decoded pixels/samples (brightness, channel means, RMS,
-zero-crossings) is real numpy either way.
+decode_png), baseline JPEG (marker/Huffman/IDCT — see operators/
+jpeg.py), and PCM WAV decode FOR REAL with numpy + stdlib only
+(decode_media). Only video (MP4 — needs ffmpeg, absent in the
+container) stays behind `_decode_image_stub`; swapping the stub for a
+real codec changes no plan shape. Feature extraction over decoded
+pixels/samples (brightness, channel means, RMS, zero-crossings) is
+real numpy either way.
 """
 
 from __future__ import annotations
@@ -290,17 +291,21 @@ def _audio_features(samples, rate: int) -> list[float]:
 
 
 def decode_media(content: bytes, mime: str | None) -> list[float]:
-    """Dispatch on mime: REAL decode + features for the uncompressed
-    formats (image/x-portable-pixmap, image/bmp, audio/wav); the
-    deterministic stub for everything else (compressed codecs need
-    libraries this container lacks — the dispatch point is where they
-    plug in)."""
+    """Dispatch on mime: REAL decode + features for PPM, BMP, PNG,
+    baseline JPEG, and PCM WAV (numpy + stdlib only — see operators/
+    jpeg.py for the JPEG scope); the deterministic stub for the
+    remaining codec formats (MP4/video need ffmpeg, absent in this
+    container — the dispatch point is where a real decoder plugs in)."""
     if mime == "image/x-portable-pixmap":
         return _image_features(decode_ppm(content))
     if mime == "image/bmp":
         return _image_features(decode_bmp(content))
     if mime == "image/png":
         return _image_features(decode_png(content))
+    if mime == "image/jpeg":
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        return _image_features(decode_jpeg(content))
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_features(*decode_wav(content))
     return _decode_image_stub(content)
@@ -377,6 +382,10 @@ def decode_pixels(content: bytes, mime: str | None):
         return decode_bmp(content)
     if mime == "image/png":
         return decode_png(content)
+    if mime == "image/jpeg":
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     return None
 
 

@@ -573,9 +573,15 @@ class TestMultimodal:
             Row(
                 media_id=1,
                 kind="image",
-                # jpeg = the remaining stub-decoded codec (PNG is real now)
+                # unknown format → deterministic stub features (PNG and
+                # baseline JPEG decode for real now)
                 content=bytes([10, 20, 30, 40]),
-                meta=Row(mime="image/jpeg", width=2, height=2, duration_ms=None),
+                meta=Row(
+                    mime="application/octet-stream",
+                    width=2,
+                    height=2,
+                    duration_ms=None,
+                ),
             ),
             Row(
                 media_id=2,
@@ -692,6 +698,197 @@ def _png_bytes(img, color=2, filters=None, palette=None):
     if palette is not None:
         body += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).reshape(-1)))
     return body + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _jpeg_bytes(img, sampling=(1, 1), quant=1):
+    """Reference baseline-JPEG encoder (test-only): forward DCT,
+    quantize, zigzag, canonical Huffman — built from the spec
+    independently of the decoder under test (own 9-bit-flat Huffman
+    tables, own marker writer), so a roundtrip proves the decoder's
+    entropy/zigzag/dequant/IDCT logic rather than mirroring it.
+    ``sampling`` subsamples chroma by block averaging (e.g. (2, 2) for
+    4:2:0); ``quant`` is a flat quantization value (1 = near-lossless)."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    sh, sv = sampling
+
+    A = np.array(
+        [
+            [
+                (np.sqrt(0.125) if u == 0 else 0.5)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+
+    def zigzag():
+        out = []
+        for s in range(15):
+            rng = range(max(0, s - 7), min(s, 7) + 1)
+            rows = reversed(rng) if s % 2 == 0 else rng
+            out.extend(r * 8 + (s - r) for r in rows)
+        return out
+
+    ZZ = zigzag()
+    qtab = np.full(64, quant, dtype=np.float64)
+
+    # one flat 9-bit canonical table per class: DC symbols 0..11, AC the
+    # standard (run,size) symbol set + EOB + ZRL
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+
+    def table_spec(syms):
+        bits = [0] * 16
+        bits[8] = len(syms)  # all codes length 9
+        code = {s: i for i, s in enumerate(syms)}
+        return bits, syms, code
+
+    dc_bits, dc_vals, dc_code = table_spec(dc_syms)
+    ac_bits, ac_vals, ac_code = table_spec(ac_syms)
+
+    out = bytearray()
+    bitbuf = []
+
+    def put_bits(v, n):
+        for k in range(n - 1, -1, -1):
+            bitbuf.append((v >> k) & 1)
+
+    def flush_bits():
+        while len(bitbuf) % 8:
+            bitbuf.append(1)  # pad with 1s per spec
+        for i in range(0, len(bitbuf), 8):
+            byte = 0
+            for b in bitbuf[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bitbuf.clear()
+
+    def magnitude(v):
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    def encode_block(block, pred):
+        coef = A @ (block - 128.0) @ A.T
+        q = np.round(coef.reshape(64) / qtab).astype(int)
+        zz = q[ZZ]
+        diff = int(zz[0]) - pred
+        s, mv = magnitude(diff)
+        put_bits(dc_code[s], 9)
+        if s:
+            put_bits(mv, s)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                put_bits(ac_code[0xF0], 9)
+                run -= 16
+            s, mv = magnitude(int(zz[k]))
+            put_bits(ac_code[(run << 4) | s], 9)
+            put_bits(mv, s)
+            run = 0
+        if last < 63:
+            put_bits(ac_code[0x00], 9)  # EOB
+        return int(zz[0])
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = (
+            0.299 * rgb[:, :, 0]
+            + 0.587 * rgb[:, :, 1]
+            + 0.114 * rgb[:, :, 2]
+        )
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+
+        def down(p):
+            if sh == 1 and sv == 1:
+                return p
+            hh = -(-p.shape[0] // sv) * sv
+            ww = -(-p.shape[1] // sh) * sh
+            pad = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+            return pad.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+
+        planes = [y, down(cb), down(cr)]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (chs, cvs) in zip(planes, samps):
+        ph, pw = mcuy * cvs * 8, mcux * chs * 8
+        padded.append(
+            np.pad(
+                p,
+                ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                mode="edge",
+            )
+        )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    hdr = bytearray(b"\xff\xd8")
+    hdr += seg(0xDB, bytes([0]) + bytes(int(v) for v in qtab[ZZ]))
+    nc = len(planes)
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci, (chs, cvs) in enumerate(samps):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0])
+    hdr += seg(0xC0, bytes(sof))
+    hdr += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    hdr += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    hdr += seg(0xDA, bytes(sos))
+    out += hdr
+
+    preds = [0] * nc
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (chs, cvs)) in enumerate(zip(padded, samps)):
+            for by in range(cvs):
+                for bx in range(chs):
+                    y0 = (my * cvs + by) * 8
+                    x0 = (mx * chs + bx) * 8
+                    preds[ci] = encode_block(
+                        p[y0 : y0 + 8, x0 : x0 + 8], preds[ci]
+                    )
+    flush_bits()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+_IMGHDR_DATA = (
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+    "python3.11/test/imghdrdata"
+)
 
 
 class TestRealDecoders:
@@ -958,17 +1155,156 @@ class TestRealDecoders:
         assert {r[0] for r in a} == {1}  # codec + null rows dropped
 
     def test_unknown_mime_falls_back_to_stub(self, spark):
-        """JPEG genuinely needs a codec library the container lacks —
-        it is the remaining stubbed format (PNG decodes for real now)."""
+        """Video (MP4) genuinely needs ffmpeg, which the container lacks
+        — it is the remaining stubbed format (PNG and baseline JPEG both
+        decode for real now)."""
         from taar_gcp_etl_spark.operators.multimodal import (
             _decode_image_stub,
             decode_media,
         )
 
         payload = bytes(range(16))
-        assert decode_media(payload, "image/jpeg") == _decode_image_stub(
+        assert decode_media(payload, "video/mp4") == _decode_image_stub(
             payload
         )
+
+    def test_jpeg_roundtrip_444_near_lossless(self, spark):
+        """Baseline JPEG through the test's own spec-built encoder at
+        flat quant=1, 4:4:4: decode error is bounded by DCT rounding
+        alone (a couple of levels), proving entropy/zigzag/dequant/IDCT
+        against independent forward arithmetic."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        rng = np.random.default_rng(3)
+        # smooth-ish image: random low-frequency field
+        base = rng.integers(40, 216, (4, 4, 3)).astype(np.float64)
+        img = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)  # 32x32
+        got = decode_jpeg(_jpeg_bytes(img, sampling=(1, 1), quant=1))
+        assert got.shape == (32, 32, 3)
+        err = np.abs(got.astype(float) - img.astype(float))
+        assert err.mean() < 2.0 and err.max() <= 12.0
+
+    def test_jpeg_420_subsampling_and_odd_dims(self, spark):
+        """4:2:0 chroma subsampling with non-multiple-of-16 dimensions:
+        luma survives nearly intact; chroma averages over 2x2 so a
+        smooth image still roundtrips within a loose bound."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        yy, xx = np.mgrid[0:21, 0:19]
+        img = np.stack(
+            [
+                (yy * 5 + 30) % 200,
+                (xx * 5 + 60) % 200,
+                ((yy + xx) * 3 + 90) % 200,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        got = decode_jpeg(_jpeg_bytes(img, sampling=(2, 2), quant=1))
+        assert got.shape == (21, 19, 3)
+        err = np.abs(got.astype(float) - img.astype(float))
+        assert err.mean() < 8.0
+
+    def test_jpeg_grayscale_single_component(self, spark):
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        g = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+        got = decode_jpeg(_jpeg_bytes(g, quant=1))
+        assert got.shape == (16, 16, 3)
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+        err = np.abs(got[:, :, 0].astype(float) - g.astype(float))
+        assert err.mean() < 2.0
+
+    def test_jpeg_real_encoder_fixture_matches_lossless_twin(self, spark):
+        """CPython's imghdr test data ships the SAME 16x16 image as a
+        real-encoder 4:2:0 JPEG and as lossless PPM/PNG — decoding the
+        JPEG must land within lossy tolerance of the lossless twin.
+        This cross-checks marker parsing, the standard Huffman tables,
+        zigzag order, and subsampled reconstruction against an encoder
+        that shares no code with this repo."""
+        import os
+
+        import numpy as np
+
+        jpg_path = f"{_IMGHDR_DATA}/python.jpg"
+        if not os.path.exists(jpg_path):
+            pytest.skip("imghdr fixture data not present")
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+        from taar_gcp_etl_spark.operators.multimodal import (
+            decode_png,
+            decode_ppm,
+        )
+
+        jpg = decode_jpeg(open(jpg_path, "rb").read())
+        ppm = decode_ppm(open(f"{_IMGHDR_DATA}/python.ppm", "rb").read())
+        png = decode_png(open(f"{_IMGHDR_DATA}/python.png", "rb").read())
+        assert (ppm == png).all()  # lossless twins agree exactly
+        err = np.abs(jpg.astype(float) - ppm.astype(float))
+        assert jpg.shape == ppm.shape
+        assert err.mean() < 12.0  # lossy 4:2:0 on a 16px logo
+
+    def test_jpeg_progressive_rejected_corrupt_dropped(self, spark):
+        import pytest as _pytest
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+        from taar_gcp_etl_spark.operators.multimodal import DECODE_ERRORS
+
+        import numpy as np
+
+        good = _jpeg_bytes(np.zeros((8, 8), dtype=np.uint8))
+        progressive = bytearray(good)
+        sof_at = progressive.index(b"\xff\xc0")
+        progressive[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2
+        with _pytest.raises(DECODE_ERRORS, match="baseline"):
+            decode_jpeg(bytes(progressive))
+        with _pytest.raises(DECODE_ERRORS):
+            decode_jpeg(good[: len(good) // 2])  # truncated entropy data
+        with _pytest.raises(DECODE_ERRORS):
+            decode_jpeg(b"\xff\xd8\xff\xee\x00\x04ab")  # no SOF/SOS
+
+    def test_jpeg_png_twins_dedup_through_shared_hamming_engine(
+        self, spark
+    ):
+        """The compressed-codec analogue of the PNG/BMP twin gate: the
+        SAME image as PNG (lossless) and as JPEG (lossy 4:4:4) must
+        land in one perceptual near-dup cluster — dHash survives the
+        codec loss — while a mirrored PNG stays apart."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_near_dup,
+        )
+
+        g = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+        base = np.stack([g, g, g], axis=2)
+
+        def media_row(i, content, mime):
+            return Row(
+                media_id=i,
+                kind="image",
+                content=content,
+                meta=Row(mime=mime, width=32, height=32, duration_ms=None),
+            )
+
+        rows = [
+            media_row(1, _png_bytes(base, filters=[1] * 32), "image/png"),
+            media_row(2, _jpeg_bytes(base, quant=2), "image/jpeg"),
+            media_row(3, _png_bytes(base[:, ::-1]), "image/png"),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in media_near_dup(df, max_hamming=8).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
 
     def _corrupt_rows(self):
         """Malformed blobs covering every exception class the stdlib
