@@ -883,6 +883,56 @@ class TestManifestPublisherSeam:
         assert names == [txn._manifest_name(1)]
 
 
+class TestChangeDataFeed:
+    def test_flat_diff_tags_insert_update_delete(self, spark, tmp_path):
+        t = str(tmp_path / "cdf")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "a", 1, "I"), (2, "b", 2, "I")], CDC_SCHEMA
+            ),
+            t,
+        )
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "a2", 10, "U"), (2, None, 11, "D"), (3, "c", 12, "I")],
+                CDC_SCHEMA,
+            ),
+            t,
+        )
+        got = {
+            r.id: (r.val, r._change_type)
+            for r in txn.read_changes(spark, t, 1, 2).collect()
+        }
+        assert got == {
+            1: ("a2", "update"),
+            2: (None, "delete"),
+            3: ("c", "insert"),
+        }
+        # same-version diff is empty; unchanged keys never appear
+        assert txn.read_changes(spark, t, 2, 2).count() == 0
+
+    def test_bucketed_diff_sees_overlay_deletes(self, spark, tmp_path):
+        t = str(tmp_path / "cdf-b")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", i, "I") for i in range(1, 6)], CDC_SCHEMA
+            ),
+            t,
+            n_buckets=4,
+        )
+        # delete-only batch lands as a merge-on-read overlay
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(3, None, 50, "D")], CDC_SCHEMA),
+            t,
+            n_buckets=4,
+        )
+        got = {
+            r.id: r._change_type
+            for r in txn.read_changes(spark, t, 1, 2).collect()
+        }
+        assert got == {3: "delete"}
+
+
 class TestFlatCasRetryFreshRead:
     """ADVICE r4: the FLAT read-modify-write paths must re-read and
     re-merge inside the CAS retry loop (commit_txn's builder form) —
