@@ -21,6 +21,15 @@ ordering). A standalone parquet lake has to manage layout itself, and at
 All three are plain DataFrame/write-API compositions — no custom
 commit protocol; rewrites go to a NEW directory and the swap is the
 caller's (atomic-rename / manifest) concern.
+
+Sibling module: ``taar_gcp_etl_spark/layout.py`` is the TABLE-FORMAT
+layer built on these ideas — quantile-rank (skew-robust) Z-ordering,
+per-file zone maps recorded in the txn manifest, and the stats-pruned
+scan planner — committed atomically through txn.py. This module's
+``zorder_key`` (min-max bit scaling, a pure Column expression with no
+data pass) remains the zero-cost variant for one-off sorted writes;
+the table-format one spends an approxQuantile pass to stay robust
+under skew.
 """
 
 from __future__ import annotations
