@@ -67,18 +67,39 @@ _NUMERICISH = ("int", "bigint", "smallint", "tinyint", "float", "double",
 def _as_double(c: str, dtype: str) -> Column:
     """Project a clusterable column onto the real line for quantile
     bucketing. Numeric casts directly; date/timestamp through their
-    epoch representation. (Strings would need a prefix→int mapping —
-    not supported; cluster on a derived numeric key instead.)"""
+    epoch representation; strings through a MONOTONIC 7-byte-prefix
+    integer (base-256 digits of the first 7 bytes — preserves
+    lexicographic order exactly at double precision, so string range
+    predicates prune against string zone maps; ties beyond the prefix
+    just share a bucket, which costs selectivity, never correctness)."""
     base = dtype.split("(")[0]
     if base == "date":
         return F.unix_date(F.col(c)).cast("double")
     if base.startswith("timestamp"):
         return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if base in ("string", "varchar", "char"):
+        # base-256 integer of the first 6 UTF-8 bytes: 48 bits, exactly
+        # representable in a double, and MONOTONIC w.r.t. Spark's string
+        # order (UTF8String compares bytewise; UTF-8 byte order equals
+        # code-point order). Strings sharing a 6-byte prefix tie into
+        # one bucket — costs selectivity, never correctness (zone maps
+        # keep the true min/max STRINGS; the residual filter re-applies).
+        b = F.encode(F.col(c), "UTF-8")
+        acc = F.lit(0.0)
+        for k in range(6):
+            byte = F.coalesce(
+                F.conv(F.hex(F.substring(b, k + 1, 1)), 16, 10).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+            acc = acc * 256.0 + byte
+        return acc
     if any(base.startswith(n) for n in _NUMERICISH):
         return F.col(c).cast("double")
     raise ValueError(
         f"zorder column {c!r} has unsupported type {dtype!r}: cluster on "
-        "numeric/date/timestamp columns (derive a numeric key for strings)"
+        "numeric/date/timestamp/string columns"
     )
 
 
@@ -116,19 +137,21 @@ def zorder_key(
         [tmp_cols[c] for c in cols], probs, 0.005
     )
     ranks = []
+    top = (1 << bits) - 1
     for c, cuts in zip(cols, all_cuts):
-        # dedupe keeps the filter array minimal under low-cardinality cols
+        # dedupe keeps the filter array minimal under low-cardinality
+        # cols — then RESCALE the raw rank (0..len(uniq)) back onto the
+        # full 0..2^bits-1 domain: without it a 20-value column's ranks
+        # never touch the high bits and the interleave silently demotes
+        # it below its continuous co-columns
         uniq = sorted(set(cuts))
         arr = F.array(*[F.lit(v) for v in uniq])
         x = F.col(tmp_cols[c])
+        raw = F.size(F.filter(arr, lambda b: b <= x))
+        scaled = F.round(raw * F.lit(top / max(len(uniq), 1))).cast("long")
         rank = F.when(
-            x.isNull(), F.lit((1 << bits) - 1)  # nulls cluster together, last
-        ).otherwise(
-            F.least(
-                F.size(F.filter(arr, lambda b: b <= x)),
-                F.lit((1 << bits) - 1),
-            )
-        )
+            x.isNull(), F.lit(top)  # nulls cluster together, last
+        ).otherwise(F.least(scaled, F.lit(top)))
         ranks.append(rank.cast("long"))
 
     z = F.lit(0).cast("long")

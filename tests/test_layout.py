@@ -44,9 +44,10 @@ class TestZorderKey:
         )
         assert vals == [r[0] for r in keyed2.select(key2).collect()]
 
-    def test_string_column_rejected_with_guidance(self, spark, orders):
+    def test_complex_column_rejected_with_guidance(self, spark, orders):
+        arr = orders.withColumn("a", F.array(F.col("o_custkey")))
         with pytest.raises(ValueError, match="unsupported type"):
-            layout.zorder_key(orders, ["o_orderstatus"])
+            layout.zorder_key(arr, ["a"])
 
     def test_quantile_ranks_spread_skewed_domain(self, spark):
         """Skew-robustness: one heavy-hitter value plus a long tail must
@@ -216,6 +217,49 @@ class TestNullsAndTypes:
         assert got == _sorted_rows(
             df.filter(F.col("d") >= "2020-04-01")
         )
+
+
+class TestStringZorder:
+    def test_string_prefix_key_is_monotonic(self, spark):
+        """The base-256 6-byte-prefix mapping must order exactly like
+        Spark's own string comparison (UTF-8 bytewise), including
+        non-ASCII and prefix ties."""
+        vals = ["", "a", "aa", "ab", "b", "ba", "z", "za", "~", "é", "中文"]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        mapped = [
+            r.m
+            for r in df.orderBy("s")  # Spark's own string order
+            .select(layout._as_double("s", "string").alias("m"))
+            .collect()
+        ]
+        assert mapped == sorted(mapped)
+        assert len(set(mapped)) == len(vals)  # distinct under 6 bytes
+
+    def test_string_column_clusters_and_prunes(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        t = str(tmp_path / "docs_z")
+        layout.commit_clustered(
+            docs,
+            t,
+            ["source", "n_chars"],
+            n_files=8,
+            stats_cols=["source", "n_chars", "lang"],
+        )
+        filters = [("source", "between", ("src0", "src12"))]
+        rep = layout.prune_report(spark, t, filters)
+        assert 0 < rep["kept_files"] < rep["total_files"]
+        got = _sorted_rows(layout.scan_pruned(spark, t, filters))
+        exp = _sorted_rows(docs.filter(layout._residual(filters)))
+        assert got == exp and len(exp) > 0
+        # equality on a string column prunes too
+        eq = [("source", "=", "src7")]
+        assert (
+            layout.prune_report(spark, t, eq)["kept_files"]
+            < rep["total_files"]
+        )
+        assert _sorted_rows(
+            layout.scan_pruned(spark, t, eq)
+        ) == _sorted_rows(docs.filter(F.col("source") == "src7"))
 
 
 class TestOptimizeZorder:
