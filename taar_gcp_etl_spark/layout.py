@@ -37,6 +37,14 @@ composed with txn.py's manifest-swap commit:
   disjoint files.
 * ``prune_report``      — kept/total file counts for a predicate, the
   observability hook the pruning tests assert on.
+* ``collect_file_blooms`` — per-file Bloom filters for EQUALITY pruning
+  on high-cardinality columns zone maps can't serve (an unclustered
+  id's min/max spans every file; its bloom hits only the files holding
+  it). Hash is md5-over-string-form so membership is checkable
+  driver-side in Python at plan time — pruning stays metadata-only —
+  and restricted to string/integral columns whose string forms are
+  JVM/Python-stable (a mismatch would false-skip; unstable-typed
+  predicate values simply bypass the bloom).
 
 Scale posture: the clustering pass is one range shuffle of the
 committed data (AQE-compatible); stats collection is a second pass over
@@ -219,6 +227,100 @@ def collect_file_stats(
     return sorted(out, key=lambda d: d["file"])
 
 
+def _bloom_positions_col(c: str, m_bits: int, k: int):
+    """k bit positions for a value, as a Column — md5 over the value's
+    string form + a seed suffix, so the SAME positions are computable
+    driver-side in Python at plan time (hashlib.md5) without a Spark
+    job: bloom pruning stays a metadata-only decision like zone maps.
+    String casts are stable for the supported types (string/integral)."""
+    return F.array_distinct(
+        F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(c).cast("string"),
+                                    F.lit(f"#{s}"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m_bits),
+                )
+                for s in range(k)
+            ]
+        )
+    )
+
+
+def _bloom_positions_py(v, m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{v}#{s}".encode()).hexdigest()[:15], 16) % m_bits
+        for s in range(k)
+    ]
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> dict:
+    """Per-file Bloom filters for equality pruning on HIGH-CARDINALITY
+    columns — the case zone maps can't serve: an unclustered id's
+    min/max spans every file, but its bloom hits only the files that
+    actually contain it (the Parquet column-bloom / Iceberg puffin
+    idea, lifted to the manifest so the check is driver-side and
+    footer-free). One distributed pass per column: explode the k bit
+    positions, collect the distinct set per file (bounded by m_bits),
+    pack to a base64 bitmap. m_bits sizes the false-positive rate:
+    ~n*k/m_bits bit load per file — default 64Kbit ≈ 8 KB/file/column,
+    good to ~10k distinct values/file at k=5."""
+    import base64
+
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    out: dict[str, dict[str, str]] = {}
+    for c in cols:
+        rows = (
+            df.filter(F.col(c).isNotNull())
+            .select(
+                "_file",
+                F.explode(_bloom_positions_col(c, m_bits, k)).alias("_p"),
+            )
+            .groupBy("_file")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        for r in rows:
+            bm = bytearray(m_bits // 8)
+            for p in r["_ps"]:
+                bm[p >> 3] |= 1 << (p & 7)
+            name = r["_file"].rsplit("/", 1)[1]
+            out.setdefault(name, {})[c] = base64.b64encode(
+                bytes(bm)
+            ).decode()
+    return out
+
+
+def _bloom_maybe_contains(b64: str, v, m_bits: int, k: int) -> bool:
+    import base64
+
+    bm = base64.b64decode(b64)
+    return all(
+        bm[p >> 3] & (1 << (p & 7))
+        for p in _bloom_positions_py(v, m_bits, k)
+    )
+
+
 def _jsonable(v):
     import datetime
 
@@ -250,6 +352,9 @@ def commit_clustered(
     epoch_id: int | None = None,
     max_attempts: int = 5,
     require_parent: int | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_m_bits: int = 1 << 16,
+    bloom_k: int = 5,
 ) -> int | None:
     """Commit ``df`` as the table's next version, Z-clustered on
     ``zorder_by`` with per-file zone maps for ``stats_cols`` (defaults
@@ -267,6 +372,15 @@ def commit_clustered(
     table_dir = table_dir.rstrip("/")
     stats_cols = list(stats_cols or zorder_by)
     dtypes = dict(df.dtypes)
+    for c in bloom_cols or []:
+        base = dtypes[c].split("(")[0]
+        if base not in ("string", "varchar", "char", "int", "bigint",
+                        "smallint", "tinyint"):
+            raise ValueError(
+                f"bloom column {c!r} has type {dtypes[c]!r}: blooms "
+                "support string/integral columns (float string forms "
+                "differ between JVM and Python and would false-skip)"
+            )
     token = uuid.uuid4().hex[:8]
     for _ in range(max_attempts):
         man = txn.latest_manifest(spark, table_dir)
@@ -299,6 +413,14 @@ def commit_clustered(
             "stats_types": {c: dtypes[c] for c in stats_cols},
             "files": collect_file_stats(spark, snap_abs, stats_cols),
         }
+        if bloom_cols:
+            manifest["blooms"] = {
+                "m_bits": bloom_m_bits,
+                "k": bloom_k,
+                "files": collect_file_blooms(
+                    spark, snap_abs, bloom_cols, bloom_m_bits, bloom_k
+                ),
+            }
         if txn._publish_manifest(spark, table_dir, manifest, token):
             return version
     raise RuntimeError(
@@ -415,17 +537,33 @@ def prune_report(
             "commit_clustered / optimize_zorder first)"
         )
     types = man.get("stats_types", {})
+    blooms = man.get("blooms") or {}
     kept, skipped = [], []
     for entry in man["files"]:
         keep = True
         for c, op, val in filters:
-            if c not in entry["stats"]:
-                continue  # no stats for this column: cannot prune on it
-            lo = _from_jsonable(entry["stats"][c][0], types.get(c, ""))
-            hi = _from_jsonable(entry["stats"][c][1], types.get(c, ""))
-            if not _overlaps(lo, hi, op, val):
-                keep = False
-                break
+            if c in entry["stats"]:
+                lo = _from_jsonable(entry["stats"][c][0], types.get(c, ""))
+                hi = _from_jsonable(entry["stats"][c][1], types.get(c, ""))
+                if not _overlaps(lo, hi, op, val):
+                    keep = False
+                    break
+            # bloom check: equality on a bloom-tracked column, with a
+            # value whose string form is JVM/Python-stable
+            if (
+                op == "="
+                and isinstance(val, (str, int))
+                and not isinstance(val, bool)
+                and c in blooms.get("files", {}).get(entry["file"], {})
+            ):
+                if not _bloom_maybe_contains(
+                    blooms["files"][entry["file"]][c],
+                    val,
+                    blooms["m_bits"],
+                    blooms["k"],
+                ):
+                    keep = False
+                    break
         (kept if keep else skipped).append(entry["file"])
     return {
         "total_files": len(man["files"]),

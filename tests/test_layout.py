@@ -262,6 +262,81 @@ class TestStringZorder:
         ) == _sorted_rows(docs.filter(F.col("source") == "src7"))
 
 
+class TestFileBloomFilters:
+    @pytest.fixture(scope="class")
+    def table(self, spark, orders, tmp_path_factory):
+        t = str(tmp_path_factory.mktemp("bl") / "orders_b")
+        layout.commit_clustered(
+            orders,
+            t,
+            ["o_custkey", "o_totalprice"],
+            n_files=8,
+            bloom_cols=["o_orderkey"],
+        )
+        return t
+
+    def test_equality_on_unclustered_id_prunes_via_bloom(
+        self, spark, table, orders
+    ):
+        """Zone maps can't serve an unclustered id — its min/max spans
+        ~every file; the per-file bloom pins the one file that holds it."""
+        some_key = orders.select("o_orderkey").collect()[37][0]
+        rep = layout.prune_report(
+            spark, table, [("o_orderkey", "=", some_key)]
+        )
+        assert rep["kept_files"] <= 2  # bloom fp allowance
+        got = _sorted_rows(
+            layout.scan_pruned(spark, table, [("o_orderkey", "=", some_key)])
+        )
+        exp = _sorted_rows(orders.filter(F.col("o_orderkey") == some_key))
+        assert got == exp and len(exp) == 1
+
+    def test_absent_key_reads_nothing(self, spark, table):
+        rep = layout.prune_report(
+            spark, table, [("o_orderkey", "=", 10**15)]
+        )
+        assert rep["kept_files"] == 0
+
+    def test_unstable_value_types_bypass_bloom_never_false_skip(
+        self, spark, table, orders
+    ):
+        """A float-valued equality must NOT consult the bloom (JVM vs
+        Python string forms differ) — files stay kept and the residual
+        filter does the work."""
+        some_key = float(orders.select("o_orderkey").collect()[3][0])
+        rep = layout.prune_report(
+            spark, table, [("o_orderkey", "=", some_key)]
+        )
+        assert rep["kept_files"] == rep["total_files"]
+
+    def test_bloom_on_float_column_rejected(self, spark, orders, tmp_path):
+        with pytest.raises(ValueError, match="string/integral"):
+            layout.commit_clustered(
+                orders,
+                str(tmp_path / "t"),
+                ["o_custkey"],
+                n_files=2,
+                bloom_cols=["o_totalprice"],
+            )
+
+    def test_bloom_composes_with_zone_maps(self, spark, table, orders):
+        """Conjunction of a zone-map range and a bloom equality prunes
+        at least as hard as either alone."""
+        some_key = orders.select("o_orderkey").collect()[11][0]
+        only_bloom = layout.prune_report(
+            spark, table, [("o_orderkey", "=", some_key)]
+        )
+        both = layout.prune_report(
+            spark,
+            table,
+            [
+                ("o_orderkey", "=", some_key),
+                ("o_custkey", "between", (1, 50)),
+            ],
+        )
+        assert both["kept_files"] <= only_bloom["kept_files"]
+
+
 class TestOptimizeZorder:
     def test_rewrite_is_transactional_with_time_travel(
         self, spark, orders, tmp_path
