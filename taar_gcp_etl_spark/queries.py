@@ -2605,7 +2605,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
     "agg_profile": q_agg_profile,
-    "set_ops": q_set_ops,
+    # r5 curation: zorder_scan (zone-map data skipping end-to-end — the
+    # pruned scan must hash-equal the plain filter) promoted into the
+    # driver-recorded 50; set_ops demoted to the locally-oracled
+    # overflow (its set-semantics shapes stay pinned in-budget through
+    # semi_intersection/anti_join_delete, and set_ops_all covers the
+    # ALL-variants locally).
+    "zorder_scan": q_zorder_scan,
     "asof_join": q_asof_join,
     "pivot_unpivot": q_pivot_unpivot,
     "tpch_q20": q_tpch_q20,
@@ -2721,7 +2727,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_anomaly": q_rolling_anomaly,
     "range_window": q_range_window,
     "set_ops_all": q_set_ops_all,
-    "zorder_scan": q_zorder_scan,
+    "set_ops": q_set_ops,
     "leak_safe_split": q_leak_safe_split,
     "agg_refresh": q_agg_refresh,
     "graph_stats": q_graph_stats,
