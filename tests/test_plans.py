@@ -485,3 +485,29 @@ def test_rolling_windows_are_hash_partitioned(spark):
         assert "Window" in plan, name
         # a partitionless window plans a SinglePartition exchange
         assert "SinglePartition" not in plan, name
+
+
+def test_zorder_scan_pruned_file_list_and_pushdown(spark, tmp_path):
+    """Data-skipping composition (layout.py): the pruned scan's FileScan
+    must carry (a) only the zone-map-kept files and (b) the residual
+    predicate as PushedFilters — manifest-level skipping and parquet
+    row-group skipping stack."""
+    from taar_gcp_etl_spark import layout
+    from taar_gcp_etl_spark.plans import formatted_plan
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    t = str(tmp_path / "z")
+    layout.commit_clustered(
+        orders, t, ["o_custkey", "o_totalprice"], n_files=8
+    )
+    filters = [("o_custkey", "between", (1, 30))]
+    rep = layout.prune_report(spark, t, filters)
+    assert rep["kept_files"] < rep["total_files"]
+    df = layout.scan_pruned(spark, t, filters)
+    plan = formatted_plan(df)
+    assert f"{rep['kept_files']} paths" in plan or "InMemoryFileIndex" in plan
+    from taar_gcp_etl_spark.plans import has_pushed_filter
+
+    assert has_pushed_filter(df, "o_custkey")
+    # the scan's file count equals the prune report's kept set
+    assert len(df.inputFiles()) == rep["kept_files"]
