@@ -216,9 +216,14 @@ def collect_file_stats(
         .agg(*aggs)
         .collect()
     )
+    marker = path.rstrip("/") + "/"
     out = []
     for r in rows:
-        name = r["_file"].rsplit("/", 1)[1]
+        uri = r["_file"]
+        # name relative to the snapshot dir (keeps hive-partition
+        # subdirs like _bucket=N/ for bucketed layouts; plain layouts
+        # reduce to the basename)
+        name = uri.split(marker, 1)[1] if marker in uri else uri.rsplit("/", 1)[1]
         stats = {}
         for c in stats_cols:
             lo, hi = r[f"_min_{c}"], r[f"_max_{c}"]

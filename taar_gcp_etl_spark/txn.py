@@ -639,9 +639,21 @@ def apply_cdc_batch_bucketed(
     n_buckets: int = 64,
     epoch_id: int | None = None,
     max_attempts: int = 5,
+    stats_cols: list[str] | None = None,
 ) -> int | None:
     """Partition-pruned CDC apply — the fact-sized variant of
     apply_cdc_batch_txn.
+
+    ``stats_cols`` (sticky: recorded in the manifest on first use and
+    inherited by later batches) adds per-FILE zone maps over the named
+    payload columns, collected from just the dir each batch writes —
+    O(touched buckets), never a table scan. Because CDC ingest is
+    usually time-correlated, each commit's dir covers a narrow range of
+    e.g. the event-date column, so ``scan_cdc_pruned`` range predicates
+    skip old dirs wholesale — zone-map analytics directly over the
+    CDC-maintained fact table, no export hop. (Sound under
+    multi-versioning: each key's base row lives in exactly one live
+    dir, and overlays — tombstones only — are always read.)
 
     The flat transactional apply rewrites O(table) per micro-batch:
     right for dimension tables, ruinous for a fact-sized keyed table
@@ -721,6 +733,8 @@ def apply_cdc_batch_bucketed(
         version = (man["version"] if man else 0) + 1
         overlays = dict((man or {}).get("overlays") or {})
 
+        eff_stats_cols = (man or {}).get("stats_cols") or stats_cols
+        file_stats = dict((man or {}).get("file_stats") or {})
         if delete_only and man is not None:
             over_rel = f"data/o{version:010d}-{token}"
             staged_all.write.mode("overwrite").partitionBy(
@@ -745,6 +759,15 @@ def apply_cdc_batch_bucketed(
             for b in touched:
                 mapping[str(b)] = snap_rel
                 overlays.pop(str(b), None)  # rewrite folds overlays in
+            if eff_stats_cols:
+                from taar_gcp_etl_spark.layout import collect_file_stats
+
+                file_stats[snap_rel] = collect_file_stats(
+                    spark, f"{table_dir}/{snap_rel}", eff_stats_cols
+                )
+        # drop stats of dirs no longer referenced by any bucket
+        live_dirs = set(mapping.values())
+        file_stats = {d: s for d, s in file_stats.items() if d in live_dirs}
 
         manifest = {
             "version": version,
@@ -758,6 +781,13 @@ def apply_cdc_batch_bucketed(
         }
         if schema_fields is not None:
             manifest["schema"] = schema_fields
+        if eff_stats_cols:
+            manifest["stats_cols"] = list(eff_stats_cols)
+            manifest["file_stats"] = file_stats
+            types = dict(schema_fields or [])
+            manifest["stats_types"] = {
+                c: types.get(c, "") for c in eff_stats_cols
+            }
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
     raise RuntimeError(
@@ -913,6 +943,22 @@ def compact_cdc_tombstones(
                 "parent": man["version"],
                 "schema": _schema_fields(kdf),
             }
+            if man.get("stats_cols"):
+                from taar_gcp_etl_spark.layout import collect_file_stats
+
+                sc = man["stats_cols"]
+                manifest["stats_cols"] = sc
+                manifest["file_stats"] = {
+                    snap_rel: collect_file_stats(
+                        spark,
+                        f"{table_dir.rstrip('/')}/{snap_rel}",
+                        sc,
+                    )
+                }
+                types = dict(manifest["schema"])
+                manifest["stats_types"] = {
+                    c: types.get(c, "") for c in sc
+                }
             if _publish_manifest(spark, table_dir, manifest, token):
                 return version
         raise RuntimeError(f"compact: version conflicts on {table_dir}")
@@ -1082,6 +1128,156 @@ def read_changes(
         .otherwise(F.lit("update"))
         .alias("_change_type"),
     )
+
+
+def _cdc_kept_files(
+    man: dict, table_dir: str, filters: list[tuple]
+) -> tuple[list[str], int]:
+    """(kept absolute paths, total candidate files) for a bucketed-CDC
+    zone-map prune — per dir, only files of buckets the dir still OWNS
+    are candidates (a superseded bucket's file may linger in an old
+    dir)."""
+    from taar_gcp_etl_spark.layout import _from_jsonable, _overlaps
+
+    types = man.get("stats_types", {})
+    owned: dict[str, set[int]] = {}
+    for b, d in man["buckets"].items():
+        owned.setdefault(d, set()).add(int(b))
+    kept_paths: list[str] = []
+    total = 0
+    for d, entries in man["file_stats"].items():
+        own = owned.get(d, set())
+        for e in entries:
+            bpart = [
+                p
+                for p in e["file"].split("/")
+                if p.startswith(f"{BUCKET_COL}=")
+            ]
+            if bpart and int(bpart[0].split("=", 1)[1]) not in own:
+                continue
+            total += 1
+            keep = True
+            for c, op, val in filters:
+                if c not in e["stats"]:
+                    continue
+                lo = _from_jsonable(e["stats"][c][0], types.get(c, ""))
+                hi = _from_jsonable(e["stats"][c][1], types.get(c, ""))
+                if not _overlaps(lo, hi, op, val):
+                    keep = False
+                    break
+            if keep:
+                kept_paths.append(f"{table_dir}/{d}/{e['file']}")
+    return kept_paths, total
+
+
+def cdc_prune_report(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple],
+    version: int | None = None,
+) -> dict:
+    """Metadata-only kept/total file counts for a bucketed-CDC zone-map
+    prune (the observability twin of layout.prune_report)."""
+    man = (
+        latest_manifest(spark, table_dir)
+        if version is None
+        else read_manifest(spark, table_dir, version)
+    )
+    if man is None or "file_stats" not in man:
+        raise ValueError(f"{table_dir} has no CDC zone maps")
+    kept, total = _cdc_kept_files(man, table_dir.rstrip("/"), filters)
+    return {"total_files": total, "kept_files": len(kept)}
+
+
+def scan_cdc_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple],
+    version: int | None = None,
+) -> DataFrame | None:
+    """Zone-map-pruned analytics scan over a BUCKETED CDC table: skip
+    base files whose per-file stats are disjoint from ``filters``
+    (layout.py predicate language), then resolve merge-on-read overlays
+    and tombstones, then re-apply the filters as a residual — live rows
+    only, internal columns hidden.
+
+    Soundness under multi-versioning: a key's base row lives in exactly
+    ONE live dir (buckets have single owners; within a dir the merge
+    kept one row per key), overlays hold only tombstones and are ALWAYS
+    read, and the residual applies after resolution — so skipping a
+    base file only ever removes rows the final filter would drop
+    anyway. Per-dir, only files of buckets the dir still OWNS are
+    candidates (a superseded bucket's file may linger in an old dir).
+
+    Returns None for an empty selection. Cost: metadata-only planning
+    over O(live files), then a scan of only the intersecting files —
+    the time-correlated-ingest case (each commit's dir covers a narrow
+    date range) skips old dirs wholesale."""
+    from taar_gcp_etl_spark.layout import _from_jsonable, _overlaps, _residual
+
+    man = (
+        latest_manifest(spark, table_dir)
+        if version is None
+        else read_manifest(spark, table_dir, version)
+    )
+    if man is None:
+        return None
+    if "buckets" not in man or "file_stats" not in man:
+        raise ValueError(
+            f"{table_dir} is not a bucketed CDC table with zone maps "
+            "(apply batches with stats_cols= first)"
+        )
+    table_dir = table_dir.rstrip("/")
+    kept_paths, _total = _cdc_kept_files(man, table_dir, filters)
+
+    key_col = man.get("key_col", "id")
+    seq_col = man.get("seq_col", "seq")
+    base = None
+    if kept_paths:
+        # basePath keeps the _bucket partition column when reading
+        # individual files under the hive layout
+        by_dir: dict[str, list[str]] = {}
+        for p in kept_paths:
+            d = p.split("/" + BUCKET_COL + "=", 1)[0]
+            by_dir.setdefault(d, []).append(p)
+        for d, paths in sorted(by_dir.items()):
+            part = spark.read.option("basePath", d).parquet(*paths)
+            base = (
+                part
+                if base is None
+                else base.unionByName(part, allowMissingColumns=True)
+            )
+    out = base
+    # overlays: always read in full for correctness (tombstones only)
+    overlay_dirs = sorted(
+        {p for paths in (man.get("overlays") or {}).values() for p in paths}
+    )
+    for d in overlay_dirs:
+        od = spark.read.parquet(f"{table_dir}/{d}")
+        out = od if out is None else out.unionByName(
+            od, allowMissingColumns=True
+        )
+    if out is None:
+        # every file pruned: empty result with the table's schema
+        any_dir = next(iter(man["buckets"].values()), None)
+        if any_dir is None:
+            return None
+        out = spark.read.parquet(f"{table_dir}/{any_dir}").filter(
+            F.lit(False)
+        )
+    if overlay_dirs:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(
+            F.desc(seq_col), F.asc(DELETED_COL)
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    out = out.filter(~F.col(DELETED_COL)).drop(DELETED_COL, BUCKET_COL)
+    return out.filter(_residual(filters))
 
 
 def overlay_pressure(spark: SparkSession, table_dir: str) -> int:

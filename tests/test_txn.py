@@ -933,6 +933,123 @@ class TestChangeDataFeed:
         assert got == {3: "delete"}
 
 
+class TestCdcZoneMaps:
+    """Zone-map pruning over the bucketed CDC layout: time-correlated
+    ingest leaves each commit's dir covering a narrow seq/date range,
+    so range predicates skip old dirs wholesale — and the pruned scan
+    must always equal the unpruned read + filter (soundness under
+    multi-versioning, overlays, and superseded buckets)."""
+
+    CDC_D = "id long, val string, day long, seq long, op string"
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, self.CDC_D)
+
+    def _apply(self, spark, t, rows):
+        return txn.apply_cdc_batch_bucketed(
+            self._batch(spark, rows),
+            t,
+            n_buckets=4,
+            stats_cols=["day"],
+        )
+
+    def _fixture(self, spark, t):
+        # three day-correlated batches over overlapping buckets
+        self._apply(
+            spark, t, [(i, f"a{i}", 1, 100 + i, "I") for i in range(8)]
+        )
+        self._apply(
+            spark, t, [(i, f"b{i}", 2, 200 + i, "I") for i in range(8, 16)]
+        )
+        self._apply(
+            spark, t, [(i, f"c{i}", 3, 300 + i, "I") for i in range(16, 24)]
+        )
+
+    def _expect(self, spark, t, filters):
+        from taar_gcp_etl_spark.layout import _residual
+
+        return sorted(
+            tuple(r)
+            for r in txn.read_cdc_table(spark, t)
+            .filter(_residual(filters))
+            .collect()
+        )
+
+    def _got(self, spark, t, filters):
+        df = txn.scan_cdc_pruned(spark, t, filters)
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_day_predicate_prunes_old_dirs_and_matches(self, spark, tmp_path):
+        t = str(tmp_path / "zm")
+        self._fixture(spark, t)
+        filters = [("day", ">=", 3)]
+        rep = txn.cdc_prune_report(spark, t, filters)
+        assert 0 < rep["kept_files"] < rep["total_files"]
+        assert self._got(spark, t, filters) == self._expect(
+            spark, t, filters
+        )
+
+    def test_update_moves_key_to_new_dir_stats(self, spark, tmp_path):
+        """An updated key's base row moves to the newer dir — the
+        pruned scan must pick the NEW version even when the predicate
+        also matches the old dir's range."""
+        t = str(tmp_path / "zm-up")
+        self._fixture(spark, t)
+        # update a day-1 key to day 9 (rewrites its bucket)
+        self._apply(spark, t, [(2, "a2-new", 9, 900, "U")])
+        got = self._got(spark, t, [("day", ">=", 9)])
+        assert got == self._expect(spark, t, [("day", ">=", 9)])
+        assert [r[1] for r in got] == ["a2-new"]
+        # the OLD version must not resurface under a day-1 predicate
+        old = self._got(spark, t, [("day", "=", 1)])
+        assert all(r[0] != 2 for r in old)
+        assert old == self._expect(spark, t, [("day", "=", 1)])
+
+    def test_overlay_deletes_respected_by_pruned_scan(self, spark, tmp_path):
+        t = str(tmp_path / "zm-del")
+        self._fixture(spark, t)
+        # delete-only batch -> MoR overlay (no base rewrite)
+        txn.apply_cdc_batch_bucketed(
+            self._batch(spark, [(17, None, None, 999, "D")]),
+            t,
+            n_buckets=4,
+        )
+        assert txn.overlay_pressure(spark, t) >= 1
+        filters = [("day", "=", 3)]
+        got = self._got(spark, t, filters)
+        assert all(r[0] != 17 for r in got)
+        assert got == self._expect(spark, t, filters)
+
+    def test_empty_prune_returns_empty_with_schema(self, spark, tmp_path):
+        t = str(tmp_path / "zm-empty")
+        self._fixture(spark, t)
+        df = txn.scan_cdc_pruned(spark, t, [("day", ">", 100)])
+        assert df.count() == 0
+        assert "val" in df.columns and "day" in df.columns
+
+    def test_stats_survive_compaction(self, spark, tmp_path):
+        t = str(tmp_path / "zm-compact")
+        self._fixture(spark, t)
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=0)
+        filters = [("day", "<=", 1)]
+        rep = txn.cdc_prune_report(spark, t, filters)
+        assert rep["total_files"] > 0
+        assert self._got(spark, t, filters) == self._expect(
+            spark, t, filters
+        )
+
+    def test_stats_cols_sticky_across_batches(self, spark, tmp_path):
+        t = str(tmp_path / "zm-sticky")
+        self._apply(spark, t, [(1, "a", 1, 1, "I")])
+        # later batch WITHOUT stats_cols still collects (manifest-sticky)
+        txn.apply_cdc_batch_bucketed(
+            self._batch(spark, [(2, "b", 5, 2, "I")]), t, n_buckets=4
+        )
+        man = txn.latest_manifest(spark, t)
+        assert man["stats_cols"] == ["day"]
+        assert len(man["file_stats"]) == 2  # both dirs carry zone maps
+
+
 class TestFlatCasRetryFreshRead:
     """ADVICE r4: the FLAT read-modify-write paths must re-read and
     re-merge inside the CAS retry loop (commit_txn's builder form) —
