@@ -1,0 +1,223 @@
+"""Clustered-table soak at sf1 (round-6 backlog #1).
+
+layout.py's data skipping was measured at sf0.1 (64 files, bytes-ratio
+only — SCALE.md notes the wall-clock there is noise-bound because the
+whole table fits the page cache). This soak runs the layout at the 10x
+scale the r4 soak built (.soak/sf1: 6M lineitem rows) with a real file
+count (256), and records what the sf0.1 measurement could not:
+
+1. commit_clustered wall-clock decomposed into the clustering pass
+   (approxQuantile + range shuffle + write) vs manifest stats collection
+   (zone maps + blooms) at 256 files — the metadata cost a table format
+   pays per commit, which must stay O(files), not O(rows).
+2. prune ratios (files kept, BYTES kept) for a 2-column range predicate
+   against the z-ordered layout, plus a bloom equality prune on an
+   unclustered high-cardinality column.
+3. The plain-scan vs pruned-scan wall-clock CROSSOVER: same snapshot,
+   same residual predicate; the plain scan opens all 256 footers and
+   relies on parquet row-group stats alone, the pruned scan plans over
+   the manifest and opens only intersecting files. Also a 10-query
+   repeated-probe loop (the metadata-plan advantage amortizes: plan
+   time is pure driver work, no job).
+
+Honest-measurement notes carried from the r4 soak: best-of-2 per
+measurement (JIT/page-cache warm), identical residual applied on both
+paths so the comparison isolates file skipping, and the bytes ratio is
+computed from the actual on-disk file sizes, not row counts.
+
+Usage: python scripts/soak_layout.py [--rebuild]
+(writes .soak/layout_table/, prints one JSON line, and records
+docs/bench_soak_layout.json; builds .soak/sf1 via scripts/soak.py's
+builder if absent)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from taar_gcp_etl_spark import layout, txn  # noqa: E402
+from taar_gcp_etl_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SOAK_SF1 = os.path.join(REPO, ".soak", "sf1")
+TABLE = os.path.join(REPO, ".soak", "layout_table")
+N_FILES = 256
+
+# 2-column range predicate over the clustered columns: one month of
+# shipdate x 2% of the partkey domain. The soak builder offsets partkey
+# by 1e8 per copy, so a base-domain partkey range hits 1 copy in 10 by
+# construction — the z-layout must discover that from stats alone.
+PRED = [
+    ("l_shipdate", "between",
+     (datetime.datetime(1994, 3, 1), datetime.datetime(1994, 3, 31))),
+    ("l_partkey", "between", (5_000, 9_000)),
+]
+
+
+def snap_dir(spark) -> str:
+    man = txn.latest_manifest(spark, TABLE)
+    return os.path.join(TABLE, man["snapshot"])
+
+
+def bytes_of(files: list[str], snap: str) -> int:
+    return sum(os.path.getsize(os.path.join(snap, f)) for f in files)
+
+
+def best_of(fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="taar-spark-soak-layout", cpus="32")
+    if "--rebuild" in sys.argv and os.path.isdir(TABLE):
+        shutil.rmtree(TABLE)
+
+    if not os.path.isdir(os.path.join(SOAK_SF1, "lineitem.parquet")):
+        print("building 10x dataset via scripts/soak.py...", file=sys.stderr)
+        from scripts.soak import build_scaled
+
+        build_scaled(spark)
+
+    li = spark.read.parquet(os.path.join(SOAK_SF1, "lineitem.parquet"))
+    n_rows = li.count()
+
+    out: dict = {"metric": "clustered-table soak at sf1", "rows": n_rows,
+                 "n_files": N_FILES}
+
+    if txn.latest_manifest(spark, TABLE) is None:
+        # 1. commit decomposition: time the clustering write and the
+        # stats collection separately by running the pieces the way
+        # commit_clustered composes them, then commit for real through
+        # the txn path (the real commit re-runs both; the decomposition
+        # is what the soak is after).
+        probe = os.path.join(REPO, ".soak", "_layout_probe")
+        t0 = time.perf_counter()
+        layout.write_clustered(
+            li, probe, ["l_shipdate", "l_partkey"], n_files=N_FILES
+        )
+        t_cluster = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        stats = layout.collect_file_stats(
+            spark, probe, ["l_shipdate", "l_partkey"]
+        )
+        t_stats = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        blooms = layout.collect_file_blooms(spark, probe, ["l_orderkey"])
+        t_blooms = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(probe)
+        out["commit_s"] = {
+            "cluster_write": t_cluster,
+            "zone_maps": t_stats,
+            "blooms": t_blooms,
+            "stats_files": len(stats),
+            "bloom_files": len(blooms),
+        }
+        print(f"  cluster {t_cluster}s  zone-maps {t_stats}s  "
+              f"blooms {t_blooms}s over {len(stats)} files",
+              file=sys.stderr)
+
+        v = layout.commit_clustered(
+            li, TABLE, ["l_shipdate", "l_partkey"], n_files=N_FILES,
+            bloom_cols=["l_orderkey"],
+        )
+        print(f"  committed v{v}", file=sys.stderr)
+
+    snap = snap_dir(spark)
+
+    # 2. prune ratios
+    rep = layout.prune_report(spark, TABLE, PRED)
+    all_files = [e["file"] for e in
+                 txn.latest_manifest(spark, TABLE)["files"]]
+    kept_b = bytes_of(rep["kept"], snap)
+    total_b = bytes_of(all_files, snap)
+    out["range_prune"] = {
+        "kept_files": rep["kept_files"],
+        "total_files": rep["total_files"],
+        "kept_bytes_pct": round(100 * kept_b / total_b, 1),
+    }
+    print(f"  range prune: {rep['kept_files']}/{rep['total_files']} files, "
+          f"{out['range_prune']['kept_bytes_pct']}% of bytes",
+          file=sys.stderr)
+
+    # bloom equality prune on the unclustered l_orderkey (pick a real key
+    # from the data so the probe is never a guaranteed-miss strawman)
+    some_key = li.select("l_orderkey").first()[0]
+    brep = layout.prune_report(spark, TABLE, [("l_orderkey", "=", some_key)])
+    out["bloom_prune"] = {
+        "kept_files": brep["kept_files"],
+        "total_files": brep["total_files"],
+    }
+    print(f"  bloom prune (l_orderkey={some_key}): "
+          f"{brep['kept_files']}/{brep['total_files']} files",
+          file=sys.stderr)
+
+    # 3. crossover: identical residual predicate on both paths
+    residual = layout._residual(PRED)
+
+    def plain():
+        spark.read.parquet(snap).filter(residual).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def pruned():
+        layout.scan_pruned(spark, TABLE, PRED).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    # warmup both paths once (page cache, codegen)
+    plain()
+    pruned()
+    t_plain = best_of(plain)
+    t_pruned = best_of(pruned)
+
+    # repeated-probe loop: 10 distinct month windows (metadata planning
+    # amortizes; the plain path pays 256 footer opens per probe)
+    months = [(1993 + (m // 12), 1 + (m % 12)) for m in range(2, 12)]
+
+    def probes(scan_fn):
+        for (y, mo) in months:
+            lo = datetime.datetime(y, mo, 1)
+            hi = datetime.datetime(y, mo, 28)
+            p = [("l_shipdate", "between", (lo, hi)),
+                 ("l_partkey", "between", (5_000, 9_000))]
+            scan_fn(p).write.mode("overwrite").format("noop").save()
+
+    t_plain10 = best_of(lambda: probes(
+        lambda p: spark.read.parquet(snap).filter(layout._residual(p))))
+    t_pruned10 = best_of(lambda: probes(
+        lambda p: layout.scan_pruned(spark, TABLE, p)))
+
+    out["crossover"] = {
+        "plain_scan_s": t_plain,
+        "pruned_scan_s": t_pruned,
+        "speedup": round(t_plain / t_pruned, 2) if t_pruned > 0 else None,
+        "plain_10probe_s": t_plain10,
+        "pruned_10probe_s": t_pruned10,
+        "speedup_10probe": (round(t_plain10 / t_pruned10, 2)
+                            if t_pruned10 > 0 else None),
+    }
+    print(f"  scan: plain {t_plain}s vs pruned {t_pruned}s; "
+          f"10-probe: {t_plain10}s vs {t_pruned10}s", file=sys.stderr)
+
+    with open(os.path.join(REPO, "docs", "bench_soak_layout.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1103,6 +1103,14 @@ def read_changes(
         return None
     if old is None:
         return new.withColumn("_change_type", F.lit("insert"))
+    return _keyed_diff(old, new, key_col, seq_col)
+
+
+def _keyed_diff(
+    old: DataFrame, new: DataFrame, key_col: str, seq_col: str
+) -> DataFrame:
+    """Full-outer keyed diff of two live-row states → CDF-tagged rows
+    (the shared core of read_changes and read_changes_bucketed)."""
     payload = [c for c in new.columns if c != key_col]
     o = old.select(
         F.col(key_col),
@@ -1128,6 +1136,103 @@ def read_changes(
         .otherwise(F.lit("update"))
         .alias("_change_type"),
     )
+
+
+def changed_buckets(man_from: dict, man_to: dict) -> list[int]:
+    """Buckets whose live state CAN differ between two manifests of a
+    bucketed CDC table: a bucket's state is fully determined by the dir
+    that owns it plus its overlay list, so equal (owner, overlays) ⇒
+    equal content — dirs are immutable once written, and every commit
+    that touches a bucket repoints it at a fresh dir or appends to its
+    overlay list."""
+    buckets = set(man_from.get("buckets", {})) | set(man_to.get("buckets", {}))
+    ov_f = man_from.get("overlays") or {}
+    ov_t = man_to.get("overlays") or {}
+    return sorted(
+        int(b)
+        for b in buckets
+        if man_from.get("buckets", {}).get(b) != man_to.get("buckets", {}).get(b)
+        or ov_f.get(b, []) != ov_t.get(b, [])
+    )
+
+
+def read_changes_bucketed(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame | None:
+    """Change data feed over a BUCKETED CDC table at bucket granularity
+    (round-6 backlog #7): same contract as ``read_changes`` — one
+    CDF-tagged row per key whose live state differs — but the diff
+    reads ONLY the buckets whose manifest entries (owning dir or
+    overlay list) changed between the two versions.
+
+    Why it scales where the full diff doesn't: ``read_changes`` joins
+    both snapshots whole — O(table) per incremental sync even when a
+    day's batches touched 1% of keys. Here the manifest comparison is
+    pure metadata (O(n_buckets) driver work, no job), and the two
+    snapshot reads prune to the changed buckets' hash-partition dirs,
+    so the diff costs O(changed fraction of table). Unchanged buckets
+    are provably identical — their owning dirs are immutable and their
+    overlay lists equal — so skipping them loses nothing; a
+    test pins equality against the full-diff baseline.
+
+    Falls back to ``read_changes`` for flat tables (every version is a
+    whole new snapshot there: no sub-table change granularity exists).
+    """
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        return None
+    if "snapshot" in man:  # flat layout: no bucket granularity
+        return read_changes(spark, table_dir, from_version, to_version)
+    if to_version is None:
+        to_version = man["version"]
+    key_col = man.get("key_col", "id")
+    seq_col = man.get("seq_col", "seq")
+    man_to = read_manifest(spark, table_dir, to_version)
+    try:
+        man_from = read_manifest(spark, table_dir, from_version)
+    except Exception:
+        man_from = None
+    if man_from is None:
+        new = read_cdc_table(spark, table_dir, version=to_version)
+        if new is None:
+            return None
+        return new.withColumn("_change_type", F.lit("insert"))
+
+    def live(version: int, buckets: list[int]) -> DataFrame | None:
+        df = read_txn(spark, table_dir, version=version, buckets=buckets)
+        if df is None:
+            return None
+        out = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out
+
+    changed = changed_buckets(man_from, man_to)
+    new = live(to_version, changed)
+    if new is None:
+        # no changed bucket has any live rows in the target version:
+        # the diff is either empty or all-deletes from the old side
+        full_new = read_cdc_table(spark, table_dir, version=to_version)
+        if full_new is None:
+            return None
+        empty = full_new.filter(F.lit(False)).withColumn(
+            "_change_type", F.lit("")
+        )
+        old = live(from_version, changed)
+        if old is None:
+            return empty
+        return empty.unionByName(
+            old.select(
+                F.col(key_col),
+                F.lit("delete").alias("_change_type"),
+            ),
+            allowMissingColumns=True,
+        ).select(*empty.columns)
+    old = live(from_version, changed)
+    if old is None:
+        return new.withColumn("_change_type", F.lit("insert"))
+    return _keyed_diff(old, new, key_col, seq_col)
 
 
 def _cdc_kept_files(
