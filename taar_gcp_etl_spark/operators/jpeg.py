@@ -1,17 +1,26 @@
-"""Baseline JPEG (SOF0) decoder — numpy + stdlib only, no codec library.
+"""Baseline (SOF0) + progressive (SOF2) JPEG decoder — numpy + stdlib
+only, no codec library.
 
-Closes the last image-format gap in the multimodal path (NEXT.md r5 #3
-claimed JPEG "genuinely needs Pillow" — baseline sequential JPEG does
-not): SOI/APPn/DQT/DHT/SOF0/DRI/SOS marker parse, canonical Huffman
-decode with byte-stuffing and restart intervals, zigzag + dequantize,
-8x8 IDCT (one orthonormal basis matmul per block), chroma upsampling
-for integral sampling factors, and BT.601 YCbCr→RGB. Grayscale (1
+Closes the image-format gap in the multimodal path (NEXT.md r5 #3
+claimed JPEG "genuinely needs Pillow" — Huffman-coded JPEG does not):
+SOI/APPn/DQT/DHT/SOF/DRI/SOS marker parse, canonical Huffman decode
+with byte-stuffing and restart intervals, zigzag + dequantize, 8x8 IDCT
+(one orthonormal basis matmul per block), chroma upsampling for
+integral sampling factors, and BT.601 YCbCr→RGB. Grayscale (1
 component) and YCbCr (3 components) both normalize to (h, w, 3) uint8
 RGB — the decode_pixels contract.
 
+Progressive (SOF2, round-6 backlog #3) accumulates dequantizable
+coefficients across scans — DC first/refinement (interleaved or not),
+AC first scans with EOB-run coding, and AC successive-approximation
+refinement with correction bits (the libjpeg decode_mcu_AC_refine
+algorithm, rebuilt from ITU-T.81 §G.2) — then reconstructs with one
+vectorized IDCT over every block. The scan-script is not assumed:
+any spectral-selection/approximation split the spec allows decodes.
+
 Explicitly rejected with ValueError (honest scope, not silent garbage):
-progressive (SOF2) and the other non-baseline frame types, arithmetic
-coding, hierarchical, and 4-component CMYK scans.
+lossless and the other non-baseline frame types, arithmetic coding,
+hierarchical, 12-bit precision, and 4-component CMYK scans.
 
 Execution model: called per-blob inside Arrow-batched mapInPandas on
 executors (see operators/multimodal.py). Entropy decoding is inherently
@@ -136,7 +145,8 @@ def _split_scan(data: bytes, start: int):
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes to an (h, w, 3) uint8 RGB array."""
+    """Decode baseline or progressive JPEG bytes to an (h, w, 3) uint8
+    RGB array."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -144,6 +154,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     restart = 0
     frame = None
     planes = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zigzag
     i = 2
     n = len(content)
     while i < n:
@@ -185,7 +197,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     bits, seg[p + 17 : p + 17 + nv]
                 )
                 p += 17 + nv
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            progressive = m == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"JPEG: {prec}-bit precision unsupported")
@@ -206,10 +219,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     }
                 )
             frame = (h_img, w_img, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "JPEG: only baseline sequential (SOF0/SOF1) supported"
+                "JPEG: only sequential (SOF0/SOF1) and progressive "
+                "(SOF2) supported"
             )
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
@@ -222,12 +236,27 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 tables[cid] = (tt >> 4, tt & 15)
-            segs, i = _split_scan(content, i + ln)
-            planes = _decode_scan(
-                comps, tables, qt, huf, segs, restart, h_img, w_img
-            )
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahl = seg[3 + 2 * ns]
+                ah, al = ahl >> 4, ahl & 15
+                if coefs is None:
+                    coefs = _alloc_coefs(comps, h_img, w_img)
+                segs, i = _split_scan(content, i + ln)
+                scan_cids = [seg[1 + 2 * c] for c in range(ns)]
+                _decode_prog_scan(
+                    comps, scan_cids, tables, huf, segs, restart,
+                    coefs, ss, se, ah, al, h_img, w_img,
+                )
+            else:
+                segs, i = _split_scan(content, i + ln)
+                planes = _decode_scan(
+                    comps, tables, qt, huf, segs, restart, h_img, w_img
+                )
             continue  # i already advanced past the scan
         i += ln
+    if progressive and coefs is not None:
+        planes = _prog_reconstruct(frame, qt, coefs)
     if planes is None or frame is None:
         raise ValueError("JPEG: no decoded scan")
     return _to_rgb(planes, frame)
@@ -285,6 +314,195 @@ def _decode_scan(comps, tables, qt, huf, segs, restart, h_img, w_img):
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    return planes
+
+
+def _alloc_coefs(comps, h_img, w_img) -> list[np.ndarray]:
+    """One (blocks_y, blocks_x, 64) int32 array per component, indexed
+    in ZIGZAG coefficient order (spectral selection bands are zigzag
+    ranges), padded to the MCU grid like the baseline planes."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _comp_blocks(c, h_img, w_img, hmax, vmax) -> tuple[int, int]:
+    """Effective (blocks_y, blocks_x) a NON-interleaved scan traverses:
+    the component's true sample dims rounded up to whole blocks (spec
+    A.2.2 — padding blocks of the MCU grid are skipped)."""
+    ch = -(-w_img * c["h"] // hmax)
+    cv = -(-h_img * c["v"] // vmax)
+    return -(-cv // 8), -(-ch // 8)
+
+
+def _refine_nonzero(bits: _Bits, coef, k: int, p1: int) -> None:
+    """One correction bit for an already-nonzero coefficient (§G.2:
+    append the next lower-significance magnitude bit, keeping sign)."""
+    if bits.bit() and not (int(coef[k]) & p1):
+        coef[k] += p1 if int(coef[k]) >= 0 else -p1
+
+
+def _decode_prog_scan(
+    comps, scan_cids, tables, huf, segs, restart, coefs,
+    ss, se, ah, al, h_img, w_img,
+):
+    """Decode one progressive scan into the persistent coefficient
+    arrays. Four scan kinds (ITU-T.81 §G.2): DC first (Ah=0, Ss=0,
+    interleaved or single-component), DC refinement (one raw bit per
+    block), AC first (single-component, EOB-run coded), AC refinement
+    (correction bits + newly-significant ±1<<Al insertions)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    scan = [(by_id[cid], comps[by_id[cid]]) for cid in scan_cids]
+    is_dc = ss == 0
+    if not is_dc and len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scan must be one component")
+    if is_dc and se != 0:
+        raise ValueError("JPEG: progressive DC scan with Se != 0")
+
+    seg_iter = iter(segs)
+    bits = _Bits(next(seg_iter))
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def next_rst():
+        nonlocal bits
+        bits = _Bits(next(seg_iter))
+        pred[:] = [0] * len(comps)
+        state["eobrun"] = 0
+
+    if is_dc and len(scan) > 1:
+        # interleaved DC scan: MCU traversal over all components
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                next_rst()
+            my, mx = divmod(mcu, mcux)
+            for ci, c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        _dc_block(bits, huf, tables, c, coef, pred, ci,
+                                  ah, al)
+        return
+
+    # single-component scan (DC or AC): raster over effective blocks
+    ci, c = scan[0]
+    nby, nbx = _comp_blocks(c, h_img, w_img, hmax, vmax)
+    ac_lut = None
+    if not is_dc:
+        ac_lut = huf[(1, tables[c["id"]][1])]
+    for blk in range(nby * nbx):
+        if restart and blk and blk % restart == 0:
+            next_rst()
+        by, bx = divmod(blk, nbx)
+        coef = coefs[ci][by, bx]
+        if is_dc:
+            _dc_block(bits, huf, tables, c, coef, pred, ci, ah, al)
+        elif ah == 0:
+            _ac_first_block(bits, ac_lut, coef, ss, se, al, state)
+        else:
+            _ac_refine_block(bits, ac_lut, coef, ss, se, al, state)
+
+
+def _dc_block(bits, huf, tables, c, coef, pred, ci, ah, al):
+    if ah == 0:  # first DC scan: normal DPCM, point-transformed
+        dc_lut = huf[(0, tables[c["id"]][0])]
+        s = bits.huff(dc_lut)
+        diff = _extend(bits.bits(s), s) if s else 0
+        pred[ci] += diff
+        coef[0] = pred[ci] << al
+    else:  # refinement: one raw bit per block
+        if bits.bit():
+            coef[0] = int(coef[0]) | (1 << al)
+
+
+def _ac_first_block(bits, ac_lut, coef, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = bits.huff(ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += bits.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow")
+        coef[k] = _extend(bits.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(bits, ac_lut, coef, ss, se, al, state):
+    """§G.2 successive-approximation AC refinement: zero-history runs
+    position newly-significant ±1<<Al coefficients; every nonzero
+    coefficient crossed (and, once EOB is reached, every remaining one)
+    reads a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = bits.huff(ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: run includes this block's tail
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += bits.bits(r)
+                    break
+                val = 0  # ZRL: 16 zero-history coefs, no insertion
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: AC refine size must be 1")
+                val = p1 if bits.bit() else -p1
+            while k <= se:
+                if int(coef[k]) != 0:
+                    _refine_nonzero(bits, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if int(coef[k]) != 0:
+                _refine_nonzero(bits, coef, k, p1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _prog_reconstruct(frame, qt, coefs):
+    """Dequantize + IDCT every accumulated block, vectorized: one
+    einsum per component instead of a per-block matmul loop."""
+    h_img, w_img, comps = frame
+    planes = []
+    for c, zzc in zip(comps, coefs):
+        deq = zzc.astype(np.float64) * qt[c["tq"]]  # both zigzag order
+        nat = np.zeros_like(deq)
+        nat[..., _ZZ] = deq
+        blocks = nat.reshape(*nat.shape[:2], 8, 8)
+        spatial = np.einsum("ux,abuv,vy->abxy", _A, blocks, _A)
+        nby, nbx = spatial.shape[:2]
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
     return planes
 
 

@@ -885,6 +885,335 @@ def _jpeg_bytes(img, sampling=(1, 1), quant=1):
     return bytes(out)
 
 
+def _jpeg_progressive_bytes(
+    img, sampling=(1, 1), quant=1, split=5, restart=0
+):
+    """Reference PROGRESSIVE-JPEG (SOF2) encoder (test-only), built from
+    ITU-T.81 §G independently of the decoder under test. Scan script
+    exercises every progressive coding mode: interleaved DC first scan
+    at Al=1, per-component AC first scans split into two spectral bands
+    (1..split, split+1..63) at Al=1 with EOB-run coding, a DC
+    refinement scan (raw bits), and per-component AC refinement scans
+    (correction bits, ZRL folding, EOB-run correction buffering — the
+    §G.2/libjpeg bit-ordering). ``restart`` emits DRI/RSTn every n MCUs
+    in every scan."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    sh, sv = sampling
+
+    A = np.array(
+        [
+            [
+                (np.sqrt(0.125) if u == 0 else 0.5)
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    ZZ = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        rows = reversed(rng) if s % 2 == 0 else rng
+        ZZ.extend(r * 8 + (s - r) for r in rows)
+    qtab = np.full(64, quant, dtype=np.float64)
+
+    # flat 9-bit canonical tables; AC set includes every EOBn symbol
+    dc_syms = list(range(12))
+    ac_syms = sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {n << 4 for n in range(15)}
+        | {0xF0}
+    )
+
+    def table_spec(syms):
+        bits = [0] * 16
+        bits[8] = len(syms)
+        return bits, syms, {s: i for i, s in enumerate(syms)}
+
+    dc_bits, dc_vals, dc_code = table_spec(dc_syms)
+    ac_bits, ac_vals, ac_code = table_spec(ac_syms)
+
+    out = bytearray()
+    bitbuf = []
+
+    def put_bits(v, n):
+        for k in range(n - 1, -1, -1):
+            bitbuf.append((v >> k) & 1)
+
+    def flush_bits():
+        while len(bitbuf) % 8:
+            bitbuf.append(1)
+        for i in range(0, len(bitbuf), 8):
+            byte = 0
+            for b in bitbuf[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        bitbuf.clear()
+
+    def magnitude(v):
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    # ---- color transform, subsample, pad to the MCU grid ----
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = (
+            128.0
+            - 0.168736 * rgb[:, :, 0]
+            - 0.331264 * rgb[:, :, 1]
+            + 0.5 * rgb[:, :, 2]
+        )
+        cr = (
+            128.0
+            + 0.5 * rgb[:, :, 0]
+            - 0.418688 * rgb[:, :, 1]
+            - 0.081312 * rgb[:, :, 2]
+        )
+
+        def down(p):
+            if sh == 1 and sv == 1:
+                return p
+            hh = -(-p.shape[0] // sv) * sv
+            ww = -(-p.shape[1] // sh) * sh
+            pad = np.pad(
+                p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge"
+            )
+            return pad.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+
+        planes = [y, down(cb), down(cr)]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nc = len(planes)
+
+    # quantized zigzag coefficients for every grid block, per component
+    coefs = []
+    for p, (chs, cvs) in zip(planes, samps):
+        ph, pw = mcuy * cvs * 8, mcux * chs * 8
+        pad = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+        arr = np.zeros((mcuy * cvs, mcux * chs, 64), dtype=np.int64)
+        for by in range(arr.shape[0]):
+            for bx in range(arr.shape[1]):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                c = A @ (blk - 128.0) @ A.T
+                arr[by, bx] = np.round(c.reshape(64) / qtab).astype(
+                    np.int64
+                )[ZZ]
+        coefs.append(arr)
+
+    # effective (non-padding) block dims each NON-interleaved scan covers
+    def eff(chs, cvs):
+        comp_h = -(-h * cvs // vmax)
+        comp_w = -(-w * chs // hmax)
+        return -(-comp_h // 8), -(-comp_w // 8)
+
+    def seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    out += b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qtab[ZZ]))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci, (chs, cvs) in enumerate(samps):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0])
+    out += seg(0xC2, bytes(sof))  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    rst_n = [0]
+
+    def emit_rst():
+        flush_bits()
+        out.append(0xFF)
+        out.append(0xD0 + (rst_n[0] & 7))
+        rst_n[0] += 1
+
+    def sos_header(cids, ss, se, ah, al):
+        sos = bytearray([len(cids)])
+        for cid in cids:
+            # DC scans use DC table 0; AC scans AC table 0
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(seg(0xDA, bytes(sos)))
+
+    # ---- scan 1: interleaved DC first, Al=1 ----
+    def dc_first_scan(al):
+        sos_header(list(range(1, nc + 1)), 0, 0, 0, al)
+        preds = [0] * nc
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                emit_rst()
+                preds = [0] * nc
+            my, mx = divmod(mcu, mcux)
+            for ci, (chs, cvs) in enumerate(samps):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        v = int(coefs[ci][my * cvs + by, mx * chs + bx, 0])
+                        v >>= al  # arithmetic shift: the DC point transform
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s, mv = magnitude(diff)
+                        put_bits(dc_code[s], 9)
+                        if s:
+                            put_bits(mv, s)
+        flush_bits()
+
+    def dc_refine_scan(al):
+        sos_header(list(range(1, nc + 1)), 0, 0, al + 1, al)
+        for mcu in range(mcux * mcuy):
+            if restart and mcu and mcu % restart == 0:
+                emit_rst()
+            my, mx = divmod(mcu, mcux)
+            for ci, (chs, cvs) in enumerate(samps):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        v = int(coefs[ci][my * cvs + by, mx * chs + bx, 0])
+                        put_bits((v >> al) & 1, 1)
+        flush_bits()
+
+    def ac_first_scan(ci, ss, se, al):
+        sos_header([ci + 1], ss, se, 0, al)
+        chs, cvs = samps[ci]
+        nby, nbx = eff(chs, cvs)
+        eob = [0]
+
+        def emit_eobrun():
+            if eob[0]:
+                n = eob[0].bit_length() - 1
+                put_bits(ac_code[n << 4], 9)
+                if n:
+                    put_bits(eob[0] - (1 << n), n)
+                eob[0] = 0
+
+        for blk in range(nby * nbx):
+            if restart and blk and blk % restart == 0:
+                emit_eobrun()
+                emit_rst()
+            by, bx = divmod(blk, nbx)
+            zz = coefs[ci][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                t = int(zz[k])
+                a = abs(t) >> al
+                if a == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    put_bits(ac_code[0xF0], 9)
+                    r -= 16
+                s, mv = magnitude(a if t > 0 else -a)
+                put_bits(ac_code[(r << 4) | s], 9)
+                put_bits(mv, s)
+                r = 0
+            if r:
+                eob[0] += 1
+                if eob[0] == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        flush_bits()
+
+    def ac_refine_scan(ci, ss, se, al):
+        sos_header([ci + 1], ss, se, al + 1, al)
+        chs, cvs = samps[ci]
+        nby, nbx = eff(chs, cvs)
+        eob = [0]
+        be: list[int] = []  # correction bits pending with the EOB run
+
+        def emit_eobrun():
+            if eob[0]:
+                n = eob[0].bit_length() - 1
+                put_bits(ac_code[n << 4], 9)
+                if n:
+                    put_bits(eob[0] - (1 << n), n)
+                for b in be:
+                    put_bits(b, 1)
+                be.clear()
+                eob[0] = 0
+
+        for blk in range(nby * nbx):
+            if restart and blk and blk % restart == 0:
+                emit_eobrun()
+                emit_rst()
+            by, bx = divmod(blk, nbx)
+            zz = coefs[ci][by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            # index (band-relative) of the last NEWLY significant coef
+            eobpos = -1
+            for idx, a in enumerate(absv):
+                if a == 1:
+                    eobpos = idx
+            r = 0
+            br: list[int] = []
+            for idx, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= eobpos:
+                    emit_eobrun()
+                    put_bits(ac_code[0xF0], 9)
+                    r -= 16
+                    for b in br:
+                        put_bits(b, 1)
+                    br.clear()
+                if a > 1:  # previously significant: correction bit only
+                    br.append(a & 1)
+                    continue
+                emit_eobrun()
+                put_bits(ac_code[(r << 4) | 1], 9)
+                put_bits(1 if int(zz[ss + idx]) > 0 else 0, 1)
+                for b in br:
+                    put_bits(b, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eob[0] += 1
+                be.extend(br)
+                if eob[0] == 0x7FFF:
+                    emit_eobrun()
+        emit_eobrun()
+        flush_bits()
+
+    # the scan script: DC first, AC first in two spectral bands per
+    # component, DC refinement, AC refinements in the same bands
+    dc_first_scan(1)
+    for ci in range(nc):
+        ac_first_scan(ci, 1, split, 1)
+        ac_first_scan(ci, split + 1, 63, 1)
+    dc_refine_scan(0)
+    for ci in range(nc):
+        ac_refine_scan(ci, 1, split, 0)
+        ac_refine_scan(ci, split + 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 _IMGHDR_DATA = (
     "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
     "python3.11/test/imghdrdata"
@@ -1248,7 +1577,7 @@ class TestRealDecoders:
         assert jpg.shape == ppm.shape
         assert err.mean() < 12.0  # lossy 4:2:0 on a 16px logo
 
-    def test_jpeg_progressive_rejected_corrupt_dropped(self, spark):
+    def test_jpeg_malformed_rejected_corrupt_dropped(self, spark):
         import pytest as _pytest
 
         from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
@@ -1257,15 +1586,90 @@ class TestRealDecoders:
         import numpy as np
 
         good = _jpeg_bytes(np.zeros((8, 8), dtype=np.uint8))
-        progressive = bytearray(good)
-        sof_at = progressive.index(b"\xff\xc0")
-        progressive[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2
-        with _pytest.raises(DECODE_ERRORS, match="baseline"):
-            decode_jpeg(bytes(progressive))
+        # SOF0 relabeled SOF2 is a MALFORMED progressive stream (its one
+        # scan claims DC with Se=63) — rejected, not silently decoded
+        relabeled = bytearray(good)
+        sof_at = relabeled.index(b"\xff\xc0")
+        relabeled[sof_at + 1] = 0xC2
+        with _pytest.raises(DECODE_ERRORS, match="Se"):
+            decode_jpeg(bytes(relabeled))
+        lossless = bytearray(good)
+        lossless[sof_at + 1] = 0xC3  # SOF3: genuinely unsupported
+        with _pytest.raises(DECODE_ERRORS, match="supported"):
+            decode_jpeg(bytes(lossless))
         with _pytest.raises(DECODE_ERRORS):
             decode_jpeg(good[: len(good) // 2])  # truncated entropy data
         with _pytest.raises(DECODE_ERRORS):
             decode_jpeg(b"\xff\xd8\xff\xee\x00\x04ab")  # no SOF/SOS
+
+    def test_jpeg_progressive_444_matches_baseline_decode(self, spark):
+        """The SAME image through the progressive encoder (spectral
+        bands + successive approximation + EOB runs) and the baseline
+        encoder must decode to near-identical pixels: progressive
+        coding is lossless re-ordering of the same quantized
+        coefficients, so any divergence is a scan-merging bug."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(30, 226, (4, 5, 3)).astype(np.float64)
+        img = np.kron(base, np.ones((8, 8, 1))).astype(np.uint8)  # 32x40
+        prog = _jpeg_progressive_bytes(img, quant=1, split=5)
+        # SOF2 present, and at least the script's 9 scans (byte-pair
+        # count can over-match inside table payloads, never under)
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") >= 9
+        got_p = decode_jpeg(prog)
+        got_b = decode_jpeg(_jpeg_bytes(img, quant=1))
+        assert got_p.shape == (32, 40, 3)
+        # identical coefficients either way: tiny IDCT-rounding slack
+        assert np.abs(
+            got_p.astype(float) - got_b.astype(float)
+        ).max() <= 1.0
+        err = np.abs(got_p.astype(float) - img.astype(float))
+        assert err.mean() < 2.0
+
+    def test_jpeg_progressive_420_odd_dims_and_restarts(self, spark):
+        """4:2:0 progressive with non-multiple-of-16 dims exercises the
+        interleaved DC scan over multi-block MCUs AND the non-
+        interleaved AC traversal of the luma's effective (not padded)
+        block grid; restart intervals reset DC predictors and EOB runs
+        mid-scan."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        yy, xx = np.mgrid[0:21, 0:19]
+        img = np.stack(
+            [
+                (yy * 5 + 30) % 200,
+                (xx * 5 + 60) % 200,
+                ((yy + xx) * 3 + 90) % 200,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        got = decode_jpeg(
+            _jpeg_progressive_bytes(img, sampling=(2, 2), quant=1, restart=2)
+        )
+        assert got.shape == (21, 19, 3)
+        err = np.abs(got.astype(float) - img.astype(float))
+        assert err.mean() < 8.0
+
+    def test_jpeg_progressive_grayscale_flat_region_eob_runs(self, spark):
+        """A mostly-flat grayscale image makes every AC first scan one
+        long EOB run (EOBn symbols with n > 0) and the refinement scans
+        pure correction-bit bands — the run-length paths a busy image
+        never hits."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        g = np.full((40, 40), 120, dtype=np.uint8)
+        g[:8, :8] = np.tile(np.arange(8, dtype=np.uint8) * 30, (8, 1))
+        got = decode_jpeg(_jpeg_progressive_bytes(g, quant=1))
+        assert got.shape == (40, 40, 3)
+        err = np.abs(got[:, :, 0].astype(float) - g.astype(float))
+        assert err.mean() < 2.0
 
     def test_jpeg_png_twins_dedup_through_shared_hamming_engine(
         self, spark
