@@ -51,14 +51,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SOAK_SF1 = os.path.join(REPO, ".soak", "sf1")
 TABLE = os.path.join(REPO, ".soak", "layout_table")
 N_FILES = 256
+# ~23k distinct orderkeys per file x k=5 needs ~2^20 bits for a ~11%
+# load (the 64Kbit default saturates at this file size and keeps ~40%
+# of files on pure false positives — measured in the first run)
+BLOOM_M_BITS = 1 << 20
 
 # 2-column range predicate over the clustered columns: one month of
 # shipdate x 2% of the partkey domain. The soak builder offsets partkey
 # by 1e8 per copy, so a base-domain partkey range hits 1 copy in 10 by
 # construction — the z-layout must discover that from stats alone.
+# NOTE: the synthetic lineitem's shipdates span 1995-01..2001-11 (not
+# classic TPC-H 1992-1998) — the first soak run used a 1994 month and
+# measured a vacuous 0-file prune. Predicates must land INSIDE the data.
 PRED = [
     ("l_shipdate", "between",
-     (datetime.datetime(1994, 3, 1), datetime.datetime(1994, 3, 31))),
+     (datetime.datetime(1997, 3, 1), datetime.datetime(1997, 3, 31))),
     ("l_partkey", "between", (5_000, 9_000)),
 ]
 
@@ -116,7 +123,9 @@ def main() -> None:
         )
         t_stats = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        blooms = layout.collect_file_blooms(spark, probe, ["l_orderkey"])
+        blooms = layout.collect_file_blooms(
+            spark, probe, ["l_orderkey"], m_bits=BLOOM_M_BITS
+        )
         t_blooms = round(time.perf_counter() - t0, 3)
         shutil.rmtree(probe)
         out["commit_s"] = {
@@ -132,7 +141,7 @@ def main() -> None:
 
         v = layout.commit_clustered(
             li, TABLE, ["l_shipdate", "l_partkey"], n_files=N_FILES,
-            bloom_cols=["l_orderkey"],
+            bloom_cols=["l_orderkey"], bloom_m_bits=BLOOM_M_BITS,
         )
         print(f"  committed v{v}", file=sys.stderr)
 
@@ -165,8 +174,17 @@ def main() -> None:
           f"{brep['kept_files']}/{brep['total_files']} files",
           file=sys.stderr)
 
-    # 3. crossover: identical residual predicate on both paths
+    # soundness: the pruned scan returns exactly the rows the plain
+    # filtered scan returns (a 0-row prune with matching rows would be
+    # a false skip — the first run's vacuous predicate hid this axis)
     residual = layout._residual(PRED)
+    n_plain = spark.read.parquet(snap).filter(residual).count()
+    n_pruned = layout.scan_pruned(spark, TABLE, PRED).count()
+    assert n_plain == n_pruned, (n_plain, n_pruned)
+    assert n_plain > 0, "soak predicate matches no rows: vacuous measurement"
+    out["matched_rows"] = n_plain
+
+    # 3. crossover: identical residual predicate on both paths
 
     def plain():
         spark.read.parquet(snap).filter(residual).write.mode(
@@ -186,7 +204,7 @@ def main() -> None:
 
     # repeated-probe loop: 10 distinct month windows (metadata planning
     # amortizes; the plain path pays 256 footer opens per probe)
-    months = [(1993 + (m // 12), 1 + (m % 12)) for m in range(2, 12)]
+    months = [(1995 + (m // 12), 1 + (m % 12)) for m in range(2, 12)]
 
     def probes(scan_fn):
         for (y, mo) in months:

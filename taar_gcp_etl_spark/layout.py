@@ -284,16 +284,16 @@ def collect_file_blooms(
     columns — the case zone maps can't serve: an unclustered id's
     min/max spans every file, but its bloom hits only the files that
     actually contain it (the Parquet column-bloom / Iceberg puffin
-    idea, lifted to the manifest so the check is driver-side and
+    idea, lifted to table metadata so the check is driver-side and
     footer-free). One distributed pass per column: explode the k bit
     positions, collect the distinct set per file (bounded by m_bits),
-    pack to a base64 bitmap. m_bits sizes the false-positive rate:
-    ~n*k/m_bits bit load per file — default 64Kbit ≈ 8 KB/file/column,
-    good to ~10k distinct values/file at k=5."""
-    import base64
-
+    pack to a raw bitmap. m_bits sizes the false-positive rate:
+    ~n*k/m_bits bit load per file — 64Kbit ≈ 8 KB/file/column is good
+    to ~10k distinct values/file at k=5; size UP with rows/file (the
+    sf1 soak measured the 64Kbit default saturating at 23k
+    distinct/file, keeping 43% of files on pure false positives)."""
     df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
-    out: dict[str, dict[str, str]] = {}
+    out: dict[str, dict[str, bytes]] = {}
     for c in cols:
         rows = (
             df.filter(F.col(c).isNotNull())
@@ -310,16 +310,64 @@ def collect_file_blooms(
             for p in r["_ps"]:
                 bm[p >> 3] |= 1 << (p & 7)
             name = r["_file"].rsplit("/", 1)[1]
-            out.setdefault(name, {})[c] = base64.b64encode(
-                bytes(bm)
-            ).decode()
+            out.setdefault(name, {})[c] = bytes(bm)
     return out
 
 
-def _bloom_maybe_contains(b64: str, v, m_bits: int, k: int) -> bool:
-    import base64
+def _write_bloom_sidecar(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    token: str,
+    blooms: dict,
+    m_bits: int,
+    k: int,
+) -> dict:
+    """Write the bitmaps as ONE binary sidecar under data/ (zlib per
+    bitmap, offset-indexed) and return the manifest's ``blooms_ref``.
 
-    bm = base64.b64decode(b64)
+    Why a sidecar and not inline manifest JSON: the sf1 soak measured a
+    256-file x 1Mbit bloom set inflating the manifest to ~44 MB of
+    base64 — parsed on EVERY plan, making the pruned scan 15x slower
+    than the plain scan it was meant to beat. The manifest must stay
+    O(files) small; bloom bytes load only when an eligible equality
+    predicate actually consults them (and then once, cached — sidecars
+    are immutable, uuid-named). Living under data/ beside the snapshot
+    dirs, the sidecar shares vacuum's referenced-or-deleted lifecycle
+    and grace window."""
+    import zlib
+
+    from taar_gcp_etl_spark import txn
+
+    blob = bytearray()
+    index: dict[str, dict[str, list[int]]] = {}
+    for fname in sorted(blooms):
+        for c, bm in sorted(blooms[fname].items()):
+            comp = zlib.compress(bm, 6)
+            index.setdefault(fname, {})[c] = [len(blob), len(comp)]
+            blob += comp
+    rel = f"data/v{version:010d}-{token}.bloom"
+    txn._write_bytes(spark, f"{table_dir}/{rel}", bytes(blob))
+    return {"path": rel, "m_bits": m_bits, "k": k, "index": index}
+
+
+# sidecar blobs are immutable (uuid-token names): cache the last few so
+# a repeated-probe planning loop pays the read once
+_BLOOM_CACHE: dict[str, bytes] = {}
+_BLOOM_CACHE_MAX = 4
+
+
+def _read_bloom_sidecar(spark: SparkSession, abs_path: str) -> bytes:
+    from taar_gcp_etl_spark import txn
+
+    if abs_path not in _BLOOM_CACHE:
+        if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+            _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+        _BLOOM_CACHE[abs_path] = txn._read_bytes(spark, abs_path)
+    return _BLOOM_CACHE[abs_path]
+
+
+def _bloom_maybe_contains(bm: bytes, v, m_bits: int, k: int) -> bool:
     return all(
         bm[p >> 3] & (1 << (p & 7))
         for p in _bloom_positions_py(v, m_bits, k)
@@ -419,13 +467,17 @@ def commit_clustered(
             "files": collect_file_stats(spark, snap_abs, stats_cols),
         }
         if bloom_cols:
-            manifest["blooms"] = {
-                "m_bits": bloom_m_bits,
-                "k": bloom_k,
-                "files": collect_file_blooms(
+            manifest["blooms_ref"] = _write_bloom_sidecar(
+                spark,
+                table_dir,
+                version,
+                token,
+                collect_file_blooms(
                     spark, snap_abs, bloom_cols, bloom_m_bits, bloom_k
                 ),
-            }
+                bloom_m_bits,
+                bloom_k,
+            )
         if txn._publish_manifest(spark, table_dir, manifest, token):
             return version
     raise RuntimeError(
@@ -542,7 +594,25 @@ def prune_report(
             "commit_clustered / optimize_zorder first)"
         )
     types = man.get("stats_types", {})
-    blooms = man.get("blooms") or {}
+    bref = man.get("blooms_ref")
+
+    def bloom_bits(fname: str, c: str) -> bytes | None:
+        """Raw bitmap for (file, col), or None if untracked. Sidecar
+        blob loads lazily on FIRST consult — range-only plans never
+        read it — and is sliced per entry (zlib per bitmap)."""
+        import zlib
+
+        if bref is None:
+            return None
+        ent = bref["index"].get(fname, {}).get(c)
+        if ent is None:
+            return None
+        blob = _read_bloom_sidecar(
+            spark, f"{table_dir.rstrip('/')}/{bref['path']}"
+        )
+        off, ln = ent
+        return zlib.decompress(blob[off : off + ln])
+
     kept, skipped = [], []
     for entry in man["files"]:
         keep = True
@@ -559,13 +629,10 @@ def prune_report(
                 op == "="
                 and isinstance(val, (str, int))
                 and not isinstance(val, bool)
-                and c in blooms.get("files", {}).get(entry["file"], {})
             ):
-                if not _bloom_maybe_contains(
-                    blooms["files"][entry["file"]][c],
-                    val,
-                    blooms["m_bits"],
-                    blooms["k"],
+                bm = bloom_bits(entry["file"], c)
+                if bm is not None and not _bloom_maybe_contains(
+                    bm, val, bref["m_bits"], bref["k"]
                 ):
                     keep = False
                     break

@@ -509,6 +509,8 @@ def vacuum_txn(
             refs = list(man["buckets"].values())
             for paths in (man.get("overlays") or {}).values():
                 refs.extend(paths)
+        if "blooms_ref" in man:  # bloom sidecar file lives under data/
+            refs.append(man["blooms_ref"]["path"])
         keep_snaps.update(r.split("/", 1)[1] for r in refs)
     import time
 

@@ -319,6 +319,61 @@ class TestFileBloomFilters:
                 bloom_cols=["o_totalprice"],
             )
 
+    def test_blooms_live_in_a_sidecar_not_the_manifest(
+        self, spark, table, orders
+    ):
+        """The sf1 soak lesson: inline bloom bytes inflated a 256-file
+        manifest to ~44 MB of JSON parsed on EVERY plan, making the
+        pruned scan slower than the plain one. The manifest must stay
+        small (bitmaps in an immutable sidecar under data/), and a
+        range-only plan must never load the sidecar at all."""
+        import json
+        import os
+
+        from taar_gcp_etl_spark import txn
+
+        man = txn.latest_manifest(spark, table)
+        assert "blooms" not in man and "blooms_ref" in man
+        # manifest JSON stays metadata-sized even with blooms enabled
+        assert len(json.dumps(man)) < 64 * 1024
+        side = os.path.join(table, man["blooms_ref"]["path"])
+        assert os.path.isfile(side) and side.endswith(".bloom")
+        # range-only plan: sidecar not consulted (cache stays cold)
+        layout._BLOOM_CACHE.clear()
+        layout.prune_report(
+            spark, table, [("o_custkey", "between", (1, 50))]
+        )
+        assert layout._BLOOM_CACHE == {}
+        # equality plan loads it once; a second probe reuses the cache
+        layout.prune_report(spark, table, [("o_orderkey", "=", 1)])
+        assert len(layout._BLOOM_CACHE) == 1
+
+    def test_bloom_sidecar_follows_vacuum_lifecycle(
+        self, spark, orders, tmp_path
+    ):
+        """Superseded versions' sidecars are deleted with their
+        snapshots; the kept version's sidecar survives."""
+        import os
+
+        from taar_gcp_etl_spark import txn
+
+        t = str(tmp_path / "vacb")
+        for _ in range(2):
+            layout.commit_clustered(
+                orders, t, ["o_custkey"], n_files=2,
+                bloom_cols=["o_orderkey"],
+            )
+        side = {
+            v: txn.read_manifest(spark, t, v)["blooms_ref"]["path"]
+            for v in (1, 2)
+        }
+        txn.vacuum_txn(spark, t, keep_last=1)
+        assert not os.path.exists(os.path.join(t, side[1]))
+        assert os.path.exists(os.path.join(t, side[2]))
+        # and the surviving version still bloom-prunes
+        rep = layout.prune_report(spark, t, [("o_orderkey", "=", 10**15)])
+        assert rep["kept_files"] == 0
+
     def test_bloom_composes_with_zone_maps(self, spark, table, orders):
         """Conjunction of a zone-map range and a bloom equality prunes
         at least as hard as either alone."""
