@@ -1076,19 +1076,27 @@ def read_changes(
     table_dir: str,
     from_version: int,
     to_version: int | None = None,
+    mode: str = "compact",
 ) -> DataFrame | None:
     """Change data feed between two committed versions of a keyed CDC
-    table (flat or bucketed): one row per key whose live state differs,
-    tagged ``_change_type`` in {'insert', 'update', 'delete'} and
-    carrying the NEW row's payload (null payload for deletes) — the
-    Delta-CDF-style contract that lets downstream consumers incrementally
-    sync without replaying the source stream.
+    table (flat or bucketed): rows tagged ``_change_type``, the
+    Delta-CDF-style contract that lets downstream consumers
+    incrementally sync without replaying the source stream. Two shapes:
+
+    * ``mode='compact'`` (default): one row per changed key, types
+      {'insert', 'update', 'delete'}, carrying the NEW payload (null
+      payload for deletes).
+    * ``mode='cdf'``: Delta-compatible pre/postimage rows — deletes
+      carry the OLD payload, and an update emits TWO rows
+      ('update_preimage' with the old payload, 'update_postimage' with
+      the new). This is the shape retraction-based incremental
+      aggregation needs: the preimage tells the consumer which group
+      LOST a row.
 
     Computed as a keyed full-outer diff of the two snapshots' live rows
     (tombstones count as absent): one shuffle on the key, O(both
-    snapshots) — for bucketed tables a finer-grained variant could diff
-    only the buckets whose manifest entries changed between the
-    versions; this full diff is the correctness baseline. The diff is
+    snapshots) — read_changes_bucketed is the O(changed buckets)
+    variant; this full diff is the correctness baseline. The diff is
     derived purely from committed snapshots, so it is stable under
     replays and independent of how many micro-batches produced the
     delta."""
@@ -1105,18 +1113,24 @@ def read_changes(
         return None
     if old is None:
         return new.withColumn("_change_type", F.lit("insert"))
-    return _keyed_diff(old, new, key_col, seq_col)
+    return _keyed_diff(old, new, key_col, seq_col, mode=mode)
 
 
 def _keyed_diff(
-    old: DataFrame, new: DataFrame, key_col: str, seq_col: str
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    seq_col: str,
+    mode: str = "compact",
 ) -> DataFrame:
     """Full-outer keyed diff of two live-row states → CDF-tagged rows
     (the shared core of read_changes and read_changes_bucketed)."""
+    if mode not in ("compact", "cdf"):
+        raise ValueError(f"mode {mode!r}: use 'compact' or 'cdf'")
     payload = [c for c in new.columns if c != key_col]
     o = old.select(
         F.col(key_col),
-        F.col(seq_col).alias("_old_seq"),
+        *[F.col(c).alias(f"_old_{c}") for c in payload],
         F.lit(True).alias("_in_old"),
     )
     n = new.select(
@@ -1128,15 +1142,32 @@ def _keyed_diff(
     changed = j.filter(
         F.col("_in_old").isNull()  # insert
         | F.col("_in_new").isNull()  # delete
-        | (F.col(f"_new_{seq_col}") != F.col("_old_seq"))  # update
+        | (F.col(f"_new_{seq_col}") != F.col(f"_old_{seq_col}"))  # update
     )
-    return changed.select(
-        F.col(key_col),
-        *[F.col(f"_new_{c}").alias(c) for c in payload],
-        F.when(F.col("_in_old").isNull(), F.lit("insert"))
-        .when(F.col("_in_new").isNull(), F.lit("delete"))
-        .otherwise(F.lit("update"))
-        .alias("_change_type"),
+
+    def tagged(side: str, ctype, flt):
+        return changed.filter(flt).select(
+            F.col(key_col),
+            *[F.col(f"_{side}_{c}").alias(c) for c in payload],
+            ctype.alias("_change_type"),
+        )
+
+    is_ins = F.col("_in_old").isNull()
+    is_del = F.col("_in_new").isNull()
+    is_upd = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    if mode == "compact":
+        return tagged(
+            "new",
+            F.when(is_ins, F.lit("insert"))
+            .when(is_del, F.lit("delete"))
+            .otherwise(F.lit("update")),
+            F.lit(True),
+        )
+    return (
+        tagged("new", F.lit("insert"), is_ins)
+        .unionByName(tagged("old", F.lit("delete"), is_del))
+        .unionByName(tagged("old", F.lit("update_preimage"), is_upd))
+        .unionByName(tagged("new", F.lit("update_postimage"), is_upd))
     )
 
 
@@ -1163,6 +1194,7 @@ def read_changes_bucketed(
     table_dir: str,
     from_version: int,
     to_version: int | None = None,
+    mode: str = "compact",
 ) -> DataFrame | None:
     """Change data feed over a BUCKETED CDC table at bucket granularity
     (round-6 backlog #7): same contract as ``read_changes`` — one
@@ -1187,7 +1219,9 @@ def read_changes_bucketed(
     if man is None:
         return None
     if "snapshot" in man:  # flat layout: no bucket granularity
-        return read_changes(spark, table_dir, from_version, to_version)
+        return read_changes(
+            spark, table_dir, from_version, to_version, mode=mode
+        )
     if to_version is None:
         to_version = man["version"]
     key_col = man.get("key_col", "id")
@@ -1212,29 +1246,225 @@ def read_changes_bucketed(
 
     changed = changed_buckets(man_from, man_to)
     new = live(to_version, changed)
-    if new is None:
-        # no changed bucket has any live rows in the target version:
-        # the diff is either empty or all-deletes from the old side
+    old = live(from_version, changed)
+    if new is None and old is None:
+        # no changed buckets (or none with any rows): empty diff
         full_new = read_cdc_table(spark, table_dir, version=to_version)
         if full_new is None:
             return None
-        empty = full_new.filter(F.lit(False)).withColumn(
+        return full_new.filter(F.lit(False)).withColumn(
             "_change_type", F.lit("")
         )
-        old = live(from_version, changed)
-        if old is None:
-            return empty
-        return empty.unionByName(
-            old.select(
-                F.col(key_col),
-                F.lit("delete").alias("_change_type"),
-            ),
-            allowMissingColumns=True,
-        ).select(*empty.columns)
-    old = live(from_version, changed)
     if old is None:
         return new.withColumn("_change_type", F.lit("insert"))
-    return _keyed_diff(old, new, key_col, seq_col)
+    if new is None:  # all changed buckets emptied: pure deletes
+        new = old.filter(F.lit(False))
+    return _keyed_diff(old, new, key_col, seq_col, mode=mode)
+
+
+def _nn(m: str) -> str:
+    return f"_nn_{m}"
+
+
+LIVE_ROWS_COL = "_live_rows"
+
+
+def sync_aggregate_from_cdc(
+    spark: SparkSession,
+    source_dir: str,
+    store_dir: str,
+    group_keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> int | None:
+    """Incremental materialized-VIEW maintenance over a CDC-maintained
+    source table, driven by the change feed — the piece
+    refresh_aggregate_store_txn cannot be: that operator merges
+    APPEND-ONLY event partials, but a CDC source updates and deletes
+    rows, so a sound refresh must RETRACT old contributions, not just
+    add new ones.
+
+    ``measures`` uses operators.merge's explicit (op, column) specs.
+    Two maintenance strategies, chosen from the measure set:
+
+    * **Retraction (all measures invertible: sum/count)** — the
+      textbook IVM path: read the CDF in 'cdf' mode (update_preimage /
+      update_postimage rows; deletes carry the old payload), aggregate
+      signed contributions per group (+1 for insert/postimage, -1 for
+      delete/preimage), and merge into the store with plain arithmetic.
+      Cost is O(changes + store): the source is read only through the
+      bucket-granular CDF (changed buckets), never fully scanned. The
+      store additionally carries ``_live_rows`` (groups whose count
+      reaches zero are dropped) and a ``_nn_<m>`` non-null counter per
+      sum measure (so a sum over a group whose non-null inputs all
+      retract goes back to NULL, exactly matching a full re-aggregate —
+      without the counter it would freeze at 0).
+    * **Group-targeted recompute (any min/max)** — min/max cannot be
+      retracted (removing the current min says nothing about the new
+      one). The preimage rows name every group that lost a row, so the
+      sync recomputes exactly the TOUCHED groups from the source's live
+      rows (one semi-join pass) and splices them into the store. Cost
+      is O(changes + rows-in-touched-groups + store); the semi-join
+      scan prunes further when the source is zone-map clustered on the
+      group key.
+
+    Cursor + idempotence: the store's manifest ``epoch_id`` records the
+    last source VERSION synced (source versions are monotonic, so the
+    existing epoch guard gives exactly-once replay semantics for free),
+    and the whole read-diff-merge runs inside commit_txn's CAS builder,
+    so a lost race re-reads the fresh store AND re-reads the cursor.
+    Group keys join null-safely (a null group is a group, matching SQL
+    GROUP BY). Returns the committed store version (None when the
+    source has no commits or the store is already at the source
+    version)."""
+    from taar_gcp_etl_spark.operators.merge import (
+        _MERGEABLE_OPS,
+        _measure_agg,
+    )
+
+    src_man = latest_manifest(spark, source_dir)
+    if src_man is None:
+        return None
+    to_version = src_man["version"]
+    mnames = sorted(measures)
+    for m in mnames:
+        if measures[m][0] not in _MERGEABLE_OPS:
+            raise ValueError(
+                f"measure {m!r}: op {measures[m][0]!r} not in "
+                f"{sorted(_MERGEABLE_OPS)}"
+            )
+    invertible = all(measures[m][0] in ("sum", "count") for m in mnames)
+    sum_cols = [m for m in mnames if measures[m][0] == "sum"]
+    extra = [LIVE_ROWS_COL] + [_nn(m) for m in sum_cols]
+
+    def full_agg(live_df: DataFrame) -> DataFrame:
+        aggs = [_measure_agg(measures[m]).alias(m) for m in mnames]
+        if invertible:
+            aggs.append(F.count(F.lit(1)).alias(LIVE_ROWS_COL))
+            aggs += [
+                F.count(F.col(measures[m][1])).alias(_nn(m))
+                for m in sum_cols
+            ]
+        return live_df.groupBy(*group_keys).agg(*aggs)
+
+    def out_cols(df: DataFrame) -> DataFrame:
+        cols = [*group_keys, *mnames] + (extra if invertible else [])
+        return df.select(*cols)
+
+    def null_safe_on(left: DataFrame, right: DataFrame):
+        cond = F.lit(True)
+        for kcol in group_keys:
+            cond = cond & left[kcol].eqNullSafe(right[kcol])
+        return cond
+
+    def build(cur_version):
+        last = None
+        if cur_version is not None:
+            last = read_manifest(spark, store_dir, cur_version).get(
+                "epoch_id"
+            )
+        if last is None:
+            # cold start: one full aggregate of the source's live rows
+            return out_cols(
+                full_agg(
+                    read_cdc_table(spark, source_dir, version=to_version)
+                )
+            )
+        store = read_txn(spark, store_dir, version=cur_version)
+        ch = read_changes_bucketed(
+            spark, source_dir, last, to_version, mode="cdf"
+        )
+        if invertible:
+            sign = F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            daggs = [F.sum(sign).alias(f"_d_{LIVE_ROWS_COL}")]
+            for m in mnames:
+                op, c = measures[m]
+                if op == "sum":
+                    daggs.append(F.sum(sign * F.col(c)).alias(f"_d_{m}"))
+                    daggs.append(
+                        F.sum(
+                            sign * F.col(c).isNotNull().cast("long")
+                        ).alias(f"_d_{_nn(m)}")
+                    )
+                else:  # count
+                    src = (
+                        F.lit(1)
+                        if c == "*"
+                        else F.col(c).isNotNull().cast("long")
+                    )
+                    daggs.append(F.sum(sign * src).alias(f"_d_{m}"))
+            delta = ch.groupBy(*group_keys).agg(*daggs)
+            s, d = store.alias("s"), delta.alias("d")
+            j = s.join(d, null_safe_on(s, d), "full_outer")
+            sel = [
+                F.coalesce(F.col(f"s.{kcol}"), F.col(f"d.{kcol}")).alias(
+                    kcol
+                )
+                for kcol in group_keys
+            ]
+            for m in mnames:
+                op, _ = measures[m]
+                merged = F.coalesce(F.col(f"s.{m}"), F.lit(0)) + F.coalesce(
+                    F.col(f"_d_{m}"), F.lit(0)
+                )
+                if op == "sum":
+                    new_nn = F.coalesce(
+                        F.col(f"s.{_nn(m)}"), F.lit(0)
+                    ) + F.coalesce(F.col(f"_d_{_nn(m)}"), F.lit(0))
+                    sel.append(
+                        F.when(new_nn == 0, F.lit(None)).otherwise(merged)
+                        .alias(m)
+                    )
+                else:
+                    sel.append(merged.alias(m))
+            sel.append(
+                (
+                    F.coalesce(F.col(f"s.{LIVE_ROWS_COL}"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{LIVE_ROWS_COL}"), F.lit(0))
+                ).alias(LIVE_ROWS_COL)
+            )
+            sel += [
+                (
+                    F.coalesce(F.col(f"s.{_nn(m)}"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{_nn(m)}"), F.lit(0))
+                ).alias(_nn(m))
+                for m in sum_cols
+            ]
+            return out_cols(j.select(*sel).filter(F.col(LIVE_ROWS_COL) > 0))
+        # non-invertible: recompute exactly the touched groups
+        touched = ch.select(*group_keys).distinct()
+        live_df = read_cdc_table(
+            spark, source_dir, version=to_version
+        ).alias("l")
+        t1, t2 = touched.alias("t1"), touched.alias("t2")
+        fresh = full_agg(
+            live_df.join(t1, null_safe_on(live_df, t1), "left_semi")
+        )
+        s = store.alias("s")
+        untouched = s.join(t2, null_safe_on(s, t2), "left_anti")
+        return out_cols(untouched.unionByName(fresh))
+
+    return commit_txn(
+        build, store_dir, epoch_id=to_version, spark=spark
+    )
+
+
+def read_aggregate_store(
+    spark: SparkSession, store_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """User-facing read of a sync_aggregate_from_cdc store: maintenance
+    counters hidden."""
+    df = read_txn(spark, store_dir, version=version)
+    if df is None:
+        return df
+    drop = [
+        c
+        for c in df.columns
+        if c == LIVE_ROWS_COL or c.startswith("_nn_")
+    ]
+    return df.drop(*drop)
 
 
 def _cdc_kept_files(

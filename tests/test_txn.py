@@ -1015,6 +1015,32 @@ class TestBucketGranularCdf:
         # the read is O(changed buckets), never a table scan
         assert re.search(r"PartitionFilters: \[[^\]]*_bucket", plan), plan
 
+    def test_cdf_mode_emits_preimages_and_delete_payloads(
+        self, spark, tmp_path
+    ):
+        """Delta-CDF-compatible shape: deletes carry the OLD payload,
+        updates emit preimage + postimage rows."""
+        t = str(tmp_path / "cdfm")
+        self._build(spark, t)
+        rows = {
+            (r.id, r._change_type): r.val
+            for r in txn.read_changes_bucketed(
+                spark, t, 1, 2, mode="cdf"
+            ).collect()
+        }
+        assert rows == {
+            (2, "update_preimage"): "v2",
+            (2, "update_postimage"): "v2x",
+            (5, "delete"): "v5",  # preimage payload, not null
+            (9, "insert"): "v9",
+        }
+        # full-diff twin agrees
+        full = {
+            (r.id, r._change_type): r.val
+            for r in txn.read_changes(spark, t, 1, 2, mode="cdf").collect()
+        }
+        assert full == rows
+
     def test_flat_table_falls_back_to_full_diff(self, spark, tmp_path):
         t = str(tmp_path / "bcdf-flat")
         txn.apply_cdc_batch_txn(
@@ -1026,6 +1052,154 @@ class TestBucketGranularCdf:
         assert self._cdf(
             txn.read_changes_bucketed(spark, t, 1, 2)
         ) == self._cdf(txn.read_changes(spark, t, 1, 2))
+
+
+class TestIncrementalViewSync:
+    """sync_aggregate_from_cdc: a materialized aggregate over a
+    CDC-maintained table stays equal to a full re-aggregate of the live
+    rows after every sync — through updates, group moves, deletes, and
+    replays — while reading the source only through the bucket-granular
+    change feed."""
+
+    SRC = "id long, grp string, val long, seq long, op string"
+    MEASURES = {"total": ("sum", "val"), "n": ("count", "*")}
+
+    def _apply(self, spark, src, rows):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, self.SRC), src,
+            key_col="id", n_buckets=8,
+        )
+
+    def _expect(self, spark, src, measures):
+        from taar_gcp_etl_spark.operators.merge import _measure_agg
+
+        live = txn.read_cdc_table(spark, src)
+        mnames = sorted(measures)
+        return {
+            r.grp: tuple(r[m] for m in mnames)
+            for r in live.groupBy("grp")
+            .agg(*[_measure_agg(measures[m]).alias(m) for m in mnames])
+            .collect()
+        }
+
+    def _got(self, spark, store, measures):
+        df = txn.read_aggregate_store(spark, store)
+        mnames = sorted(measures)
+        assert set(df.columns) == {"grp", *mnames}  # counters hidden
+        return {r.grp: tuple(r[m] for m in mnames) for r in df.collect()}
+
+    def test_retraction_path_tracks_updates_moves_deletes(
+        self, spark, tmp_path
+    ):
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "mv")
+        self._apply(spark, src, [
+            (1, "a", 10, 1, "I"), (2, "a", 20, 2, "I"),
+            (3, "b", 5, 3, "I"), (4, "b", None, 4, "I"),
+        ])
+        v = txn.sync_aggregate_from_cdc(
+            spark, src, store, ["grp"], self.MEASURES
+        )
+        assert v == 1
+        assert self._got(spark, store, self.MEASURES) == self._expect(
+            spark, src, self.MEASURES
+        )
+        # update value, MOVE a row a->b, delete one row
+        self._apply(spark, src, [
+            (1, "a", 11, 10, "U"),      # value update in place
+            (2, "b", 20, 11, "U"),      # group move: a loses, b gains
+            (3, None, None, 12, "D"),   # delete
+            (5, "c", 7, 13, "I"),       # new group
+        ])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        assert self._got(spark, store, self.MEASURES) == self._expect(
+            spark, src, self.MEASURES
+        )
+        # empty group a entirely: it must vanish from the store
+        self._apply(spark, src, [(1, None, None, 20, "D")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        got = self._got(spark, store, self.MEASURES)
+        assert "a" not in got
+        assert got == self._expect(spark, src, self.MEASURES)
+        # replay: already at source version -> no-op, store unchanged
+        assert txn.sync_aggregate_from_cdc(
+            spark, src, store, ["grp"], self.MEASURES
+        ) is None
+        assert got == self._got(spark, store, self.MEASURES)
+
+    def test_sum_returns_to_null_when_nonnull_inputs_retract(
+        self, spark, tmp_path
+    ):
+        """The _nn counter edge: a group whose only non-null value is
+        deleted must show sum NULL again (full-re-aggregate parity),
+        not a frozen 0."""
+        src = str(tmp_path / "srcn")
+        store = str(tmp_path / "mvn")
+        self._apply(spark, src, [(1, "g", None, 1, "I")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        assert self._got(spark, store, self.MEASURES)["g"] == (1, None)
+        self._apply(spark, src, [(2, "g", 42, 2, "I")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        assert self._got(spark, store, self.MEASURES)["g"] == (2, 42)
+        self._apply(spark, src, [(2, None, None, 3, "D")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        assert self._got(spark, store, self.MEASURES)["g"] == (1, None)
+        assert self._got(spark, store, self.MEASURES) == self._expect(
+            spark, src, self.MEASURES
+        )
+
+    def test_null_group_key_is_a_group(self, spark, tmp_path):
+        src = str(tmp_path / "srcg")
+        store = str(tmp_path / "mvg")
+        self._apply(spark, src, [
+            (1, None, 3, 1, "I"), (2, None, 4, 2, "I"), (3, "x", 9, 3, "I"),
+        ])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        assert self._got(spark, store, self.MEASURES) == self._expect(
+            spark, src, self.MEASURES
+        )
+        self._apply(spark, src, [(1, None, None, 9, "D")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        got = self._got(spark, store, self.MEASURES)
+        assert got[None] == (1, 4)
+        assert got == self._expect(spark, src, self.MEASURES)
+
+    def test_minmax_recompute_path(self, spark, tmp_path):
+        """Deleting the current max forces the group's recompute — the
+        retraction identity cannot produce the new max."""
+        measures = {"mx": ("max", "val"), "mn": ("min", "val")}
+        src = str(tmp_path / "srcm")
+        store = str(tmp_path / "mvm")
+        self._apply(spark, src, [
+            (1, "a", 10, 1, "I"), (2, "a", 99, 2, "I"), (3, "b", 7, 3, "I"),
+        ])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert self._got(spark, store, measures) == self._expect(
+            spark, src, measures
+        )
+        self._apply(spark, src, [(2, None, None, 10, "D")])  # drop the max
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        got = self._got(spark, store, measures)
+        assert got["a"] == (10, 10)
+        assert got == self._expect(spark, src, measures)
+        # untouched group b must have survived the splice unchanged
+        assert got["b"] == (7, 7)
+
+    def test_cursor_survives_multi_version_gaps(self, spark, tmp_path):
+        """Several source commits between syncs: one sync catches up
+        across all of them (the CDF diffs last-synced..latest)."""
+        src = str(tmp_path / "srcc")
+        store = str(tmp_path / "mvc")
+        self._apply(spark, src, [(1, "a", 1, 1, "I")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        self._apply(spark, src, [(2, "a", 2, 2, "I")])
+        self._apply(spark, src, [(1, "a", 5, 3, "U")])
+        self._apply(spark, src, [(3, "b", 9, 4, "I")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], self.MEASURES)
+        assert self._got(spark, store, self.MEASURES) == self._expect(
+            spark, src, self.MEASURES
+        )
+        assert txn.latest_manifest(spark, store)["epoch_id"] == 4
 
 
 class TestCdcZoneMaps:
