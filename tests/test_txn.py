@@ -392,6 +392,9 @@ class TestBucketedCdc:
         assert _rows(txn.read_cdc_table(spark, t))[40] == ("v40", 40)
         assert report["removed_manifests"] == 2
         assert report["removed_snapshots"] == 0  # all dirs still owned
+        # v2's change feed lost its manifest and was reclaimed; the
+        # kept version's feed survives
+        assert report["removed_change_feeds"] == 1
 
     def test_compaction_consolidates_dirs_and_keeps_layout(
         self, spark, tmp_path
@@ -1040,6 +1043,104 @@ class TestBucketGranularCdf:
             for r in txn.read_changes(spark, t, 1, 2, mode="cdf").collect()
         }
         assert full == rows
+
+    def test_netting_composes_transitions_across_versions(
+        self, spark, tmp_path
+    ):
+        """Multi-version windows net through the per-commit change
+        files: insert→delete cancels, delete→re-insert becomes an
+        update whose preimage is the deleted row, update chains
+        collapse to first-preimage/last-postimage."""
+        t = str(tmp_path / "net")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a1", 1, "I"), (2, "b1", 2, "I")], CDC_SCHEMA
+            ),
+            t, n_buckets=4,
+        )
+        # v2: insert 3; update 1
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(3, "c1", 10, "I"), (1, "a2", 11, "U")], CDC_SCHEMA
+            ),
+            t, n_buckets=4,
+        )
+        # v3: delete 3 (net: 3 never existed); update 1 again; delete 2
+        # then v4: re-insert 2
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(3, None, 20, "D"), (1, "a3", 21, "U"), (2, None, 22, "D")],
+                CDC_SCHEMA,
+            ),
+            t, n_buckets=4,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(2, "b2", 30, "I")], CDC_SCHEMA),
+            t, n_buckets=4,
+        )
+        # every commit in (1, 4] materialized change files -> netting
+        for v in (2, 3, 4):
+            assert "change_files" in txn.read_manifest(spark, t, v)
+        got = {
+            (r.id, r._change_type): r.val
+            for r in txn.read_changes_bucketed(
+                spark, t, 1, 4, mode="cdf"
+            ).collect()
+        }
+        assert got == {
+            (1, "update_preimage"): "a1",
+            (1, "update_postimage"): "a3",
+            (2, "update_preimage"): "b1",  # delete+reinsert nets to update
+            (2, "update_postimage"): "b2",
+            # key 3: insert then delete -> no row at all
+        }
+        # and the netted result equals the snapshot-diff baseline
+        base = {
+            (r.id, r._change_type): r.val
+            for r in txn.read_changes(spark, t, 1, 4, mode="cdf").collect()
+        }
+        assert got == base
+
+    def test_netting_plan_reads_only_change_files(self, spark, tmp_path):
+        """The fast path must not touch any snapshot dir: every input
+        file of the diff plan comes from a per-commit change dir."""
+        t = str(tmp_path / "netp")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", i, "I") for i in range(1, 9)], CDC_SCHEMA
+            ),
+            t, n_buckets=4,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(1, "x", 10, "U")], CDC_SCHEMA),
+            t, n_buckets=4,
+        )
+        files = txn.read_changes_bucketed(spark, t, 1, 2).inputFiles()
+        assert files, "expected a materialized change-file plan"
+        assert all("/data/c" in f for f in files), files
+
+    def test_vacuumed_from_version_raises_not_all_inserts(
+        self, spark, tmp_path
+    ):
+        """A diff base that vacuum removed must raise — silently
+        returning 'everything is an insert' would double-count in any
+        downstream sync."""
+        t = str(tmp_path / "netv")
+        for i in range(4):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame(
+                    [(1, f"v{i}", i + 1, "U" if i else "I")], CDC_SCHEMA
+                ),
+                t, n_buckets=4,
+            )
+        txn.vacuum_txn(spark, t, keep_last=2)
+        with pytest.raises(Exception):
+            txn.read_changes_bucketed(spark, t, 1, 4).collect()
+        # the kept window still diffs fine
+        assert {
+            r._change_type
+            for r in txn.read_changes_bucketed(spark, t, 3, 4).collect()
+        } == {"update"}
 
     def test_flat_table_falls_back_to_full_diff(self, spark, tmp_path):
         t = str(tmp_path / "bcdf-flat")
