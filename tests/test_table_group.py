@@ -1,0 +1,113 @@
+"""Table groups (taar_gcp_etl_spark/table_group.py): cross-table
+atomic visibility over the txn layer — a reader through a group version
+sees every member table from one consistent cut, a crash between member
+commits and the group publish leaves the old cut intact, and one epoch
+guard covers all member tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taar_gcp_etl_spark import table_group as tg
+from taar_gcp_etl_spark import txn
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "o_id long, amount long")
+
+
+def _summary_of(df):
+    return df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")
+    )
+
+
+class TestGroupCommit:
+    def _paths(self, tmp_path):
+        return (
+            str(tmp_path / "grp"),
+            {"orders": str(tmp_path / "orders"),
+             "summary": str(tmp_path / "summary")},
+        )
+
+    def _commit(self, spark, grp, dirs, rows, epoch=None):
+        orders = _orders(spark, rows)
+        return tg.group_commit(
+            spark,
+            grp,
+            {"orders": orders, "summary": _summary_of(orders)},
+            table_dirs=dirs,
+            epoch_id=epoch,
+        )
+
+    def test_consistent_cut_and_time_travel(self, spark, tmp_path):
+        grp, dirs = self._paths(tmp_path)
+        assert self._commit(spark, grp, dirs, [(1, 10), (2, 20)]) == 1
+        assert self._commit(spark, grp, dirs, [(1, 10), (2, 20), (3, 30)]) == 2
+        # at EVERY group version, the summary matches its orders — the
+        # pairing invariant a consistent cut guarantees
+        for gv in (1, 2):
+            orders = tg.read_group(spark, grp, "orders", group_version=gv)
+            summary = tg.read_group(spark, grp, "summary", group_version=gv)
+            exp = _summary_of(orders).collect()[0]
+            got = summary.collect()[0]
+            assert (got.n, got.total) == (exp.n, exp.total)
+        assert tg.read_group(spark, grp, "orders").count() == 3  # latest
+        hist = tg.group_history(spark, grp)
+        assert [h["version"] for h in hist] == [1, 2]
+
+    def test_crash_after_member_commit_keeps_old_cut(
+        self, spark, tmp_path
+    ):
+        """A member table advanced WITHOUT a group publish (the crash
+        window, or any out-of-band writer) must stay invisible to group
+        readers: the old vector is still the truth."""
+        grp, dirs = self._paths(tmp_path)
+        self._commit(spark, grp, dirs, [(1, 10)])
+        # simulate: group commit crashed after committing orders v2
+        txn.commit_txn(_orders(spark, [(1, 10), (9, 900)]), dirs["orders"])
+        assert txn.read_txn(spark, dirs["orders"]).count() == 2  # direct
+        assert tg.read_group(spark, grp, "orders").count() == 1  # pinned
+        # summary still matches the pinned orders — the cut holds
+        s = tg.read_group(spark, grp, "summary").collect()[0]
+        assert (s.n, s.total) == (1, 10)
+        # the next successful group commit flips both together
+        self._commit(spark, grp, dirs, [(1, 11), (9, 900)])
+        s2 = tg.read_group(spark, grp, "summary").collect()[0]
+        assert (s2.n, s2.total) == (2, 911)
+
+    def test_one_epoch_guard_covers_all_members(self, spark, tmp_path):
+        """A replayed epoch skips BEFORE any member commit — no member
+        version advances, closing the cross-table double-apply window
+        of independent per-table guards."""
+        grp, dirs = self._paths(tmp_path)
+        assert self._commit(spark, grp, dirs, [(1, 10)], epoch=7) == 1
+        ov = txn.latest_manifest(spark, dirs["orders"])["version"]
+        assert self._commit(spark, grp, dirs, [(1, 99)], epoch=7) is None
+        assert txn.latest_manifest(spark, dirs["orders"])["version"] == ov
+        assert tg.read_group(spark, grp, "orders").collect()[0].amount == 10
+
+    def test_builder_member_and_carry_forward(self, spark, tmp_path):
+        """Read-modify-write members use commit_txn's builder form;
+        tables absent from a write set carry forward at their pinned
+        versions."""
+        grp, dirs = self._paths(tmp_path)
+        self._commit(spark, grp, dirs, [(1, 10)])
+
+        def bump(cur_version):
+            cur = txn.read_txn(spark, dirs["orders"], version=cur_version)
+            return cur.withColumn("amount", F.col("amount") + 1)
+
+        gv = tg.group_commit(spark, grp, {"orders": bump})
+        assert gv == 2
+        assert tg.read_group(spark, grp, "orders").collect()[0].amount == 11
+        # summary not written this commit: carried forward, still v1's
+        d, v = tg.group_table_version(spark, grp, "summary")
+        assert v == 1
+
+    def test_unknown_table_requires_dir(self, spark, tmp_path):
+        import pytest
+
+        grp, dirs = self._paths(tmp_path)
+        with pytest.raises(ValueError, match="no table_dir"):
+            tg.group_commit(spark, grp, {"orders": _orders(spark, [(1, 1)])})
