@@ -734,7 +734,7 @@ def apply_cdc_batch_bucketed(
     key_col: str = "id",
     op_col: str = "op",
     seq_col: str = "seq",
-    n_buckets: int = 64,
+    n_buckets: int | None = 64,
     epoch_id: int | None = None,
     max_attempts: int = 5,
     stats_cols: list[str] | None = None,
@@ -795,6 +795,14 @@ def apply_cdc_batch_bucketed(
     """
     spark = batch_df.sparkSession
     table_dir = table_dir.rstrip("/")
+    if n_buckets is None:  # inherit the table's current bucket count
+        man0 = latest_manifest(spark, table_dir)
+        if man0 is None or "n_buckets" not in man0:
+            raise ValueError(
+                "n_buckets=None needs an existing bucketed table to "
+                "inherit from — pass an explicit count for a new table"
+            )
+        n_buckets = man0["n_buckets"]
     staged_all = _stage_cdc_batch(
         batch_df, key_col, op_col, seq_col
     ).withColumn(BUCKET_COL, _bucket_of(key_col, n_buckets))
@@ -1082,6 +1090,106 @@ def compact_cdc_tombstones(
                 return version
         raise RuntimeError(f"compact: version conflicts on {table_dir}")
     return commit_txn(keep_at, table_dir, spark=spark)
+
+
+def _write_empty_change_file(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    token: str,
+    live_like: DataFrame,
+) -> dict:
+    """Empty change feed for a maintenance commit (rescale, compaction):
+    the live content is unchanged, and recording that EXPLICITLY keeps
+    read_changes' O(changes) netting fast path available across the
+    maintenance version instead of forcing every window containing it
+    back to the snapshot diff."""
+    ch_rel = f"data/c{version:010d}-{token}"
+    live_like.limit(0).withColumn(
+        "_change_type", F.lit("")
+    ).write.mode("overwrite").parquet(f"{table_dir}/{ch_rel}")
+    return {"path": ch_rel, "preimage": True}
+
+
+def rescale_buckets(
+    spark: SparkSession,
+    table_dir: str,
+    new_n_buckets: int,
+    max_attempts: int = 5,
+) -> int | None:
+    """Re-hash a bucketed CDC table to a different bucket count — the
+    operational escape hatch for the one knob the bucketed layout fixes
+    at creation. Buckets size the pruning granularity (a few GB each at
+    100 TB); a table that has grown 100x since creation ends up with
+    buckets too large to give per-batch applies any pruning, and the
+    hash function's modulus cannot change incrementally (every key may
+    move). So rescale is a full transactional rewrite: read the current
+    state (overlays resolved, tombstones KEPT — they are retention
+    state), re-hash on the new modulus, write one hash-partitioned dir,
+    and publish a manifest mapping all new buckets to it. Runs in the
+    CAS loop, so a concurrent micro-batch either lands before (rescale
+    re-reads) or after (its CAS sees the new version and re-merges);
+    readers see old or new layout, never a mix. Records an EMPTY change
+    file (live content is unchanged) so CDF netting stays available
+    across the maintenance version. Returns the committed version, or
+    None if the table already has ``new_n_buckets``."""
+    table_dir = table_dir.rstrip("/")
+    token = uuid.uuid4().hex[:8]
+    for _ in range(max_attempts):
+        man = latest_manifest(spark, table_dir)
+        if man is None or "buckets" not in man:
+            raise ValueError(
+                f"{table_dir} is not a bucketed CDC table"
+            )
+        if man["n_buckets"] == new_n_buckets:
+            return None
+        key_col = man.get("key_col", "id")
+        version = man["version"] + 1
+        full = read_txn(spark, table_dir, version=man["version"])
+        rehashed = full.drop(BUCKET_COL).withColumn(
+            BUCKET_COL, _bucket_of(key_col, new_n_buckets)
+        )
+        snap_rel = f"data/v{version:010d}-{token}"
+        rehashed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            f"{table_dir}/{snap_rel}"
+        )
+        manifest = {
+            "version": version,
+            "buckets": {str(b): snap_rel for b in range(new_n_buckets)},
+            "n_buckets": new_n_buckets,
+            "key_col": key_col,
+            "seq_col": man.get("seq_col", "seq"),
+            "overlays": {},  # full rewrite folds every overlay in
+            "epoch_id": man.get("epoch_id"),
+            "parent": man["version"],
+            "schema": man.get("schema") or _schema_fields(rehashed),
+            "change_files": _write_empty_change_file(
+                spark,
+                table_dir,
+                version,
+                token,
+                full.filter(~F.col(DELETED_COL)).drop(
+                    DELETED_COL, BUCKET_COL
+                ),
+            ),
+        }
+        if man.get("stats_cols"):
+            from taar_gcp_etl_spark.layout import collect_file_stats
+
+            sc = man["stats_cols"]
+            manifest["stats_cols"] = sc
+            manifest["file_stats"] = {
+                snap_rel: collect_file_stats(
+                    spark, f"{table_dir}/{snap_rel}", sc
+                )
+            }
+            types = dict(manifest["schema"])
+            manifest["stats_types"] = {c: types.get(c, "") for c in sc}
+        if _publish_manifest(spark, table_dir, manifest, token):
+            return version
+    raise RuntimeError(
+        f"rescale_buckets: version conflicts on {table_dir}"
+    )
 
 
 def stream_cdc_apply_txn(

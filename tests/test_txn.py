@@ -1155,6 +1155,95 @@ class TestBucketGranularCdf:
         ) == self._cdf(txn.read_changes(spark, t, 1, 2))
 
 
+class TestRescaleBuckets:
+    """rescale_buckets: re-hash a bucketed CDC table to a new bucket
+    count transactionally — content (live rows AND retention
+    tombstones) preserved, pruning intact on the new modulus, CDF
+    netting available across the maintenance version."""
+
+    def _seed(self, spark, t):
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", i, "I") for i in range(1, 41)], CDC_SCHEMA
+            ),
+            t, n_buckets=4,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(5, None, 100, "D")], CDC_SCHEMA),
+            t, n_buckets=4,
+        )
+
+    def test_content_and_tombstones_survive_rescale(self, spark, tmp_path):
+        t = str(tmp_path / "rs")
+        self._seed(spark, t)
+        before = _rows(txn.read_cdc_table(spark, t))
+        v = txn.rescale_buckets(spark, t, 16)
+        assert v == 3
+        man = txn.latest_manifest(spark, t)
+        assert man["n_buckets"] == 16 and len(man["buckets"]) == 16
+        assert man["overlays"] == {}
+        assert _rows(txn.read_cdc_table(spark, t)) == before
+        # the tombstone's retention state survived the re-hash: a stale
+        # upsert for the deleted key still cannot resurrect it
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(5, "zombie", 50, "U")], CDC_SCHEMA),
+            t, n_buckets=None,  # inherit the rescaled count
+        )
+        assert 5 not in _rows(txn.read_cdc_table(spark, t))
+        # no-op when already at the target
+        assert txn.rescale_buckets(spark, t, 16) is None
+        # the old count is now rejected; inheritance works
+        with pytest.raises(ValueError, match="n_buckets mismatch"):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame([(50, "x", 200, "I")], CDC_SCHEMA),
+                t, n_buckets=4,
+            )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(50, "x", 200, "I")], CDC_SCHEMA),
+            t, n_buckets=None,
+        )
+        assert _rows(txn.read_cdc_table(spark, t))[50] == ("x", 200)
+
+    def test_cdf_netting_spans_the_rescale_version(self, spark, tmp_path):
+        """A diff window containing the rescale must stay on the
+        O(changes) netting path (rescale records an EMPTY change file)
+        and net to exactly the real changes either side of it."""
+        t = str(tmp_path / "rsc")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", i, "I") for i in range(1, 9)], CDC_SCHEMA
+            ),
+            t, n_buckets=4,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(1, "x", 10, "U")], CDC_SCHEMA),
+            t, n_buckets=4,
+        )
+        txn.rescale_buckets(spark, t, 8)                      # v3
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(2, "y", 11, "U")], CDC_SCHEMA),
+            t, n_buckets=None,                                 # v4
+        )
+        diff = txn.read_changes_bucketed(spark, t, 1, 4)
+        files = diff.inputFiles()
+        assert files and all("/data/c" in f for f in files), files
+        got = {(r.id, r._change_type): r.val for r in diff.collect()}
+        assert got == {(1, "update"): "x", (2, "update"): "y"}
+        # equality with the snapshot-diff baseline
+        base = {
+            (r.id, r._change_type): r.val
+            for r in txn.read_changes(spark, t, 1, 4).collect()
+        }
+        assert got == base
+
+    def test_inherit_requires_existing_table(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="inherit"):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame([(1, "a", 1, "I")], CDC_SCHEMA),
+                str(tmp_path / "nope"), n_buckets=None,
+            )
+
+
 class TestIncrementalViewSync:
     """sync_aggregate_from_cdc: a materialized aggregate over a
     CDC-maintained table stays equal to a full re-aggregate of the live
