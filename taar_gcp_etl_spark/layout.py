@@ -595,23 +595,40 @@ def prune_report(
         )
     types = man.get("stats_types", {})
     bref = man.get("blooms_ref")
+    legacy = man.get("blooms")  # inline pre-sidecar manifests
 
-    def bloom_bits(fname: str, c: str) -> bytes | None:
-        """Raw bitmap for (file, col), or None if untracked. Sidecar
-        blob loads lazily on FIRST consult — range-only plans never
-        read it — and is sliced per entry (zlib per bitmap)."""
+    def bloom_bits(fname: str, c: str) -> tuple[bytes, int, int] | None:
+        """(raw bitmap, m_bits, k) for (file, col), or None if
+        untracked. Sidecar blob loads lazily on FIRST consult —
+        range-only plans never read it — and is sliced per entry (zlib
+        per bitmap). Manifests written before the sidecar change carry
+        the bitmaps inline (base64): still honored, so existing tables
+        keep their bloom pruning."""
         import zlib
 
-        if bref is None:
-            return None
-        ent = bref["index"].get(fname, {}).get(c)
-        if ent is None:
-            return None
-        blob = _read_bloom_sidecar(
-            spark, f"{table_dir.rstrip('/')}/{bref['path']}"
-        )
-        off, ln = ent
-        return zlib.decompress(blob[off : off + ln])
+        if bref is not None:
+            ent = bref["index"].get(fname, {}).get(c)
+            if ent is None:
+                return None
+            blob = _read_bloom_sidecar(
+                spark, f"{table_dir.rstrip('/')}/{bref['path']}"
+            )
+            off, ln = ent
+            return (
+                zlib.decompress(blob[off : off + ln]),
+                bref["m_bits"],
+                bref["k"],
+            )
+        if legacy is not None:
+            import base64
+
+            b64 = legacy.get("files", {}).get(fname, {}).get(c)
+            if b64 is None:
+                return None
+            return (
+                base64.b64decode(b64), legacy["m_bits"], legacy["k"]
+            )
+        return None
 
     kept, skipped = [], []
     for entry in man["files"]:
@@ -630,9 +647,9 @@ def prune_report(
                 and isinstance(val, (str, int))
                 and not isinstance(val, bool)
             ):
-                bm = bloom_bits(entry["file"], c)
-                if bm is not None and not _bloom_maybe_contains(
-                    bm, val, bref["m_bits"], bref["k"]
+                hit = bloom_bits(entry["file"], c)
+                if hit is not None and not _bloom_maybe_contains(
+                    hit[0], val, hit[1], hit[2]
                 ):
                     keep = False
                     break

@@ -361,6 +361,8 @@ def _decode_prog_scan(
     mcux = -(-w_img // (8 * hmax))
     mcuy = -(-h_img // (8 * vmax))
     by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    if any(cid not in by_id for cid in scan_cids):
+        raise ValueError("JPEG: scan references unknown component")
     scan = [(by_id[cid], comps[by_id[cid]]) for cid in scan_cids]
     is_dc = ss == 0
     if not is_dc and len(scan) != 1:

@@ -102,11 +102,20 @@ def group_commit(
 
     committed: dict[str, int] = {}
     for name, df in sorted(writes.items()):
+        # members share the GROUP's epoch: a replay after a crash
+        # between member commits and the group publish must not
+        # double-apply read-modify-write members. The member's own
+        # guard skips the re-commit (returns None); the vector then
+        # pins the member's current version — the replay COMPLETES the
+        # crashed group commit instead of re-running it.
         v = txn.commit_txn(
             df,
             dirs[name],
+            epoch_id=epoch_id,
             spark=spark if callable(df) else None,
         )
+        if v is None:
+            v = txn.latest_manifest(spark, dirs[name])["version"]
         committed[name] = v
 
     token = uuid.uuid4().hex[:8]

@@ -1069,6 +1069,19 @@ def compact_cdc_tombstones(
                 "epoch_id": man.get("epoch_id"),
                 "parent": man["version"],
                 "schema": _schema_fields(kdf),
+                # live content unchanged: the empty feed keeps CDF
+                # netting available across the maintenance version
+                # (compaction repoints EVERY bucket, so a snapshot-diff
+                # fallback here would be a full-table diff)
+                "change_files": _write_empty_change_file(
+                    spark,
+                    table_dir.rstrip("/"),
+                    version,
+                    token,
+                    kdf.filter(~F.col(DELETED_COL)).drop(
+                        DELETED_COL, BUCKET_COL
+                    ),
+                ),
             }
             if man.get("stats_cols"):
                 from taar_gcp_etl_spark.layout import collect_file_stats
@@ -1325,6 +1338,8 @@ def read_changes(
     derived purely from committed snapshots, so it is stable under
     replays and independent of how many micro-batches produced the
     delta."""
+    if mode not in ("compact", "cdf"):
+        raise ValueError(f"mode {mode!r}: use 'compact' or 'cdf'")
     man = latest_manifest(spark, table_dir)
     if man is None:
         return None
@@ -1353,9 +1368,20 @@ def _keyed_diff(
     if mode not in ("compact", "cdf"):
         raise ValueError(f"mode {mode!r}: use 'compact' or 'cdf'")
     payload = [c for c in new.columns if c != key_col]
+    # additive schema evolution: a column added inside the diff window
+    # exists in `new` but not in `old` — the old side reads it as a
+    # typed null (the same alignment read_txn applies within a version)
+    new_types = dict(new.dtypes)
+    old_cols = set(old.columns)
     o = old.select(
         F.col(key_col),
-        *[F.col(c).alias(f"_old_{c}") for c in payload],
+        *[
+            (
+                F.col(c) if c in old_cols
+                else F.lit(None).cast(new_types[c])
+            ).alias(f"_old_{c}")
+            for c in payload
+        ],
         F.lit(True).alias("_in_old"),
     )
     n = new.select(
@@ -1538,6 +1564,8 @@ def read_changes_bucketed(
     insert. A vacuumed (missing) ``from_version`` manifest raises —
     the diff base is gone; resync from scratch instead of silently
     treating the window as all-inserts."""
+    if mode not in ("compact", "cdf"):
+        raise ValueError(f"mode {mode!r}: use 'compact' or 'cdf'")
     man = latest_manifest(spark, table_dir)
     if man is None:
         return None

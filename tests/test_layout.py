@@ -374,6 +374,40 @@ class TestFileBloomFilters:
         rep = layout.prune_report(spark, t, [("o_orderkey", "=", 10**15)])
         assert rep["kept_files"] == 0
 
+    def test_legacy_inline_bloom_manifests_still_prune(
+        self, spark, orders, tmp_path
+    ):
+        """Tables committed before the sidecar change carry bitmaps
+        inline (base64) in the manifest — they must keep pruning, not
+        silently degrade to zone maps (review fix)."""
+        import base64
+        import json
+        import os
+        import zlib
+
+        from taar_gcp_etl_spark import txn
+
+        t = str(tmp_path / "leg")
+        layout.commit_clustered(
+            orders, t, ["o_custkey"], n_files=4, bloom_cols=["o_orderkey"]
+        )
+        man = txn.latest_manifest(spark, t)
+        bref = man.pop("blooms_ref")
+        blob = open(os.path.join(t, bref["path"]), "rb").read()
+        files = {}
+        for fname, cols in bref["index"].items():
+            for c, (off, ln) in cols.items():
+                files.setdefault(fname, {})[c] = base64.b64encode(
+                    zlib.decompress(blob[off : off + ln])
+                ).decode()
+        man["blooms"] = {
+            "m_bits": bref["m_bits"], "k": bref["k"], "files": files
+        }
+        with open(os.path.join(t, "_log", "0000000001.json"), "w") as f:
+            json.dump(man, f)
+        rep = layout.prune_report(spark, t, [("o_orderkey", "=", 10**15)])
+        assert rep["kept_files"] == 0  # absent key: bloom still prunes
+
     def test_bloom_composes_with_zone_maps(self, spark, table, orders):
         """Conjunction of a zone-map range and a bloom equality prunes
         at least as hard as either alone."""

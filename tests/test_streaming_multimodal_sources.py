@@ -1601,6 +1601,15 @@ class TestRealDecoders:
             decode_jpeg(good[: len(good) // 2])  # truncated entropy data
         with _pytest.raises(DECODE_ERRORS):
             decode_jpeg(b"\xff\xd8\xff\xee\x00\x04ab")  # no SOF/SOS
+        # progressive SOS naming a component missing from SOF must be a
+        # droppable DECODE_ERRORS, not a task-killing KeyError
+        prog = bytearray(
+            _jpeg_progressive_bytes(np.zeros((8, 8), dtype=np.uint8))
+        )
+        sos_at = prog.index(b"\xff\xda")
+        prog[sos_at + 5] = 9  # bogus component id in the scan header
+        with _pytest.raises(DECODE_ERRORS, match="unknown component"):
+            decode_jpeg(bytes(prog))
 
     def test_jpeg_progressive_444_matches_baseline_decode(self, spark):
         """The SAME image through the progressive encoder (spectral

@@ -105,6 +105,34 @@ class TestGroupCommit:
         d, v = tg.group_table_version(spark, grp, "summary")
         assert v == 1
 
+    def test_replay_after_crash_completes_without_double_apply(
+        self, spark, tmp_path
+    ):
+        """Crash window + replay: members committed with the group's
+        epoch, group manifest never published, foreachBatch replays the
+        SAME epoch. The member guards skip the re-commit (no
+        double-apply of read-modify-write builders) and the replay
+        COMPLETES the group commit by pinning the members' current
+        versions."""
+        grp, dirs = self._paths(tmp_path)
+        self._commit(spark, grp, dirs, [(1, 10)], epoch=1)
+
+        def add_total(cur_version):
+            cur = txn.read_txn(spark, dirs["summary"], version=cur_version)
+            return cur.withColumn("total", F.col("total") + 5)
+
+        # simulate the crashed group commit: member committed WITH the
+        # group epoch, but the group manifest publish never happened
+        txn.commit_txn(add_total, dirs["summary"], epoch_id=2, spark=spark)
+        assert tg.read_group_manifest(spark, grp)["version"] == 1
+        # replay of epoch 2 through the group path
+        gv = tg.group_commit(spark, grp, {"summary": add_total}, epoch_id=2)
+        assert gv == 2
+        s = tg.read_group(spark, grp, "summary").collect()[0]
+        assert s.total == 15  # +5 applied ONCE, not twice
+        # member history: exactly one commit beyond v1
+        assert txn.latest_manifest(spark, dirs["summary"])["version"] == 2
+
     def test_unknown_table_requires_dir(self, spark, tmp_path):
         import pytest
 

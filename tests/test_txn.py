@@ -1101,6 +1101,74 @@ class TestBucketGranularCdf:
         }
         assert got == base
 
+    def test_diff_spans_additive_schema_evolution(self, spark, tmp_path):
+        """A column added inside the diff window reads as typed null on
+        the old side (review fix: the old snapshot was asked for the
+        NEW schema's columns and crashed)."""
+        t = str(tmp_path / "evo")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(1, "a", 1, "I")], CDC_SCHEMA),
+            t, n_buckets=4,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a2", "x@y", 10, "U"), (2, "b", "p@q", 11, "I")],
+                "id long, val string, email string, seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        for mode in ("compact", "cdf"):
+            got = {
+                (r.id, r._change_type): r.email
+                for r in txn.read_changes(spark, t, 1, 2, mode=mode)
+                .collect()
+            }
+            assert got[(2, "insert")] == "p@q"
+        # preimage rows show the pre-evolution row with email = null
+        pre = [
+            r
+            for r in txn.read_changes(spark, t, 1, 2, mode="cdf").collect()
+            if r._change_type == "update_preimage"
+        ]
+        assert len(pre) == 1 and pre[0].email is None and pre[0].val == "a"
+        # invalid mode rejected eagerly on both entry points
+        with pytest.raises(ValueError, match="compact"):
+            txn.read_changes(spark, t, 1, 2, mode="CDF")
+        with pytest.raises(ValueError, match="compact"):
+            txn.read_changes_bucketed(spark, t, 1, 2, mode="nope")
+
+    def test_netting_spans_tombstone_compaction(self, spark, tmp_path):
+        """compact_cdc_tombstones repoints every bucket; without its
+        empty change file any window over it would fall back to a
+        FULL-table snapshot diff (review fix)."""
+        t = str(tmp_path / "cmp")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", i, "I") for i in range(1, 9)], CDC_SCHEMA
+            ),
+            t, n_buckets=4,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "x", 10, "U"), (2, None, 11, "D")], CDC_SCHEMA
+            ),
+            t, n_buckets=4,
+        )
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=100)   # v3
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame([(3, "y", 20, "U")], CDC_SCHEMA),
+            t, n_buckets=4,                                      # v4
+        )
+        diff = txn.read_changes_bucketed(spark, t, 1, 4, mode="cdf")
+        files = diff.inputFiles()
+        assert files and all("/data/c" in f for f in files), files
+        got = {(r.id, r._change_type) for r in diff.collect()}
+        assert got == {
+            (1, "update_preimage"), (1, "update_postimage"),
+            (2, "delete"),
+            (3, "update_preimage"), (3, "update_postimage"),
+        }
+
     def test_netting_plan_reads_only_change_files(self, spark, tmp_path):
         """The fast path must not touch any snapshot dir: every input
         file of the diff plan comes from a per-commit change dir."""
