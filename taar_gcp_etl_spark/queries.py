@@ -2567,6 +2567,34 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate-removal proven by a round-trip oracle: each
+    document's text is entity-escaped and wrapped in a realistic page
+    template (title, script, nav link bar, footer — operators/html.py's
+    harness), then extracted with the stdlib-parser block/link-density
+    extractor. Correct extraction returns EXACTLY the original text
+    (whitespace-collapsed, entities decoded) for every document whose
+    trimmed text passes the 25-char block gate — so the DuckDB oracle
+    is the documents table itself, and ANY leakage of nav/footer/
+    script/title into the output breaks the value hash."""
+    from taar_gcp_etl_spark.operators.html import (
+        extract_html_text,
+        wrap_documents_as_html,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+    )
+    pages = wrap_documents_as_html(
+        docs.withColumn("text", esc), text_col="text", id_col="doc_id"
+    )
+    out = extract_html_text(pages, html_col="html", id_col="doc_id")
+    return out.filter(F.length("text") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2734,6 +2762,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report": q_skew_report,
     "containment": q_containment,
     "calibration": q_calibration,
+    "html_extract": q_html_extract,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4541,6 +4570,12 @@ ORACLE_SQL: dict[str, str] = {
                o_orderdate, o_orderpriority
         FROM orders
         WHERE o_custkey BETWEEN 1 AND 200 AND o_totalprice >= 50000.0
+    """,
+    "html_extract": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS text
+        FROM documents
+        WHERE length(trim(text)) >= 25
     """,
     "rolling_anomaly": """
         WITH r AS (
