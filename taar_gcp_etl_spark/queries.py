@@ -2595,6 +2595,39 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization proven by DUAL implementation: messy URLs
+    are synthesized deterministically from the documents table (case
+    soup, default ports, tracking params, unsorted query, duplicate
+    slashes, fragments — variation keyed on doc_id so every rule is
+    exercised), canonicalized with the Column-only parse_url pipeline
+    (operators/urls.py), and hash-compared against an INDEPENDENT
+    DuckDB canonicalizer built from regexp + list_filter/list_sort.
+    The two engines share no parsing code, so agreement pins the
+    canonical form itself, not one implementation's quirks."""
+    from taar_gcp_etl_spark.operators.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4
+    url = F.concat(
+        F.when(k == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        F.when(k == 1, F.lit("Example.COM:80")).otherwise(
+            F.lit("example.com")
+        ),
+        F.lit("/docs/"),
+        F.col("source"),
+        F.when(k == 2, F.lit("//page/")).otherwise(F.lit("/page")),
+        F.lit("?utm_source=feed&b="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&a=1"),
+        F.when(k == 3, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canonical_url(url).alias("canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2763,6 +2796,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment": q_containment,
     "calibration": q_calibration,
     "html_extract": q_html_extract,
+    "url_canonical": q_url_canonical,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4576,6 +4610,50 @@ ORACLE_SQL: dict[str, str] = {
                trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS text
         FROM documents
         WHERE length(trim(text)) >= 25
+    """,
+    "url_canonical": """
+        WITH raw AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://' ELSE 'http://' END)
+                   || (CASE WHEN doc_id % 4 = 1 THEN 'Example.COM:80'
+                            ELSE 'example.com' END)
+                   || '/docs/' || source
+                   || (CASE WHEN doc_id % 4 = 2 THEN '//page/' ELSE '/page' END)
+                   || '?utm_source=feed&b=' || CAST(doc_id % 7 AS VARCHAR)
+                   || '&a=1'
+                   || (CASE WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END)
+                   AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                   regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+            FROM raw
+        ), norm AS (
+            SELECT doc_id, scheme,
+                   lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
+                   regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                   regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+                                  '/+$', '') AS p2,
+                   array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(
+                           x, '^(utm_[^=]*|gclid|fbclid|ref|mc_eid)='))),
+                       '&') AS q2
+            FROM parts
+        )
+        SELECT doc_id,
+               scheme || '://' || host
+               || (CASE WHEN port = '' THEN ''
+                        WHEN scheme = 'http'  AND port = '80'  THEN ''
+                        WHEN scheme = 'https' AND port = '443' THEN ''
+                        ELSE ':' || port END)
+               || (CASE WHEN p2 = '' THEN '/' ELSE p2 END)
+               || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+               AS canonical
+        FROM norm
     """,
     "rolling_anomaly": """
         WITH r AS (

@@ -33,6 +33,54 @@ sharing gardens and doorsteps through every season of the year.</p>
 """
 
 
+class TestUrlCanonical:
+    """operators/urls.py: Column-only canonicalization + URL dedup."""
+
+    CASES = [
+        # (messy, canonical)
+        ("HTTP://Example.COM:80/a/b/?b=2&a=1&utm_source=x#f",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com//a///b//", "http://example.com/a/b"),
+        ("http://example.com/p?gclid=1&fbclid=2&ref=h&mc_eid=3",
+         "http://example.com/p"),
+        ("http://example.com/p?utm_campaign=spring&keep=1",
+         "http://example.com/p?keep=1"),
+    ]
+
+    def test_canonical_rules(self, spark):
+        from taar_gcp_etl_spark.operators.urls import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, m) for i, (m, _) in enumerate(self.CASES)],
+            "i long, url string",
+        )
+        got = {
+            r.i: r.c
+            for r in df.select("i", canonical_url("url").alias("c"))
+            .collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (self.CASES[i][0], got[i])
+
+    def test_dedup_keeps_first_fetch(self, spark):
+        from taar_gcp_etl_spark.operators.urls import dedup_by_url
+
+        rows = [
+            (1, "HTTP://A.com/x?utm_source=f", 100),
+            (2, "http://a.com/x", 50),          # same page, earlier crawl
+            (3, "http://a.com/y", 10),
+        ]
+        df = spark.createDataFrame(rows, "id long, url string, ts long")
+        out = {
+            r.canonical_url: r.id
+            for r in dedup_by_url(df, keep_order_col="ts").collect()
+        }
+        assert out == {"http://a.com/x": 2, "http://a.com/y": 3}
+
+
 class TestExtractor:
     def test_boilerplate_dropped_content_kept(self):
         doc = extract_html_doc(PAGE)
