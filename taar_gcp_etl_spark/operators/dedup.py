@@ -882,3 +882,95 @@ def connected_components_alternating(
     out = out.localCheckpoint(eager=True)
     nodes.unpersist()
     return out
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication (the ExactSubstr operator of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): remove every token covered by an n-token span whose
+    exact content occurs at least ``min_count`` times across the
+    corpus. Memorization studies trace disproportionate memorization
+    to these verbatim repeats (licenses, boilerplate, quoted chunks) —
+    document-level near-dedup cannot catch a repeated paragraph inside
+    otherwise-distinct documents; this operator works at span
+    granularity.
+
+    The paper builds a corpus suffix array (inherently sequential);
+    the Spark-native equivalent is rolling n-gram fingerprints — the
+    same primitive the decontamination and winnowing operators use:
+
+    1. tokenize (whitespace) and fingerprint every n-gram per doc
+       (xxhash64 over the joined tokens — array ops, JVM-side);
+    2. one partial-aggregated count by fingerprint; grams with
+       count >= min_count are the repeated spans (the only shuffle
+       whose width is the corpus gram count — map-side combine cuts
+       it to distinct grams per partition first);
+    3. join the repeated set back (AQE handles hot boilerplate
+       grams), expand each hit to its covered token positions, and
+       collect the per-doc covered set (bounded by doc length);
+    4. rebuild each doc JVM-side with an index-aware array filter —
+       no Python, no second corpus shuffle.
+
+    Removal is symmetric (EVERY occurrence of a repeated span is cut,
+    as in the paper's public implementation) and output text is
+    whitespace-normalized (single spaces), which the oracle mirrors.
+    Docs shorter than n tokens pass through unchanged — they have no
+    n-gram to repeat. Returns (id, text, n_tokens, n_removed).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_len"),
+    )
+    gram = F.xxhash64(
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("i") + 1, n), "\x1f"
+        )
+    )
+    grams = (
+        base.filter(F.col("_len") >= n)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_len") - n)
+            ).alias("i"),
+            "_toks",
+        )
+        .select("_id", "i", gram.alias("_g"))
+    )
+    repeated = (
+        grams.groupBy("_g")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("_g")
+    )
+    covered = (
+        grams.join(repeated, "_g")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + n - 1)
+            ).alias("p"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    joined = base.join(covered, "_id", "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_cov"), i)
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.col("_len").alias("n_tokens"),
+        F.size("_cov").alias("n_removed"),
+    )

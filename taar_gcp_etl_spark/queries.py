@@ -2628,6 +2628,28 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. ExactSubstr) over the
+    documents corpus: every token covered by an 8-gram occurring >= 2
+    times corpus-wide is removed from every document (symmetric
+    removal, whitespace-normalized output). The DuckDB oracle rebuilds
+    the same semantics from string_split + list slicing + anti-join on
+    covered positions — no shared code with the Spark rolling-hash
+    path, so the hash compare pins the span semantics exactly."""
+    from taar_gcp_etl_spark.operators.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_repeated_spans(
+        docs, text_col="text", id_col="doc_id", n=8, min_count=2
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2797,6 +2819,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration": q_calibration,
     "html_extract": q_html_extract,
     "url_canonical": q_url_canonical,
+    "span_dedup": q_span_dedup,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
@@ -4610,6 +4633,43 @@ ORACLE_SQL: dict[str, str] = {
                trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')) AS text
         FROM documents
         WHERE length(trim(text)) >= 25
+    """,
+    "span_dedup": """
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_split(regexp_replace(trim(text),
+                                '[ \t\n\r]+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, u.i AS i,
+                   array_to_string(t[u.i : u.i + 7], chr(31)) AS g
+            FROM toks, LATERAL unnest(range(1, len(t) - 8 + 2)) AS u(i)
+            WHERE len(t) >= 8
+        ), rep AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+        ), cov AS (
+            SELECT DISTINCT doc_id, v.p AS p
+            FROM grams JOIN rep USING (g),
+                 LATERAL unnest(range(i, i + 8)) AS v(p)
+        ), tok_rows AS (
+            SELECT doc_id, t[r.p] AS tok, r.p AS pos
+            FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(p)
+        ), kept AS (
+            SELECT tr.doc_id, tr.tok, tr.pos
+            FROM tok_rows tr
+            LEFT JOIN cov ON cov.doc_id = tr.doc_id AND cov.p = tr.pos
+            WHERE cov.p IS NULL
+        ), agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text,
+                   count(*) AS nk
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(len(tk.t) AS INT) AS n_tokens,
+               CAST(len(tk.t) - coalesce(a.nk, 0) AS INT) AS n_removed
+        FROM toks tk LEFT JOIN agg a USING (doc_id)
     """,
     "url_canonical": """
         WITH raw AS (

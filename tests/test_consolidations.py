@@ -569,3 +569,69 @@ class TestContainment:
             for r in ngram_jaccard_pairs(df).collect()
         }
         assert jac[(1, 2)] < 0.1
+
+
+class TestRemoveRepeatedSpans:
+    """Exact-substring dedup (Lee et al. ExactSubstr): corpus-repeated
+    n-token spans are cut from every occurrence; unique text and short
+    docs pass through."""
+
+    SPAN = "one two three four five six seven eight"  # 8 tokens
+
+    def test_repeated_span_cut_everywhere_unique_kept(self, spark):
+        from taar_gcp_etl_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        rows = [
+            (1, f"alpha beta {self.SPAN} gamma delta epsilon zeta"),
+            (2, f"different head words {self.SPAN} and a unique tail"),
+            (3, "totally unique document with enough tokens to gram"),
+            (4, "short doc"),  # < n tokens: passes through
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_spans(df, n=8, min_count=2).collect()
+        }
+        # the shared span is gone from BOTH docs; their unique words stay
+        for d in (1, 2):
+            for w in self.SPAN.split():
+                assert w not in out[d].text.split(), (d, w)
+        assert out[1].text == "alpha beta gamma delta epsilon zeta"
+        assert out[2].text == "different head words and a unique tail"
+        assert out[1].n_removed == 8 and out[2].n_removed == 8
+        assert out[3].text == rows[2][1] and out[3].n_removed == 0
+        assert out[4].text == "short doc" and out[4].n_removed == 0
+
+    def test_intra_document_repeat_counts(self, spark):
+        """min_count applies to TOTAL occurrences — a span repeated
+        twice inside one doc is removed too (both copies)."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        text = f"start {self.SPAN} middle words here {self.SPAN} end"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = remove_repeated_spans(df, n=8, min_count=2).collect()[0]
+        assert out.text == "start middle words here end"
+        assert out.n_removed == 16
+
+    def test_overlapping_repeats_merge_coverage(self, spark):
+        """Two docs sharing a 9-token run: both constituent 8-grams are
+        repeated; covered positions overlap and the whole run is cut
+        once (no double-removal, no stray survivors)."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        run = self.SPAN + " nine"
+        rows = [(1, f"a b c {run} tail1"), (2, f"x y {run} tail2 z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_spans(df, n=8, min_count=2).collect()
+        }
+        assert out[1].text == "a b c tail1"
+        assert out[2].text == "x y tail2 z"
+        assert out[1].n_removed == 9 and out[2].n_removed == 9
