@@ -2672,7 +2672,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_project": q_filter_project,
     "anti_join_delete": q_anti_join_delete,
     "enrich_left_join": q_enrich_left_join,
-    "semi_intersection": q_semi_intersection,
+    "html_extract": q_html_extract,
     "serving_pack": q_serving_pack,
     "sorted_distinct": q_sorted_distinct,
     "grouped_top_k": q_grouped_top_k,
@@ -2703,8 +2703,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     "upsert": q_upsert,
     "full_outer_join": q_full_outer_join,
-    "embedding_near_dup": q_embedding_near_dup,
     "quality_filter": q_quality_filter,
+    "span_dedup": q_span_dedup,
     "text_profile": q_text_profile,
     "winnow": q_winnow,
     "dedup_exact": q_dedup_exact,
@@ -2817,9 +2817,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report": q_skew_report,
     "containment": q_containment,
     "calibration": q_calibration,
-    "html_extract": q_html_extract,
     "url_canonical": q_url_canonical,
-    "span_dedup": q_span_dedup,
+    "semi_intersection": q_semi_intersection,
+    "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
     "communities": q_communities,
     "als_recs": q_als_recs,
