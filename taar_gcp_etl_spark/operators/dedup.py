@@ -934,6 +934,10 @@ def remove_repeated_spans(
             F.slice(F.col("_toks"), F.col("i") + 1, n), "\x1f"
         )
     )
+    # persisted: the gram relation (the corpus-tokens-sized explode +
+    # hash, the operator's heaviest map stage) feeds BOTH the frequency
+    # aggregate and the covered-position join — without the persist it
+    # would be recomputed from the scan for each
     grams = (
         base.filter(F.col("_len") >= n)
         .select(
@@ -944,6 +948,7 @@ def remove_repeated_spans(
             "_toks",
         )
         .select("_id", "i", gram.alias("_g"))
+        .persist()
     )
     repeated = (
         grams.groupBy("_g")

@@ -39,9 +39,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# tags whose entire subtree is dropped
+# tags whose entire subtree is dropped. NOTE: "head" is handled
+# separately (below) because its end tag is omissible in valid HTML —
+# subtree depth accounting on an omissible tag would swallow the whole
+# document when </head> is absent.
 _DROP = frozenset(
-    ("script", "style", "noscript", "template", "svg", "head", "iframe")
+    ("script", "style", "noscript", "template", "svg", "iframe")
 )
 # tags that terminate a text block (HTML block-level elements)
 _BLOCK = frozenset(
@@ -64,6 +67,7 @@ class _Extractor(HTMLParser):
         self._link_chars = 0
         self._drop_depth = 0
         self._anchor_depth = 0
+        self._in_head = False
         self._in_title = False
         self.title = ""
         self.n_links = 0
@@ -75,33 +79,52 @@ class _Extractor(HTMLParser):
         self._buf, self._chars, self._link_chars = [], 0, 0
 
     def handle_starttag(self, tag, attrs):
+        # a non-title tag ends any open <title> (title is text-only;
+        # an unclosed one must not swallow the document)
+        if tag != "title":
+            self._in_title = False
+        if tag == "head":
+            self._in_head = True
+            return
+        if tag == "body":  # implicit </head>: the end tag is omissible
+            self._in_head = False
         if tag in _DROP:
             self._drop_depth += 1
             return
+        if tag == "title":
+            # the page title is head-resident (capture it), but an svg
+            # accessibility <title> inside a dropped subtree is not it
+            if not self._drop_depth:
+                self._in_title = True
+            return
+        if self._drop_depth or self._in_head:
+            return  # don't count links inside dropped subtrees
         if tag == "a":
             self._anchor_depth += 1
             self.n_links += 1
-        if tag == "title":
-            self._in_title = True
         if tag in _BLOCK:
             self._flush()
 
     def handle_endtag(self, tag):
+        self._in_title = False
+        if tag == "head":
+            self._in_head = False
+            return
         if tag in _DROP:
             self._drop_depth = max(0, self._drop_depth - 1)
             return
+        if self._drop_depth:
+            return
         if tag == "a":
             self._anchor_depth = max(0, self._anchor_depth - 1)
-        if tag == "title":
-            self._in_title = False
         if tag in _BLOCK:
             self._flush()
 
     def handle_data(self, data):
-        if self._in_title:  # before the drop check: <title> lives in <head>
+        if self._in_title:  # title text (head-resident, kept separately)
             self.title += data
             return
-        if self._drop_depth:
+        if self._drop_depth or self._in_head:
             return
         self._buf.append(data)
         n = len(data.strip())

@@ -74,7 +74,13 @@ def dedup_by_url(
     first fetch), else an arbitrary-but-stable min over all columns'
     struct. Standard hash-aggregate on the canonical key: map-side
     partial min, one shuffle on the key, no window over the corpus."""
-    keyed = df.withColumn("_canon", canonical_url(url_col))
+    # unparseable URLs (canonical null: parse_url found no scheme/host)
+    # keep their RAW string as the key — they pass through
+    # one-per-distinct-value instead of collapsing into a single null
+    # group where min_by would silently delete each other
+    keyed = df.withColumn(
+        "_canon", F.coalesce(canonical_url(url_col), F.col(url_col))
+    )
     order = F.col(keep_order_col) if keep_order_col else F.struct(
         *[F.col(c) for c in df.columns]
     )

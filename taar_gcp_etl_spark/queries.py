@@ -2576,7 +2576,10 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whitespace-collapsed, entities decoded) for every document whose
     trimmed text passes the 25-char block gate — so the DuckDB oracle
     is the documents table itself, and ANY leakage of nav/footer/
-    script/title into the output breaks the value hash."""
+    script/title into the output breaks the value hash. (Parity scope:
+    the fixture corpus is ASCII; exotic whitespace (\x0b, \xa0) is
+    whitespace to Python/Java but not to the oracle's [ \t\n\r]
+    class — a corpus carrying it would need the oracle regex widened.)"""
     from taar_gcp_etl_spark.operators.html import (
         extract_html_text,
         wrap_documents_as_html,
@@ -2635,7 +2638,8 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal, whitespace-normalized output). The DuckDB oracle rebuilds
     the same semantics from string_split + list slicing + anti-join on
     covered positions — no shared code with the Spark rolling-hash
-    path, so the hash compare pins the span semantics exactly."""
+    path, so the hash compare pins the span semantics exactly
+    (ASCII-whitespace parity scope, as html_extract)."""
     from taar_gcp_etl_spark.operators.dedup import remove_repeated_spans
 
     docs = _t(spark, sf_dir, "documents")

@@ -115,7 +115,23 @@ def group_commit(
             spark=spark if callable(df) else None,
         )
         if v is None:
-            v = txn.latest_manifest(spark, dirs[name])["version"]
+            # the member guard skipped this write. Legitimate only when
+            # the member's recorded epoch IS this group epoch (the
+            # crashed-group-commit replay); a HIGHER member epoch means
+            # the table is being driven by another epoch domain — pin
+            # nothing, fail loudly instead of publishing a vector that
+            # silently dropped this write.
+            member_man = txn.latest_manifest(spark, dirs[name])
+            if member_man.get("epoch_id") != epoch_id:
+                raise ValueError(
+                    f"group_commit: member {name!r} skipped epoch "
+                    f"{epoch_id} but its manifest records epoch "
+                    f"{member_man.get('epoch_id')} — the table is "
+                    "maintained by a different epoch domain; a group "
+                    "member must receive its epochs only through the "
+                    "group"
+                )
+            v = member_man["version"]
         committed[name] = v
 
     token = uuid.uuid4().hex[:8]

@@ -795,31 +795,23 @@ def apply_cdc_batch_bucketed(
     """
     spark = batch_df.sparkSession
     table_dir = table_dir.rstrip("/")
-    if n_buckets is None:  # inherit the table's current bucket count
-        man0 = latest_manifest(spark, table_dir)
-        if man0 is None or "n_buckets" not in man0:
-            raise ValueError(
-                "n_buckets=None needs an existing bucketed table to "
-                "inherit from — pass an explicit count for a new table"
-            )
-        n_buckets = man0["n_buckets"]
-    staged_all = _stage_cdc_batch(
+    inherit = n_buckets is None
+    staged_base = _stage_cdc_batch(
         batch_df, key_col, op_col, seq_col
-    ).withColumn(BUCKET_COL, _bucket_of(key_col, n_buckets))
-    staged_all = staged_all.localCheckpoint(eager=True)
-    touched = sorted(
-        r[0] for r in staged_all.select(BUCKET_COL).distinct().collect()
-    )
-    if not touched:
+    ).localCheckpoint(eager=True)
+    if staged_base.limit(1).count() == 0:
         return None
     # measured batch size decides the broadcast hint: micro-batches
     # probe the touched buckets with a broadcast of their key set
     # instead of shuffling the bucket read through a sort-merge join
-    hint_small = staged_all.count() <= 2_000_000
+    hint_small = staged_base.count() <= 2_000_000
     delete_only = (
-        staged_all.filter(~F.col(DELETED_COL)).limit(1).count() == 0
+        staged_base.filter(~F.col(DELETED_COL)).limit(1).count() == 0
     )
     token = uuid.uuid4().hex[:8]
+    cur_nb = None
+    staged_all = None
+    touched: list[int] = []
     for _ in range(max_attempts):
         man = latest_manifest(spark, table_dir)
         if man is not None:
@@ -835,11 +827,38 @@ def apply_cdc_batch_bucketed(
                     f"{table_dir} is a flat txn table; bucketed apply "
                     "requires a bucketed (or empty) table"
                 )
-            if man["n_buckets"] != n_buckets:
+        # resolve the bucket count PER ATTEMPT: with n_buckets=None the
+        # count is inherited from the manifest just read, so a
+        # rescale_buckets landing between attempts makes the retry
+        # re-bucket the staged batch on the new modulus instead of
+        # raising (the mismatch guard still protects EXPLICIT counts)
+        if inherit:
+            if man is None or "n_buckets" not in man:
+                raise ValueError(
+                    "n_buckets=None needs an existing bucketed table to "
+                    "inherit from — pass an explicit count for a new "
+                    "table"
+                )
+            nb = man["n_buckets"]
+        else:
+            nb = n_buckets
+            if man is not None and man["n_buckets"] != nb:
                 raise ValueError(
                     f"n_buckets mismatch: table has {man['n_buckets']}, "
-                    f"caller passed {n_buckets}"
+                    f"caller passed {nb}"
                 )
+        if nb != cur_nb:
+            staged_all = staged_base.withColumn(
+                BUCKET_COL, _bucket_of(key_col, nb)
+            )
+            touched = sorted(
+                r[0]
+                for r in staged_all.select(BUCKET_COL)
+                .distinct()
+                .collect()
+            )
+            cur_nb = nb
+        n_buckets_eff = nb
         version = (man["version"] if man else 0) + 1
         overlays = dict((man or {}).get("overlays") or {})
 
@@ -897,7 +916,7 @@ def apply_cdc_batch_bucketed(
         manifest = {
             "version": version,
             "buckets": mapping,
-            "n_buckets": n_buckets,
+            "n_buckets": n_buckets_eff,
             "key_col": key_col,
             "seq_col": seq_col,
             "overlays": overlays,

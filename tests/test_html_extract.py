@@ -136,3 +136,63 @@ class TestExtractor:
             assert got[i].title == f"Doc {i}"
             assert got[i].n_links == 5  # 4 nav + 1 footer
             assert got[i].n_kept_blocks == 1
+
+
+class TestReviewHardening:
+    """Review-pass regressions: omissible end tags, svg titles,
+    dropped-subtree link counts, unparseable-URL dedup passthrough."""
+
+    def test_omitted_head_end_tag_still_extracts_body(self):
+        from taar_gcp_etl_spark.operators.html import extract_html_doc
+
+        page = (
+            "<html><head><meta charset='utf-8'><title>T</title>"
+            "<body><p>" + ARTICLE + "</p></body></html>"
+        )  # spec-legal: </head> omitted, <body> implies it
+        doc = extract_html_doc(page)
+        assert ARTICLE in doc["text"]
+        assert doc["title"] == "T"
+
+    def test_unclosed_title_does_not_swallow_document(self):
+        from taar_gcp_etl_spark.operators.html import extract_html_doc
+
+        page = "<head><title>Broken<body><p>" + ARTICLE + "</p>"
+        doc = extract_html_doc(page)
+        assert ARTICLE in doc["text"]
+        assert doc["title"] == "Broken"
+
+    def test_svg_title_does_not_contaminate_page_title(self):
+        from taar_gcp_etl_spark.operators.html import extract_html_doc
+
+        page = (
+            "<head><title>Real Title</title></head><body>"
+            "<svg><title>Search icon</title><path/></svg>"
+            "<p>" + ARTICLE + "</p></body>"
+        )
+        doc = extract_html_doc(page)
+        assert doc["title"] == "Real Title"
+        assert "Search icon" not in doc["text"]
+
+    def test_links_in_dropped_subtrees_not_counted(self):
+        from taar_gcp_etl_spark.operators.html import extract_html_doc
+
+        page = (
+            "<body><noscript><a href='/x'>enable js</a></noscript>"
+            "<p><a href='/real'>real</a> " + ARTICLE + "</p></body>"
+        )
+        assert extract_html_doc(page)["n_links"] == 1
+
+    def test_unparseable_urls_pass_through_dedup_individually(
+        self, spark
+    ):
+        from taar_gcp_etl_spark.operators.urls import dedup_by_url
+
+        rows = [
+            (1, "http://exa mple.com/a", 1),
+            (2, "not-a-url", 2),
+            (3, "http://ok.com/x", 3),
+        ]
+        df = spark.createDataFrame(rows, "id long, url string, ts long")
+        out = dedup_by_url(df, keep_order_col="ts").collect()
+        # both unparseable rows survive (raw-string keys), nothing merged
+        assert sorted(r.id for r in out) == [1, 2, 3]

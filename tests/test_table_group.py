@@ -133,6 +133,26 @@ class TestGroupCommit:
         # member history: exactly one commit beyond v1
         assert txn.latest_manifest(spark, dirs["summary"])["version"] == 2
 
+    def test_foreign_epoch_domain_fails_loudly(self, spark, tmp_path):
+        """A member table already driven by ANOTHER writer's (higher)
+        epoch domain must not be silently skipped-and-pinned as if the
+        group write succeeded (review fix)."""
+        import pytest
+
+        grp, dirs = self._paths(tmp_path)
+        # member maintained outside the group with epoch 100
+        txn.commit_txn(
+            _orders(spark, [(1, 1)]), dirs["orders"], epoch_id=100
+        )
+        with pytest.raises(ValueError, match="epoch domain"):
+            tg.group_commit(
+                spark,
+                grp,
+                {"orders": _orders(spark, [(2, 2)])},
+                table_dirs=dirs,
+                epoch_id=1,
+            )
+
     def test_unknown_table_requires_dir(self, spark, tmp_path):
         import pytest
 
