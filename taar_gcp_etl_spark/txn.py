@@ -1077,51 +1077,74 @@ def compact_cdc_tombstones(
             kdf.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
                 f"{table_dir.rstrip('/')}/{snap_rel}"
             )
-            mapping = {b: snap_rel for b in man["buckets"]}
-            manifest = {
-                "version": version,
-                "buckets": mapping,
-                "n_buckets": man["n_buckets"],
-                "key_col": man.get("key_col", "id"),
-                "seq_col": man.get("seq_col", "seq"),
-                "overlays": {},  # full rewrite folds every overlay in
-                "epoch_id": man.get("epoch_id"),
-                "parent": man["version"],
-                "schema": _schema_fields(kdf),
-                # live content unchanged: the empty feed keeps CDF
-                # netting available across the maintenance version
-                # (compaction repoints EVERY bucket, so a snapshot-diff
-                # fallback here would be a full-table diff)
-                "change_files": _write_empty_change_file(
-                    spark,
-                    table_dir.rstrip("/"),
-                    version,
-                    token,
-                    kdf.filter(~F.col(DELETED_COL)).drop(
-                        DELETED_COL, BUCKET_COL
-                    ),
-                ),
-            }
-            if man.get("stats_cols"):
-                from taar_gcp_etl_spark.layout import collect_file_stats
-
-                sc = man["stats_cols"]
-                manifest["stats_cols"] = sc
-                manifest["file_stats"] = {
-                    snap_rel: collect_file_stats(
-                        spark,
-                        f"{table_dir.rstrip('/')}/{snap_rel}",
-                        sc,
-                    )
-                }
-                types = dict(manifest["schema"])
-                manifest["stats_types"] = {
-                    c: types.get(c, "") for c in sc
-                }
+            manifest = _full_rewrite_manifest(
+                spark,
+                table_dir.rstrip("/"),
+                man,
+                version,
+                token,
+                snap_rel,
+                man["n_buckets"],
+                kdf,
+            )
             if _publish_manifest(spark, table_dir, manifest, token):
                 return version
         raise RuntimeError(f"compact: version conflicts on {table_dir}")
     return commit_txn(keep_at, table_dir, spark=spark)
+
+
+def _full_rewrite_manifest(
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    version: int,
+    token: str,
+    snap_rel: str,
+    n_buckets: int,
+    rows: DataFrame,
+) -> dict:
+    """Manifest for a bucketed-table MAINTENANCE full rewrite
+    (tombstone compaction, bucket rescale): every bucket repointed at
+    one fresh dir, overlays folded, schema carried, per-dir stats
+    recollected when the table tracks them, and an EMPTY change file
+    recorded (live content unchanged) so CDF netting spans the
+    maintenance version. One shared assembly so the two full-rewrite
+    paths cannot drift (a field added to one and missed in the other
+    was exactly how compaction briefly lost its change file)."""
+    schema_fields = man.get("schema") or _schema_fields(rows)
+    manifest = {
+        "version": version,
+        "buckets": {str(b): snap_rel for b in range(n_buckets)},
+        "n_buckets": n_buckets,
+        "key_col": man.get("key_col", "id"),
+        "seq_col": man.get("seq_col", "seq"),
+        "overlays": {},  # full rewrite folds every overlay in
+        "epoch_id": man.get("epoch_id"),
+        "parent": man["version"],
+        "schema": schema_fields,
+        "change_files": _write_empty_change_file(
+            spark,
+            table_dir,
+            version,
+            token,
+            rows.filter(~F.col(DELETED_COL)).drop(
+                DELETED_COL, BUCKET_COL
+            ),
+        ),
+    }
+    if man.get("stats_cols"):
+        from taar_gcp_etl_spark.layout import collect_file_stats
+
+        sc = man["stats_cols"]
+        manifest["stats_cols"] = sc
+        manifest["file_stats"] = {
+            snap_rel: collect_file_stats(
+                spark, f"{table_dir}/{snap_rel}", sc
+            )
+        }
+        types = dict(schema_fields)
+        manifest["stats_types"] = {c: types.get(c, "") for c in sc}
+    return manifest
 
 
 def _write_empty_change_file(
@@ -1185,38 +1208,16 @@ def rescale_buckets(
         rehashed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
             f"{table_dir}/{snap_rel}"
         )
-        manifest = {
-            "version": version,
-            "buckets": {str(b): snap_rel for b in range(new_n_buckets)},
-            "n_buckets": new_n_buckets,
-            "key_col": key_col,
-            "seq_col": man.get("seq_col", "seq"),
-            "overlays": {},  # full rewrite folds every overlay in
-            "epoch_id": man.get("epoch_id"),
-            "parent": man["version"],
-            "schema": man.get("schema") or _schema_fields(rehashed),
-            "change_files": _write_empty_change_file(
-                spark,
-                table_dir,
-                version,
-                token,
-                full.filter(~F.col(DELETED_COL)).drop(
-                    DELETED_COL, BUCKET_COL
-                ),
-            ),
-        }
-        if man.get("stats_cols"):
-            from taar_gcp_etl_spark.layout import collect_file_stats
-
-            sc = man["stats_cols"]
-            manifest["stats_cols"] = sc
-            manifest["file_stats"] = {
-                snap_rel: collect_file_stats(
-                    spark, f"{table_dir}/{snap_rel}", sc
-                )
-            }
-            types = dict(manifest["schema"])
-            manifest["stats_types"] = {c: types.get(c, "") for c in sc}
+        manifest = _full_rewrite_manifest(
+            spark,
+            table_dir,
+            man,
+            version,
+            token,
+            snap_rel,
+            new_n_buckets,
+            full,
+        )
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
     raise RuntimeError(
