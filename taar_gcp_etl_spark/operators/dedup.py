@@ -907,13 +907,12 @@ def remove_repeated_spans(
 
     1. tokenize (whitespace) and fingerprint every n-gram per doc
        (xxhash64 over the joined tokens — array ops, JVM-side);
-    2. one partial-aggregated count by fingerprint; grams with
-       count >= min_count are the repeated spans (the only shuffle
-       whose width is the corpus gram count — map-side combine cuts
-       it to distinct grams per partition first);
-    3. join the repeated set back (AQE handles hot boilerplate
-       grams), expand each hit to its covered token positions, and
-       collect the per-doc covered set (bounded by doc length);
+    2. corpus frequency per fingerprint via a window count over the
+       gram hash — one shuffle of the gram relation, no persist, no
+       join-back (see the inline note); grams with count >= min_count
+       are the repeated spans;
+    3. expand each hit to its covered token positions and collect the
+       per-doc covered set (bounded by doc length);
     4. rebuild each doc JVM-side with an index-aware array filter —
        no Python, no second corpus shuffle.
 
@@ -934,10 +933,6 @@ def remove_repeated_spans(
             F.slice(F.col("_toks"), F.col("i") + 1, n), "\x1f"
         )
     )
-    # persisted: the gram relation (the corpus-tokens-sized explode +
-    # hash, the operator's heaviest map stage) feeds BOTH the frequency
-    # aggregate and the covered-position join — without the persist it
-    # would be recomputed from the scan for each
     grams = (
         base.filter(F.col("_len") >= n)
         .select(
@@ -948,16 +943,20 @@ def remove_repeated_spans(
             "_toks",
         )
         .select("_id", "i", gram.alias("_g"))
-        .persist()
     )
-    repeated = (
-        grams.groupBy("_g")
-        .count()
-        .filter(F.col("count") >= min_count)
-        .select("_g")
-    )
+    # Corpus frequency via a window count over the gram hash rather
+    # than groupBy + join-back: ONE shuffle of the gram relation (the
+    # join-back shape shuffles it anyway unless the repeated set
+    # broadcasts, which boilerplate-heavy web corpora don't guarantee)
+    # and — decisive for looped corpora / streaming foreachBatch — no
+    # persist of the corpus-tokens-sized intermediate, so repeated
+    # invocations leave nothing pinned in the cache manager (ADVICE r5;
+    # localCheckpoint turned out equally session-pinned in practice).
     covered = (
-        grams.join(repeated, "_g")
+        grams.withColumn(
+            "_c", F.count("*").over(Window.partitionBy("_g"))
+        )
+        .filter(F.col("_c") >= min_count)
         .select(
             "_id",
             F.explode(

@@ -51,6 +51,26 @@ def _zigzag_natural() -> list[int]:
 
 _ZZ = _zigzag_natural()
 
+
+def _req(d, key, what):
+    """Table lookup that converts a missing id into the decoder's
+    documented clean-rejection path (ValueError) instead of a KeyError
+    escaping multimodal.DECODE_ERRORS on a corrupt stream."""
+    try:
+        return d[key]
+    except KeyError:
+        raise ValueError(f"JPEG: scan references undefined {what} {key!r}")
+
+
+def _next_seg(seg_iter):
+    """Next entropy segment, or clean rejection when a restart-interval
+    stream carries fewer segments than MCUs (StopIteration would
+    otherwise PEP-479-convert to RuntimeError inside mapInPandas)."""
+    try:
+        return next(seg_iter)
+    except StopIteration:
+        raise ValueError("JPEG: truncated entropy stream (missing segment)")
+
 # orthonormal 8-point DCT-II basis: spatial = A.T @ coefs @ A
 _A = np.array(
     [
@@ -249,6 +269,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     coefs, ss, se, ah, al, h_img, w_img,
                 )
             else:
+                # baseline _decode_scan iterates every frame component
+                # per MCU; a scan over a subset (spec-valid multi-scan
+                # non-interleaved sequential) would mis-decode — reject
+                # cleanly, mirroring the progressive path's explicit
+                # scan-subset handling.
+                if ns != len(comps):
+                    raise ValueError(
+                        "JPEG: non-interleaved sequential scans unsupported"
+                    )
                 segs, i = _split_scan(content, i + ln)
                 planes = _decode_scan(
                     comps, tables, qt, huf, segs, restart, h_img, w_img
@@ -273,21 +302,22 @@ def _decode_scan(comps, tables, qt, huf, segs, restart, h_img, w_img):
     # dequant tables in natural order, indexed [natural] = q[zigzag k]
     deq = {}
     for c in comps:
-        q = qt[c["tq"]]
+        q = _req(qt, c["tq"], "quant table")
         nat = np.zeros(64)
         nat[_ZZ] = q
         deq[c["tq"]] = nat
     pred = [0] * len(comps)
     seg_iter = iter(segs)
-    bits = _Bits(next(seg_iter))
+    bits = _Bits(_next_seg(seg_iter))
     for mcu in range(mcux * mcuy):
         if restart and mcu and mcu % restart == 0:
-            bits = _Bits(next(seg_iter))
+            bits = _Bits(_next_seg(seg_iter))
             pred = [0] * len(comps)
         my, mx = divmod(mcu, mcux)
         for ci, c in enumerate(comps):
-            dc_lut = huf[(0, tables[c["id"]][0])]
-            ac_lut = huf[(1, tables[c["id"]][1])]
+            tt = _req(tables, c["id"], "scan component")
+            dc_lut = _req(huf, (0, tt[0]), "DC Huffman table")
+            ac_lut = _req(huf, (1, tt[1]), "AC Huffman table")
             for by in range(c["v"]):
                 for bx in range(c["h"]):
                     coef = np.zeros(64)
@@ -371,13 +401,13 @@ def _decode_prog_scan(
         raise ValueError("JPEG: progressive DC scan with Se != 0")
 
     seg_iter = iter(segs)
-    bits = _Bits(next(seg_iter))
+    bits = _Bits(_next_seg(seg_iter))
     pred = [0] * len(comps)
     state = {"eobrun": 0}
 
     def next_rst():
         nonlocal bits
-        bits = _Bits(next(seg_iter))
+        bits = _Bits(_next_seg(seg_iter))
         pred[:] = [0] * len(comps)
         state["eobrun"] = 0
 
@@ -400,7 +430,8 @@ def _decode_prog_scan(
     nby, nbx = _comp_blocks(c, h_img, w_img, hmax, vmax)
     ac_lut = None
     if not is_dc:
-        ac_lut = huf[(1, tables[c["id"]][1])]
+        ac_lut = _req(huf, (1, _req(tables, c["id"], "scan component")[1]),
+                      "AC Huffman table")
     for blk in range(nby * nbx):
         if restart and blk and blk % restart == 0:
             next_rst()
@@ -416,7 +447,8 @@ def _decode_prog_scan(
 
 def _dc_block(bits, huf, tables, c, coef, pred, ci, ah, al):
     if ah == 0:  # first DC scan: normal DPCM, point-transformed
-        dc_lut = huf[(0, tables[c["id"]][0])]
+        dc_lut = _req(huf, (0, _req(tables, c["id"], "scan component")[0]),
+                      "DC Huffman table")
         s = bits.huff(dc_lut)
         diff = _extend(bits.bits(s), s) if s else 0
         pred[ci] += diff
@@ -496,7 +528,7 @@ def _prog_reconstruct(frame, qt, coefs):
     h_img, w_img, comps = frame
     planes = []
     for c, zzc in zip(comps, coefs):
-        deq = zzc.astype(np.float64) * qt[c["tq"]]  # both zigzag order
+        deq = zzc.astype(np.float64) * _req(qt, c["tq"], "quant table")
         nat = np.zeros_like(deq)
         nat[..., _ZZ] = deq
         blocks = nat.reshape(*nat.shape[:2], 8, 8)

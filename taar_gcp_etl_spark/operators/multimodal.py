@@ -59,7 +59,11 @@ FEATURES_SCHEMA = (
 import struct as _struct
 import zlib as _zlib
 
-DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError)
+# KeyError included as defense in depth: the decoders normalize missing
+# table/segment ids to ValueError (jpeg._req/_next_seg), but a dict
+# lookup a future codec forgets to wrap must still drop the row, not
+# the job.
+DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError, KeyError)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

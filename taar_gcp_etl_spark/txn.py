@@ -323,14 +323,45 @@ class ConditionalPutManifestPublisher:
     whole object or nothing, which is exactly the semantics the commit
     protocol needs."""
 
+    @staticmethod
+    def _is_already_exists(e: Exception) -> bool:
+        """True iff the create failed because the destination object
+        already exists — the conditional-PUT 412 / Hadoop
+        (File)AlreadyExistsException family. Matched on the Java
+        exception class chain and message because the error arrives
+        through py4j, not as a Python exception type."""
+        seen = set()
+        je = getattr(e, "java_exception", None)
+        while je is not None and id(je) not in seen:
+            seen.add(id(je))
+            try:
+                cls = je.getClass().getName()
+                msg = je.getMessage() or ""
+            except Exception:
+                break
+            if "AlreadyExists" in cls or "already exists" in msg.lower():
+                return True
+            try:
+                je = je.getCause()
+            except Exception:
+                break
+        text = str(e)
+        return "AlreadyExists" in text or "already exists" in text.lower()
+
     def put_if_absent(
         self, spark: SparkSession, final: str, data: bytes, token: str
     ) -> bool:
         _, fs, p = _fs(spark, final)
         try:
             out = fs.create(p, False)  # overwrite=False → fails if taken
-        except Exception:
-            return False  # slot taken: lost the race, caller retries
+        except Exception as e:
+            # Only the destination-exists condition is a lost CAS race.
+            # A persistent IO/permission failure must surface as itself,
+            # not burn max_attempts full-snapshot rewrites and then
+            # masquerade as "gave up after N version conflicts".
+            if self._is_already_exists(e):
+                return False  # slot taken: lost the race, caller retries
+            raise
         try:
             out.write(bytearray(data))
         finally:
@@ -1367,6 +1398,15 @@ def read_changes(
         to_version = man["version"]
     key_col = man.get("key_col", "id")
     seq_col = man.get("seq_col", "seq")
+    # from_version=0 means "since table creation": everything in the new
+    # snapshot is an insert (the read_changes_bucketed contract — flat
+    # tables delegate here BEFORE the bucketed variant's own guard, so
+    # the guard must live in both). version 0 has no manifest to read.
+    if from_version == 0:
+        new = read_cdc_table(spark, table_dir, version=to_version)
+        if new is None:
+            return None
+        return new.withColumn("_change_type", F.lit("insert"))
     old = read_cdc_table(spark, table_dir, version=from_version)
     new = read_cdc_table(spark, table_dir, version=to_version)
     if new is None:

@@ -635,3 +635,23 @@ class TestRemoveRepeatedSpans:
         assert out[1].text == "a b c tail1"
         assert out[2].text == "x y tail2 z"
         assert out[1].n_removed == 9 and out[2].n_removed == 9
+
+    def test_no_cached_relation_leaks_across_invocations(self, spark):
+        """ADVICE r5: the corpus-gram relation is the operator's
+        heaviest intermediate; it must be unpersisted before return —
+        looped corpora / streaming foreachBatch would otherwise
+        accumulate MEMORY_AND_DISK relations for the session lifetime."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        rows = [
+            (1, f"alpha beta {self.SPAN} gamma"),
+            (2, f"head {self.SPAN} tail"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for _ in range(3):  # the leak was per-invocation
+            remove_repeated_spans(df, n=8, min_count=2).collect()
+        assert jsc.getPersistentRDDs().size() == before

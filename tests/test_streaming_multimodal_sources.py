@@ -1611,6 +1611,75 @@ class TestRealDecoders:
         with _pytest.raises(DECODE_ERRORS, match="unknown component"):
             decode_jpeg(bytes(prog))
 
+    def test_jpeg_missing_tables_and_segments_are_clean_rejections(
+        self, spark
+    ):
+        """ADVICE r5: KeyError (undefined DQT/DHT id) and StopIteration
+        (fewer entropy segments than restart intervals demand) must
+        surface as ValueError — StopIteration would PEP-479-convert to
+        RuntimeError inside the mapInPandas generator and escape
+        DECODE_ERRORS, failing the whole job on one corrupt blob."""
+        import pytest as _pytest
+
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        good = _jpeg_bytes(np.zeros((8, 8), dtype=np.uint8))
+
+        # (a) scan references a DQT id that was never transmitted
+        bad_dqt = bytearray(good)
+        at = bad_dqt.index(b"\xff\xdb")
+        assert bad_dqt[at + 4] & 15 == 0  # precision<<4 | table id 0
+        bad_dqt[at + 4] |= 0x01  # relabel as table 1; comp still wants 0
+        with _pytest.raises(ValueError, match="quant table"):
+            decode_jpeg(bytes(bad_dqt))
+
+        # (b) scan component's Td/Ta points at Huffman tables never sent
+        bad_dht = bytearray(good)
+        sos = bad_dht.index(b"\xff\xda")
+        bad_dht[sos + 6] = 0x55  # Td=5 / Ta=5 for the first component
+        with _pytest.raises(ValueError, match="Huffman table"):
+            decode_jpeg(bytes(bad_dht))
+
+        # (c) DRI promises a restart every MCU, but the stream carries a
+        # single entropy segment for a 2-MCU image
+        two_mcu = _jpeg_bytes(np.zeros((8, 16), dtype=np.uint8))
+        sos = two_mcu.index(b"\xff\xda")
+        short = two_mcu[:sos] + b"\xff\xdd\x00\x04\x00\x01" + two_mcu[sos:]
+        with _pytest.raises(ValueError, match="missing segment"):
+            decode_jpeg(short)
+
+    def test_jpeg_non_interleaved_sequential_rejected(self, spark):
+        """ADVICE r5: a spec-valid multi-scan non-interleaved sequential
+        JPEG (SOS subsets the frame components) is out of baseline
+        scope — must reject with the documented ValueError, not
+        mis-decode or KeyError."""
+        import pytest as _pytest
+
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        full = _jpeg_bytes(rgb)
+        sos = full.index(b"\xff\xda")
+        ns = full[sos + 4]
+        assert ns == 3
+        # rewrite the SOS header to scan only the first component
+        cid, tt = full[sos + 5], full[sos + 6]
+        tail = full[sos + 4 + 1 + 2 * ns :]  # Ss Se AhAl + entropy data
+        subset = (
+            full[:sos]
+            + b"\xff\xda"
+            + bytes([0, 8, 1, cid, tt])
+            + tail
+        )
+        with _pytest.raises(
+            ValueError, match="non-interleaved sequential"
+        ):
+            decode_jpeg(subset)
+
     def test_jpeg_progressive_444_matches_baseline_decode(self, spark):
         """The SAME image through the progressive encoder (spectral
         bands + successive approximation + EOB runs) and the baseline

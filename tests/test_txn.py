@@ -864,6 +864,55 @@ class TestManifestPublisherSeam:
         assert not pub.put_if_absent(spark, final, b"second", "t2")
         assert txn._read_bytes(spark, final) == b"first"
 
+    def test_put_if_absent_surfaces_non_cas_failures(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r5: only destination-exists is a lost race. A
+        persistent IO/permission failure must raise, not return False —
+        else commit_txn burns max_attempts full snapshot rewrites and
+        then reports a misleading 'version conflicts' error."""
+        import pytest as _pytest
+
+        pub = txn.ConditionalPutManifestPublisher()
+
+        class DeniedFs:
+            def create(self, p, overwrite):
+                raise RuntimeError(
+                    "java.io.IOException: Permission denied: slot.json"
+                )
+
+        monkeypatch.setattr(
+            txn, "_fs", lambda spark, path: (None, DeniedFs(), None)
+        )
+        with _pytest.raises(RuntimeError, match="Permission denied"):
+            pub.put_if_absent(spark, f"{tmp_path}/slot.json", b"x", "t1")
+
+        class TakenFs:
+            def create(self, p, overwrite):
+                raise RuntimeError(
+                    "org.apache.hadoop.fs.FileAlreadyExistsException: "
+                    "slot.json already exists"
+                )
+
+        monkeypatch.setattr(
+            txn, "_fs", lambda spark, path: (None, TakenFs(), None)
+        )
+        assert not pub.put_if_absent(
+            spark, f"{tmp_path}/slot.json", b"x", "t2"
+        )
+        monkeypatch.undo()
+        # real-FS CAS-lost condition still classified as a race: the
+        # parent-is-file probe (Hadoop mkdirs raises
+        # FileAlreadyExistsException there) and the taken slot
+        blocker = f"{tmp_path}/blocker"
+        txn._write_bytes(spark, blocker, b"i am a file")
+        assert not pub.put_if_absent(
+            spark, f"{blocker}/slot.json", b"x", "t3"
+        )
+        taken = f"{tmp_path}/taken.json"
+        assert pub.put_if_absent(spark, taken, b"first", "t4")
+        assert not pub.put_if_absent(spark, taken, b"second", "t5")
+
     def test_rename_publisher_still_default_and_race_safe(
         self, spark, tmp_path
     ):
@@ -913,6 +962,26 @@ class TestChangeDataFeed:
         }
         # same-version diff is empty; unchanged keys never appear
         assert txn.read_changes(spark, t, 2, 2).count() == 0
+
+    def test_flat_from_version_zero_is_all_inserts(self, spark, tmp_path):
+        """ADVICE r5: from_version=0 means 'since table creation' (the
+        read_changes_bucketed-documented contract) — on a FLAT table it
+        must return the snapshot tagged insert, not raise trying to
+        read the nonexistent version-0 manifest. Both entry points."""
+        t = str(tmp_path / "cdf0")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "a", 1, "I"), (2, "b", 2, "I"), (2, None, 3, "D")],
+                CDC_SCHEMA,
+            ),
+            t,
+        )
+        for reader in (txn.read_changes, txn.read_changes_bucketed):
+            got = {
+                r.id: (r.val, r._change_type)
+                for r in reader(spark, t, 0).collect()
+            }
+            assert got == {1: ("a", "insert")}  # tombstone absent
 
     def test_bucketed_diff_sees_overlay_deletes(self, spark, tmp_path):
         t = str(tmp_path / "cdf-b")
