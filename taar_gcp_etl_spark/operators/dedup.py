@@ -890,6 +890,7 @@ def remove_repeated_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_count: int = 2,
+    keep: str = "all",
 ) -> DataFrame:
     """Exact-substring deduplication (the ExactSubstr operator of Lee
     et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -916,12 +917,19 @@ def remove_repeated_spans(
     4. rebuild each doc JVM-side with an index-aware array filter —
        no Python, no second corpus shuffle.
 
-    Removal is symmetric (EVERY occurrence of a repeated span is cut,
-    as in the paper's public implementation) and output text is
+    ``keep`` selects the removal policy. ``'all'`` (default) is
+    symmetric — EVERY occurrence of a repeated span is cut, as in the
+    paper's public implementation. ``'first'`` keeps one canonical
+    copy: the occurrence with the smallest (id, position) survives
+    (row_number over the gram hash, deterministic), the rest are cut —
+    the right policy for corpora where exactly one copy of repeated
+    boilerplate should remain in the training mix. Output text is
     whitespace-normalized (single spaces), which the oracle mirrors.
     Docs shorter than n tokens pass through unchanged — they have no
     n-gram to repeat. Returns (id, text, n_tokens, n_removed).
     """
+    if keep not in ("all", "first"):
+        raise ValueError(f"keep {keep!r}: use 'all' or 'first'")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -952,11 +960,20 @@ def remove_repeated_spans(
     # persist of the corpus-tokens-sized intermediate, so repeated
     # invocations leave nothing pinned in the cache manager (ADVICE r5;
     # localCheckpoint turned out equally session-pinned in practice).
+    counted = grams.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_g"))
+    ).filter(F.col("_c") >= min_count)
+    if keep == "first":
+        # the same shuffle+sort serves both window functions (identical
+        # partitioning; the ordered frame just adds the sort key)
+        counted = counted.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_g").orderBy("_id", "i")
+            ),
+        ).filter(F.col("_rn") >= 2)
     covered = (
-        grams.withColumn(
-            "_c", F.count("*").over(Window.partitionBy("_g"))
-        )
-        .filter(F.col("_c") >= min_count)
+        counted
         .select(
             "_id",
             F.explode(

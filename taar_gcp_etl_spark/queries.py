@@ -2654,6 +2654,28 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy exact-substring dedup (NEXT.md r6 #5): same
+    repeated-8-gram detection as span_dedup, but the occurrence with
+    the smallest (doc_id, position) survives — row_number over the
+    gram, deterministic — so exactly one canonical copy of repeated
+    boilerplate remains in the corpus. Oracle rebuilds the policy with
+    an independent window over the gram text."""
+    from taar_gcp_etl_spark.operators.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_repeated_spans(
+        docs, text_col="text", id_col="doc_id", n=8, min_count=2,
+        keep="first",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2822,6 +2844,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment": q_containment,
     "calibration": q_calibration,
     "url_canonical": q_url_canonical,
+    "span_dedup_keep": q_span_dedup_keep,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -4655,6 +4678,47 @@ ORACLE_SQL: dict[str, str] = {
             SELECT DISTINCT doc_id, v.p AS p
             FROM grams JOIN rep USING (g),
                  LATERAL unnest(range(i, i + 8)) AS v(p)
+        ), tok_rows AS (
+            SELECT doc_id, t[r.p] AS tok, r.p AS pos
+            FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(p)
+        ), kept AS (
+            SELECT tr.doc_id, tr.tok, tr.pos
+            FROM tok_rows tr
+            LEFT JOIN cov ON cov.doc_id = tr.doc_id AND cov.p = tr.pos
+            WHERE cov.p IS NULL
+        ), agg AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS text,
+                   count(*) AS nk
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tk.doc_id,
+               coalesce(a.text, '') AS text,
+               CAST(len(tk.t) AS INT) AS n_tokens,
+               CAST(len(tk.t) - coalesce(a.nk, 0) AS INT) AS n_removed
+        FROM toks tk LEFT JOIN agg a USING (doc_id)
+    """,
+    "span_dedup_keep": """
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_split(regexp_replace(trim(text),
+                                '[ \t\n\r]+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, u.i AS i,
+                   array_to_string(t[u.i : u.i + 7], chr(31)) AS g
+            FROM toks, LATERAL unnest(range(1, len(t) - 8 + 2)) AS u(i)
+            WHERE len(t) >= 8
+        ), counted AS (
+            SELECT doc_id, i,
+                   count(*) OVER (PARTITION BY g) AS c,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY doc_id, i) AS rn
+            FROM grams
+        ), cov AS (
+            SELECT DISTINCT doc_id, v.p AS p
+            FROM counted, LATERAL unnest(range(i, i + 8)) AS v(p)
+            WHERE c >= 2 AND rn >= 2
         ), tok_rows AS (
             SELECT doc_id, t[r.p] AS tok, r.p AS pos
             FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(p)

@@ -636,6 +636,38 @@ class TestRemoveRepeatedSpans:
         assert out[2].text == "x y tail2 z"
         assert out[1].n_removed == 9 and out[2].n_removed == 9
 
+    def test_keep_first_preserves_one_canonical_copy(self, spark):
+        """keep='first': the occurrence with the smallest (doc_id, pos)
+        survives; every other occurrence of the repeated span is cut
+        (NEXT.md r6 #5). Symmetric removal stays the default."""
+        import pytest as _pytest
+
+        from taar_gcp_etl_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        rows = [
+            (1, f"alpha beta {self.SPAN} gamma delta epsilon zeta"),
+            (2, f"different head words {self.SPAN} and a unique tail"),
+            (3, f"third copy here {self.SPAN} trailing words too"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_spans(
+                df, n=8, min_count=2, keep="first"
+            ).collect()
+        }
+        # doc 1 holds the first occurrence: untouched
+        assert out[1].text == rows[0][1]
+        assert out[1].n_removed == 0
+        # later occurrences are cut
+        assert out[2].text == "different head words and a unique tail"
+        assert out[3].text == "third copy here trailing words too"
+        assert out[2].n_removed == 8 and out[3].n_removed == 8
+        with _pytest.raises(ValueError, match="keep"):
+            remove_repeated_spans(df, keep="last")
+
     def test_no_cached_relation_leaks_across_invocations(self, spark):
         """ADVICE r5: the corpus-gram relation is the operator's
         heaviest intermediate; it must be unpersisted before return —
