@@ -529,7 +529,7 @@ def optimize_zorder(
 # Stats-pruned scans
 # ---------------------------------------------------------------------------
 
-_OPS = ("<", "<=", ">", ">=", "=", "between")
+_OPS = ("<", "<=", ">", ">=", "=", "between", "in")
 
 
 def _overlaps(lo, hi, op, val) -> bool:
@@ -552,6 +552,8 @@ def _overlaps(lo, hi, op, val) -> bool:
     if op == "between":
         vlo, vhi = val
         return not (hi < vlo or lo > vhi)
+    if op == "in":
+        return any(lo <= v <= hi for v in val)
     raise ValueError(f"unsupported op {op!r} (supported: {_OPS})")
 
 
@@ -561,6 +563,8 @@ def _residual(filters: list[tuple]) -> Column:
         col = F.col(c)
         if op == "between":
             cond = cond & col.between(val[0], val[1])
+        elif op == "in":
+            cond = cond & col.isin(list(val))
         elif op == "=":
             cond = cond & (col == val)
         else:
@@ -580,7 +584,7 @@ def prune_report(
     version: int | None = None,
 ) -> dict:
     """Metadata-only pruning decision for ``filters`` (list of
-    ``(col, op, value)`` with op in <, <=, >, >=, =, between): which of
+    ``(col, op, value)`` with op in <, <=, >, >=, =, between, in): which of
     the snapshot's files can be skipped by zone maps alone. No data is
     read — this is the planning step scan_pruned executes."""
     man = (

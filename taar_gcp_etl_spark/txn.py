@@ -1685,12 +1685,76 @@ def _nn(m: str) -> str:
 LIVE_ROWS_COL = "_live_rows"
 
 
+# max distinct touched group-key values shipped as an in-list prune
+# filter; beyond this the prune degrades to the touched min/max range
+# (still sound, coarser). Bounds the driver-side collect to O(cap).
+_IVM_IN_CAP = 256
+
+
+def _pruned_live_for_groups(
+    spark: SparkSession,
+    source_dir: str,
+    man: dict,
+    touched: DataFrame,
+    group_keys: list[str],
+    version: int,
+) -> DataFrame | None:
+    """Zone-map-pruned live-row scan for the IVM group-targeted
+    recompute (NEXT.md r6 #6): derive per-group-key prune filters from
+    the touched-group relation and read only intersecting source files
+    via scan_cdc_pruned. Returns None when the source has no usable
+    zone maps (caller falls back to the full live scan).
+
+    Soundness: every filter is implied by "row belongs to a touched
+    group" — an in-list of ALL touched values, or their min/max range —
+    so the pruned scan is a superset of the rows the semi-join keeps.
+    A NULL touched key defeats range/in predicates (comparisons never
+    match null), so that column contributes no filter; if no column
+    can contribute, fall back rather than prune unsoundly."""
+    if "file_stats" not in man or "buckets" not in man:
+        return None
+    stat_cols = set(man.get("stats_cols") or [])
+    cols = [k for k in group_keys if k in stat_cols]
+    if not cols:
+        return None
+    # one bounded job: nulls + bounds per candidate column
+    aggs = []
+    for k in cols:
+        aggs += [
+            F.max(F.col(k).isNull().cast("int")).alias(f"_null_{k}"),
+            F.min(k).alias(f"_min_{k}"),
+            F.max(k).alias(f"_max_{k}"),
+        ]
+    stats = touched.agg(*aggs).first()
+    filters: list[tuple] = []
+    for k in cols:
+        if stats[f"_null_{k}"] or stats[f"_min_{k}"] is None:
+            continue  # touched null group (or empty window): no prune
+        vals = [
+            r[0]
+            for r in touched.select(k)
+            .distinct()
+            .limit(_IVM_IN_CAP + 1)
+            .collect()
+        ]
+        if len(vals) <= _IVM_IN_CAP:
+            filters.append((k, "in", sorted(vals)))
+        else:
+            filters.append(
+                (k, "between", (stats[f"_min_{k}"], stats[f"_max_{k}"]))
+            )
+    if not filters:
+        return None
+    return scan_cdc_pruned(spark, source_dir, filters, version=version)
+
+
 def sync_aggregate_from_cdc(
     spark: SparkSession,
     source_dir: str,
     store_dir: str,
     group_keys: list[str],
     measures: dict[str, tuple[str, str]],
+    prune_recompute: bool = True,
 ) -> int | None:
     """Incremental materialized-VIEW maintenance over a CDC-maintained
     source table, driven by the change feed — the piece
@@ -1719,9 +1783,15 @@ def sync_aggregate_from_cdc(
       one). The preimage rows name every group that lost a row, so the
       sync recomputes exactly the TOUCHED groups from the source's live
       rows (one semi-join pass) and splices them into the store. Cost
-      is O(changes + rows-in-touched-groups + store); the semi-join
-      scan prunes further when the source is zone-map clustered on the
-      group key.
+      is O(changes + rows-in-touched-groups + store). When the source
+      carries zone maps over a group-key column (``stats_cols`` at
+      apply time) and ``prune_recompute`` is on (default), the
+      recompute reads only the FILES whose stats intersect the touched
+      keys — an ``in``-list up to ``_IVM_IN_CAP`` distinct touched
+      values, a min/max ``between`` beyond that; metadata-only
+      planning, the semi-join still provides exactness, and a touched
+      NULL group key disables pruning on that column (range predicates
+      cannot keep nulls), so the prune is always sound.
 
     Cursor + idempotence: the store's manifest ``epoch_id`` records the
     last source VERSION synced (source versions are monotonic, so the
@@ -1857,9 +1927,15 @@ def sync_aggregate_from_cdc(
             return out_cols(untouched).unionByName(out_cols(merged_rows))
         # non-invertible: recompute exactly the touched groups
         touched = ch.select(*group_keys).distinct()
-        live_df = read_cdc_table(
-            spark, source_dir, version=to_version
-        ).alias("l")
+        live_df = None
+        if prune_recompute:
+            live_df = _pruned_live_for_groups(
+                spark, source_dir, src_man, touched, group_keys,
+                to_version,
+            )
+        if live_df is None:
+            live_df = read_cdc_table(spark, source_dir, version=to_version)
+        live_df = live_df.alias("l")
         t1, t2 = touched.alias("t1"), touched.alias("t2")
         fresh = full_agg(
             live_df.join(t1, null_safe_on(live_df, t1), "left_semi")

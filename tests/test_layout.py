@@ -116,6 +116,7 @@ class TestCommitClusteredAndPrune:
             [("o_totalprice", "<", 5000.0)],
             [("o_custkey", ">", 100), ("o_totalprice", "<=", 80000.0)],
             [("o_orderdate", ">=", __import__("datetime").datetime(1997, 1, 1))],
+            [("o_custkey", "in", [3, 7, 41])],
         ],
     )
     def test_pruned_scan_equals_full_filter(
@@ -124,6 +125,18 @@ class TestCommitClusteredAndPrune:
         got = _sorted_rows(layout.scan_pruned(spark, table, filters))
         exp = _sorted_rows(orders.filter(layout._residual(filters)))
         assert got == exp and len(exp) > 0
+
+    def test_in_list_prunes_like_equalities(self, spark, table):
+        """The 'in' op (IVM recompute's touched-key filter) keeps a
+        file iff ANY listed value intersects its [min, max]; a list of
+        out-of-domain values reads zero files."""
+        rep = layout.prune_report(spark, table, [("o_custkey", "in", [7])])
+        eq = layout.prune_report(spark, table, [("o_custkey", "=", 7)])
+        assert rep == eq
+        none = layout.prune_report(
+            spark, table, [("o_custkey", "in", [10**9, -5])]
+        )
+        assert none["kept_files"] == 0
 
     def test_disjoint_predicate_reads_zero_files(self, spark, table):
         rep = layout.prune_report(

@@ -1512,6 +1512,77 @@ class TestIncrementalViewSync:
         # untouched group b must have survived the splice unchanged
         assert got["b"] == (7, 7)
 
+    def test_minmax_recompute_prunes_zone_mapped_source(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """NEXT.md r6 #6: when the source carries zone maps on the
+        group key, the recompute reads only files whose stats intersect
+        the touched keys — asserted by spying scan_cdc_pruned AND by
+        the prune report, with the result still equal to a full
+        re-aggregate."""
+        measures = {"mx": ("max", "val"), "mn": ("min", "val")}
+        src = str(tmp_path / "srcz")
+        store = str(tmp_path / "mvz")
+
+        def apply(rows):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame(rows, self.SRC), src,
+                key_col="id", n_buckets=4, stats_cols=["grp"],
+            )
+
+        # two batches with disjoint group ranges → per-file grp stats
+        # that separate them
+        apply([(i, "aaa", i * 10, i, "I") for i in range(1, 5)])
+        apply([(i, "zzz", i * 10, i, "I") for i in range(10, 14)])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+
+        calls = []
+        real = txn.scan_cdc_pruned
+
+        def spy(spark_, table_dir, filters, version=None):
+            calls.append(filters)
+            return real(spark_, table_dir, filters, version=version)
+
+        monkeypatch.setattr(txn, "scan_cdc_pruned", spy)
+        apply([(2, None, None, 100, "D")])  # drop group aaa's max
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert calls == [[("grp", "in", ["aaa"])]]
+        rep = txn.cdc_prune_report(spark, src, calls[0])
+        assert 0 < rep["kept_files"] < rep["total_files"], rep
+        got = self._got(spark, store, measures)
+        assert got == self._expect(spark, src, measures)
+        assert got["zzz"] == (100, 130)  # untouched group spliced intact
+
+        # touched NULL group key: pruning must stand down, result exact
+        apply([(20, None, 5, 101, "I"), (21, "aaa", 1, 102, "I")])
+        calls.clear()
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert calls == []  # fell back to the full live scan
+        assert self._got(spark, store, measures) == self._expect(
+            spark, src, measures
+        )
+
+        # in-list cap: beyond it the filter degrades to the min/max range
+        monkeypatch.setattr(txn, "_IVM_IN_CAP", 1)
+        calls.clear()
+        apply([(22, "bbb", 2, 103, "I"), (23, "ccc", 3, 104, "I")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert calls == [[("grp", "between", ("bbb", "ccc"))]]
+        assert self._got(spark, store, measures) == self._expect(
+            spark, src, measures
+        )
+
+        # opt-out flag bypasses the pruned scan entirely
+        calls.clear()
+        apply([(24, "ddd", 4, 105, "I")])
+        txn.sync_aggregate_from_cdc(
+            spark, src, store, ["grp"], measures, prune_recompute=False
+        )
+        assert calls == []
+        assert self._got(spark, store, measures) == self._expect(
+            spark, src, measures
+        )
+
     def test_cursor_survives_multi_version_gaps(self, spark, tmp_path):
         """Several source commits between syncs: one sync catches up
         across all of them (the CDF diffs last-synced..latest)."""
