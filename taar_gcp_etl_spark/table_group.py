@@ -209,6 +209,67 @@ def group_history(spark: SparkSession, group_dir: str) -> list[dict]:
     return out
 
 
+def group_vacuum(
+    spark: SparkSession,
+    group_dir: str,
+    keep_last: int = 2,
+    member_keep_last: int = 1,
+    grace_seconds: float = 0.0,
+) -> dict:
+    """Garbage-collect a group AND its members coherently (NEXT.md r6
+    #7): keep the newest ``keep_last`` group manifests, then vacuum
+    every member table keeping its newest ``member_keep_last`` versions
+    PLUS every version a kept group manifest still pins. Vacuuming
+    members independently can reclaim a version an old-but-retained
+    group vector still resolves to — read_group at that group version
+    would then point at deleted data; this entry point is the retention
+    alignment the module previously required operators to do by hand.
+
+    Orphan member versions (committed by a crashed group_commit whose
+    group publish never happened, and not covered by member retention)
+    are reclaimed by the member vacuums — exactly the reclamation the
+    module docstring promises. ``grace_seconds`` passes through to the
+    member vacuums to protect in-flight commits.
+
+    Returns {removed_group_manifests, kept_group_versions, members:
+    {name: member vacuum report}}."""
+    group_dir = group_dir.rstrip("/")
+    versions = txn._list_manifest_versions(spark, group_dir)
+    keep_group = versions[-keep_last:] if keep_last > 0 else []
+    # pins keyed by storage dir (a name could in principle be remapped
+    # to a new dir across group versions; the DIR owns the data)
+    pins: dict[str, set[int]] = {}
+    names: dict[str, str] = {}
+    for v in keep_group:
+        man = txn.read_manifest(spark, group_dir, v)
+        for name, e in man.get("tables", {}).items():
+            pins.setdefault(e["dir"], set()).add(e["version"])
+            names[e["dir"]] = name
+    removed_group = 0
+    for v in versions:
+        if v not in keep_group:
+            _, fs, mp = txn._fs(
+                spark,
+                f"{group_dir}/{txn._LOG}/{txn._manifest_name(v)}",
+            )
+            fs.delete(mp, False)
+            removed_group += 1
+    members = {}
+    for d in sorted(pins):
+        members[names[d]] = txn.vacuum_txn(
+            spark,
+            d,
+            keep_last=member_keep_last,
+            grace_seconds=grace_seconds,
+            pin_versions=sorted(pins[d]),
+        )
+    return {
+        "removed_group_manifests": removed_group,
+        "kept_group_versions": keep_group,
+        "members": members,
+    }
+
+
 def stream_group_commit(
     changes: DataFrame,
     group_dir: str,
@@ -240,6 +301,7 @@ def stream_group_commit(
 
 __all__ = [
     "group_commit",
+    "group_vacuum",
     "read_group",
     "read_group_manifest",
     "group_table_version",

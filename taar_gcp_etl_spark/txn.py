@@ -504,6 +504,7 @@ def vacuum_txn(
     table_dir: str,
     keep_last: int = 2,
     grace_seconds: float = 0.0,
+    pin_versions: list[int] | None = None,
 ) -> dict:
     """Garbage-collect snapshots: keep the snapshot dirs referenced by the
     newest ``keep_last`` manifests, delete every other entry under
@@ -527,10 +528,22 @@ def vacuum_txn(
     Bucketed layouts: a kept manifest references every dir its bucket
     mapping points at — an OLD dir stays live for as long as any kept
     version still owns a bucket in it, so incremental commits never
-    strand data they didn't rewrite."""
+    strand data they didn't rewrite.
+
+    ``pin_versions`` keeps additional specific versions beyond the
+    newest ``keep_last`` — the hook table_group.group_vacuum uses to
+    protect versions an old-but-retained GROUP manifest still pins
+    (vacuuming members independently could reclaim a version a group
+    vector still resolves to). Pins not present in the log are
+    ignored."""
     table_dir = table_dir.rstrip("/")
     versions = _list_manifest_versions(spark, table_dir)
     keep_versions = versions[-keep_last:] if keep_last > 0 else []
+    if pin_versions:
+        have = set(versions)
+        keep_versions = sorted(
+            set(keep_versions) | {v for v in pin_versions if v in have}
+        )
     keep_snaps = set()
     for v in keep_versions:
         man = read_manifest(spark, table_dir, v)

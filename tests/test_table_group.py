@@ -159,3 +159,86 @@ class TestGroupCommit:
         grp, dirs = self._paths(tmp_path)
         with pytest.raises(ValueError, match="no table_dir"):
             tg.group_commit(spark, grp, {"orders": _orders(spark, [(1, 1)])})
+
+
+class TestGroupVacuum:
+    """group_vacuum: retention aligned through the group — a member
+    version an old-but-kept group manifest pins survives the member
+    vacuum; everything older (and orphan member versions) is
+    reclaimed."""
+
+    def _paths(self, tmp_path):
+        return (
+            str(tmp_path / "grp"),
+            {"orders": str(tmp_path / "orders"),
+             "summary": str(tmp_path / "summary")},
+        )
+
+    def _commit(self, spark, grp, dirs, rows):
+        orders = _orders(spark, rows)
+        return tg.group_commit(
+            spark,
+            grp,
+            {"orders": orders, "summary": _summary_of(orders)},
+            table_dirs=dirs,
+        )
+
+    def test_kept_group_versions_stay_readable(self, spark, tmp_path):
+        grp, dirs = self._paths(tmp_path)
+        for i in range(1, 5):  # group v1..v4; members at v1..v4 too
+            self._commit(spark, grp, dirs, [(j, j * 10) for j in range(i)])
+        rep = tg.group_vacuum(
+            spark, grp, keep_last=2, member_keep_last=1
+        )
+        assert rep["kept_group_versions"] == [3, 4]
+        assert rep["removed_group_manifests"] == 2
+        # member v1/v2 reclaimed, v3 kept ONLY via the group pin
+        assert rep["members"]["orders"]["kept_versions"] == [3, 4]
+        assert rep["members"]["orders"]["removed_manifests"] == 2
+        # both surviving group versions resolve fully
+        for gv in (3, 4):
+            got = {
+                r.o_id: r.amount
+                for r in tg.read_group(spark, grp, "orders", gv).collect()
+            }
+            assert got == {j: j * 10 for j in range(gv)}
+            assert tg.read_group(spark, grp, "summary", gv).first().n == gv
+        # reclaimed group version is gone from the log
+        import pytest
+
+        with pytest.raises(Exception):
+            tg.read_group(spark, grp, "orders", 2).collect()
+
+    def test_orphan_member_versions_reclaimed(self, spark, tmp_path):
+        """A member commit whose group publish crashed (orphan version,
+        invisible to every group vector) is reclaimable once member
+        retention passes it — the module docstring's promise."""
+        grp, dirs = self._paths(tmp_path)
+        self._commit(spark, grp, dirs, [(1, 10)])            # member v1
+        txn.commit_txn(_orders(spark, [(9, 90)]), dirs["orders"])  # orphan v2
+        self._commit(spark, grp, dirs, [(1, 10), (2, 20)])   # member v3
+        rep = tg.group_vacuum(
+            spark, grp, keep_last=2, member_keep_last=1
+        )
+        # group v1 pins member v1; group v2 pins member v3; orphan v2
+        # is neither pinned nor inside member_keep_last → reclaimed
+        assert rep["members"]["orders"]["kept_versions"] == [1, 3]
+        for gv in (1, 2):
+            assert tg.read_group(spark, grp, "orders", gv).count() == gv
+
+    def test_member_grace_passthrough(self, spark, tmp_path):
+        """grace_seconds reaches the member vacuums: young snapshot
+        dirs survive even when unreferenced."""
+        grp, dirs = self._paths(tmp_path)
+        self._commit(spark, grp, dirs, [(1, 10)])
+        # orphan member v2: unreferenced by any group vector and below
+        # member retention after the next commit — but its snapshot dir
+        # is YOUNG, so the grace window must protect it
+        txn.commit_txn(_orders(spark, [(9, 90)]), dirs["orders"])
+        self._commit(spark, grp, dirs, [(1, 10), (2, 20)])   # member v3
+        rep = tg.group_vacuum(
+            spark, grp, keep_last=1, member_keep_last=1,
+            grace_seconds=3600,
+        )
+        assert rep["members"]["orders"]["skipped_young"] >= 1
+        assert rep["members"]["orders"]["removed_snapshots"] == 0
