@@ -177,16 +177,18 @@ def refresh_aggregate(
     per-key aggregate table up to date for a delta batch WITHOUT
     re-aggregating the full history. ``measures`` maps output column
     names to EXPLICIT mergeable-aggregate specs ``(op, column)`` with op
-    in {'sum', 'count', 'min', 'max'} ('count' over a column counts its
-    non-nulls; 'count' over '*' counts rows). The op vocabulary is
-    closed ON PURPOSE: these are the aggregates where merge(old,
+    in {'sum', 'count', 'min', 'max', 'approx_distinct'} ('count' over
+    a column counts its non-nulls; 'count' over '*' counts rows;
+    'approx_distinct' maintains a union-mergeable HLL sketch — binary
+    store column, numbers via ``sketch_estimates``). The op vocabulary
+    is closed ON PURPOSE: these are the aggregates where merge(old,
     partial) equals the aggregate over the combined inputs. Specs are
     data, not Column expressions — an earlier Column-based signature
     dispatched on the expression's repr, and `F.sum_distinct` reprs
     identically to `F.sum`, silently merging distinct-counts with '+'
     (wrong results, no error). Non-mergeable aggregates: maintain avg as
-    sum + count and derive on read; distinct-counts need a sketch (HLL)
-    or the full key set, not this operator.
+    sum + count and derive on read; EXACT distinct-counts need the full
+    key set, not this operator.
 
     The maintenance identity: agg(history ∪ delta) = merge(agg(history),
     agg(delta)) per key. So the plan only ever touches
@@ -236,30 +238,46 @@ def refresh_aggregate(
     return untouched.unionByName(touched)
 
 
-_MERGEABLE_OPS = ("sum", "count", "min", "max")
+_MERGEABLE_OPS = ("sum", "count", "min", "max", "approx_distinct")
 
 
 def _measure_agg(spec: tuple[str, str]) -> Column:
-    """Build the partial-aggregate Column for one (op, column) spec."""
+    """Build the partial-aggregate Column for one (op, column) spec.
+
+    ``approx_distinct`` materializes as a Datasketches HLL sketch
+    (binary column, F.hll_sketch_agg): union-mergeable, so a stored
+    sketch absorbs any partition of the input into batches — THE way to
+    maintain incremental distinct counts at 100 TB (the exact key set
+    doesn't fit; plain counts can't merge). Read the number back with
+    ``sketch_estimates`` / F.hll_sketch_estimate."""
     op, col = spec
     if op not in _MERGEABLE_OPS:
         raise ValueError(
             f"aggregate {op!r} is not mergeable — use one of "
-            f"{_MERGEABLE_OPS} (maintain avg as sum+count, distinct "
-            "counts as a sketch)"
+            f"{_MERGEABLE_OPS} (maintain avg as sum+count, exact "
+            "distinct counts need the full key set; approx_distinct "
+            "keeps an HLL sketch)"
         )
     if op == "count":
         return (
             F.count(F.lit(1)) if col == "*" else F.count(F.col(col))
         )
+    if op == "approx_distinct":
+        return F.hll_sketch_agg(F.col(col))
     return getattr(F, op)(F.col(col))
 
 
 def _merge_measure(name: str, op: str) -> Column:
     """merge(stored, delta-partial) for one measure: sum/count → +,
-    min → least, max → greatest. New keys have NULL stored values —
-    coalesce to the delta partial."""
+    min → least, max → greatest, approx_distinct → HLL union. New keys
+    have NULL stored values — coalesce to the delta partial."""
     stored, part = F.col(name), F.col(f"_d_{name}")
+    if op == "approx_distinct":
+        return (
+            F.when(stored.isNull(), part)
+            .when(part.isNull(), stored)
+            .otherwise(F.hll_union(stored, part))
+        )
     if op in ("sum", "count"):
         merged = stored + part
     elif op == "min":
@@ -267,3 +285,23 @@ def _merge_measure(name: str, op: str) -> Column:
     else:
         merged = F.greatest(stored, part)
     return F.coalesce(merged, part, stored)
+
+
+def sketch_estimates(
+    df: DataFrame, measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Present a store carrying approx_distinct sketches as numbers:
+    each sketch measure column is replaced by its HLL estimate (long);
+    every other column passes through unchanged. NULL sketch (a group
+    whose measured column was all-null) estimates to 0, matching
+    approx_count_distinct over an empty input."""
+    out = df
+    for m, (op, _c) in measures.items():
+        if op == "approx_distinct" and m in df.columns:
+            out = out.withColumn(
+                m,
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(m)), F.lit(0)
+                ).cast("long"),
+            )
+    return out

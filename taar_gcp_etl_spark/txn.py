@@ -1791,9 +1791,10 @@ def sync_aggregate_from_cdc(
       sum measure (so a sum over a group whose non-null inputs all
       retract goes back to NULL, exactly matching a full re-aggregate —
       without the counter it would freeze at 0).
-    * **Group-targeted recompute (any min/max)** — min/max cannot be
-      retracted (removing the current min says nothing about the new
-      one). The preimage rows name every group that lost a row, so the
+    * **Group-targeted recompute (any min/max/approx_distinct)** —
+      these cannot be retracted (removing the current min says nothing
+      about the new one; an HLL sketch cannot forget a value). The
+      preimage rows name every group that lost a row, so the
       sync recomputes exactly the TOUCHED groups from the source's live
       rows (one semi-join pass) and splices them into the store. Cost
       is O(changes + rows-in-touched-groups + store). When the source
@@ -1963,10 +1964,15 @@ def sync_aggregate_from_cdc(
 
 
 def read_aggregate_store(
-    spark: SparkSession, store_dir: str, version: int | None = None
+    spark: SparkSession,
+    store_dir: str,
+    version: int | None = None,
+    measures: dict | None = None,
 ) -> DataFrame | None:
     """User-facing read of a sync_aggregate_from_cdc store: maintenance
-    counters hidden."""
+    counters hidden. Pass the store's ``measures`` spec to present
+    approx_distinct sketch columns as their HLL estimates (long)
+    instead of raw binary."""
     df = read_txn(spark, store_dir, version=version)
     if df is None:
         return df
@@ -1975,7 +1981,12 @@ def read_aggregate_store(
         for c in df.columns
         if c == LIVE_ROWS_COL or c.startswith("_nn_")
     ]
-    return df.drop(*drop)
+    df = df.drop(*drop)
+    if measures:
+        from taar_gcp_etl_spark.operators.merge import sketch_estimates
+
+        df = sketch_estimates(df, measures)
+    return df
 
 
 def _cdc_kept_files(

@@ -848,6 +848,90 @@ class TestRefreshAggregate:
                 {"total": ("sum_distinct", "v")},
             ).collect()
 
+    def test_approx_distinct_sketch_merges_across_batches(self, spark):
+        """approx_distinct maintains a union-mergeable HLL sketch: any
+        batching of the input yields the same estimate as one shot, and
+        for small cardinalities the Datasketches estimate is EXACT, so
+        the equality is strict, not a tolerance."""
+        from taar_gcp_etl_spark.operators.merge import (
+            _measure_agg,
+            refresh_aggregate,
+            sketch_estimates,
+        )
+
+        measures = {"u": ("approx_distinct", "v"), "n": ("count", "v")}
+        rows = [(k, f"val{i % (k * 7)}") for k in (1, 2, 3)
+                for i in range(40)]
+        full = spark.createDataFrame(rows, ["k", "v"])
+        exact = {
+            r.k: r.u
+            for r in full.groupBy("k")
+            .agg(F.countDistinct("v").alias("u"))
+            .collect()
+        }
+        empty = full.limit(0).groupBy("k").agg(
+            *[_measure_agg(measures[m]).alias(m) for m in sorted(measures)]
+        )
+        for n_batches in (2, 3, 5):
+            store = empty
+            for b in range(n_batches):
+                batch = spark.createDataFrame(
+                    rows[b::n_batches], ["k", "v"]
+                )
+                store = refresh_aggregate(store, batch, ["k"], measures)
+            got = {
+                r.k: r.u
+                for r in sketch_estimates(store, measures).collect()
+            }
+            assert got == exact, n_batches
+
+    def test_approx_distinct_all_null_group_estimates_zero(self, spark):
+        from taar_gcp_etl_spark.operators.merge import (
+            refresh_aggregate,
+            sketch_estimates,
+        )
+
+        measures = {"u": ("approx_distinct", "v")}
+        store = (
+            spark.createDataFrame([(1, "a")], ["k", "v"])
+            .limit(0)
+            .groupBy("k")
+            .agg(F.hll_sketch_agg("v").alias("u"))
+        )
+        delta = spark.createDataFrame(
+            [(1, None), (1, None), (2, "x")], ["k", "v"]
+        )
+        out = sketch_estimates(
+            refresh_aggregate(store, delta, ["k"], measures), measures
+        )
+        got = {r.k: r.u for r in out.collect()}
+        assert got == {1: 0, 2: 1}
+
+    def test_approx_distinct_tracks_large_cardinality(self, spark):
+        """Standard HLL accuracy at lgK=12 is ~1.6% RSE: a 20k-distinct
+        stream split into 4 batches must land within 5%."""
+        from taar_gcp_etl_spark.operators.merge import (
+            refresh_aggregate,
+            sketch_estimates,
+        )
+
+        measures = {"u": ("approx_distinct", "v")}
+        n = 20000
+        store = (
+            spark.range(0)
+            .select(F.lit(1).alias("k"), F.lit("x").alias("v"))
+            .groupBy("k")
+            .agg(F.hll_sketch_agg("v").alias("u"))
+        )
+        for b in range(4):
+            batch = spark.range(b * n // 4, (b + 1) * n // 4).select(
+                F.lit(1).alias("k"),
+                F.concat(F.lit("id-"), F.col("id")).alias("v"),
+            )
+            store = refresh_aggregate(store, batch, ["k"], measures)
+        est = sketch_estimates(store, measures).first().u
+        assert abs(est - n) / n < 0.05, est
+
 
 class TestSkewKillSwitch:
     """Adversarial hot-key fixtures (VERDICT r3 next-7): the hot-band /

@@ -1512,6 +1512,39 @@ class TestIncrementalViewSync:
         # untouched group b must have survived the splice unchanged
         assert got["b"] == (7, 7)
 
+    def test_approx_distinct_measure_tracks_live_rows(
+        self, spark, tmp_path
+    ):
+        """approx_distinct routes through the group-targeted recompute
+        (an HLL sketch cannot forget a value): after updates and
+        deletes the estimate equals the exact distinct count of the
+        LIVE rows (exact at these cardinalities), read back as a number
+        via read_aggregate_store(measures=)."""
+        measures = {"u": ("approx_distinct", "val"), "mx": ("max", "val")}
+        src = str(tmp_path / "srch")
+        store = str(tmp_path / "mvh")
+        self._apply(spark, src, [
+            (1, "a", 10, 1, "I"), (2, "a", 10, 2, "I"),
+            (3, "a", 30, 3, "I"), (4, "b", 7, 4, "I"),
+        ])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+
+        def got():
+            df = txn.read_aggregate_store(spark, store, measures=measures)
+            assert dict(df.dtypes)["u"] == "bigint"
+            return {r.grp: (r.u, r.mx) for r in df.collect()}
+
+        assert got() == {"a": (2, 30), "b": (1, 7)}
+        # delete one of the duplicated-value rows: distinct unchanged;
+        # delete the unique 30: distinct drops — a sketch-union store
+        # could never produce this, only the recompute can
+        self._apply(spark, src, [(1, None, None, 10, "D")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert got() == {"a": (2, 30), "b": (1, 7)}
+        self._apply(spark, src, [(3, None, None, 11, "D")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert got() == {"a": (1, 10), "b": (1, 7)}
+
     def test_minmax_recompute_prunes_zone_mapped_source(
         self, spark, tmp_path, monkeypatch
     ):
