@@ -908,10 +908,11 @@ def remove_repeated_spans(
 
     1. tokenize (whitespace) and fingerprint every n-gram per doc
        (xxhash64 over the joined tokens — array ops, JVM-side);
-    2. corpus frequency per fingerprint via a window count over the
-       gram hash — one shuffle of the gram relation, no persist, no
-       join-back (see the inline note); grams with count >= min_count
-       are the repeated spans;
+    2. corpus frequency per fingerprint (map-side-combined aggregate +
+       join-back for keep='all'; a window over the gram hash for
+       keep='first', which needs positional order) — no persisted
+       intermediate either way (see the inline note); grams with
+       count >= min_count are the repeated spans;
     3. expand each hit to its covered token positions and collect the
        per-doc covered set (bounded by doc length);
     4. rebuild each doc JVM-side with an index-aware array filter —
@@ -952,18 +953,21 @@ def remove_repeated_spans(
         )
         .select("_id", "i", gram.alias("_g"))
     )
-    # Corpus frequency via a window count over the gram hash rather
-    # than groupBy + join-back: ONE shuffle of the gram relation (the
-    # join-back shape shuffles it anyway unless the repeated set
-    # broadcasts, which boilerplate-heavy web corpora don't guarantee)
-    # and — decisive for looped corpora / streaming foreachBatch — no
-    # persist of the corpus-tokens-sized intermediate, so repeated
-    # invocations leave nothing pinned in the cache manager (ADVICE r5;
-    # localCheckpoint turned out equally session-pinned in practice).
-    counted = grams.withColumn(
-        "_c", F.count("*").over(Window.partitionBy("_g"))
-    ).filter(F.col("_c") >= min_count)
+    # No persist of the corpus-tokens-sized gram relation (ADVICE r5:
+    # repeated invocations from looped corpora / foreachBatch pinned it
+    # in the cache manager forever — and at 100 TB a corpus-sized
+    # MEMORY_AND_DISK persist is a spill hazard in its own right).
+    # keep='all' re-derives grams on the probe side instead: the
+    # frequency aggregate combines map-side to ~distinct grams, and the
+    # probe is a broadcast join when the repeated set is small (AQE
+    # decides) — the recomputed explode+hash map stage measured cheaper
+    # than either the persist (r5 shape) or a full window shuffle of
+    # the gram relation at sf0.1. keep='first' genuinely needs per-gram
+    # positional order, so it pays the one window shuffle.
     if keep == "first":
+        counted = grams.withColumn(
+            "_c", F.count("*").over(Window.partitionBy("_g"))
+        ).filter(F.col("_c") >= min_count)
         # the same shuffle+sort serves both window functions (identical
         # partitioning; the ordered frame just adds the sort key)
         counted = counted.withColumn(
@@ -972,6 +976,14 @@ def remove_repeated_spans(
                 Window.partitionBy("_g").orderBy("_id", "i")
             ),
         ).filter(F.col("_rn") >= 2)
+    else:
+        repeated = (
+            grams.groupBy("_g")
+            .count()
+            .filter(F.col("count") >= min_count)
+            .select("_g")
+        )
+        counted = grams.join(repeated, "_g")
     covered = (
         counted
         .select(
