@@ -326,6 +326,210 @@ def _common_affix_lengths(
     return p, s
 
 
+def _entropy_boundaries(
+    df: DataFrame,
+    d: int,
+    sample_frac: float,
+    max_len: int,
+) -> dict[int, list[int]]:
+    """Frequency-adaptive segment boundaries per length class (the
+    Ed-Join content-filtering idea recast for the segment join):
+    positions inside corpus-constant runs carry no discriminating
+    power, so a piece that falls wholly inside one is a single hot key
+    and candidates go quadratic. Estimate per-(length, position)
+    character diversity from a sample, then place the d+1 piece
+    boundaries at EQUAL CUMULATIVE-ENTROPY quantiles — every piece
+    straddles some variable content, so its keys spread.
+
+    Sound for ANY boundary scheme B(L, i): the pigeonhole proof only
+    needs index (length L) and probe (targeting partner length L) to
+    cut at the same B(L, ·) — which they do, both reading this map;
+    lengths absent from the map fall back to even splits on BOTH sides.
+    Driver receives one row per (length ≤ max_len) class — a bounded
+    collect; the sample keeps the diversity aggregate O(sample chars)
+    at corpus scale."""
+    expr = df.select(
+        F.length("_t").alias("_l"),
+        F.col("_t"),
+    ).filter((F.col("_l") > 0) & (F.col("_l") <= max_len))
+    if sample_frac < 1.0:
+        expr = expr.sample(fraction=sample_frac, seed=7)
+    per_pos = (
+        expr.select(
+            "_l",
+            F.posexplode(F.split(F.col("_t"), "(?!^)(?=.)")).alias(
+                "_p", "_c"
+            ),
+        )
+        .groupBy("_l", "_p")
+        .agg(F.count_distinct("_c").alias("_ndc"))
+        .groupBy("_l")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("_p"), F.collect_list("_ndc")
+            ).alias("_m")
+        )
+        .collect()
+    )
+    import math
+
+    out: dict[int, list[int]] = {}
+    nseg = d + 1
+    for row in per_pos:
+        L = row._l
+        ent = [
+            math.log(row._m.get(p, 1)) if row._m.get(p, 1) > 1 else 0.0
+            for p in range(L)
+        ]
+        total = sum(ent)
+        if total <= 0.0:
+            continue  # no variable positions sampled: even splits
+        # boundaries at equal cumulative-entropy quantiles, kept
+        # non-decreasing and inside [0, L]
+        bnds = [0]
+        acc = 0.0
+        target = total / nseg
+        want = 1
+        for p in range(L):
+            acc += ent[p]
+            while want < nseg and acc >= want * target:
+                bnds.append(p + 1)
+                want += 1
+        while len(bnds) < nseg:
+            bnds.append(L)
+        bnds.append(L)
+        out[L] = bnds
+    return out
+
+
+def _even_candidates(
+    base: DataFrame,
+    idx_keys: str,
+    probe_keys: str,
+    block_cols: list[str],
+) -> DataFrame:
+    """Candidate pairs under even splits (the default path): equality
+    on (segment#, piece [, block_cols])."""
+    idx = base.select(
+        F.col("_id").alias("_id_i"),
+        *block_cols,
+        F.explode(F.expr(idx_keys)).alias("_k"),
+    ).select("_id_i", *block_cols, "_k.seg", "_k.piece")
+    probe = base.select(
+        F.col("_id").alias("_id_p"),
+        *block_cols,
+        F.explode(F.expr(probe_keys)).alias("_k"),
+    ).select("_id_p", *block_cols, "_k.seg", "_k.piece")
+    return (
+        idx.join(probe, ["seg", "piece", *block_cols])
+        .filter(F.col("_id_i") != F.col("_id_p"))
+        .select(
+            F.least("_id_i", "_id_p").alias("id_a"),
+            F.greatest("_id_i", "_id_p").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _adaptive_candidates(
+    base: DataFrame,
+    d: int,
+    bmap: dict[int, list[int]],
+    block_cols: list[str],
+) -> DataFrame:
+    """Candidate pairs under per-length-class boundaries: index cuts at
+    B(_len, ·), probe cuts its own text at B(L, ·) for every partner
+    length L in ±d with shifts ±d — the same enumeration as the even
+    path, with the boundary positions coming from the broadcast
+    boundary map (even-split fallback for unmapped lengths keeps the
+    two sides consistent). The partner length L rides in the join key:
+    an index piece cut at B(_len) can only ever satisfy a probe row
+    that targeted L = _len, so the key is strictly tighter at zero
+    recall cost."""
+    spark = base.sparkSession
+    nseg = d + 1
+    rows = [(L, b) for L, b in sorted(bmap.items())]
+    bnds = spark.createDataFrame(
+        rows, "_bl int, _b array<int>"
+    ) if rows else None
+
+    def start0(i: str, L: str) -> str:
+        return (
+            f"coalesce(element_at(_b, {i} + 1), "
+            f"cast(floor({i} * {L} / {nseg}) as int))"
+        )
+
+    def end0(i: str, L: str) -> str:
+        return (
+            f"coalesce(element_at(_b, {i} + 2), "
+            f"cast(floor(({i} + 1) * {L} / {nseg}) as int))"
+        )
+
+    def with_bounds(df: DataFrame, length_col: str) -> DataFrame:
+        if bnds is None:
+            return df.withColumn("_b", F.lit(None).cast("array<int>"))
+        return df.join(
+            F.broadcast(bnds), df[length_col] == bnds["_bl"], "left"
+        ).drop("_bl")
+
+    idx_keys = (
+        f"transform(sequence(0, {d}), i -> named_struct("
+        f"'seg', i, 'piece', substring(_t, {start0('i', '_len')} + 1, "
+        f"{end0('i', '_len')} - {start0('i', '_len')})))"
+    )
+    idx = (
+        with_bounds(base, "_len")
+        .select(
+            F.col("_id").alias("_id_i"),
+            F.col("_len").alias("_lk"),
+            *block_cols,
+            F.explode(F.expr(idx_keys)).alias("_k"),
+        )
+        .select("_id_i", "_lk", *block_cols, "_k.seg", "_k.piece")
+    )
+    s0, e0 = start0("i", "L"), end0("i", "L")
+    probe_keys = (
+        f"array_distinct(filter(flatten("
+        f"transform(sequence(0, {d}), i -> "
+        f"transform(sequence(-{d}, {d}), s -> "
+        f"CASE WHEN {s0} + 1 + s >= 1 "
+        f"AND {s0} + s + ({e0} - {s0}) <= _len "
+        f"THEN named_struct('seg', i, 'piece', "
+        f"substring(_t, {s0} + 1 + s, {e0} - {s0})) END))), "
+        f"x -> x IS NOT NULL))"
+    )
+    probe = (
+        with_bounds(
+            base.withColumn(
+                "L",
+                F.explode(
+                    F.sequence(
+                        F.greatest(F.col("_len") - d, F.lit(1)),
+                        F.col("_len") + d,
+                    )
+                ),
+            ),
+            "L",
+        )
+        .select(
+            F.col("_id").alias("_id_p"),
+            F.col("L").alias("_lk"),
+            *block_cols,
+            F.explode(F.expr(probe_keys)).alias("_k"),
+        )
+        .select("_id_p", "_lk", *block_cols, "_k.seg", "_k.piece")
+    )
+    return (
+        idx.join(probe, ["seg", "piece", "_lk", *block_cols])
+        .filter(F.col("_id_i") != F.col("_id_p"))
+        .select(
+            F.least("_id_i", "_id_p").alias("id_a"),
+            F.greatest("_id_i", "_id_p").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def fuzzy_self_join_segments(
     df: DataFrame,
     text_col: str,
@@ -333,6 +537,9 @@ def fuzzy_self_join_segments(
     block_cols: list[str] | None = None,
     max_distance: int = 2,
     trim_common_affixes: bool = True,
+    adaptive_boundaries: bool = False,
+    boundary_sample_frac: float = 1.0,
+    boundary_max_len: int = 512,
 ) -> DataFrame:
     """Scalable EXACT blocking for the approximate-string self-join:
     pigeonhole segment join (the PassJoin family — Li, Deng, Feng 2011,
@@ -377,9 +584,16 @@ def fuzzy_self_join_segments(
     ed(a, b), every pair shares at least the corpus-wide affixes, and
     the verify still runs on the ORIGINAL strings. The affix lengths
     come from one tiny aggregate (_common_affix_lengths). Residual
-    low-entropy structure INSIDE strings would need frequency-adaptive
-    piece selection (Ed-Join-style content filtering) — not needed for
-    any fixture this engine ships."""
+    low-entropy structure INSIDE strings (a templated constant run that
+    is not a global affix) is the remaining hot-key source:
+    ``adaptive_boundaries=True`` replaces the even splits with
+    per-length-class boundaries at equal cumulative-entropy quantiles
+    (_entropy_boundaries — the Ed-Join content-filtering idea), so
+    every piece straddles variable content and its keys spread; the
+    adaptive path also carries the partner length L in the join key
+    (strictly tighter, exact). Both knobs preserve exactness — the
+    boundary scheme is shared by index and probe, and the final
+    levenshtein verify is unchanged."""
     d = max_distance
     nseg = d + 1
     block_cols = block_cols or []
@@ -424,26 +638,13 @@ def fuzzy_self_join_segments(
         "x -> x IS NOT NULL))" % {"d": d, "n": nseg, "p": probe_piece}
     )
 
-    idx = base.select(
-        F.col("_id").alias("_id_i"),
-        *block_cols,
-        F.explode(F.expr(idx_keys)).alias("_k"),
-    ).select("_id_i", *block_cols, "_k.seg", "_k.piece")
-    probe = base.select(
-        F.col("_id").alias("_id_p"),
-        *block_cols,
-        F.explode(F.expr(probe_keys)).alias("_k"),
-    ).select("_id_p", *block_cols, "_k.seg", "_k.piece")
-
-    cand = (
-        idx.join(probe, ["seg", "piece", *block_cols])
-        .filter(F.col("_id_i") != F.col("_id_p"))
-        .select(
-            F.least("_id_i", "_id_p").alias("id_a"),
-            F.greatest("_id_i", "_id_p").alias("id_b"),
+    if adaptive_boundaries:
+        bmap = _entropy_boundaries(
+            base, d, boundary_sample_frac, boundary_max_len
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        cand = _adaptive_candidates(base, d, bmap, block_cols)
+    else:
+        cand = _even_candidates(base, idx_keys, probe_keys, block_cols)
     texts = base.select("_id", F.col("_orig").alias("_t"), "_len")
     dist = F.levenshtein(F.col("_t_a"), F.col("_t_b"))
     return (

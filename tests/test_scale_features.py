@@ -1085,3 +1085,108 @@ class TestBandedSelectivity:
         r2 = n_cands(8, 4, 2)
         assert (100, 101) in r1 and (100, 101) in r2  # true pair kept
         assert len(r2) < len(r1)  # background candidates cut
+
+
+class TestAdaptiveSegmentBoundaries:
+    """Frequency-adaptive piece selection for the segment join (NEXT.md
+    r6 #3, the Ed-Join content-filtering idea): per-length-class
+    boundaries at equal cumulative-entropy quantiles de-heat pieces
+    that would otherwise fall inside a corpus-constant interior run.
+    Exactness: the pigeonhole proof holds for ANY boundary scheme
+    shared by index and probe, so results must be identical to the
+    even-split path."""
+
+    def _interior_hot(self, spark, n=300):
+        import random
+
+        random.seed(11)
+
+        def rnd(k):
+            return "".join(
+                random.choice("abcdefghij") for _ in range(k)
+            )
+
+        # constant 16-char interior run, 4 variable chars each side —
+        # NOT a global affix, so affix trimming cannot remove it
+        rows = [(i, rnd(4) + "Z" * 16 + rnd(4)) for i in range(n)]
+        rows.append((9000, rows[0][1][:-1] + "q"))     # true near-pair
+        rows.append((9001, "x" + rows[1][1][1:]))      # true near-pair
+        return spark.createDataFrame(rows, "id long, t string")
+
+    def test_adaptive_equals_even_results(self, spark):
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        df = self._interior_hot(spark, n=120)
+        norm = lambda out: sorted(  # noqa: E731
+            (r.id_a, r.id_b, r.dist) for r in out.collect()
+        )
+        even = norm(fuzzy_self_join_segments(df, "t", "id"))
+        adap = norm(
+            fuzzy_self_join_segments(
+                df, "t", "id", adaptive_boundaries=True
+            )
+        )
+        assert adap == even and len(even) >= 2
+
+    def test_adaptive_boundaries_cut_candidate_volume(self, spark):
+        """On the interior-hot fixture the even middle piece is 'Z'*k
+        for every string → one hot key → ~n² candidates; entropy
+        quantiles straddle the variable ends, so the adaptive candidate
+        volume must be a small fraction."""
+        from taar_gcp_etl_spark.operators import joins as J
+
+        df = self._interior_hot(spark, n=300)
+        base = df.select(
+            F.col("id").alias("_id"),
+            F.col("t").alias("_orig"),
+            F.col("t").alias("_t"),
+            F.length("t").alias("_len"),
+        )
+        d, nseg = 2, 3
+        piece = (
+            "substring(_t, cast(floor({i} * {L} / %(nseg)d) as int) + 1 "
+            "+ {s}, cast(floor(({i} + 1) * {L} / %(nseg)d) "
+            "- floor({i} * {L} / %(nseg)d) as int))" % {"nseg": nseg}
+        )
+        idx_keys = (
+            "transform(sequence(0, %(d)d), i -> "
+            "named_struct('seg', i, 'piece', %(p)s))"
+            % {"d": d, "p": piece.format(i="i", L="_len", s="0")}
+        )
+        probe_piece = piece.format(i="i", L="L", s="s")
+        probe_keys = (
+            "array_distinct(filter(flatten(flatten("
+            "transform(sequence(0, %(d)d), i -> "
+            "transform(sequence(greatest(_len - %(d)d, 1), _len + %(d)d), "
+            "L -> transform(sequence(-%(d)d, %(d)d), s -> "
+            "CASE WHEN cast(floor(i * L / %(n)d) as int) + 1 + s >= 1 "
+            "AND cast(floor(i * L / %(n)d) as int) + s "
+            "+ cast(floor((i + 1) * L / %(n)d) - floor(i * L / %(n)d) "
+            "as int) <= _len "
+            "THEN named_struct('seg', i, 'piece', %(p)s) END))))), "
+            "x -> x IS NOT NULL))" % {"d": d, "n": nseg, "p": probe_piece}
+        )
+        n_even = J._even_candidates(base, idx_keys, probe_keys, []).count()
+        bmap = J._entropy_boundaries(base, d, 1.0, 512)
+        n_adap = J._adaptive_candidates(base, d, bmap, []).count()
+        n = df.count()
+        assert n_even > n * (n - 1) / 4  # the hot key went quadratic
+        assert n_adap < n_even / 10, (n_adap, n_even)
+
+    def test_entropy_boundaries_straddle_constant_run(self, spark):
+        """The boundary map itself: for the 24-char template the three
+        pieces must each contain variable positions (no piece wholly
+        inside [4, 20))."""
+        from taar_gcp_etl_spark.operators import joins as J
+
+        df = self._interior_hot(spark, n=100)
+        base = df.select(
+            F.col("t").alias("_t"), F.length("t").alias("_len")
+        )
+        bmap = J._entropy_boundaries(base, 2, 1.0, 512)
+        b = bmap[24]
+        assert b[0] == 0 and b[-1] == 24 and len(b) == 4
+        for lo, hi in zip(b, b[1:]):
+            assert not (lo >= 4 and hi <= 20), b
