@@ -1939,7 +1939,34 @@ def sync_aggregate_from_cdc(
                 F.col(LIVE_ROWS_COL) > 0
             )
             return out_cols(untouched).unionByName(out_cols(merged_rows))
-        # non-invertible: recompute exactly the touched groups
+        # non-invertible, but an INSERT-ONLY window needs no recompute:
+        # every op in the vocabulary is insert-mergeable (min/max via
+        # least/greatest, approx_distinct via sketch union, sum/count
+        # via +) — only retractions force the recompute. Streaming
+        # ingest is typically insert-only, so this check (one pass over
+        # the O(changes) feed) usually replaces the touched-group source
+        # scan with a merge against the store. A NULL group key in the
+        # window disqualifies it: refresh_aggregate joins keys with
+        # plain equality, and a null group must stay one group.
+        nullk = F.lit(False)
+        for kcol in group_keys:
+            nullk = nullk | F.col(kcol).isNull()
+        if ch.filter(
+            (F.col("_change_type") != "insert") | nullk
+        ).limit(1).isEmpty():
+            from taar_gcp_etl_spark.operators.merge import (
+                refresh_aggregate,
+            )
+
+            return out_cols(
+                refresh_aggregate(
+                    store.select(*group_keys, *mnames),
+                    ch,
+                    group_keys,
+                    measures,
+                )
+            )
+        # recompute exactly the touched groups
         touched = ch.select(*group_keys).distinct()
         live_df = None
         if prune_recompute:

@@ -1545,6 +1545,68 @@ class TestIncrementalViewSync:
         txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
         assert got() == {"a": (1, 10), "b": (1, 7)}
 
+    def test_insert_only_window_merges_without_source_read(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An insert-only change window maintains min/max/HLL stores by
+        MERGE (least/greatest/sketch-union), never reading the source:
+        read_cdc_table and scan_cdc_pruned must not be called; deletes
+        re-engage the recompute; a NULL group key disqualifies the fast
+        path (plain-equality joins would split the null group)."""
+        measures = {"mx": ("max", "val"), "u": ("approx_distinct", "val")}
+        src = str(tmp_path / "srci")
+        store = str(tmp_path / "mvi")
+        self._apply(spark, src, [(1, "a", 10, 1, "I"), (2, "b", 5, 2, "I")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+
+        reads = []
+        real_read, real_scan = txn.read_cdc_table, txn.scan_cdc_pruned
+        monkeypatch.setattr(
+            txn, "read_cdc_table",
+            lambda *a, **k: (reads.append("full"), real_read(*a, **k))[1],
+        )
+        monkeypatch.setattr(
+            txn, "scan_cdc_pruned",
+            lambda *a, **k: (reads.append("pruned"), real_scan(*a, **k))[1],
+        )
+
+        def got():
+            df = txn.read_aggregate_store(spark, store, measures=measures)
+            return {r.grp: (r.mx, r.u) for r in df.collect()}
+
+        # insert-only window: new group + growth of an existing one
+        self._apply(spark, src, [
+            (3, "a", 99, 3, "I"), (4, "c", 7, 4, "I"),
+        ])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert reads == []  # merged, no source scan
+        assert got() == {"a": (99, 2), "b": (5, 1), "c": (7, 1)}
+
+        # a delete re-engages the recompute (and may prune)
+        self._apply(spark, src, [(3, None, None, 9, "D")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert reads != []
+        assert got() == {"a": (10, 1), "b": (5, 1), "c": (7, 1)}
+
+        # NULL group key: fast path declined, result still exact
+        reads.clear()
+        self._apply(spark, src, [(5, None, 42, 10, "I")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert reads != []
+        assert got() == {
+            "a": (10, 1), "b": (5, 1), "c": (7, 1), None: (42, 1),
+        }
+        assert got() == {
+            r.grp: (r.mx, r.u)
+            for r in txn.read_cdc_table(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.max("val").alias("mx"),
+                F.countDistinct("val").alias("u"),
+            )
+            .collect()
+        }
+
     def test_minmax_recompute_prunes_zone_mapped_source(
         self, spark, tmp_path, monkeypatch
     ):
@@ -1595,19 +1657,23 @@ class TestIncrementalViewSync:
             spark, src, measures
         )
 
-        # in-list cap: beyond it the filter degrades to the min/max range
+        # in-list cap: beyond it the filter degrades to the min/max
+        # range (group move aaa→bbb + insert ccc: a retraction window,
+        # so the recompute — not the insert-only merge — runs)
         monkeypatch.setattr(txn, "_IVM_IN_CAP", 1)
         calls.clear()
-        apply([(22, "bbb", 2, 103, "I"), (23, "ccc", 3, 104, "I")])
+        apply([(21, "bbb", 2, 103, "U"), (23, "ccc", 3, 104, "I")])
         txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
-        assert calls == [[("grp", "between", ("bbb", "ccc"))]]
+        assert calls == [[("grp", "between", ("aaa", "ccc"))]]
         assert self._got(spark, store, measures) == self._expect(
             spark, src, measures
         )
 
-        # opt-out flag bypasses the pruned scan entirely
+        # opt-out flag bypasses the pruned scan entirely (delete forces
+        # the recompute branch; with pruning off it reads the full live
+        # set)
         calls.clear()
-        apply([(24, "ddd", 4, 105, "I")])
+        apply([(10, None, None, 105, "D")])
         txn.sync_aggregate_from_cdc(
             spark, src, store, ["grp"], measures, prune_recompute=False
         )
