@@ -1682,6 +1682,43 @@ class TestIncrementalViewSync:
             spark, src, measures
         )
 
+    def test_prune_survives_bucket_rescale(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A sync window spanning rescale_buckets still prunes: the
+        full-rewrite manifest recollects per-dir zone maps, the rescale
+        records an empty change file (CDF netting spans it), and the
+        recompute reads only stat-intersecting files of the NEW layout."""
+        measures = {"mx": ("max", "val"), "mn": ("min", "val")}
+        src = str(tmp_path / "srcr")
+        store = str(tmp_path / "mvr")
+
+        def apply(rows, nb=2):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame(rows, self.SRC), src,
+                key_col="id", n_buckets=nb, stats_cols=["grp"],
+            )
+
+        apply([(i, "aaa", i * 10, i, "I") for i in range(1, 5)])
+        apply([(i, "zzz", i * 10, i, "I") for i in range(10, 14)])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+
+        assert txn.rescale_buckets(spark, src, 8) is not None
+        calls = []
+        real = txn.scan_cdc_pruned
+        monkeypatch.setattr(
+            txn, "scan_cdc_pruned",
+            lambda *a, **k: (calls.append(a[2]), real(*a, **k))[1],
+        )
+        apply([(13, None, None, 100, "D")], nb=None)  # drop zzz's max
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert calls == [[("grp", "in", ["zzz"])]]
+        assert self._got(spark, store, measures) == self._expect(
+            spark, src, measures
+        )
+        rep = txn.cdc_prune_report(spark, src, calls[0])
+        assert 0 < rep["kept_files"] < rep["total_files"], rep
+
     def test_cursor_survives_multi_version_gaps(self, spark, tmp_path):
         """Several source commits between syncs: one sync catches up
         across all of them (the CDF diffs last-synced..latest)."""
