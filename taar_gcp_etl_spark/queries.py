@@ -2676,6 +2676,27 @@ def q_span_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy join through the frequency-adaptive boundary path
+    (r6): identical semantics and oracle as fuzzy_join — the pigeonhole
+    proof holds for any per-length boundary scheme shared by index and
+    probe, so the driver's hash compare proves the adaptive candidate
+    generator loses nothing. Boundaries come from the per-position
+    entropy quantiles; the adaptive key also carries the partner
+    length."""
+    from taar_gcp_etl_spark.operators.joins import fuzzy_self_join_segments
+
+    cust = _wide(spark, sf_dir, "customer")
+    return fuzzy_self_join_segments(
+        cust,
+        "c_name",
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        max_distance=2,
+        adaptive_boundaries=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2845,6 +2866,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration": q_calibration,
     "url_canonical": q_url_canonical,
     "span_dedup_keep": q_span_dedup_keep,
+    "fuzzy_join_adaptive": q_fuzzy_join_adaptive,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -3825,6 +3847,16 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "validate_batch": _validate_batch_sql(),
     "fuzzy_join": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+          AND a.c_mktsegment = b.c_mktsegment
+          AND a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "fuzzy_join_adaptive": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         FROM customer a JOIN customer b
