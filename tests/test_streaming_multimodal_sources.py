@@ -2090,6 +2090,35 @@ class TestStreamRefreshAggregate:
         }
         assert rows == {1: (10.0, 3), 2: (1.0, 1), 3: (7.0, 1)}
 
+    def test_approx_distinct_through_the_streaming_face(
+        self, spark, tmp_path
+    ):
+        """The HLL measure flows through the streaming store too:
+        sketches written per epoch, unioned across micro-batches, exact
+        at small cardinality."""
+        from taar_gcp_etl_spark.operators.merge import sketch_estimates
+        from taar_gcp_etl_spark.streaming.jobs import (
+            refresh_aggregate_store,
+        )
+
+        table = str(tmp_path / "mvh")
+        measures = {"u": ("approx_distinct", "v")}
+        b1 = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "x")], ["k", "v"]
+        )
+        b2 = spark.createDataFrame(
+            [(1, "y"), (1, "z"), (3, "w")], ["k", "v"]
+        )
+        assert refresh_aggregate_store(b1, table, ["k"], measures, 0)
+        assert refresh_aggregate_store(b2, table, ["k"], measures, 1)
+        got = {
+            r["k"]: r["u"]
+            for r in sketch_estimates(
+                spark.read.parquet(table), measures
+            ).collect()
+        }
+        assert got == {1: 3, 2: 1, 3: 1}
+
     def test_streaming_end_to_end_matches_full_aggregate(
         self, spark, tmp_path
     ):
