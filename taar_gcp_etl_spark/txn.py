@@ -1703,6 +1703,13 @@ LIVE_ROWS_COL = "_live_rows"
 # (still sound, coarser). Bounds the driver-side collect to O(cap).
 _IVM_IN_CAP = 256
 
+# engage the pruned recompute scan only when the metadata says at least
+# this fraction of candidate files is SKIPPED: per-file reads cost more
+# per byte than a dir scan (listing + no split packing), and the sf1
+# soak measured a 44%-kept prune losing to the plain scan 1.8x while a
+# fully-correlated layout (the unit fixtures) wins outright.
+_IVM_PRUNE_MAX_KEPT_FRACTION = 0.25
+
 
 def _pruned_live_for_groups(
     spark: SparkSession,
@@ -1757,6 +1764,13 @@ def _pruned_live_for_groups(
                 (k, "between", (stats[f"_min_{k}"], stats[f"_max_{k}"]))
             )
     if not filters:
+        return None
+    # cost gate (metadata-only): a prune that keeps most files pays the
+    # many-small-reads scan construction without saving bytes — the sf1
+    # soak measured a hash-bucket-mixed table keeping 44% of files and
+    # losing to the plain scan 1.8x.
+    kept, total = _cdc_kept_files(man, source_dir.rstrip("/"), filters)
+    if total == 0 or len(kept) > total * _IVM_PRUNE_MAX_KEPT_FRACTION:
         return None
     return scan_cdc_pruned(spark, source_dir, filters, version=version)
 
@@ -1850,6 +1864,8 @@ def sync_aggregate_from_cdc(
         cols = [*group_keys, *mnames] + (extra if invertible else [])
         return df.select(*cols)
 
+    persisted: list[DataFrame] = []
+
     def null_safe_on(left: DataFrame, right: DataFrame):
         cond = F.lit(True)
         for kcol in group_keys:
@@ -1873,6 +1889,18 @@ def sync_aggregate_from_cdc(
         ch = read_changes_bucketed(
             spark, source_dir, last, to_version, mode="cdf"
         )
+        # The change feed is consumed by SEVERAL actions in one sync
+        # (fast-path check, touched-group collects, prune stats, the
+        # final merge plan). It is O(changes) small by definition, but
+        # its LINEAGE can be expensive — a delete-only overlay commit
+        # has no change file, so the feed falls back to a bucket-pruned
+        # snapshot diff; re-running that per action multiplied the sf1
+        # soak's sync cost ~6x. Persist for the sync's lifetime;
+        # sync_aggregate_from_cdc unpersists after commit (the builder
+        # may run several times under CAS retry — each persist handle
+        # is tracked, none leak past the sync call).
+        ch = ch.persist()
+        persisted.append(ch)
         if invertible:
             sign = F.when(
                 F.col("_change_type").isin("insert", "update_postimage"),
@@ -1985,9 +2013,13 @@ def sync_aggregate_from_cdc(
         untouched = s.join(t2, null_safe_on(s, t2), "left_anti")
         return out_cols(untouched.unionByName(fresh))
 
-    return commit_txn(
-        build, store_dir, epoch_id=to_version, spark=spark
-    )
+    try:
+        return commit_txn(
+            build, store_dir, epoch_id=to_version, spark=spark
+        )
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def read_aggregate_store(

@@ -1614,7 +1614,8 @@ class TestIncrementalViewSync:
         group key, the recompute reads only files whose stats intersect
         the touched keys — asserted by spying scan_cdc_pruned AND by
         the prune report, with the result still equal to a full
-        re-aggregate."""
+        re-aggregate. The cost gate is overridden to 1.0 here: this
+        tests the MECHANISM; the gate policy has its own test."""
         measures = {"mx": ("max", "val"), "mn": ("min", "val")}
         src = str(tmp_path / "srcz")
         store = str(tmp_path / "mvz")
@@ -1631,6 +1632,7 @@ class TestIncrementalViewSync:
         apply([(i, "zzz", i * 10, i, "I") for i in range(10, 14)])
         txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
 
+        monkeypatch.setattr(txn, "_IVM_PRUNE_MAX_KEPT_FRACTION", 1.0)
         calls = []
         real = txn.scan_cdc_pruned
 
@@ -1682,6 +1684,41 @@ class TestIncrementalViewSync:
             spark, src, measures
         )
 
+    def test_prune_cost_gate_falls_back_when_little_is_skipped(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The metadata cost gate: when the touched-key filters keep
+        more than _IVM_PRUNE_MAX_KEPT_FRACTION of candidate files, the
+        pruned scan (many per-file reads) loses to the plain dir scan —
+        measured 1.8x at 44% kept in the sf1 soak — so the sync must
+        fall back, and stay correct."""
+        measures = {"mx": ("max", "val")}
+        src = str(tmp_path / "srcg2")
+        store = str(tmp_path / "mvg2")
+
+        def apply(rows):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame(rows, self.SRC), src,
+                key_col="id", n_buckets=4, stats_cols=["grp"],
+            )
+
+        # one commit, all groups mixed in every file: any filter keeps
+        # every file (kept fraction 1.0 > 0.25)
+        apply([(i, f"g{i % 3}", i, i, "I") for i in range(1, 13)])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        calls = []
+        real = txn.scan_cdc_pruned
+        monkeypatch.setattr(
+            txn, "scan_cdc_pruned",
+            lambda *a, **k: (calls.append(a[2]), real(*a, **k))[1],
+        )
+        apply([(1, None, None, 99, "D")])
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        assert calls == []  # gate declined the prune
+        assert self._got(spark, store, measures) == self._expect(
+            spark, src, measures
+        )
+
     def test_prune_survives_bucket_rescale(
         self, spark, tmp_path, monkeypatch
     ):
@@ -1704,6 +1741,7 @@ class TestIncrementalViewSync:
         txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
 
         assert txn.rescale_buckets(spark, src, 8) is not None
+        monkeypatch.setattr(txn, "_IVM_PRUNE_MAX_KEPT_FRACTION", 1.0)
         calls = []
         real = txn.scan_cdc_pruned
         monkeypatch.setattr(
