@@ -326,10 +326,13 @@ def _common_affix_lengths(
     return p, s
 
 
+_BOUNDARY_SAMPLE_ROWS = 100_000
+
+
 def _entropy_boundaries(
     df: DataFrame,
     d: int,
-    sample_frac: float,
+    sample_frac: float | None,
     max_len: int,
 ) -> dict[int, list[int]]:
     """Frequency-adaptive segment boundaries per length class (the
@@ -346,12 +349,21 @@ def _entropy_boundaries(
     cut at the same B(L, ·) — which they do, both reading this map;
     lengths absent from the map fall back to even splits on BOTH sides.
     Driver receives one row per (length ≤ max_len) class — a bounded
-    collect; the sample keeps the diversity aggregate O(sample chars)
-    at corpus scale."""
+    collect; the sample (auto-sized to ~100k strings when sample_frac
+    is None) keeps the diversity aggregate O(sample chars) at corpus
+    scale."""
     expr = df.select(
         F.length("_t").alias("_l"),
         F.col("_t"),
     ).filter((F.col("_l") > 0) & (F.col("_l") <= max_len))
+    if sample_frac is None:
+        # auto: bound the per-position explode to ~_BOUNDARY_SAMPLE_ROWS
+        # strings regardless of corpus size (review fix: the 1.0
+        # default exploded every character of the corpus). Small
+        # corpora (tests, dimension tables) keep fraction 1.0, so the
+        # boundaries stay deterministic there.
+        n = expr.count()
+        sample_frac = min(1.0, _BOUNDARY_SAMPLE_ROWS / max(n, 1))
     if sample_frac < 1.0:
         expr = expr.sample(fraction=sample_frac, seed=7)
     per_pos = (
@@ -501,10 +513,16 @@ def _adaptive_candidates(
     probe = (
         with_bounds(
             base.withColumn(
+                # floor 0, NOT 1: the adaptive key carries the partner
+                # length, so a pair of strings whose trimmed length is
+                # 0 (corpus-constant block) only ever meets through
+                # L = 0 probe rows — clamping at 1 silently dropped
+                # those pairs (review fix; the even path has no L in
+                # the key and matched them through any L's empty piece)
                 "L",
                 F.explode(
                     F.sequence(
-                        F.greatest(F.col("_len") - d, F.lit(1)),
+                        F.greatest(F.col("_len") - d, F.lit(0)),
                         F.col("_len") + d,
                     )
                 ),
@@ -538,7 +556,7 @@ def fuzzy_self_join_segments(
     max_distance: int = 2,
     trim_common_affixes: bool = True,
     adaptive_boundaries: bool = False,
-    boundary_sample_frac: float = 1.0,
+    boundary_sample_frac: float | None = None,
     boundary_max_len: int = 512,
 ) -> DataFrame:
     """Scalable EXACT blocking for the approximate-string self-join:

@@ -59,11 +59,12 @@ FEATURES_SCHEMA = (
 import struct as _struct
 import zlib as _zlib
 
-# KeyError included as defense in depth: the decoders normalize missing
-# table/segment ids to ValueError (jpeg._req/_next_seg), but a dict
-# lookup a future codec forgets to wrap must still drop the row, not
-# the job.
-DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError, KeyError)
+# KeyError is deliberately NOT in this set: the decoders normalize every
+# data-dependent missing-id case to ValueError (jpeg._req/_next_seg), so
+# a KeyError can only be a code defect — and a defect raised for EVERY
+# row would classify the whole corpus as "corrupt blobs" and complete
+# green with an empty feature table. Better a loud first-row crash.
+DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

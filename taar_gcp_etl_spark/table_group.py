@@ -237,13 +237,20 @@ def group_vacuum(
     versions = txn._list_manifest_versions(spark, group_dir)
     keep_group = versions[-keep_last:] if keep_last > 0 else []
     # pins keyed by storage dir (a name could in principle be remapped
-    # to a new dir across group versions; the DIR owns the data)
+    # to a new dir across group versions; the DIR owns the data). Every
+    # dir ANY group manifest ever referenced is a vacuum target —
+    # restricting to kept manifests would leave a member dropped or
+    # remapped before the retention window with its storage retained
+    # forever, right as the manifests referencing it are deleted
+    # (review fix).
     pins: dict[str, set[int]] = {}
     names: dict[str, str] = {}
-    for v in keep_group:
+    for v in versions:
         man = txn.read_manifest(spark, group_dir, v)
         for name, e in man.get("tables", {}).items():
-            pins.setdefault(e["dir"], set()).add(e["version"])
+            pinset = pins.setdefault(e["dir"], set())
+            if v in keep_group:
+                pinset.add(e["version"])
             names[e["dir"]] = name
     removed_group = 0
     for v in versions:
@@ -254,9 +261,16 @@ def group_vacuum(
             )
             fs.delete(mp, False)
             removed_group += 1
+    dirs_per_name: dict[str, int] = {}
+    for d, name in names.items():
+        dirs_per_name[name] = dirs_per_name.get(name, 0) + 1
     members = {}
     for d in sorted(pins):
-        members[names[d]] = txn.vacuum_txn(
+        name = names[d]
+        # a name remapped to a new dir names TWO vacuum targets —
+        # disambiguate the report key by dir
+        label = name if dirs_per_name[name] == 1 else f"{name}@{d}"
+        members[label] = txn.vacuum_txn(
             spark,
             d,
             keep_last=member_keep_last,

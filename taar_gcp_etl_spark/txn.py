@@ -1772,7 +1772,11 @@ def _pruned_live_for_groups(
     kept, total = _cdc_kept_files(man, source_dir.rstrip("/"), filters)
     if total == 0 or len(kept) > total * _IVM_PRUNE_MAX_KEPT_FRACTION:
         return None
-    return scan_cdc_pruned(spark, source_dir, filters, version=version)
+    # pass the kept list through so the scan doesn't redo the metadata
+    # pass over O(files) entries
+    return scan_cdc_pruned(
+        spark, source_dir, filters, version=version, kept_paths=kept
+    )
 
 
 def sync_aggregate_from_cdc(
@@ -2112,6 +2116,7 @@ def scan_cdc_pruned(
     table_dir: str,
     filters: list[tuple],
     version: int | None = None,
+    kept_paths: list[str] | None = None,
 ) -> DataFrame | None:
     """Zone-map-pruned analytics scan over a BUCKETED CDC table: skip
     base files whose per-file stats are disjoint from ``filters``
@@ -2127,7 +2132,10 @@ def scan_cdc_pruned(
     anyway. Per-dir, only files of buckets the dir still OWNS are
     candidates (a superseded bucket's file may linger in an old dir).
 
-    Returns None for an empty selection. Cost: metadata-only planning
+    Returns None for an empty selection. ``kept_paths`` lets a caller
+    that already ran the metadata pass (_cdc_kept_files — e.g. the IVM
+    prune cost gate) hand the result over instead of recomputing it.
+    Cost: metadata-only planning
     over O(live files), then a scan of only the intersecting files —
     the time-correlated-ingest case (each commit's dir covers a narrow
     date range) skips old dirs wholesale."""
@@ -2146,7 +2154,8 @@ def scan_cdc_pruned(
             "(apply batches with stats_cols= first)"
         )
     table_dir = table_dir.rstrip("/")
-    kept_paths, _total = _cdc_kept_files(man, table_dir, filters)
+    if kept_paths is None:
+        kept_paths, _total = _cdc_kept_files(man, table_dir, filters)
 
     key_col = man.get("key_col", "id")
     seq_col = man.get("seq_col", "seq")

@@ -1175,6 +1175,29 @@ class TestAdaptiveSegmentBoundaries:
         assert n_even > n * (n - 1) / 4  # the hot key went quadratic
         assert n_adap < n_even / 10, (n_adap, n_even)
 
+    def test_zero_trimmed_length_pairs_survive_adaptive_key(self, spark):
+        """Review fix: strings identical to the corpus-wide affix trim
+        to length 0; the adaptive key carries the partner length, so
+        the probe's L enumeration must include 0 or those dist-0 pairs
+        silently vanish (the even path matched them via empty pieces)."""
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "SAMESAMESAME") for i in range(6)], "id long, t string"
+        )
+        norm = lambda out: sorted(  # noqa: E731
+            (r.id_a, r.id_b, r.dist) for r in out.collect()
+        )
+        even = norm(fuzzy_self_join_segments(df, "t", "id"))
+        adap = norm(
+            fuzzy_self_join_segments(
+                df, "t", "id", adaptive_boundaries=True
+            )
+        )
+        assert adap == even and len(even) == 15  # C(6,2), all dist 0
+
     def test_entropy_boundaries_straddle_constant_run(self, spark):
         """The boundary map itself: for the 24-char template the three
         pieces must each contain variable positions (no piece wholly

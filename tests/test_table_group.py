@@ -226,6 +226,40 @@ class TestGroupVacuum:
         for gv in (1, 2):
             assert tg.read_group(spark, grp, "orders", gv).count() == gv
 
+    def test_member_outside_kept_manifests_still_vacuumed(
+        self, spark, tmp_path
+    ):
+        """Review fix: a member referenced ONLY by group manifests
+        outside the retention window must still get a member vacuum
+        (plain retention, no pins) — otherwise its storage leaks right
+        as the manifests referencing it are deleted."""
+        grp = str(tmp_path / "grp")
+        old_dir, new_dir = str(tmp_path / "ord_old"), str(tmp_path / "ord_new")
+        tg.group_commit(
+            spark, grp, {"orders": _orders(spark, [(1, 10)])},
+            table_dirs={"orders": old_dir},
+        )
+        # pile up versions on the old dir, then remap the name: the old
+        # dir is referenced only by group v1
+        txn.commit_txn(_orders(spark, [(1, 11)]), old_dir)
+        txn.commit_txn(_orders(spark, [(1, 12)]), old_dir)
+        for i in range(2, 5):  # group v2..v4 pin the NEW dir
+            tg.group_commit(
+                spark, grp, {"orders": _orders(spark, [(i, i)])},
+                table_dirs={"orders": new_dir},
+            )
+        rep = tg.group_vacuum(spark, grp, keep_last=2, member_keep_last=1)
+        assert rep["kept_group_versions"] == [3, 4]
+        # the old dir is outside every kept vector, but it must STILL
+        # be vacuumed under plain member retention (no pins)
+        key_old = f"orders@{old_dir}"
+        assert key_old in rep["members"], sorted(rep["members"])
+        assert rep["members"][key_old]["kept_versions"] == [3]
+        assert rep["members"][key_old]["removed_manifests"] == 2
+        # and the kept vectors' dir keeps its pinned versions
+        key_new = f"orders@{new_dir}"
+        assert rep["members"][key_new]["kept_versions"] == [2, 3]
+
     def test_member_grace_passthrough(self, spark, tmp_path):
         """grace_seconds reaches the member vacuums: young snapshot
         dirs survive even when unreferenced."""

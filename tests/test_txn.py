@@ -1636,9 +1636,9 @@ class TestIncrementalViewSync:
         calls = []
         real = txn.scan_cdc_pruned
 
-        def spy(spark_, table_dir, filters, version=None):
+        def spy(spark_, table_dir, filters, **kw):
             calls.append(filters)
-            return real(spark_, table_dir, filters, version=version)
+            return real(spark_, table_dir, filters, **kw)
 
         monkeypatch.setattr(txn, "scan_cdc_pruned", spy)
         apply([(2, None, None, 100, "D")])  # drop group aaa's max
