@@ -1,0 +1,163 @@
+"""Adaptive-boundary segment-join soak: candidate-volume complexity
+curves, even splits vs entropy-quantile boundaries (r6).
+
+The corpus shape is the one even splits cannot survive: every string
+is 12 random chars + a 16-char corpus-constant interior run + 12
+random chars (40 chars, realistic entity-string entropy). The constant
+run is NOT a global affix (random chars flank it), so affix trimming
+can't remove it; the even-split middle piece for 40-char strings lies
+WHOLLY inside the constant run — one corpus-wide hot key, quadratic
+candidates. Entropy-quantile boundaries give every piece ~8 variable
+chars, so candidate volume tracks the planted twins (~n/500) plus a
+vanishing random-collision floor. (A first cut of this soak used
+4-char flanks and measured BOTH paths quadratic — 8 variable chars
+cannot discriminate 100k strings for ANY exact pigeonhole method;
+candidate density is a property of corpus entropy, not just of the
+boundary scheme. The 12-char version is the honest test of the
+boundary placement itself.)
+
+Measured: candidate counts and wall-clock at n = {1k, 2k, 4k} for the
+even path (enough to expose the n^2 curve without melting local[32])
+and n = {25k, 50k, 100k} for the adaptive path, plus recall (every
+planted twin found) at the largest adaptive point.
+
+Usage: python scripts/soak_adaptive_join.py  (one JSON line, writes
+docs/bench_soak_adaptive_join.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from taar_gcp_etl_spark.operators import joins as J  # noqa: E402
+from taar_gcp_etl_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+D = 2
+NSEG = D + 1
+CONST = "Z" * 16
+FLANK = 12
+
+
+def corpus(spark, n: int):
+    """Deterministic interior-hot corpus: md5-derived FLANK-char
+    flanks around the constant run; every 500th string gets a twin
+    with the last char changed (the planted true pairs)."""
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.translate(
+                F.substring(
+                    F.md5(F.col("id").cast("string")), 1, FLANK
+                ),
+                "0123456789abcdef",
+                "abcdefghijklmnop",
+            ),
+            F.lit(CONST),
+            F.translate(
+                F.substring(
+                    F.md5(F.col("id").cast("string")), FLANK + 1, FLANK
+                ),
+                "0123456789abcdef",
+                "abcdefghijklmnop",
+            ),
+        ).alias("t"),
+    )
+    total_len = 2 * FLANK + len(CONST)
+    twins = base.filter(F.col("id") % 500 == 0).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.concat(
+            F.substring(F.col("t"), 1, total_len - 1), F.lit("q")
+        ).alias("t"),
+    )
+    return base.unionByName(twins), (n + 499) // 500
+
+
+def candidates(base_df, adaptive: bool):
+    """Candidate stage only (ids), mirroring fuzzy_self_join_segments'
+    internals so the soak measures the generator, not the verify."""
+    piece = (
+        "substring(_t, cast(floor({i} * {L} / %(nseg)d) as int) + 1 "
+        "+ {s}, cast(floor(({i} + 1) * {L} / %(nseg)d) "
+        "- floor({i} * {L} / %(nseg)d) as int))" % {"nseg": NSEG}
+    )
+    idx_keys = (
+        "transform(sequence(0, %(d)d), i -> "
+        "named_struct('seg', i, 'piece', %(p)s))"
+        % {"d": D, "p": piece.format(i="i", L="_len", s="0")}
+    )
+    probe_piece = piece.format(i="i", L="L", s="s")
+    probe_keys = (
+        "array_distinct(filter(flatten(flatten("
+        "transform(sequence(0, %(d)d), i -> "
+        "transform(sequence(greatest(_len - %(d)d, 1), _len + %(d)d), "
+        "L -> transform(sequence(-%(d)d, %(d)d), s -> "
+        "CASE WHEN cast(floor(i * L / %(n)d) as int) + 1 + s >= 1 "
+        "AND cast(floor(i * L / %(n)d) as int) + s "
+        "+ cast(floor((i + 1) * L / %(n)d) - floor(i * L / %(n)d) "
+        "as int) <= _len "
+        "THEN named_struct('seg', i, 'piece', %(p)s) END))))), "
+        "x -> x IS NOT NULL))" % {"d": D, "n": NSEG, "p": probe_piece}
+    )
+    if adaptive:
+        bmap = J._entropy_boundaries(base_df, D, None, 512)
+        return J._adaptive_candidates(base_df, D, bmap, [])
+    return J._even_candidates(base_df, idx_keys, probe_keys, [])
+
+
+def main() -> None:
+    spark = get_spark(app_name="taar-spark-soak-adaptive", cpus="32")
+    points = {"even": [1_000, 2_000, 4_000],
+              "adaptive": [25_000, 50_000, 100_000]}
+    out: dict = {"metric": "adaptive segment-join soak", "d": D,
+                 "curves": {}}
+    for mode, ns in points.items():
+        curve = []
+        for n in ns:
+            df, _ = corpus(spark, n)
+            base = df.select(
+                F.col("id").alias("_id"),
+                F.col("t").alias("_orig"),
+                F.col("t").alias("_t"),
+                F.length("t").alias("_len"),
+            )
+            t0 = time.perf_counter()
+            n_cand = candidates(base, mode == "adaptive").count()
+            dt = round(time.perf_counter() - t0, 2)
+            curve.append({"n": n, "candidates": n_cand, "sec": dt})
+        out["curves"][mode] = curve
+
+    # recall at the largest adaptive point: every planted twin found
+    n = points["adaptive"][-1]
+    df, n_true = corpus(spark, n)
+    t0 = time.perf_counter()
+    pairs = J.fuzzy_self_join_segments(
+        df, "t", "id", max_distance=D, adaptive_boundaries=True
+    )
+    found = pairs.filter(
+        (F.col("id_b") - F.col("id_a")) == 10_000_000
+    ).count()
+    out["adaptive_end_to_end"] = {
+        "n": n,
+        "planted_pairs": n_true,
+        "planted_found": found,
+        "total_pairs": pairs.count(),
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(
+        os.path.join(REPO, "docs", "bench_soak_adaptive_join.json"), "w"
+    ) as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
