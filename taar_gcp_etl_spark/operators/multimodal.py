@@ -7,8 +7,9 @@ stay prunable, and partition sizing accounts for blob width.
 
 Decode/feature-extraction executes as Arrow-batched Pandas UDFs over
 `mapInPandas`. PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate — see
-decode_png), baseline JPEG (marker/Huffman/IDCT — see operators/
-jpeg.py), and PCM WAV decode FOR REAL with numpy + stdlib only
+decode_png), baseline+progressive JPEG (marker/Huffman/IDCT — see
+operators/jpeg.py), GIF (LZW — see operators/gif.py), and PCM WAV
+decode FOR REAL with numpy + stdlib only
 (decode_media). Only video (MP4 — needs ffmpeg, absent in the
 container) stays behind `_decode_image_stub`; swapping the stub for a
 real codec changes no plan shape. Feature extraction over decoded
@@ -297,7 +298,7 @@ def _audio_features(samples, rate: int) -> list[float]:
 
 def decode_media(content: bytes, mime: str | None) -> list[float]:
     """Dispatch on mime: REAL decode + features for PPM, BMP, PNG,
-    baseline JPEG, and PCM WAV (numpy + stdlib only — see operators/
+    baseline+progressive JPEG, GIF, and PCM WAV (numpy + stdlib only — see operators/
     jpeg.py for the JPEG scope); the deterministic stub for the
     remaining codec formats (MP4/video need ffmpeg, absent in this
     container — the dispatch point is where a real decoder plugs in)."""
@@ -311,6 +312,10 @@ def decode_media(content: bytes, mime: str | None) -> list[float]:
         from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
 
         return _image_features(decode_jpeg(content))
+    if mime == "image/gif":
+        from taar_gcp_etl_spark.operators.gif import decode_gif
+
+        return _image_features(decode_gif(content))
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_features(*decode_wav(content))
     return _decode_image_stub(content)
@@ -391,6 +396,10 @@ def decode_pixels(content: bytes, mime: str | None):
         from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if mime == "image/gif":
+        from taar_gcp_etl_spark.operators.gif import decode_gif
+
+        return decode_gif(content)
     return None
 
 

@@ -652,6 +652,102 @@ def _wav_bytes(samples, rate=8000):
     return buf.getvalue()
 
 
+def _gif_bytes(
+    idx,
+    palette,
+    interlace=False,
+    use_lct=False,
+    v89=False,
+    clear_every=16,
+    subrect=None,
+):
+    """Reference GIF encoder (test-only), built from the spec
+    independently of the decoder under test: writes the header /
+    logical-screen descriptor / color tables / (optionally a GCE
+    extension for the 89a path) / image descriptor, and LZW-codes the
+    index stream with a fixed code width by emitting CLEAR every
+    ``clear_every`` symbols (the classic low-compression GIF trick) —
+    so a round-trip proves the decoder's variable-width bit unpacking,
+    dictionary handling, and interlace reorder rather than mirroring
+    its logic. ``idx`` is an (h, w) index array; ``palette`` an (n, 3)
+    array; ``subrect=(left, top, sw, sh)`` writes the frame as a
+    sub-rectangle of a larger logical screen."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    left, top, sw, sh = subrect if subrect else (0, 0, w, h)
+    n_pal = palette.shape[0]
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    pal_full = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal_full[:n_pal] = palette
+    pal_bytes = pal_full.tobytes()
+
+    out = bytearray(b"GIF89a" if v89 else b"GIF87a")
+    gct_flag = 0 if use_lct else 0x80
+    out += struct.pack(
+        "<HHBBB", sw, sh, gct_flag | (pal_bits - 1), 0, 0
+    )
+    if not use_lct:
+        out += pal_bytes
+    if v89:  # a GCE the decoder must skip
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+    out += bytes(
+        [(0x80 if use_lct else 0) | (0x40 if interlace else 0)
+         | ((pal_bits - 1) if use_lct else 0)]
+    )
+    if use_lct:
+        out += pal_bytes
+
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    pixels = rows.flatten().tolist()
+
+    mcs = max(2, pal_bits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    # a decoder table starts at 2^mcs + 2 entries and grows one per
+    # code after the first; it widens at 2^(mcs+1) entries — clear
+    # strictly before that so this encoder's fixed width stays in sync
+    clear_every = min(clear_every, (1 << mcs) - 2) or 1
+    bits = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for k, px in enumerate(pixels):
+        if k and k % clear_every == 0:
+            put(clear)  # keep the dictionary small, width fixed
+        put(px)
+    put(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out += bytes([mcs])
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _png_bytes(img, color=2, filters=None, palette=None):
     """Reference PNG encoder (test-only): FORWARD-filters scanlines with
     the spec arithmetic independently of the decoder under test, so a
@@ -1748,6 +1844,114 @@ class TestRealDecoders:
         assert got.shape == (40, 40, 3)
         err = np.abs(got[:, :, 0].astype(float) - g.astype(float))
         assert err.mean() < 2.0
+
+    def test_gif_roundtrip_gct_and_lct(self, spark):
+        """Spec-built encoder → decoder round-trip: exact pixel
+        recovery through GIF LZW for global- and local-color-table
+        variants, 87a and 89a (with a GCE extension to skip)."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.gif import decode_gif
+
+        rng = np.random.RandomState(3)
+        pal = rng.randint(0, 256, size=(7, 3)).astype(np.uint8)
+        idx = rng.randint(0, 7, size=(9, 13)).astype(np.uint8)
+        expect = pal[idx]
+        for kw in (
+            {},
+            {"use_lct": True},
+            {"v89": True},
+            {"clear_every": 1},
+        ):
+            got = decode_gif(_gif_bytes(idx, pal, **kw))
+            assert got.shape == (9, 13, 3)
+            assert np.array_equal(got, expect), kw
+
+    def test_gif_interlace_and_subrect_compose(self, spark):
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.gif import decode_gif
+
+        rng = np.random.RandomState(4)
+        pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, size=(11, 6)).astype(np.uint8)
+        got = decode_gif(_gif_bytes(idx, pal, interlace=True))
+        assert np.array_equal(got, pal[idx])
+        # frame as a sub-rectangle of a larger logical screen: composed
+        # onto a background-color canvas
+        got2 = decode_gif(
+            _gif_bytes(idx, pal, subrect=(3, 2, 12, 15))
+        )
+        assert got2.shape == (15, 12, 3)
+        assert np.array_equal(got2[2:13, 3:9], pal[idx])
+        assert (got2[0, 0] == pal[0]).all()  # bg index 0
+
+    def test_gif_malformed_rejected(self, spark):
+        """Every corrupt-GIF shape is a clean DECODE_ERRORS rejection:
+        bad signature, truncated LZW, code beyond dictionary, pixel
+        index beyond palette, missing image block."""
+        import numpy as np
+        import pytest as _pytest
+
+        from taar_gcp_etl_spark.operators.gif import decode_gif
+        from taar_gcp_etl_spark.operators.multimodal import DECODE_ERRORS
+
+        pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+        idx = np.zeros((4, 4), dtype=np.uint8)
+        good = _gif_bytes(idx, pal)
+        with _pytest.raises(DECODE_ERRORS, match="signature"):
+            decode_gif(b"NOTAGIF" + good[7:])
+        with _pytest.raises(DECODE_ERRORS):
+            decode_gif(good[: len(good) - 8])  # truncated stream
+        # flip high bits inside the LZW payload → code beyond dict
+        bad = bytearray(good)
+        data_at = len(good) - 4
+        bad[data_at] ^= 0xFF
+        with _pytest.raises(DECODE_ERRORS):
+            decode_gif(bytes(bad))
+        with _pytest.raises(DECODE_ERRORS, match="no image"):
+            decode_gif(good[:13] + pal.tobytes() + b"\x00" * 0 + b"\x3b")
+
+    def test_gif_png_twins_dedup_through_shared_hamming_engine(
+        self, spark
+    ):
+        """GIF joins the codec-twin gate: the same gradient as GIF
+        (palette) and PNG (truecolor) lands in one perceptual cluster;
+        a mirrored PNG stays apart."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_near_dup,
+        )
+
+        g = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+        base = np.stack([g, g, g], axis=2)
+        # palette = the 32 gray levels; indices = column number
+        pal = np.stack([np.arange(32) * 8] * 3, axis=1).astype(np.uint8)
+        idx = np.tile(np.arange(32, dtype=np.uint8), (32, 1))
+
+        def media_row(i, content, mime):
+            return Row(
+                media_id=i,
+                kind="image",
+                content=content,
+                meta=Row(mime=mime, width=32, height=32, duration_ms=None),
+            )
+
+        rows = [
+            media_row(1, _gif_bytes(idx, pal), "image/gif"),
+            media_row(2, _png_bytes(base), "image/png"),
+            media_row(3, _png_bytes(base[:, ::-1]), "image/png"),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in media_near_dup(df, max_hamming=8).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
 
     def test_jpeg_png_twins_dedup_through_shared_hamming_engine(
         self, spark
