@@ -2207,6 +2207,70 @@ def scan_cdc_pruned(
     return out.filter(_residual(filters))
 
 
+def maintain_cdc_table(
+    spark: SparkSession,
+    table_dir: str,
+    max_overlays_per_bucket: int = 4,
+    tombstone_min_live_seq: int | None = None,
+    target_n_buckets: int | None = None,
+    vacuum_keep_last: int = 2,
+    vacuum_grace_seconds: float = 3600.0,
+) -> dict:
+    """One maintenance pass over a bucketed CDC table, in dependency
+    order — the cadence driver an operator schedules instead of wiring
+    the four primitives by hand (each is a no-op when not due, so
+    running this hourly is safe):
+
+    1. **Overlay compaction** (`maybe_compact_overlays`): folds
+       merge-on-read overlays once any bucket stacks more than
+       ``max_overlays_per_bucket`` — bounds the per-scan read tax.
+    2. **Tombstone retirement** (`compact_cdc_tombstones`) when the
+       caller provides the safety horizon ``tombstone_min_live_seq``
+       (e.g. the streaming checkpoint's committed offset): the one
+       full rewrite, which also defragments incremental dirs.
+    3. **Bucket rescale** (`rescale_buckets`) when ``target_n_buckets``
+       differs from the table's current count — ordered after the
+       rewrites so the re-hash isn't immediately invalidated.
+    4. **Vacuum** (`vacuum_txn`) last, with a grace window defaulting
+       to an hour so a concurrent writer's in-flight snapshot survives.
+
+    Tables that belong to a GROUP should vacuum through
+    `table_group.group_vacuum` instead of step 4 (pass
+    ``vacuum_keep_last=0`` here to skip it) — member retention must
+    respect the group vectors' pins.
+
+    Returns {compacted_version, tombstone_version, rescaled_version,
+    vacuum} (None entries = not due)."""
+    report: dict = {
+        "compacted_version": maybe_compact_overlays(
+            spark, table_dir,
+            max_overlays_per_bucket=max_overlays_per_bucket,
+            min_live_seq=tombstone_min_live_seq or 0,
+        ),
+        "tombstone_version": None,
+        "rescaled_version": None,
+        "vacuum": None,
+    }
+    if tombstone_min_live_seq is not None:
+        report["tombstone_version"] = compact_cdc_tombstones(
+            spark, table_dir, tombstone_min_live_seq
+        )
+    if target_n_buckets is not None:
+        man = latest_manifest(spark, table_dir)
+        if man is not None and man.get("n_buckets") != target_n_buckets:
+            report["rescaled_version"] = rescale_buckets(
+                spark, table_dir, target_n_buckets
+            )
+    if vacuum_keep_last > 0:
+        report["vacuum"] = vacuum_txn(
+            spark,
+            table_dir,
+            keep_last=vacuum_keep_last,
+            grace_seconds=vacuum_grace_seconds,
+        )
+    return report
+
+
 def overlay_pressure(spark: SparkSession, table_dir: str) -> int:
     """Merge-on-read read-tax gauge: the maximum number of overlay dirs
     stacked on any single bucket (0 = plain pruned-scan reads)."""

@@ -2080,3 +2080,65 @@ class TestVacuumGrace:
         report = txn.vacuum_txn(spark, t, keep_last=2, grace_seconds=0)
         assert report["removed_snapshots"] == 1
         assert report["skipped_young"] == 0
+
+
+class TestMaintainCdcTable:
+    """maintain_cdc_table: the one cadence entry point — each primitive
+    fires only when due, in dependency order, and an hourly no-op run
+    is safe."""
+
+    SRC = "id long, val string, seq long, op string"
+
+    def _apply(self, spark, t, rows, nb=4):
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, self.SRC), t,
+            key_col="id", n_buckets=nb,
+        )
+
+    def test_full_pass_fires_each_due_step(self, spark, tmp_path):
+        t = str(tmp_path / "mt")
+        self._apply(spark, t, [(i, f"v{i}", 1, "I") for i in range(1, 9)])
+        # stack overlays past the threshold with delete-only batches
+        for s in range(2, 8):
+            self._apply(spark, t, [(1, None, s, "D")])
+        assert txn.overlay_pressure(spark, t) > 2
+        rep = txn.maintain_cdc_table(
+            spark, t,
+            max_overlays_per_bucket=2,
+            tombstone_min_live_seq=100,   # every tombstone retireable
+            target_n_buckets=8,
+            vacuum_keep_last=1,
+            vacuum_grace_seconds=0.0,
+        )
+        assert rep["compacted_version"] is not None
+        assert rep["tombstone_version"] is not None
+        assert rep["rescaled_version"] is not None
+        assert rep["vacuum"]["removed_snapshots"] > 0
+        man = txn.latest_manifest(spark, t)
+        assert man["n_buckets"] == 8 and man["overlays"] == {}
+        # table state intact through all four steps
+        rows = {r.id: r.val for r in txn.read_cdc_table(spark, t).collect()}
+        assert rows == {i: f"v{i}" for i in range(2, 9)}
+        # tombstone for key 1 retired: a stale late insert CAN now land
+        # (that's what the min_live_seq promise means)
+        assert 1 not in rows
+
+    def test_idempotent_noop_when_nothing_due(self, spark, tmp_path):
+        t = str(tmp_path / "mt2")
+        self._apply(spark, t, [(1, "a", 1, "I")])
+        v = txn.latest_manifest(spark, t)["version"]
+        for _ in range(2):  # hourly-cron shape: repeated no-op passes
+            rep = txn.maintain_cdc_table(
+                spark, t, vacuum_keep_last=5, vacuum_grace_seconds=3600
+            )
+            assert rep["compacted_version"] is None
+            assert rep["tombstone_version"] is None
+            assert rep["rescaled_version"] is None
+            assert rep["vacuum"]["removed_snapshots"] == 0
+        assert txn.latest_manifest(spark, t)["version"] == v
+
+    def test_group_member_can_skip_vacuum(self, spark, tmp_path):
+        t = str(tmp_path / "mt3")
+        self._apply(spark, t, [(1, "a", 1, "I")])
+        rep = txn.maintain_cdc_table(spark, t, vacuum_keep_last=0)
+        assert rep["vacuum"] is None
