@@ -613,3 +613,85 @@ def audio_near_dup(df: DataFrame, max_hamming: int = 8) -> DataFrame:
     return simhash_hamming_pairs(
         media_audio_dhash(df), id_col="media_id", max_hamming=max_hamming
     )
+
+
+def media_frame_dhash(df: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Frame-sampled perceptual hashes for ANIMATED media (image/gif):
+    (media_id, frame_idx, simhash_hi, simhash_lo), up to ``max_frames``
+    evenly-sampled frames per animation (operators/gif_frames.py) —
+    the video-style modality without ffmpeg. Still images yield their
+    single frame, so the relation is total over decodable GIFs.
+    Undecodable/corrupt rows drop per the media_dhash contract."""
+    from taar_gcp_etl_spark.operators.gif_frames import gif_frame_hashes
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fks, his, los = [], [], [], []
+            for mid, content, mime in zip(
+                pdf["media_id"], pdf["content"], pdf["mime"]
+            ):
+                if content is None or mime != "image/gif":
+                    continue
+                try:
+                    hashes = gif_frame_hashes(
+                        content, max_frames=max_frames
+                    )
+                except DECODE_ERRORS:
+                    continue
+                for k, hi, lo in hashes:
+                    ids.append(mid)
+                    fks.append(k)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": fks,
+                    "simhash_hi": his,
+                    "simhash_lo": los,
+                }
+            )
+
+    return df.select(
+        "media_id", "content", F.col("meta.mime").alias("mime")
+    ).mapInPandas(
+        run,
+        schema=(
+            "media_id long, frame_idx int, "
+            "simhash_hi long, simhash_lo long"
+        ),
+    )
+
+
+def animated_near_dup(
+    df: DataFrame, min_shared_frames: int = 2, max_frames: int = 8
+) -> DataFrame:
+    """Animation near-duplicate pairs: two media match when at least
+    ``min_shared_frames`` of their sampled frames collide exactly on
+    the 64-bit perceptual hash — robust to frame reordering, trims,
+    and re-palettization (dHash survives those), NOT to per-frame
+    re-encoding noise (use the banded-Hamming still pipeline per frame
+    for that; exact-hash grouping keeps this one shuffle + one
+    aggregate, no candidate blowup). Returns (doc_a, doc_b,
+    shared_frames)."""
+    frames = media_frame_dhash(df, max_frames=max_frames).select(
+        "media_id", "simhash_hi", "simhash_lo"
+    ).dropDuplicates()
+    a = frames.alias("a")
+    b = frames.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash_hi") == F.col("b.simhash_hi"))
+            & (F.col("a.simhash_lo") == F.col("b.simhash_lo"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("doc_a"),
+            F.col("b.media_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )

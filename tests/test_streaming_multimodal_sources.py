@@ -748,6 +748,63 @@ def _gif_bytes(
     return bytes(out)
 
 
+def _gif_anim_bytes(frames, palette, clear_every=16):
+    """Multi-frame (animated) GIF from the same spec-built writer as
+    _gif_bytes: one global color table, one image descriptor + LZW
+    stream per frame, GCE delay blocks between frames (89a)."""
+    import struct
+
+    import numpy as np
+
+    palette = np.asarray(palette, dtype=np.uint8)
+    frames = [np.asarray(f) for f in frames]
+    h, w = frames[0].shape
+    n_pal = palette.shape[0]
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    pal_full = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal_full[:n_pal] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += pal_full.tobytes()
+
+    mcs = max(2, pal_bits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    ce = min(clear_every, (1 << mcs) - 2) or 1
+
+    for idx in frames:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 10cs delay
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        bits = bytearray()
+        acc = nbits = 0
+
+        def put(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        put(clear)
+        for k, px in enumerate(idx.flatten().tolist()):
+            if k and k % ce == 0:
+                put(clear)
+            put(px)
+        put(end)
+        if nbits:
+            bits.append(acc & 0xFF)
+        out += bytes([mcs])
+        for i in range(0, len(bits), 255):
+            chunk = bits[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _png_bytes(img, color=2, filters=None, palette=None):
     """Reference PNG encoder (test-only): FORWARD-filters scanlines with
     the spec arithmetic independently of the decoder under test, so a
@@ -1911,6 +1968,75 @@ class TestRealDecoders:
             decode_gif(bytes(bad))
         with _pytest.raises(DECODE_ERRORS, match="no image"):
             decode_gif(good[:13] + pal.tobytes() + b"\x00" * 0 + b"\x3b")
+
+    def test_gif_animation_frames_iterate_and_sample(self, spark):
+        """iter_gif_frames decodes every image descriptor; the
+        fingerprint face samples evenly when the animation is longer
+        than max_frames."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.gif_frames import (
+            gif_frame_hashes,
+            iter_gif_frames,
+        )
+
+        rng = np.random.RandomState(9)
+        pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+        frames = [
+            rng.randint(0, 8, size=(10, 12)).astype(np.uint8)
+            for _ in range(5)
+        ]
+        blob = _gif_anim_bytes(frames, pal)
+        got = list(iter_gif_frames(blob))
+        assert len(got) == 5
+        for g, idx in zip(got, frames):
+            assert np.array_equal(g, pal[idx])
+        long_blob = _gif_anim_bytes(frames * 4, pal)  # 20 frames
+        hashes = gif_frame_hashes(long_blob, max_frames=4)
+        ks = [k for k, _, _ in hashes]
+        assert len(ks) == 4 and ks == sorted(ks)
+        assert ks[0] == 0 and ks[-1] == 19
+
+    def test_animated_near_dup_survives_reorder_and_trim(self, spark):
+        """Two animations sharing frames (one is a reordered trim of
+        the other) pair on shared frame hashes; a third with disjoint
+        frames stays apart."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            animated_near_dup,
+        )
+
+        rng = np.random.RandomState(10)
+        pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+        mk = lambda: rng.randint(0, 8, size=(16, 16)).astype(np.uint8)  # noqa: E731
+        f = [mk() for _ in range(5)]
+        g = [mk() for _ in range(3)]  # disjoint content
+
+        def media_row(i, frames):
+            return Row(
+                media_id=i, kind="image",
+                content=_gif_anim_bytes(frames, pal),
+                meta=Row(mime="image/gif", width=16, height=16,
+                         duration_ms=None),
+            )
+
+        df = spark.createDataFrame(
+            [
+                media_row(1, f),
+                media_row(2, [f[3], f[1], f[4]]),  # reorder + trim
+                media_row(3, g),
+            ],
+            MEDIA_SCHEMA,
+        )
+        pairs = {
+            (r.doc_a, r.doc_b): r.shared_frames
+            for r in animated_near_dup(df, min_shared_frames=2).collect()
+        }
+        assert pairs.get((1, 2), 0) >= 2
+        assert (1, 3) not in pairs and (2, 3) not in pairs
 
     def test_gif_png_twins_dedup_through_shared_hamming_engine(
         self, spark
