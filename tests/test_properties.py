@@ -656,3 +656,42 @@ def test_alternating_cc_matches_propagation(spark, pairs):
         map(tuple, connected_components_alternating(df).collect())
     )
     assert prop == alt
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    n_colors=st.integers(min_value=2, max_value=200),
+    interlace=st.booleans(),
+    clear_every=st.integers(min_value=1, max_value=64),
+    use_lct=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_lzw_roundtrip_property(
+    spark, h, w, n_colors, interlace, clear_every, use_lct, seed
+):
+    """GIF decode is the exact inverse of the spec-built test encoder
+    for ANY size / palette cardinality / interlace flag / clear
+    cadence — the property that pins the variable-width LZW bit
+    unpacking, dictionary growth, and 4-pass de-interleave against
+    off-by-one regressions (encoder and decoder share no code)."""
+    import numpy as np
+
+    from taar_gcp_etl_spark.operators.gif import decode_gif
+    from tests.test_streaming_multimodal_sources import _gif_bytes
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+    blob = _gif_bytes(
+        idx, pal, interlace=interlace, use_lct=use_lct,
+        clear_every=clear_every,
+    )
+    got = decode_gif(blob)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, pal[idx])
