@@ -695,3 +695,72 @@ def test_gif_lzw_roundtrip_property(
     got = decode_gif(blob)
     assert got.shape == (h, w, 3)
     assert np.array_equal(got, pal[idx])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff".split()),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+    min_count=st.integers(min_value=2, max_value=3),
+    keep=st.sampled_from(["all", "first"]),
+)
+def test_remove_repeated_spans_matches_pure_python(
+    spark, docs, n, min_count, keep
+):
+    """remove_repeated_spans == an independent pure-Python reference
+    over random tiny-vocabulary corpora (small vocab maximizes gram
+    collisions — the interesting regime), for BOTH keep policies."""
+    from collections import defaultdict
+
+    from taar_gcp_etl_spark.operators.dedup import remove_repeated_spans
+
+    # Spark's split("") (and DuckDB's string_split) yield [''] — an
+    # empty doc is ONE empty token in the operator's tokenizer; mirror
+    toks = {i: (d if d else [""]) for i, d in enumerate(docs)}
+    occurrences = defaultdict(list)  # gram content -> [(doc, pos)]
+    for i, d in toks.items():
+        for p in range(len(d) - n + 1):
+            occurrences[tuple(d[p : p + n])].append((i, p))
+    covered = defaultdict(set)
+    for occ in occurrences.values():
+        if len(occ) < min_count:
+            continue
+        survivors = {min(occ)} if keep == "first" else set()
+        for doc, pos in occ:
+            if (doc, pos) in survivors:
+                continue
+            covered[doc].update(range(pos, pos + n))
+    expect = {
+        i: (
+            " ".join(
+                t for p, t in enumerate(d) if p not in covered[i]
+            ),
+            len(d),
+            len(covered[i]),
+        )
+        for i, d in toks.items()
+    }
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in remove_repeated_spans(
+            df, n=n, min_count=min_count, keep=keep
+        ).collect()
+    }
+    assert got == expect
