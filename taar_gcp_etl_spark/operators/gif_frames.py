@@ -33,9 +33,11 @@ from taar_gcp_etl_spark.operators.gif import (
 )
 
 
-def iter_gif_frames(content: bytes, max_frames: int = 64):
-    """Yield (h, w, 3) uint8 RGB arrays, one per image descriptor (in
-    stream order, at most ``max_frames``)."""
+def _walk_frames(content: bytes):
+    """Structural pass: yield one dict per image descriptor WITHOUT
+    LZW-decoding — sub-block concatenation only, so counting/seeking
+    frames is cheap relative to entropy decode (each frame's LZW
+    stream is self-contained: it starts clear-initialized)."""
     _req_len(content, 13, "header")
     if content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (missing signature)")
@@ -44,9 +46,9 @@ def iter_gif_frames(content: bytes, max_frames: int = 64):
     i = 13
     gct, i = _color_table(content, i, packed)
     bg = content[11]
-    yielded = 0
+    seen = False
 
-    while yielded < max_frames:
+    while True:
         _req_len(content, i + 1, "block")
         b = content[i]
         i += 1
@@ -74,34 +76,54 @@ def iter_gif_frames(content: bytes, max_frames: int = 64):
         mcs = content[i]
         i += 1
         data, i = _sub_blocks(content, i)
-        idx = np.frombuffer(
-            bytes(_lzw_decode(mcs, data, w * h)), dtype=np.uint8
-        )
-        if int(idx.max()) >= pal.shape[0]:
-            raise ValueError("GIF: pixel index beyond color table")
-        rows = idx.reshape(h, w)
-        if ipacked & 0x40:
-            ordered = np.empty_like(rows)
-            src = 0
-            for start, step in _INTERLACE_PASSES:
-                n = len(range(start, h, step))
-                ordered[start:h:step] = rows[src : src + n]
-                src += n
-            rows = ordered
-        img = pal[rows]
-        if (left, top) == (0, 0) and (w, h) == (sw, sh):
-            yield img.astype(np.uint8)
-        else:
-            if left + w > sw or top + h > sh:
-                raise ValueError("GIF: frame outside logical screen")
-            screen = np.zeros((sh, sw, 3), dtype=np.uint8)
-            if gct is not None and bg < gct.shape[0]:
-                screen[:, :] = gct[bg]
-            screen[top : top + h, left : left + w] = img
-            yield screen
-        yielded += 1
-    if yielded == 0:
+        seen = True
+        yield {
+            "left": left, "top": top, "w": w, "h": h,
+            "ipacked": ipacked, "pal": pal, "mcs": mcs, "data": data,
+            "sw": sw, "sh": sh, "gct": gct, "bg": bg,
+        }
+    if not seen:
         raise ValueError("GIF: no image data")
+
+
+def _decode_frame(f: dict) -> np.ndarray:
+    """LZW-decode one _walk_frames entry to (h, w, 3) RGB."""
+    w, h, pal = f["w"], f["h"], f["pal"]
+    idx = np.frombuffer(
+        bytes(_lzw_decode(f["mcs"], f["data"], w * h)), dtype=np.uint8
+    )
+    if int(idx.max()) >= pal.shape[0]:
+        raise ValueError("GIF: pixel index beyond color table")
+    rows = idx.reshape(h, w)
+    if f["ipacked"] & 0x40:
+        ordered = np.empty_like(rows)
+        src = 0
+        for start, step in _INTERLACE_PASSES:
+            n = len(range(start, h, step))
+            ordered[start:h:step] = rows[src : src + n]
+            src += n
+        rows = ordered
+    img = pal[rows]
+    left, top, sw, sh = f["left"], f["top"], f["sw"], f["sh"]
+    if (left, top) == (0, 0) and (w, h) == (sw, sh):
+        return img.astype(np.uint8)
+    if left + w > sw or top + h > sh:
+        raise ValueError("GIF: frame outside logical screen")
+    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+    gct, bg = f["gct"], f["bg"]
+    if gct is not None and bg < gct.shape[0]:
+        screen[:, :] = gct[bg]
+    screen[top : top + h, left : left + w] = img
+    return screen
+
+
+def iter_gif_frames(content: bytes, max_frames: int = 64):
+    """Yield (h, w, 3) uint8 RGB arrays, one per image descriptor (in
+    stream order, at most ``max_frames``)."""
+    for k, f in enumerate(_walk_frames(content)):
+        if k >= max_frames:
+            break
+        yield _decode_frame(f)
 
 
 def gif_frame_hashes(
@@ -109,13 +131,14 @@ def gif_frame_hashes(
 ) -> list[tuple[int, int, int]]:
     """(frame_index, hash_hi, hash_lo) for up to ``max_frames`` frames,
     sampled evenly across the animation (all frames when it is short).
-    Decoding stops at the last sampled frame — a 1000-frame animation
-    sampled at 8 still decodes serially up to its last sample, which is
-    the honest cost of LZW's stream dependency."""
+    Frame LZW streams are self-contained (each starts from a clear-
+    initialized dictionary), so the frame census is a cheap structural
+    walk and only the SAMPLED frames pay entropy decode — a
+    1000-frame animation sampled at 8 runs 8 LZW decodes, not 1000."""
     from taar_gcp_etl_spark.operators.multimodal import dhash64
 
-    frames = list(iter_gif_frames(content, max_frames=10_000))
-    n = len(frames)
+    raw = list(_walk_frames(content))
+    n = len(raw)
     if n <= max_frames:
         picks = range(n)
     else:
@@ -123,6 +146,6 @@ def gif_frame_hashes(
                         for k in range(max_frames)})
     out = []
     for k in picks:
-        hi, lo = dhash64(frames[k])
+        hi, lo = dhash64(_decode_frame(raw[k]))
         out.append((k, hi, lo))
     return out
