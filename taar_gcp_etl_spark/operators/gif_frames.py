@@ -137,10 +137,17 @@ def gif_frame_hashes(
     1000-frame animation sampled at 8 runs 8 LZW decodes, not 1000."""
     from taar_gcp_etl_spark.operators.multimodal import dhash64
 
+    if max_frames < 1:
+        # A config defect, not a corrupt blob: DECODE_ERRORS must not
+        # swallow it (it would silently drop every row), and the
+        # even-sampling division below needs max_frames-1 >= 1.
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
     raw = list(_walk_frames(content))
     n = len(raw)
     if n <= max_frames:
         picks = range(n)
+    elif max_frames == 1:
+        picks = [0]
     else:
         picks = sorted({(k * (n - 1)) // (max_frames - 1)
                         for k in range(max_frames)})

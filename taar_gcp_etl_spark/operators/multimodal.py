@@ -624,6 +624,11 @@ def media_frame_dhash(df: DataFrame, max_frames: int = 8) -> DataFrame:
     Undecodable/corrupt rows drop per the media_dhash contract."""
     from taar_gcp_etl_spark.operators.gif_frames import gif_frame_hashes
 
+    if max_frames < 1:
+        # Fail at plan time on the driver — inside the mapInPandas
+        # generator this would crash one task per row instead.
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -674,11 +679,19 @@ def animated_near_dup(
     and re-palettization (dHash survives those), NOT to per-frame
     re-encoding noise (use the banded-Hamming still pipeline per frame
     for that; exact-hash grouping keeps this one shuffle + one
-    aggregate, no candidate blowup). Returns (doc_a, doc_b,
+    aggregate, no candidate blowup). ``shared_frames`` counts matched
+    FRAME INSTANCES — the multiset intersection sum(min(count_a,
+    count_b)) per colliding hash — so two copies of a uniform
+    animation (every sampled frame identical) still report the full
+    sampled count, not 1 (ADVICE r6). Pre-aggregating to per-media
+    (hash, count) keeps the self-join linear in distinct hashes per
+    media, never quadratic in repeated frames. Returns (doc_a, doc_b,
     shared_frames)."""
-    frames = media_frame_dhash(df, max_frames=max_frames).select(
-        "media_id", "simhash_hi", "simhash_lo"
-    ).dropDuplicates()
+    frames = (
+        media_frame_dhash(df, max_frames=max_frames)
+        .groupBy("media_id", "simhash_hi", "simhash_lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     a = frames.alias("a")
     b = frames.alias("b")
     return (
@@ -692,6 +705,10 @@ def animated_near_dup(
             F.col("a.media_id").alias("doc_a"),
             F.col("b.media_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .agg(
+            F.sum(
+                F.least(F.col("a.cnt"), F.col("b.cnt"))
+            ).alias("shared_frames")
+        )
         .filter(F.col("shared_frames") >= min_shared_frames)
     )

@@ -327,25 +327,37 @@ class ConditionalPutManifestPublisher:
     def _is_already_exists(e: Exception) -> bool:
         """True iff the create failed because the destination object
         already exists — the conditional-PUT 412 / Hadoop
-        (File)AlreadyExistsException family. Matched on the Java
-        exception class chain and message because the error arrives
-        through py4j, not as a Python exception type."""
+        (File)AlreadyExistsException family. The Java CAUSE CHAIN is
+        matched on exception CLASS NAMES only; the free-text "already
+        exists" match applies solely to the TOP-LEVEL message (ADVICE
+        r6: an unrelated IO failure whose nested cause merely mentions
+        an existing file must surface, not be swallowed into the
+        retry loop as a lost race)."""
         seen = set()
         je = getattr(e, "java_exception", None)
+        top = je is None  # no JVM chain → e itself is the top level
         while je is not None and id(je) not in seen:
             seen.add(id(je))
             try:
                 cls = je.getClass().getName()
-                msg = je.getMessage() or ""
+                msg = (je.getMessage() or "") if len(seen) == 1 else ""
             except Exception:
                 break
-            if "AlreadyExists" in cls or "already exists" in msg.lower():
+            if (
+                "AlreadyExists" in cls
+                or "PreconditionFailed" in cls
+                or "already exists" in msg.lower()
+            ):
                 return True
             try:
                 je = je.getCause()
             except Exception:
                 break
-        text = str(e)
+        if not top:
+            return False
+        # Plain Python exception: str(e) IS the direct message (no
+        # cause chain rides along, unlike py4j's stringified trace).
+        text = f"{type(e).__name__}: {e}"
         return "AlreadyExists" in text or "already exists" in text.lower()
 
     def put_if_absent(

@@ -1997,6 +1997,74 @@ class TestRealDecoders:
         assert len(ks) == 4 and ks == sorted(ks)
         assert ks[0] == 0 and ks[-1] == 19
 
+    def test_gif_frame_hashes_max_frames_edge_cases(self, spark):
+        """ADVICE r6: max_frames=1 on a longer animation must sample
+        one frame, not divide by zero; max_frames<=0 is a config
+        defect and raises ValueError at PLAN TIME on the driver —
+        inside the executor ValueError is a DECODE_ERRORS member
+        (corrupt blobs raise it) and would silently drop the corpus."""
+        import numpy as np
+        import pytest as _pytest
+
+        from taar_gcp_etl_spark.operators.gif_frames import (
+            gif_frame_hashes,
+        )
+        from taar_gcp_etl_spark.operators.multimodal import (
+            media_frame_dhash,
+        )
+
+        rng = np.random.RandomState(11)
+        pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+        frames = [
+            rng.randint(0, 8, size=(8, 8)).astype(np.uint8)
+            for _ in range(5)
+        ]
+        blob = _gif_anim_bytes(frames, pal)
+        got = gif_frame_hashes(blob, max_frames=1)
+        assert len(got) == 1 and got[0][0] == 0
+        for bad in (0, -3):
+            with _pytest.raises(ValueError, match="max_frames"):
+                gif_frame_hashes(blob, max_frames=bad)
+        # and the DataFrame face fails at plan time on the driver
+        with _pytest.raises(ValueError, match="max_frames"):
+            media_frame_dhash(spark.range(0), max_frames=0)
+
+    def test_animated_near_dup_uniform_animation_copies(self, spark):
+        """ADVICE r6: shared_frames counts matched frame INSTANCES
+        (multiset intersection), so two exact copies of a static-loop
+        animation — every sampled frame identical — match at the
+        default min_shared_frames=2 instead of collapsing to 1."""
+        import numpy as np
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            animated_near_dup,
+        )
+
+        rng = np.random.RandomState(12)
+        pal = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+        still = rng.randint(0, 8, size=(16, 16)).astype(np.uint8)
+        uniform = [still] * 4  # static loop: 4 identical frames
+
+        def media_row(i, frames):
+            return Row(
+                media_id=i, kind="image",
+                content=_gif_anim_bytes(frames, pal),
+                meta=Row(mime="image/gif", width=16, height=16,
+                         duration_ms=None),
+            )
+
+        df = spark.createDataFrame(
+            [media_row(1, uniform), media_row(2, uniform)],
+            MEDIA_SCHEMA,
+        )
+        pairs = {
+            (r.doc_a, r.doc_b): r.shared_frames
+            for r in animated_near_dup(df, min_shared_frames=2).collect()
+        }
+        assert pairs.get((1, 2), 0) == 4
+
     def test_animated_near_dup_survives_reorder_and_trim(self, spark):
         """Two animations sharing frames (one is a reordered trim of
         the other) pair on shared frame hashes; a third with disjoint

@@ -913,6 +913,71 @@ class TestManifestPublisherSeam:
         assert pub.put_if_absent(spark, taken, b"first", "t4")
         assert not pub.put_if_absent(spark, taken, b"second", "t5")
 
+    def test_already_exists_ignores_nested_cause_messages(self):
+        """ADVICE r6: the Java cause chain is matched on CLASS NAMES
+        only — an unrelated IO failure whose nested cause merely says
+        'already exists' must NOT be classified as a lost CAS race
+        (it would be silently swallowed into the retry loop). Message
+        matching applies solely to the top-level exception."""
+        pub = txn.ConditionalPutManifestPublisher()
+
+        class _JE:
+            def __init__(self, cls, msg, cause=None):
+                self._cls, self._msg, self._cause = cls, msg, cause
+
+            def getClass(self):
+                outer = self
+
+                class _C:
+                    def getName(self):
+                        return outer._cls
+
+                return _C()
+
+            def getMessage(self):
+                return self._msg
+
+            def getCause(self):
+                return self._cause
+
+        class _Py4JErr(Exception):
+            def __init__(self, je):
+                super().__init__("An error occurred while calling o1.create")
+                self.java_exception = je
+
+        # nested cause mentions 'already exists' but every class is
+        # unrelated → NOT a race; must surface
+        nested = _JE(
+            "java.io.IOException",
+            "rename failed",
+            _JE("java.io.IOException",
+                "work dir /tmp/x already exists and is not writable"),
+        )
+        assert not pub._is_already_exists(_Py4JErr(nested))
+        # top-level message match still classifies
+        assert pub._is_already_exists(
+            _Py4JErr(_JE("java.io.IOException", "slot.json already exists"))
+        )
+        # AlreadyExists CLASS anywhere in the chain still classifies
+        assert pub._is_already_exists(
+            _Py4JErr(_JE(
+                "java.io.IOException", "create failed",
+                _JE("org.apache.hadoop.fs.FileAlreadyExistsException", None),
+            ))
+        )
+        # conditional-PUT 412 class family
+        assert pub._is_already_exists(
+            _Py4JErr(_JE("com.example.PreconditionFailedException", None))
+        )
+        # plain Python exception: direct message only (no chain rides
+        # along), both polarities
+        assert pub._is_already_exists(
+            RuntimeError("org.apache.hadoop.fs.FileAlreadyExistsException: x")
+        )
+        assert not pub._is_already_exists(
+            RuntimeError("java.io.IOException: Permission denied")
+        )
+
     def test_rename_publisher_still_default_and_race_safe(
         self, spark, tmp_path
     ):
