@@ -196,7 +196,10 @@ def write_clustered(
 
 
 def collect_file_stats(
-    spark: SparkSession, path: str, stats_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    stats_cols: list[str],
+    row_groups: bool = False,
 ) -> list[dict]:
     """Zone maps for every parquet file under ``path``: one DISTRIBUTED
     aggregation grouped by input_file_name — the collect is bounded at
@@ -205,7 +208,20 @@ def collect_file_stats(
     is exactly what makes comparison-predicate pruning sound: a
     predicate can only match non-null values, so non-null extrema are
     the right envelope and an all-null file (null stats) is provably
-    disjoint from any comparison."""
+    disjoint from any comparison.
+
+    ``row_groups=True`` additionally reads each file's parquet FOOTER
+    (distributed over executors, one small metadata read per file — no
+    data pages) and records per-row-group min/max as
+    ``row_groups: [{rows, stats}]`` on the entry. This gives the prune
+    cost gate sub-file selectivity for big bucket-locally-sorted files
+    whose file-level envelope is wide but whose row groups are narrow.
+    STRING/BINARY columns are excluded from row-group stats (parquet
+    writers may truncate binary min/max, which would understate the
+    upper bound — unsound for pruning; the reader's own internal
+    handling of truncated stats stays correct, we just don't plan on
+    them); numeric/date/timestamp footer stats are exact envelopes.
+    Footer-read failures degrade that file to file-level stats only."""
     df = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
@@ -229,7 +245,62 @@ def collect_file_stats(
             lo, hi = r[f"_min_{c}"], r[f"_max_{c}"]
             stats[c] = [_jsonable(lo), _jsonable(hi)]
         out.append({"file": name, "rows": r["_rows"], "stats": stats})
-    return sorted(out, key=lambda d: d["file"])
+    out = sorted(out, key=lambda d: d["file"])
+    if row_groups and out:
+        root = path.rstrip("/")
+        if root.startswith("file:"):
+            root = root[len("file:"):]
+        names = [e["file"] for e in out]
+        sc = spark.sparkContext
+        rg_by_name = dict(
+            sc.parallelize(names, min(len(names), 64)).map(
+                lambda n: (n, _footer_rowgroup_stats(f"{root}/{n}", stats_cols))
+            ).collect()
+        )
+        for e in out:
+            rgs = rg_by_name.get(e["file"])
+            if rgs:
+                e["row_groups"] = rgs
+    return out
+
+
+def _footer_rowgroup_stats(
+    abs_path: str, stats_cols: list[str]
+) -> list[dict] | None:
+    """Per-row-group [{rows, stats}] from one parquet footer, or None
+    when the footer isn't readable through pyarrow (non-local
+    filesystem, corrupt file) — the caller degrades to file-level
+    stats. Binary-backed columns are skipped (truncation soundness,
+    see collect_file_stats); a row group whose stats are missing for a
+    column simply contributes no envelope for it (kept conservatively
+    by the pruner)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return None
+    schema = md.schema
+    safe_idx = {}
+    for i in range(md.num_columns):
+        col = schema.column(i)
+        if (
+            col.name in stats_cols
+            and col.physical_type
+            not in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY", "INT96")
+        ):
+            safe_idx[col.name] = i
+    groups = []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        st = {}
+        for c, i in safe_idx.items():
+            s = rg.column(i).statistics
+            if s is None or not s.has_min_max:
+                continue
+            st[c] = [_jsonable(s.min), _jsonable(s.max)]
+        groups.append({"rows": rg.num_rows, "stats": st})
+    return groups
 
 
 def _bloom_positions_col(c: str, m_bits: int, k: int):

@@ -794,6 +794,7 @@ def apply_cdc_batch_bucketed(
     epoch_id: int | None = None,
     max_attempts: int = 5,
     stats_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
 ) -> int | None:
     """Partition-pruned CDC apply — the fact-sized variant of
     apply_cdc_batch_txn.
@@ -808,6 +809,17 @@ def apply_cdc_batch_bucketed(
     CDC-maintained fact table, no export hop. (Sound under
     multi-versioning: each key's base row lives in exactly one live
     dir, and overlays — tombstones only — are always read.)
+
+    With stats_cols the rewrite is bucket-locally CLUSTERED
+    (_clustered_for_write): each bucket's rows sort by stats_cols and —
+    with ``target_file_rows`` (sticky like stats_cols) — roll into
+    files of that many rows, so per-file zone maps stay narrow even
+    after every row has been re-merged many times. Without it, churn
+    converges per-file stats to the full range (r6 soak: 44% kept for
+    a 1-of-8-days filter) and pruning dies. Row-group stats from the
+    written files' parquet footers ride in the manifest alongside, so
+    the IVM prune cost gate can see sub-file selectivity for big
+    sorted files.
 
     The flat transactional apply rewrites O(table) per micro-batch:
     right for dimension tables, ruinous for a fact-sized keyed table
@@ -919,6 +931,7 @@ def apply_cdc_batch_bucketed(
         overlays = dict((man or {}).get("overlays") or {})
 
         eff_stats_cols = (man or {}).get("stats_cols") or stats_cols
+        eff_file_rows = (man or {}).get("cluster_rows") or target_file_rows
         file_stats = dict((man or {}).get("file_stats") or {})
         change_files = None
         if delete_only and man is not None:
@@ -940,8 +953,9 @@ def apply_cdc_batch_bucketed(
                 man.get("schema") if man else None, schema_fields
             )
             snap_rel = f"data/v{version:010d}-{token}"
-            merged.write.mode("overwrite").partitionBy(
-                BUCKET_COL
+            _rolled_writer(
+                _clustered_for_write(merged, eff_stats_cols, nb),
+                eff_file_rows,
             ).parquet(f"{table_dir}/{snap_rel}")
             mapping = dict(man["buckets"]) if man else {}
             for b in touched:
@@ -963,7 +977,8 @@ def apply_cdc_batch_bucketed(
                 from taar_gcp_etl_spark.layout import collect_file_stats
 
                 file_stats[snap_rel] = collect_file_stats(
-                    spark, f"{table_dir}/{snap_rel}", eff_stats_cols
+                    spark, f"{table_dir}/{snap_rel}", eff_stats_cols,
+                    row_groups=True,
                 )
         # drop stats of dirs no longer referenced by any bucket
         live_dirs = set(mapping.values())
@@ -990,6 +1005,8 @@ def apply_cdc_batch_bucketed(
             manifest["stats_types"] = {
                 c: types.get(c, "") for c in eff_stats_cols
             }
+            if eff_file_rows:
+                manifest["cluster_rows"] = int(eff_file_rows)
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
     raise RuntimeError(
@@ -1130,9 +1147,14 @@ def compact_cdc_tombstones(
             version = man["version"] + 1
             snap_rel = f"data/v{version:010d}-{token}"
             kdf = keep_at(man["version"])
-            kdf.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-                f"{table_dir.rstrip('/')}/{snap_rel}"
-            )
+            # maintenance must preserve the clustered layout, or one
+            # compaction would undo every apply's narrow zone maps
+            _rolled_writer(
+                _clustered_for_write(
+                    kdf, man.get("stats_cols"), man["n_buckets"]
+                ),
+                man.get("cluster_rows"),
+            ).parquet(f"{table_dir.rstrip('/')}/{snap_rel}")
             manifest = _full_rewrite_manifest(
                 spark,
                 table_dir.rstrip("/"),
@@ -1147,6 +1169,52 @@ def compact_cdc_tombstones(
                 return version
         raise RuntimeError(f"compact: version conflicts on {table_dir}")
     return commit_txn(keep_at, table_dir, spark=spark)
+
+
+def _clustered_for_write(
+    df: DataFrame,
+    stats_cols: list[str] | None,
+    n_buckets: int,
+) -> DataFrame:
+    """Bucket-local clustering for a bucketed-CDC rewrite (r7): when the
+    table tracks zone maps, shuffle to one task per bucket and sort each
+    bucket's rows by ``stats_cols`` before the partitionBy write. Two
+    effects, both load-bearing for IVM recompute pruning:
+
+    - per-FILE zone maps stay NARROW under churn: the r6 sf1 soak
+      measured per-file day stats converging to the full range after 8
+      day-batches (every apply MERGES prior days into the rewritten
+      files, unsorted) — kept_fraction 0.44 for a one-day filter, prune
+      gate permanently declining. Sorted + rolled files cover contiguous
+      stats slices instead (see ``target_file_rows``), so the filter
+      keeps O(selectivity) of them.
+    - parquet ROW GROUPS inherit the same locality, so a pushed-down
+      residual predicate skips IO inside big files natively even when
+      the file-level envelope is wide (one file per bucket at scale,
+      128 MB row groups).
+
+    Cost: one extra hash shuffle of the touched-bucket data per rewrite
+    (the sort is task-local). Write parallelism equals the bucket count,
+    which matches the layout's design point (buckets sized to a few GB
+    at 100 TB). Without stats_cols the plan is returned unchanged."""
+    if not stats_cols:
+        return df
+    return df.repartition(n_buckets, F.col(BUCKET_COL)).sortWithinPartitions(
+        F.col(BUCKET_COL), *[F.col(c) for c in stats_cols]
+    )
+
+
+def _rolled_writer(df: DataFrame, target_file_rows: int | None):
+    """partitionBy-ready writer that rolls output files at
+    ``target_file_rows`` rows — combined with the bucket-local sort,
+    each rolled file covers a contiguous ``stats_cols`` slice, making
+    zone-map width scale INVERSELY with data density instead of
+    converging to the full range. None = one file per bucket per task
+    (row-group stats still narrow inside big files)."""
+    w = df.write.mode("overwrite")
+    if target_file_rows:
+        w = w.option("maxRecordsPerFile", int(target_file_rows))
+    return w.partitionBy(BUCKET_COL)
 
 
 def _full_rewrite_manifest(
@@ -1195,11 +1263,13 @@ def _full_rewrite_manifest(
         manifest["stats_cols"] = sc
         manifest["file_stats"] = {
             snap_rel: collect_file_stats(
-                spark, f"{table_dir}/{snap_rel}", sc
+                spark, f"{table_dir}/{snap_rel}", sc, row_groups=True
             )
         }
         types = dict(schema_fields)
         manifest["stats_types"] = {c: types.get(c, "") for c in sc}
+        if man.get("cluster_rows"):
+            manifest["cluster_rows"] = man["cluster_rows"]
     return manifest
 
 
@@ -1261,9 +1331,12 @@ def rescale_buckets(
             BUCKET_COL, _bucket_of(key_col, new_n_buckets)
         )
         snap_rel = f"data/v{version:010d}-{token}"
-        rehashed.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-            f"{table_dir}/{snap_rel}"
-        )
+        _rolled_writer(
+            _clustered_for_write(
+                rehashed, man.get("stats_cols"), new_n_buckets
+            ),
+            man.get("cluster_rows"),
+        ).parquet(f"{table_dir}/{snap_rel}")
         manifest = _full_rewrite_manifest(
             spark,
             table_dir,
@@ -1777,17 +1850,31 @@ def _pruned_live_for_groups(
             )
     if not filters:
         return None
-    # cost gate (metadata-only): a prune that keeps most files pays the
-    # many-small-reads scan construction without saving bytes — the sf1
-    # soak measured a hash-bucket-mixed table keeping 44% of files and
-    # losing to the plain scan 1.8x.
-    kept, total = _cdc_kept_files(man, source_dir.rstrip("/"), filters)
-    if total == 0 or len(kept) > total * _IVM_PRUNE_MAX_KEPT_FRACTION:
+    # cost gate (metadata-only): a prune that keeps most of the BYTES
+    # pays the many-small-reads scan construction without saving IO —
+    # the r6 sf1 soak measured a hash-bucket-mixed table keeping 44% of
+    # files and losing to the plain scan 1.8x. Gate on the ROW fraction
+    # when row-group stats exist (scan_cdc_pruned pushes the residual
+    # to the parquet reader, so non-overlapping row groups of kept
+    # files are skipped natively — kept_rows is the honest estimate);
+    # the file fraction is the fallback cost model.
+    plan = _cdc_prune_plan(man, source_dir.rstrip("/"), filters)
+    frac = (
+        plan["kept_rows"] / plan["total_rows"]
+        if plan["total_rows"]
+        else (
+            plan["kept_files"] / plan["total_files"]
+            if plan["total_files"]
+            else 1.0
+        )
+    )
+    if plan["total_files"] == 0 or frac > _IVM_PRUNE_MAX_KEPT_FRACTION:
         return None
     # pass the kept list through so the scan doesn't redo the metadata
     # pass over O(files) entries
     return scan_cdc_pruned(
-        spark, source_dir, filters, version=version, kept_paths=kept
+        spark, source_dir, filters, version=version,
+        kept_paths=plan["kept_paths"],
     )
 
 
@@ -2064,21 +2151,43 @@ def read_aggregate_store(
     return df
 
 
-def _cdc_kept_files(
+def _cdc_prune_plan(
     man: dict, table_dir: str, filters: list[tuple]
-) -> tuple[list[str], int]:
-    """(kept absolute paths, total candidate files) for a bucketed-CDC
-    zone-map prune — per dir, only files of buckets the dir still OWNS
-    are candidates (a superseded bucket's file may linger in an old
-    dir)."""
+) -> dict:
+    """Metadata-only prune plan for a bucketed-CDC zone-map scan:
+    {kept_paths, total_files, kept_files, total_rows, kept_rows}.
+    Per dir, only files of buckets the dir still OWNS are candidates
+    (a superseded bucket's file may linger in an old dir).
+
+    Granularity (r7): when an entry carries per-ROW-GROUP stats
+    (collect_file_stats row_groups=True), a file survives only if at
+    least one row group overlaps every filter, and ``kept_rows``
+    counts just the overlapping row groups — the honest IO estimate,
+    because scan_cdc_pruned pushes the residual down to the parquet
+    reader, whose native row-group stats (the same values) skip the
+    non-overlapping groups. A row group missing stats for a filtered
+    column is kept conservatively; entries without row-group stats
+    count all their rows when the file-level envelope overlaps."""
     from taar_gcp_etl_spark.layout import _from_jsonable, _overlaps
 
     types = man.get("stats_types", {})
+
+    def overlaps(stats: dict) -> bool:
+        for c, op, val in filters:
+            if c not in stats:
+                continue
+            lo = _from_jsonable(stats[c][0], types.get(c, ""))
+            hi = _from_jsonable(stats[c][1], types.get(c, ""))
+            if not _overlaps(lo, hi, op, val):
+                return False
+        return True
+
     owned: dict[str, set[int]] = {}
     for b, d in man["buckets"].items():
         owned.setdefault(d, set()).add(int(b))
     kept_paths: list[str] = []
-    total = 0
+    total = kept = 0
+    total_rows = kept_rows = 0
     for d, entries in man["file_stats"].items():
         own = owned.get(d, set())
         for e in entries:
@@ -2090,18 +2199,37 @@ def _cdc_kept_files(
             if bpart and int(bpart[0].split("=", 1)[1]) not in own:
                 continue
             total += 1
-            keep = True
-            for c, op, val in filters:
-                if c not in e["stats"]:
-                    continue
-                lo = _from_jsonable(e["stats"][c][0], types.get(c, ""))
-                hi = _from_jsonable(e["stats"][c][1], types.get(c, ""))
-                if not _overlaps(lo, hi, op, val):
-                    keep = False
-                    break
-            if keep:
-                kept_paths.append(f"{table_dir}/{d}/{e['file']}")
-    return kept_paths, total
+            total_rows += e.get("rows", 0)
+            if not overlaps(e["stats"]):
+                continue
+            rgs = e.get("row_groups")
+            if rgs:
+                rg_rows = sum(
+                    g["rows"] for g in rgs if overlaps(g["stats"])
+                )
+                if rg_rows == 0:
+                    continue  # envelope overlapped, no row group does
+            else:
+                rg_rows = e.get("rows", 0)
+            kept += 1
+            kept_rows += rg_rows
+            kept_paths.append(f"{table_dir}/{d}/{e['file']}")
+    return {
+        "kept_paths": kept_paths,
+        "total_files": total,
+        "kept_files": kept,
+        "total_rows": total_rows,
+        "kept_rows": kept_rows,
+    }
+
+
+def _cdc_kept_files(
+    man: dict, table_dir: str, filters: list[tuple]
+) -> tuple[list[str], int]:
+    """(kept absolute paths, total candidate files) — thin wrapper over
+    _cdc_prune_plan for callers that only need the file list."""
+    plan = _cdc_prune_plan(man, table_dir, filters)
+    return plan["kept_paths"], plan["total_files"]
 
 
 def cdc_prune_report(
@@ -2119,8 +2247,8 @@ def cdc_prune_report(
     )
     if man is None or "file_stats" not in man:
         raise ValueError(f"{table_dir} has no CDC zone maps")
-    kept, total = _cdc_kept_files(man, table_dir.rstrip("/"), filters)
-    return {"total_files": total, "kept_files": len(kept)}
+    plan = _cdc_prune_plan(man, table_dir.rstrip("/"), filters)
+    return {k: v for k, v in plan.items() if k != "kept_paths"}
 
 
 def scan_cdc_pruned(
@@ -2186,6 +2314,16 @@ def scan_cdc_pruned(
                 if base is None
                 else base.unionByName(part, allowMissingColumns=True)
             )
+        # push the residual onto the BASE scan, ahead of overlay
+        # resolution: Spark forwards it to the parquet reader, whose
+        # native row-group stats skip non-overlapping groups inside
+        # kept files (bucket-locally sorted rewrites make those groups
+        # narrow — the sub-file half of the prune). Sound for the same
+        # reason file skipping is: a base row failing the filter would
+        # be dropped by the final residual anyway, and removing it
+        # early can only promote an overlay TOMBSTONE to latest-per-
+        # key, which the ~deleted filter then drops — same output.
+        base = base.filter(_residual(filters))
     out = base
     # overlays: always read in full for correctness (tombstones only)
     overlay_dirs = sorted(

@@ -1956,6 +1956,187 @@ class TestCdcZoneMaps:
         assert len(man["file_stats"]) == 2  # both dirs carry zone maps
 
 
+class TestClusteredRewritePruning:
+    """r7: bucket-local sort + file rolling on CDC rewrite keeps
+    per-file zone maps narrow under churn (the r6 soak's measured
+    failure mode: hash-mixed rewrites converge every file's stats to
+    the full range, kept_fraction 0.44, prune gate permanently
+    declining)."""
+
+    CDC_D = "id long, val string, day long, seq long, op string"
+
+    def _apply(self, spark, t, rows, **kw):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, self.CDC_D),
+            t,
+            n_buckets=4,
+            stats_cols=["day"],
+            **kw,
+        )
+
+    def _seed_and_churn(self, spark, t, **kw):
+        # 4 day-batches, keys hash into every bucket; then 4 MIXED
+        # churn batches (update + insert per rotating day), each of
+        # which re-merges every bucket — the layout-destroying pattern
+        for day in range(4):
+            self._apply(
+                spark, t,
+                [(day * 128 + i, f"d{day}-{i}", day, day + 1, "I")
+                 for i in range(128)],
+                **kw,
+            )
+        for b in range(4):
+            day = b % 4
+            self._apply(
+                spark, t,
+                [(day * 128 + i, f"upd{b}-{i}", day, 10 + b, "U")
+                 for i in range(8)]
+                + [(10000 + b * 128 + i, f"new{b}-{i}", day, 10 + b, "I")
+                   for i in range(8)],
+                **kw,
+            )
+
+    def test_one_day_filter_prunes_after_churn(self, spark, tmp_path):
+        t = str(tmp_path / "clus")
+        self._seed_and_churn(spark, t, target_file_rows=16)
+        rep = txn.cdc_prune_report(spark, t, [("day", "=", 2)])
+        # 1 of 4 days: kept-rows floor is the 0.25 selectivity plus one
+        # 16-row boundary file per bucket (day runs straddle file
+        # boundaries) — the unclustered layout kept ~100% here (every
+        # file re-merged with all days after 8 batches)
+        assert rep["kept_files"] / rep["total_files"] <= 0.4, rep
+        assert rep["kept_rows"] / rep["total_rows"] <= 0.4, rep
+        # and the prune stays SOUND: pruned scan == residual over live
+        from taar_gcp_etl_spark.layout import _residual
+
+        got = sorted(
+            tuple(r)
+            for r in txn.scan_cdc_pruned(
+                spark, t, [("day", "=", 2)]
+            ).collect()
+        )
+        expect = sorted(
+            tuple(r)
+            for r in txn.read_cdc_table(spark, t)
+            .filter(_residual([("day", "=", 2)]))
+            .collect()
+        )
+        assert got == expect and len(got) > 0
+
+    def test_cluster_rows_sticky_and_maintenance_preserves(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "clus-sticky")
+        # day runs (64 rows, ~16 per bucket) exceed the file roll (16),
+        # so each rolled file covers ~one day
+        self._apply(
+            spark, t,
+            [(i, f"a{i}", i // 64, 1, "I") for i in range(256)],
+            target_file_rows=16,
+        )
+        # later batch WITHOUT the knob inherits it from the manifest
+        self._apply(
+            spark, t, [(1000 + i, f"b{i}", i % 4, 2, "I") for i in range(8)]
+        )
+        man = txn.latest_manifest(spark, t)
+        assert man["cluster_rows"] == 16
+        # the full-rewrite maintenance path re-clusters and re-rolls:
+        # after compaction a one-day filter still keeps a minority of
+        # rows (an unsorted rewrite would leave exactly one wide file
+        # per bucket)
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=0)
+        man = txn.latest_manifest(spark, t)
+        assert man["cluster_rows"] == 16
+        rep = txn.cdc_prune_report(spark, t, [("day", "=", 1)])
+        assert rep["kept_rows"] / rep["total_rows"] <= 0.5, rep
+
+    def test_prune_plan_row_group_granularity(self):
+        """_cdc_prune_plan metadata logic: row-group stats refine the
+        rows estimate, and a file whose ENVELOPE overlaps but whose
+        row groups are all disjoint is dropped outright."""
+        man = {
+            "buckets": {"0": "data/v1"},
+            "stats_types": {"day": "bigint"},
+            "file_stats": {
+                "data/v1": [
+                    {
+                        "file": "_bucket=0/f1.parquet",
+                        "rows": 100,
+                        "stats": {"day": [0, 9]},
+                        "row_groups": [
+                            {"rows": 60, "stats": {"day": [0, 4]}},
+                            {"rows": 40, "stats": {"day": [5, 9]}},
+                        ],
+                    },
+                    {
+                        "file": "_bucket=0/f2.parquet",
+                        "rows": 50,
+                        "stats": {"day": [0, 9]},
+                        # gap: no row group covers day 7
+                        "row_groups": [
+                            {"rows": 25, "stats": {"day": [0, 4]}},
+                            {"rows": 25, "stats": {"day": [8, 9]}},
+                        ],
+                    },
+                    {  # legacy entry without row-group stats
+                        "file": "_bucket=0/f3.parquet",
+                        "rows": 30,
+                        "stats": {"day": [6, 8]},
+                    },
+                ]
+            },
+        }
+        plan = txn._cdc_prune_plan(man, "/t", [("day", "=", 7)])
+        # f1: envelope hits, rg [5,9] hits → 40 rows; f2: envelope
+        # hits, NO rg hits → dropped; f3: no rg info → all 30 rows
+        assert plan["kept_files"] == 2 and plan["total_files"] == 3
+        assert plan["kept_rows"] == 70 and plan["total_rows"] == 180
+        assert sorted(plan["kept_paths"]) == [
+            "/t/data/v1/_bucket=0/f1.parquet",
+            "/t/data/v1/_bucket=0/f3.parquet",
+        ]
+        # a row group MISSING stats for the filtered column is kept
+        man["file_stats"]["data/v1"][1]["row_groups"][0]["stats"] = {}
+        plan = txn._cdc_prune_plan(man, "/t", [("day", "=", 7)])
+        assert plan["kept_files"] == 3 and plan["kept_rows"] == 95
+
+    def test_footer_rowgroup_stats_sorted_file(self, tmp_path):
+        """_footer_rowgroup_stats reads exact per-row-group envelopes
+        for numeric/date columns and SKIPS binary-backed ones
+        (parquet min/max truncation would be unsound)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "rg.parquet")
+        tbl = pa.table(
+            {
+                "day": pa.array(sorted(i // 10 for i in range(40))),
+                "name": pa.array([f"s{i}" for i in range(40)]),
+            }
+        )
+        pq.write_table(tbl, p, row_group_size=10)
+        from taar_gcp_etl_spark.layout import _footer_rowgroup_stats
+
+        rgs = _footer_rowgroup_stats(p, ["day", "name"])
+        assert [g["rows"] for g in rgs] == [10, 10, 10, 10]
+        assert [g["stats"]["day"] for g in rgs] == [
+            [0, 0], [1, 1], [2, 2], [3, 3],
+        ]
+        assert all("name" not in g["stats"] for g in rgs)
+        assert _footer_rowgroup_stats(str(tmp_path / "nope"), ["day"]) is None
+
+    def test_pruned_scan_pushes_residual_to_parquet(self, spark, tmp_path):
+        """The residual lands on the BASE scan as PushedFilters, so
+        parquet's native row-group stats skip inside kept files —
+        manifest skipping and reader skipping stack."""
+        from taar_gcp_etl_spark.plans import has_pushed_filter
+
+        t = str(tmp_path / "clus-push")
+        self._seed_and_churn(spark, t, target_file_rows=16)
+        df = txn.scan_cdc_pruned(spark, t, [("day", "=", 2)])
+        assert has_pushed_filter(df, "day")
+
+
 class TestFlatCasRetryFreshRead:
     """ADVICE r4: the FLAT read-modify-write paths must re-read and
     re-merge inside the CAS retry loop (commit_txn's builder form) —
