@@ -151,6 +151,101 @@ def main() -> None:
         "total_pairs": pairs.count(),
         "sec": round(time.perf_counter() - t0, 2),
     }
+    # ---- per-BLOCK constant runs (r7): block-keyed boundaries ----
+    # Each block's strings share a 16-char run of the block's letter;
+    # the letter differs across blocks, so corpus-wide per-position
+    # diversity sees >=n_blocks distinct chars everywhere and the
+    # block-blind boundaries degrade to ~even splits — one hot key PER
+    # BLOCK, quadratic again. Keying the boundary map by block
+    # (block_cols in _entropy_boundaries) restores the cut.
+    def corpus_blocked(n: int, n_blocks: int = 4):
+        letters = "ZYXW"[:n_blocks]
+        base = spark.range(n).select(
+            F.col("id"),
+            F.substring(
+                F.lit(letters),
+                (F.col("id") % n_blocks + 1).cast("int"), 1,
+            ).alias("blk"),
+        ).select(
+            "id", "blk",
+            F.concat(
+                F.translate(
+                    F.substring(
+                        F.md5(F.col("id").cast("string")), 1, FLANK
+                    ),
+                    "0123456789abcdef", "abcdefghijklmnop",
+                ),
+                F.repeat(F.col("blk"), len(CONST)),
+                F.translate(
+                    F.substring(
+                        F.md5(F.col("id").cast("string")),
+                        FLANK + 1, FLANK,
+                    ),
+                    "0123456789abcdef", "abcdefghijklmnop",
+                ),
+            ).alias("t"),
+        )
+        total_len = 2 * FLANK + len(CONST)
+        twins = base.filter(F.col("id") % 500 == 0).select(
+            (F.col("id") + 10_000_000).alias("id"),
+            F.col("blk"),
+            F.concat(
+                F.substring(F.col("t"), 1, total_len - 1), F.lit("q")
+            ).alias("t"),
+        )
+        return base.unionByName(twins), (n + 499) // 500
+
+    blk_points = {"block_blind": [2_000, 4_000, 8_000],
+                  "block_keyed": [25_000, 50_000, 100_000]}
+    for mode, ns in blk_points.items():
+        curve = []
+        for n in ns:
+            df, _ = corpus_blocked(n)
+            base = df.select(
+                F.col("id").alias("_id"),
+                F.col("t").alias("_orig"),
+                F.col("t").alias("_t"),
+                F.length("t").alias("_len"),
+                "blk",
+            )
+            t0 = time.perf_counter()
+            bmap = J._entropy_boundaries(
+                base, D, None, 512,
+                block_cols=["blk"] if mode == "block_keyed" else None,
+            )
+            n_cand = J._adaptive_candidates(
+                base, D, bmap, ["blk"]
+            ).count()
+            dt = round(time.perf_counter() - t0, 2)
+            curve.append({"n": n, "candidates": n_cand, "sec": dt})
+        out["curves"][mode] = curve
+
+    # exactness at 8k: block-keyed adaptive == even path (the all-pairs
+    # oracle shape), with every planted within-block twin found
+    df, n_true = corpus_blocked(8_000)
+    norm = lambda pairs: sorted(  # noqa: E731
+        (r.id_a, r.id_b, r.dist) for r in pairs.collect()
+    )
+    even = norm(J.fuzzy_self_join_segments(
+        df, "t", "id", block_cols=["blk"], max_distance=D
+    ))
+    t0 = time.perf_counter()
+    adap_df = J.fuzzy_self_join_segments(
+        df, "t", "id", block_cols=["blk"], max_distance=D,
+        adaptive_boundaries=True,
+    )
+    adap = norm(adap_df)
+    out["blocked_end_to_end"] = {
+        "n": 8_000,
+        "planted_pairs": n_true,
+        "planted_found": sum(
+            1 for a, b, _ in adap if b - a == 10_000_000
+        ),
+        "total_pairs": len(adap),
+        "matches_even_path": adap == even,
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
     line = json.dumps(out)
     print(line)
     with open(

@@ -1,33 +1,23 @@
-"""IVM recompute-pruning + insert-only fast-path soak at sf1 (r6).
+"""IVM recompute-pruning + insert-only fast-path soak at sf1 (r6/r7).
 
-The r6 additions to sync_aggregate_from_cdc change WHAT the
-non-invertible (min/max/approx_distinct) sync reads:
+The r6 run of this soak measured the NEGATIVE result that motivated
+the prune cost gate: unsorted bucketed rewrites merge every prior day
+into the rewritten files, per-file day stats converge to the full
+range (kept_fraction 0.44 for a one-day filter), and the per-file
+pruned scan LOSES to the plain dir scan (1.8x) — so the gate declined
+and pruning never fired under churn.
 
-1. **Zone-map pruning + its cost gate**: the group-targeted recompute
-   derives filters from the touched groups and MAY read the source
-   through scan_cdc_pruned. This soak seeds 8 day-disjoint commits
-   (stats_cols=['day']) — and demonstrates the measured NEGATIVE
-   result that motivated the gate: every day batch hashes keys into
-   every bucket, each apply MERGES prior days into the rewritten
-   files, so per-file day stats converge toward full range
-   (kept_fraction ≈ 0.44 for a one-day filter) and the per-file pruned
-   scan LOSES to the plain dir scan (1.8x before the gate). The
-   metadata-only gate (_IVM_PRUNE_MAX_KEPT_FRACTION) must therefore
-   decline here, making pruning never-worse; the unit fixtures (batch-
-   disjoint layouts that keep <25%) pin the case where it wins.
-2. **Insert-only fast path**: a window with no retractions merges into
-   the store (least/greatest/HLL union) with NO source read at all —
-   the measured big win (~4x cheaper than any recompute here).
-3. **Change-feed persist**: one sync runs several actions over the
-   O(changes) feed whose LINEAGE can be a snapshot diff (delete-only
-   overlay commits record no change file); persisting it for the
-   sync's lifetime took the delete-sync from 138 s to ~13 s.
-
-Measured here, per shape: sync wall-clock with pruning allowed vs
-disabled on a delete batch (full path timed FIRST so cold-start bias
-favors the baseline), whether the gate engaged, insert-only sync
-wall-clock, the prune report, and exact equality of the final store
-against a full re-aggregate of the live rows.
+r7 closes that loop with bucket-local clustering: every rewrite sorts
+each bucket by stats_cols and rolls files at target_file_rows, so the
+zone maps stay narrow no matter how often rows are re-merged. This
+soak now drives the LAYOUT-DESTROYING pattern explicitly — 8 MIXED
+churn batches (updates + inserts across rotating days, each re-merging
+every bucket) on top of the 8-day seed — then checks the r7 "done"
+bar: the one-day filter keeps <25% of files AND the pruned recompute
+BEATS the full dir scan (full path timed FIRST so cold-start bias
+favors the baseline). Also still measured: the insert-only fast path
+(no source read at all) and exact equality of the final store against
+a full re-aggregate of the live rows.
 
 Usage: python scripts/soak_ivm_prune.py   (prints one JSON line,
 writes docs/bench_soak_ivm_prune.json; needs .soak/sf1 from
@@ -61,7 +51,12 @@ MEASURES = {
 }
 N_DAYS = 8
 N_BUCKETS = 32
+N_CHURN = 8
+DEL_DAY = 3  # a single-weight day: days 0/7 hold 2x rows in this data,
+# so deleting from day 7 makes true selectivity ~25% and the kept
+# fraction tracks IT, not the prune quality — day 3 is the honest probe
 BATCH_ROWS = 1_000
+TARGET_FILE_ROWS = 12_000  # ~half a (bucket, day) run at sf1
 
 
 def main() -> None:
@@ -85,7 +80,8 @@ def main() -> None:
     ).select("id", "day", "l_suppkey", "l_extendedprice")
     n_rows = li.count()
 
-    # time-correlated seed: one commit per day, zone maps on day
+    # time-correlated seed: one commit per day, zone maps on day,
+    # bucket-local clustering rolled at ~half a (bucket, day) run
     t0 = time.perf_counter()
     for day in range(N_DAYS):
         txn.apply_cdc_batch_bucketed(
@@ -96,29 +92,67 @@ def main() -> None:
             key_col="id",
             n_buckets=N_BUCKETS,
             stats_cols=["day"],
+            target_file_rows=TARGET_FILE_ROWS,
         )
     t_seed = round(time.perf_counter() - t0, 3)
+
+    # 8 MIXED churn batches (the r6 layout-destroying pattern): each
+    # updates + inserts rows of one rotating day, re-merging every
+    # bucket — without clustering this converged per-file stats to the
+    # full day range after a handful of batches
+    t0 = time.perf_counter()
+    for b in range(N_CHURN):
+        day = b % N_DAYS
+        upd = (
+            li.filter(F.col("day") == day)
+            .orderBy("id")
+            .limit(BATCH_ROWS)
+            .withColumn(
+                "l_extendedprice", F.col("l_extendedprice") * 1.01
+            )
+            .withColumn("seq", F.lit(10 + b))
+            .withColumn("op", F.lit("U"))
+        )
+        ins = (
+            li.filter(F.col("day") == day)
+            .orderBy("id")
+            .limit(BATCH_ROWS)
+            # real ids reach ~9.0e9 (l_orderkey*10); synthetic insert ids
+            # must be DISJOINT from them or "inserts" silently
+            # become cross-day updates (measured: the r6 +2e9 ids
+            # collided with real day-1 ids)
+            .withColumn("id", F.col("id") + 10_000_000_000 * (b + 1))
+            .withColumn("seq", F.lit(10 + b))
+            .withColumn("op", F.lit("I"))
+        )
+        txn.apply_cdc_batch_bucketed(
+            upd.unionByName(ins), SRC, key_col="id", n_buckets=N_BUCKETS
+        )
+    t_churn = round(time.perf_counter() - t0, 3)
 
     for store in (STORE_ON, STORE_OFF):
         txn.sync_aggregate_from_cdc(spark, SRC, store, ["day"], MEASURES)
 
-    # churn batch: delete rows of the LAST day only (touched = {7})
+    # churn batch: delete rows of ONE day only (touched = {DEL_DAY})
     dels = (
-        li.filter(F.col("day") == N_DAYS - 1)
+        li.filter(F.col("day") == DEL_DAY)
         .orderBy("id")
         .limit(BATCH_ROWS)
         .select("id")
         .withColumn("day", F.lit(None).cast("int"))
         .withColumn("l_suppkey", F.lit(None).cast("bigint"))
         .withColumn("l_extendedprice", F.lit(None).cast("double"))
-        .withColumn("seq", F.lit(2))
+        .withColumn("seq", F.lit(50))
         .withColumn("op", F.lit("D"))
     )
     txn.apply_cdc_batch_bucketed(
         dels, SRC, key_col="id", n_buckets=N_BUCKETS, stats_cols=["day"]
     )
+    sel_rows = txn.read_cdc_table(spark, SRC).filter(
+        F.col("day") == DEL_DAY
+    ).count()
     rep = txn.cdc_prune_report(
-        spark, SRC, [("day", "in", [N_DAYS - 1])]
+        spark, SRC, [("day", "in", [DEL_DAY])]
     )
 
     # full path FIRST (it absorbs the cold-start costs: shuffle files,
@@ -144,8 +178,8 @@ def main() -> None:
         li.filter(F.col("day") == 0)
         .orderBy("id")
         .limit(BATCH_ROWS)
-        .withColumn("id", F.col("id") + 2_000_000_000)
-        .withColumn("seq", F.lit(3))
+        .withColumn("id", F.col("id") + 100_000_000_000)
+        .withColumn("seq", F.lit(60))
         .withColumn("op", F.lit("I"))
     )
     txn.apply_cdc_batch_bucketed(
@@ -187,14 +221,21 @@ def main() -> None:
                 ok = False
 
     out = {
-        "metric": "ivm prune soak (sf1, time-correlated ingest)",
+        "metric": "ivm prune soak (sf1, 8-day ingest + 8 mixed churn)",
         "rows": n_rows,
         "n_days": N_DAYS,
+        "n_churn": N_CHURN,
         "batch_rows": BATCH_ROWS,
+        "target_file_rows": TARGET_FILE_ROWS,
         "seed_sec": t_seed,
+        "churn_sec": t_churn,
         "kept_files": rep["kept_files"],
         "total_files": rep["total_files"],
         "kept_fraction": round(rep["kept_files"] / rep["total_files"], 3),
+        "kept_rows_fraction": round(
+            rep["kept_rows"] / rep["total_rows"], 3
+        ),
+        "true_selectivity": round(sel_rows / rep["total_rows"], 3),
         "prune_gate_engaged": bool(pruned_calls),
         "sync_delete_pruned_sec": t_sync_pruned,
         "sync_delete_full_sec": t_sync_full,

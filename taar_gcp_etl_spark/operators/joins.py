@@ -334,25 +334,41 @@ def _entropy_boundaries(
     d: int,
     sample_frac: float | None,
     max_len: int,
-) -> dict[int, list[int]]:
-    """Frequency-adaptive segment boundaries per length class (the
-    Ed-Join content-filtering idea recast for the segment join):
+    block_cols: list[str] | None = None,
+) -> dict[tuple[str, int], list[int]]:
+    """Frequency-adaptive segment boundaries per (block, length) class
+    (the Ed-Join content-filtering idea recast for the segment join):
     positions inside corpus-constant runs carry no discriminating
     power, so a piece that falls wholly inside one is a single hot key
-    and candidates go quadratic. Estimate per-(length, position)
+    and candidates go quadratic. Estimate per-(block, length, position)
     character diversity from a sample, then place the d+1 piece
     boundaries at EQUAL CUMULATIVE-ENTROPY quantiles — every piece
     straddles some variable content, so its keys spread.
 
-    Sound for ANY boundary scheme B(L, i): the pigeonhole proof only
-    needs index (length L) and probe (targeting partner length L) to
-    cut at the same B(L, ·) — which they do, both reading this map;
-    lengths absent from the map fall back to even splits on BOTH sides.
-    Driver receives one row per (length ≤ max_len) class — a bounded
-    collect; the sample (auto-sized to ~100k strings when sample_frac
-    is None) keeps the diversity aggregate O(sample chars) at corpus
-    scale."""
+    Keying the aggregate by ``block_cols`` (r7) de-heats BLOCK-LOCAL
+    templates: a constant run that varies across blocks but is fixed
+    within each (e.g. a per-tenant prefix) is invisible to corpus-wide
+    diversity — every position looks variable globally — yet inside
+    one block it is exactly the quadratic hot key. Candidates only
+    ever form within a block, so per-block boundaries target the
+    distribution that actually matters.
+
+    Sound for ANY boundary scheme B(block, L, i): the pigeonhole proof
+    only needs index (length L) and probe (targeting partner length L)
+    of the SAME pair to cut at the same B — a matching pair shares its
+    block by the join's equality on block_cols, and both sides read
+    this map; classes absent from the map fall back to even splits on
+    BOTH sides. Driver receives one row per sampled (block, length ≤
+    max_len) class — bounded by blocks x max_len and by the sample
+    size (auto ~100k strings when sample_frac is None), keeping the
+    diversity aggregate O(sample chars) at corpus scale."""
+    bk = (
+        F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
+        if block_cols
+        else F.lit("")
+    )
     expr = df.select(
+        bk.alias("_bk"),
         F.length("_t").alias("_l"),
         F.col("_t"),
     ).filter((F.col("_l") > 0) & (F.col("_l") <= max_len))
@@ -368,14 +384,15 @@ def _entropy_boundaries(
         expr = expr.sample(fraction=sample_frac, seed=7)
     per_pos = (
         expr.select(
+            "_bk",
             "_l",
             F.posexplode(F.split(F.col("_t"), "(?!^)(?=.)")).alias(
                 "_p", "_c"
             ),
         )
-        .groupBy("_l", "_p")
+        .groupBy("_bk", "_l", "_p")
         .agg(F.count_distinct("_c").alias("_ndc"))
-        .groupBy("_l")
+        .groupBy("_bk", "_l")
         .agg(
             F.map_from_arrays(
                 F.collect_list("_p"), F.collect_list("_ndc")
@@ -385,7 +402,7 @@ def _entropy_boundaries(
     )
     import math
 
-    out: dict[int, list[int]] = {}
+    out: dict[tuple[str, int], list[int]] = {}
     nseg = d + 1
     for row in per_pos:
         L = row._l
@@ -410,7 +427,7 @@ def _entropy_boundaries(
         while len(bnds) < nseg:
             bnds.append(L)
         bnds.append(L)
-        out[L] = bnds
+        out[(row._bk, L)] = bnds
     return out
 
 
@@ -446,23 +463,31 @@ def _even_candidates(
 def _adaptive_candidates(
     base: DataFrame,
     d: int,
-    bmap: dict[int, list[int]],
+    bmap: dict[tuple[str, int], list[int]],
     block_cols: list[str],
 ) -> DataFrame:
-    """Candidate pairs under per-length-class boundaries: index cuts at
-    B(_len, ·), probe cuts its own text at B(L, ·) for every partner
-    length L in ±d with shifts ±d — the same enumeration as the even
-    path, with the boundary positions coming from the broadcast
-    boundary map (even-split fallback for unmapped lengths keeps the
-    two sides consistent). The partner length L rides in the join key:
-    an index piece cut at B(_len) can only ever satisfy a probe row
-    that targeted L = _len, so the key is strictly tighter at zero
-    recall cost."""
+    """Candidate pairs under per-(block, length)-class boundaries:
+    index cuts at B(block, _len, ·), probe cuts its own text at
+    B(block, L, ·) for every partner length L in ±d with shifts ±d —
+    the same enumeration as the even path, with the boundary positions
+    coming from the broadcast boundary map (even-split fallback for
+    unmapped classes keeps the two sides consistent; a matching pair
+    shares its block by the join's block_cols equality, so both sides
+    always read the same entry). The partner length L rides in the
+    join key: an index piece cut at B(_len) can only ever satisfy a
+    probe row that targeted L = _len, so the key is strictly tighter
+    at zero recall cost."""
     spark = base.sparkSession
     nseg = d + 1
-    rows = [(L, b) for L, b in sorted(bmap.items())]
+    bk = (
+        F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
+        if block_cols
+        else F.lit("")
+    )
+    base = base.withColumn("_bbk", bk)
+    rows = [(k, L, b) for (k, L), b in sorted(bmap.items())]
     bnds = spark.createDataFrame(
-        rows, "_bl int, _b array<int>"
+        rows, "_bkk string, _bl int, _b array<int>"
     ) if rows else None
 
     def start0(i: str, L: str) -> str:
@@ -481,8 +506,10 @@ def _adaptive_candidates(
         if bnds is None:
             return df.withColumn("_b", F.lit(None).cast("array<int>"))
         return df.join(
-            F.broadcast(bnds), df[length_col] == bnds["_bl"], "left"
-        ).drop("_bl")
+            F.broadcast(bnds),
+            (df[length_col] == bnds["_bl"]) & (df["_bbk"] == bnds["_bkk"]),
+            "left",
+        ).drop("_bl", "_bkk")
 
     idx_keys = (
         f"transform(sequence(0, {d}), i -> named_struct("
@@ -658,7 +685,8 @@ def fuzzy_self_join_segments(
 
     if adaptive_boundaries:
         bmap = _entropy_boundaries(
-            base, d, boundary_sample_frac, boundary_max_len
+            base, d, boundary_sample_frac, boundary_max_len,
+            block_cols=block_cols,
         )
         cand = _adaptive_candidates(base, d, bmap, block_cols)
     else:

@@ -80,6 +80,76 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def media_container_stats(df: DataFrame) -> DataFrame:
+    """Structural census of ISO-BMFF (MP4/MOV) rows — the container
+    face the r6 stub guard couldn't give: duration, track count, first
+    video/audio codec + dimensions + sample count, parsed from box
+    headers only (operators/mp4.py; no entropy decode, so an H.264
+    movie is fully described even though its samples stay opaque).
+    Corrupt/non-BMFF rows drop per the DECODE_ERRORS containment
+    contract; non-video rows are pre-filtered by mime."""
+    from taar_gcp_etl_spark.operators.mp4 import parse_mp4
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, content, mime in zip(
+                pdf["media_id"], pdf["content"], pdf["mime"]
+            ):
+                if content is None or mime not in (
+                    "video/mp4", "video/quicktime", "audio/mp4"
+                ):
+                    continue
+                try:
+                    info = parse_mp4(content)
+                except DECODE_ERRORS:
+                    continue
+                vid = next(
+                    (t for t in info["tracks"] if t["handler"] == "vide"),
+                    None,
+                )
+                aud = next(
+                    (t for t in info["tracks"] if t["handler"] == "soun"),
+                    None,
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "brand": info["brand"],
+                        "duration_ms": info["duration_ms"],
+                        "n_tracks": len(info["tracks"]),
+                        "video_codec": (vid or {}).get("codecs", [None])[0]
+                        if vid and vid["codecs"] else None,
+                        "width": (vid or {}).get("width"),
+                        "height": (vid or {}).get("height"),
+                        "n_video_samples": (vid or {}).get("n_samples"),
+                        "audio_codec": (aud or {}).get("codecs", [None])[0]
+                        if aud and aud["codecs"] else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "brand", "duration_ms", "n_tracks",
+                    "video_codec", "width", "height", "n_video_samples",
+                    "audio_codec",
+                ],
+            )
+
+    return df.select(
+        "media_id", "content", F.col("meta.mime").alias("mime")
+    ).mapInPandas(
+        run,
+        schema=(
+            "media_id long, brand string, duration_ms double, "
+            "n_tracks int, video_codec string, width int, height int, "
+            "n_video_samples long, audio_codec string"
+        ),
+    )
+
+
 def decode_ppm(content: bytes):
     """P6 (binary) PPM → uint8 ndarray of shape (h, w, 3). Pure
     header-parse + frombuffer: zero-copy into numpy, no codec library."""
@@ -318,6 +388,17 @@ def decode_media(content: bytes, mime: str | None) -> list[float]:
         return _image_features(decode_gif(content))
     if mime in ("audio/wav", "audio/x-wav"):
         return _audio_features(*decode_wav(content))
+    if mime in ("video/mp4", "video/quicktime"):
+        # structural parse is real (operators/mp4.py); sample decode
+        # exists only for JPEG-in-MP4 codecs. A parseable H.264 movie
+        # raises ValueError ("no sample decoder") and DROPS — honest,
+        # and distinct from the old stub that faked features for it;
+        # its metadata face is media_container_stats.
+        from taar_gcp_etl_spark.operators.mp4 import iter_mp4_jpeg_frames
+
+        for _, frame in iter_mp4_jpeg_frames(content, max_frames=1):
+            return _image_features(frame)
+        raise ValueError("mp4: JPEG video track has zero samples")
     return _decode_image_stub(content)
 
 
@@ -616,13 +697,16 @@ def audio_near_dup(df: DataFrame, max_hamming: int = 8) -> DataFrame:
 
 
 def media_frame_dhash(df: DataFrame, max_frames: int = 8) -> DataFrame:
-    """Frame-sampled perceptual hashes for ANIMATED media (image/gif):
+    """Frame-sampled perceptual hashes for ANIMATED media: GIF
+    animations (operators/gif_frames.py) and MJPEG-in-MP4 movies
+    (operators/mp4.py structural walk + the repo JPEG decoder) —
     (media_id, frame_idx, simhash_hi, simhash_lo), up to ``max_frames``
-    evenly-sampled frames per animation (operators/gif_frames.py) —
-    the video-style modality without ffmpeg. Still images yield their
-    single frame, so the relation is total over decodable GIFs.
-    Undecodable/corrupt rows drop per the media_dhash contract."""
+    evenly-sampled frames each. Still images yield their single frame,
+    so the relation is total over decodable GIFs. H.264 movies drop
+    here (no sample decoder — their face is media_container_stats);
+    undecodable/corrupt rows drop per the media_dhash contract."""
     from taar_gcp_etl_spark.operators.gif_frames import gif_frame_hashes
+    from taar_gcp_etl_spark.operators.mp4 import iter_mp4_jpeg_frames
 
     if max_frames < 1:
         # Fail at plan time on the driver — inside the mapInPandas
@@ -637,12 +721,22 @@ def media_frame_dhash(df: DataFrame, max_frames: int = 8) -> DataFrame:
             for mid, content, mime in zip(
                 pdf["media_id"], pdf["content"], pdf["mime"]
             ):
-                if content is None or mime != "image/gif":
+                if content is None or mime not in (
+                    "image/gif", "video/mp4", "video/quicktime"
+                ):
                     continue
                 try:
-                    hashes = gif_frame_hashes(
-                        content, max_frames=max_frames
-                    )
+                    if mime == "image/gif":
+                        hashes = gif_frame_hashes(
+                            content, max_frames=max_frames
+                        )
+                    else:
+                        hashes = [
+                            (k, *dhash64(frame))
+                            for k, frame in iter_mp4_jpeg_frames(
+                                content, max_frames=max_frames
+                            )
+                        ]
                 except DECODE_ERRORS:
                     continue
                 for k, hi, lo in hashes:

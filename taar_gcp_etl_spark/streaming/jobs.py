@@ -778,6 +778,56 @@ def refresh_aggregate_store(
     return True
 
 
+def stream_sync_aggregate(
+    spark,
+    source_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    measures: dict,
+):
+    """Streaming IVM loop (NEXT.md r7 #3): keep a materialized
+    aggregate in sync with a TRANSACTIONAL CDC table by watching the
+    source's COMMIT STREAM — a file stream over ``_log/`` (exactly one
+    JSON manifest per committed version), so a trigger fires when and
+    only when the source commits.
+
+    Unlike stream_refresh_aggregate (which aggregates the event stream
+    itself and can only ever ADD), each trigger here calls
+    txn.sync_aggregate_from_cdc, so the store follows deletes and
+    updates too, through the same paths the batch sync takes:
+    insert-only change windows merge with no source read, retraction
+    windows run the (zone-map-pruned) group-targeted recompute, and
+    the result lands as one transactional store commit.
+
+    Exactly-once comes from the SYNC'S OWN CURSOR (store manifest
+    epoch = source version), not from foreachBatch: a replayed or
+    coalesced trigger re-runs the sync, which sees the cursor already
+    at (or past) the target version and no-ops — so the at-least-once
+    file-stream checkpoint composes to exactly-once on the store, with
+    no marker files. The batch's manifest CONTENT is ignored on
+    purpose: reading it would race with log vacuuming, while "at least
+    one new version exists" is all a trigger needs to know."""
+    from taar_gcp_etl_spark import txn
+
+    def tick(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.limit(1).isEmpty():
+            return  # spurious trigger: no new commit
+        txn.sync_aggregate_from_cdc(
+            spark, source_dir, store_dir, keys, measures
+        )
+
+    log = (
+        spark.readStream.format("text")
+        .load(f"{source_dir.rstrip('/')}/{'_log'}/")
+    )
+    return (
+        log.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def stream_refresh_aggregate(
     events: DataFrame,
     table_dir: str,

@@ -1209,7 +1209,86 @@ class TestAdaptiveSegmentBoundaries:
             F.col("t").alias("_t"), F.length("t").alias("_len")
         )
         bmap = J._entropy_boundaries(base, 2, 1.0, 512)
-        b = bmap[24]
+        b = bmap[("", 24)]
         assert b[0] == 0 and b[-1] == 24 and len(b) == 4
         for lo, hi in zip(b, b[1:]):
             assert not (lo >= 4 and hi <= 20), b
+
+    def _block_hot(self, spark, n_per_block, blocks=("P", "Q")):
+        """Per-BLOCK constant interior runs: block k's strings share a
+        16-char run of letter k, but the letter differs across blocks —
+        corpus-wide per-position diversity sees every position as
+        variable (>=2 distinct chars), so only block-keyed boundaries
+        can dodge the run."""
+        import random
+
+        random.seed(13)
+
+        def rnd(k):
+            return "".join(
+                random.choice("abcdefghij") for _ in range(k)
+            )
+
+        rows = []
+        for bi, blk in enumerate(blocks):
+            for i in range(n_per_block):
+                rows.append(
+                    (bi * 10000 + i, blk, rnd(4) + blk * 16 + rnd(4))
+                )
+        # one true near-pair inside each block
+        rows.append((90000, blocks[0], rows[0][2][:-1] + "q"))
+        rows.append((90001, blocks[1], rows[n_per_block][2][:-1] + "q"))
+        return spark.createDataFrame(rows, "id long, blk string, t string")
+
+    def test_block_keyed_boundaries_cut_block_local_hot_runs(self, spark):
+        """ADVICE/NEXT r7 #2: boundaries keyed by (block, length)
+        de-heat templates that are constant only WITHIN a block —
+        corpus-wide boundaries (blind to blocks) leave them quadratic."""
+        from taar_gcp_etl_spark.operators import joins as J
+
+        df = self._block_hot(spark, n_per_block=150)
+        base = df.select(
+            F.col("id").alias("_id"),
+            F.col("t").alias("_orig"),
+            F.col("t").alias("_t"),
+            F.length("t").alias("_len"),
+            "blk",
+        )
+        d = 2
+        # corpus-wide map: every interior position shows 2 distinct
+        # chars, so the boundaries approximate even splits and the
+        # block-local run stays one hot key per block
+        corpus = J._entropy_boundaries(base, d, 1.0, 512)
+        n_corpus = J._adaptive_candidates(base, d, corpus, ["blk"]).count()
+        blocked = J._entropy_boundaries(
+            base, d, 1.0, 512, block_cols=["blk"]
+        )
+        assert set(k[0] for k in blocked) == {"P", "Q"}
+        n_blocked = J._adaptive_candidates(
+            base, d, blocked, ["blk"]
+        ).count()
+        n = 150
+        assert n_corpus > 2 * n * (n - 1) / 4, (n_corpus,)  # quadratic
+        assert n_blocked < n_corpus / 10, (n_blocked, n_corpus)
+
+    def test_block_keyed_adaptive_results_match_even_path(self, spark):
+        """Exactness: the per-block adaptive join returns exactly the
+        even-split within-block results (the all-pairs oracle shape)."""
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        df = self._block_hot(spark, n_per_block=60)
+        norm = lambda out: sorted(  # noqa: E731
+            (r.id_a, r.id_b, r.dist) for r in out.collect()
+        )
+        even = norm(
+            fuzzy_self_join_segments(df, "t", "id", block_cols=["blk"])
+        )
+        adap = norm(
+            fuzzy_self_join_segments(
+                df, "t", "id", block_cols=["blk"],
+                adaptive_boundaries=True,
+            )
+        )
+        assert adap == even and len(even) >= 2

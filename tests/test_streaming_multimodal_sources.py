@@ -1637,18 +1637,25 @@ class TestRealDecoders:
         assert {r[0] for r in a} == {1}  # codec + null rows dropped
 
     def test_unknown_mime_falls_back_to_stub(self, spark):
-        """Video (MP4) genuinely needs ffmpeg, which the container lacks
-        — it is the remaining stubbed format (PNG and baseline JPEG both
-        decode for real now)."""
+        """Unmapped mimes keep the deterministic stub; video/mp4 no
+        longer does — the container PARSES for real now (operators/
+        mp4.py), so non-container bytes raise (corrupt), a real H.264
+        container raises 'no sample decoder' (honest drop, its face is
+        media_container_stats), and only MJPEG movies decode."""
+        import pytest as _pytest
+
         from taar_gcp_etl_spark.operators.multimodal import (
+            DECODE_ERRORS,
             _decode_image_stub,
             decode_media,
         )
 
         payload = bytes(range(16))
-        assert decode_media(payload, "video/mp4") == _decode_image_stub(
-            payload
+        assert decode_media(payload, "application/unknown") == (
+            _decode_image_stub(payload)
         )
+        with _pytest.raises(DECODE_ERRORS):
+            decode_media(payload, "video/mp4")  # not a container
 
     def test_jpeg_roundtrip_444_near_lossless(self, spark):
         """Baseline JPEG through the test's own spec-built encoder at
@@ -2673,3 +2680,274 @@ class TestAudioFingerprint:
             ((fp8[0] ^ fp16[0]) << 32) | (fp8[1] ^ fp16[1])
         ).count("1")
         assert ham <= 6
+
+
+def _mp4_bytes(samples, w, h, timescale=1000, sample_delta=40,
+               codec=b"jpeg", brand=b"isom", chunking=None,
+               handler=b"vide"):
+    """Spec-built (ISO/IEC 14496-12) minimal MP4 — ftyp + mdat holding
+    the given sample payloads + moov with FULL sample tables (stsd/
+    stts/stsc/stsz/stco) — written independently of the parser under
+    test, from the public spec's box layouts. ``chunking`` lists
+    samples-per-chunk (default one chunk holding everything), so the
+    stsc/stco reconstruction is exercised for real."""
+    import struct as st
+
+    def box(t, payload):
+        return st.pack(">I", len(payload) + 8) + t + payload
+
+    def full(t, ver, flags, payload):
+        return box(t, bytes([ver]) + flags.to_bytes(3, "big") + payload)
+
+    matrix = st.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    ftyp = box(b"ftyp", brand + st.pack(">I", 0) + b"isommp42")
+    mdat = box(b"mdat", b"".join(samples))
+    if chunking is None:
+        chunking = [len(samples)] if samples else []
+    assert sum(chunking) == len(samples)
+    chunk_offsets, stsc_runs = [], []
+    off, i = len(ftyp) + 8, 0
+    for ci, spc in enumerate(chunking, start=1):
+        chunk_offsets.append(off)
+        if not stsc_runs or stsc_runs[-1][1] != spc:
+            stsc_runs.append((ci, spc))
+        for _ in range(spc):
+            off += len(samples[i])
+            i += 1
+    n = len(samples)
+    duration = n * sample_delta
+    mvhd = full(
+        b"mvhd", 0, 0,
+        st.pack(">IIII", 0, 0, timescale, duration)
+        + st.pack(">I", 0x00010000) + st.pack(">H", 0x0100)
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + st.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd", 0, 7,
+        st.pack(">IIII", 0, 0, 1, 0) + st.pack(">I", duration)
+        + b"\x00" * 8 + st.pack(">hhhh", 0, 0, 0, 0) + matrix
+        + st.pack(">II", w << 16, h << 16),
+    )
+    mdhd = full(
+        b"mdhd", 0, 0,
+        st.pack(">IIII", 0, 0, timescale, duration)
+        + st.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = full(
+        b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00"
+    )
+    entry = (
+        st.pack(">I", 86) + codec + b"\x00" * 6 + st.pack(">H", 1)
+        + b"\x00" * 16 + st.pack(">HH", w, h)
+        + st.pack(">II", 0x00480000, 0x00480000) + st.pack(">I", 0)
+        + st.pack(">H", 1) + b"\x00" * 32 + st.pack(">Hh", 24, -1)
+    )
+    stsd = full(b"stsd", 0, 0, st.pack(">I", 1) + entry)
+    stts = full(
+        b"stts", 0, 0, st.pack(">I", 1) + st.pack(">II", n, sample_delta)
+    )
+    stsc = full(
+        b"stsc", 0, 0,
+        st.pack(">I", len(stsc_runs))
+        + b"".join(st.pack(">III", fc, spc, 1) for fc, spc in stsc_runs),
+    )
+    stsz = full(
+        b"stsz", 0, 0,
+        st.pack(">II", 0, n)
+        + b"".join(st.pack(">I", len(s)) for s in samples),
+    )
+    stco = full(
+        b"stco", 0, 0,
+        st.pack(">I", len(chunk_offsets))
+        + b"".join(st.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+class TestMp4Container:
+    """ISO-BMFF structural parse + MJPEG sample decode (r7: closes the
+    last modality stub honestly — stats for any parseable container,
+    frame decode only where the codec is one the repo really decodes)."""
+
+    def _frames(self, k=5, size=16):
+        import numpy as np
+
+        rng = np.random.RandomState(21)
+        return [
+            rng.randint(0, 256, size=(size, size, 3)).astype(np.uint8)
+            for _ in range(k)
+        ]
+
+    def _mjpeg(self, frames, **kw):
+        return _mp4_bytes(
+            [_jpeg_bytes(f) for f in frames],
+            frames[0].shape[1], frames[0].shape[0], **kw,
+        )
+
+    def test_parse_mp4_census(self):
+        from taar_gcp_etl_spark.operators.mp4 import parse_mp4
+
+        frames = self._frames()
+        info = parse_mp4(self._mjpeg(frames))
+        assert info["brand"] == "isom"
+        assert info["duration_ms"] == 200.0  # 5 samples x 40/1000
+        assert len(info["tracks"]) == 1
+        t = info["tracks"][0]
+        assert t["handler"] == "vide" and t["codecs"] == ["jpeg"]
+        assert (t["width"], t["height"]) == (16, 16)
+        assert t["n_samples"] == 5 and t["duration_ms"] == 200.0
+
+    def test_mjpeg_frames_decode_exactly_like_their_samples(self):
+        """iter_mp4_jpeg_frames must return byte-identical decodes of
+        the located samples — proving the stsc/stco/stsz walk finds
+        the exact ranges, including across a multi-chunk layout."""
+        import numpy as np
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+        from taar_gcp_etl_spark.operators.mp4 import iter_mp4_jpeg_frames
+
+        frames = self._frames()
+        samples = [_jpeg_bytes(f) for f in frames]
+        for chunking in (None, [2, 2, 1], [1, 1, 1, 1, 1]):
+            blob = _mp4_bytes(samples, 16, 16, chunking=chunking)
+            got = list(iter_mp4_jpeg_frames(blob, max_frames=16))
+            assert [k for k, _ in got] == [0, 1, 2, 3, 4]
+            for (_, frame), s in zip(got, samples):
+                assert np.array_equal(frame, decode_jpeg(s))
+        # even sampling on long movies, max_frames=1 edge
+        long_blob = _mp4_bytes(samples * 4, 16, 16)
+        ks = [k for k, _ in iter_mp4_jpeg_frames(long_blob, max_frames=4)]
+        assert len(ks) == 4 and ks[0] == 0 and ks[-1] == 19
+        assert [k for k, _ in iter_mp4_jpeg_frames(long_blob, max_frames=1)] == [0]
+
+    def test_h264_parses_but_declines_decode(self):
+        import pytest as _pytest
+
+        from taar_gcp_etl_spark.operators.mp4 import (
+            iter_mp4_jpeg_frames,
+            parse_mp4,
+        )
+
+        blob = _mp4_bytes(
+            [b"\x00\x00\x01\x65fakeslice"], 64, 48, codec=b"avc1"
+        )
+        info = parse_mp4(blob)  # structural stats work
+        assert info["tracks"][0]["codecs"] == ["avc1"]
+        with _pytest.raises(ValueError, match="no video track with a JPEG"):
+            list(iter_mp4_jpeg_frames(blob))
+
+    def test_corrupt_containment(self):
+        import pytest as _pytest
+
+        from taar_gcp_etl_spark.operators.multimodal import DECODE_ERRORS
+        from taar_gcp_etl_spark.operators.mp4 import (
+            iter_mp4_jpeg_frames,
+            parse_mp4,
+        )
+
+        good = self._mjpeg(self._frames(2))
+        for bad in (
+            b"",                          # empty
+            bytes(range(16)),             # garbage
+            good[:40],                    # truncated mid-box
+            b"\x00\x00\x00\x04ftyp",      # size < header
+            good.replace(b"moov", b"m\xffov", 1),  # non-ascii type
+        ):
+            with _pytest.raises(DECODE_ERRORS):
+                parse_mp4(bad)
+        # sample table pointing past EOF: drop the mdat tail
+        with _pytest.raises(DECODE_ERRORS):
+            list(iter_mp4_jpeg_frames(good[:len(good) // 2], 4))
+        with _pytest.raises(ValueError, match="max_frames"):
+            list(iter_mp4_jpeg_frames(good, 0))
+
+    def test_media_container_stats_face(self, spark):
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_container_stats,
+        )
+
+        mj = self._mjpeg(self._frames(3))
+        h264 = _mp4_bytes([b"fake"], 64, 48, codec=b"avc1")
+
+        def media_row(i, blob):
+            return Row(
+                media_id=i, kind="video", content=blob,
+                meta=Row(mime="video/mp4", width=None, height=None,
+                         duration_ms=None),
+            )
+
+        df = spark.createDataFrame(
+            [
+                media_row(1, mj),
+                media_row(2, h264),
+                media_row(3, bytes(range(64))),  # corrupt -> dropped
+                Row(media_id=4, kind="video", content=None, meta=Row(
+                    mime="video/mp4", width=None, height=None,
+                    duration_ms=None)),
+            ],
+            MEDIA_SCHEMA,
+        )
+        got = {r.media_id: r for r in media_container_stats(df).collect()}
+        assert set(got) == {1, 2}
+        assert got[1].video_codec == "jpeg" and got[1].n_tracks == 1
+        assert got[1].duration_ms == 120.0 and got[1].width == 16
+        assert got[2].video_codec == "avc1"
+        assert got[2].width == 64 and got[2].height == 48
+
+    def test_mjpeg_joins_the_frame_hash_pipeline(self, spark):
+        """media_frame_dhash treats an MJPEG movie like a GIF
+        animation: per-frame perceptual hashes equal to hashing the
+        decoded samples directly; H.264 rows drop."""
+        from pyspark.sql import Row
+
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+        from taar_gcp_etl_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            dhash64,
+            media_frame_dhash,
+        )
+
+        frames = self._frames(3)
+        samples = [_jpeg_bytes(f) for f in frames]
+        mj = _mp4_bytes(samples, 16, 16)
+        h264 = _mp4_bytes([b"fake"], 64, 48, codec=b"avc1")
+
+        def media_row(i, blob):
+            return Row(
+                media_id=i, kind="video", content=blob,
+                meta=Row(mime="video/mp4", width=None, height=None,
+                         duration_ms=None),
+            )
+
+        df = spark.createDataFrame(
+            [media_row(1, mj), media_row(2, h264)], MEDIA_SCHEMA
+        )
+        got = {
+            (r.media_id, r.frame_idx): (r.simhash_hi, r.simhash_lo)
+            for r in media_frame_dhash(df, max_frames=8).collect()
+        }
+        assert {m for m, _ in got} == {1}
+        for k, s in enumerate(samples):
+            assert got[(1, k)] == dhash64(decode_jpeg(s))
+
+    def test_decode_media_mjpeg_features(self):
+        from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
+        from taar_gcp_etl_spark.operators.multimodal import (
+            _image_features,
+            decode_media,
+        )
+
+        frames = self._frames(2)
+        samples = [_jpeg_bytes(f) for f in frames]
+        blob = _mp4_bytes(samples, 16, 16)
+        assert decode_media(blob, "video/mp4") == _image_features(
+            decode_jpeg(samples[0])
+        )
