@@ -1292,3 +1292,92 @@ class TestAdaptiveSegmentBoundaries:
             )
         )
         assert adap == even and len(even) >= 2
+
+
+class TestSpanDedupSkew:
+    """r7 #6: adversarial skew for remove_repeated_spans(keep='first').
+    A license block repeated across the whole corpus turns each of its
+    n-grams into one hot window key (the shuffle partitions on the
+    gram hash). The work per key is LINEAR (count + row_number share
+    one sort), never pairwise — these tests pin that bound and the
+    keep-exactly-one semantics at high repetition."""
+
+    LICENSE = ("licensed under the apache license version two point "
+               "zero you may not use this file")  # 16 tokens
+
+    def _corpus(self, spark, n_docs):
+        return spark.range(n_docs).selectExpr(
+            "id as doc_id",
+            f"concat('{self.LICENSE}', ' unique', id, ' tail', id) as text",
+        )
+
+    def test_hot_gram_volume_is_linear_not_pairwise(self, spark):
+        """The window input for a gram repeated R times is exactly R
+        rows (occurrences), not R^2 (pairs) — the bounded-candidate
+        assertion: total hot rows == repeats x grams-per-block."""
+        from pyspark.sql import Window
+
+        from taar_gcp_etl_spark.operators import dedup as D
+
+        n_docs, n = 2_000, 8
+        df = self._corpus(spark, n_docs)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        base = df.select(
+            F.col("doc_id").alias("_id"), toks.alias("_toks"),
+            F.size(toks).alias("_len"),
+        )
+        gram = F.xxhash64(F.array_join(
+            F.slice(F.col("_toks"), F.col("i") + 1, n), "\x1f"))
+        grams = base.select(
+            "_id",
+            F.explode(F.sequence(F.lit(0), F.col("_len") - n)).alias("i"),
+            "_toks",
+        ).select("_id", "i", gram.alias("_g"))
+        hot = grams.withColumn(
+            "_c", F.count("*").over(Window.partitionBy("_g"))
+        ).filter(F.col("_c") >= 2)
+        # L-token license -> its first L-n+1 grams repeat in every
+        # doc (positions that mix license+unique tail are per-doc);
+        # volume = (L-n+1) * n_docs rows, strictly linear
+        L = len(self.LICENSE.split())
+        assert hot.count() == (L - n + 1) * n_docs
+
+    def test_keep_first_leaves_exactly_one_copy_at_scale(self, spark):
+        from taar_gcp_etl_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        n_docs = 5_000
+        out = remove_repeated_spans(
+            self._corpus(spark, n_docs), keep="first"
+        ).cache()
+        try:
+            survivors = out.filter(
+                F.col("text").contains("apache license")
+            )
+            assert survivors.count() == 1
+            assert survivors.first().doc_id == 0  # smallest (id, pos)
+            # every other doc lost exactly the license span's tokens
+            # covered by repeated grams; unique tails survive verbatim
+            assert out.filter(
+                ~F.col("text").contains("unique")
+            ).count() == 0
+        finally:
+            out.unpersist()
+
+    def test_window_partitions_on_gram_hash_no_single_partition(
+        self, spark
+    ):
+        """The plan must hash-partition the window on the gram column —
+        a SinglePartition window here would serialize the whole corpus
+        through one task."""
+        from taar_gcp_etl_spark.operators.dedup import (
+            remove_repeated_spans,
+        )
+
+        out = remove_repeated_spans(
+            self._corpus(spark, 100), keep="first"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(_g" in plan
