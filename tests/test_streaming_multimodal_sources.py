@@ -601,9 +601,11 @@ class TestMultimodal:
 
     def test_extract_features_batch_shape(self, media):
         got = {r.media_id: r for r in extract_features(media).collect()}
-        assert len(got[2].feat) == 8
         assert got[1].feat[0] == pytest.approx(10 / 255)
         assert got[3].feat is None  # null-content row survives as null
+        # r7: video/mp4 parses for real now — garbage bytes are a
+        # CORRUPT container (null features), not stub input
+        assert got[2].feat is None
         assert got[2].sha256 == hashlib.sha256(bytes(range(64))).hexdigest()
 
     def test_frame_sample_fanout(self, media):
