@@ -213,6 +213,16 @@ def main() -> None:
                 base, D, None, 512,
                 block_cols=["blk"] if mode == "block_keyed" else None,
             )
+            if mode == "block_blind":
+                # re-key the corpus-wide map to every block so the
+                # block-scoped candidate join actually CONSULTS the
+                # blind boundaries (review fix: keyed ('', L) entries
+                # never matched _bbk in {Z,Y,X,W}, so the first cut of
+                # this arm silently measured the even-split fallback)
+                blks = [r.blk for r in base.select("blk")
+                        .distinct().collect()]
+                bmap = {(b, L): v for (_, L), v in bmap.items()
+                        for b in blks}
             n_cand = J._adaptive_candidates(
                 base, D, bmap, ["blk"]
             ).count()

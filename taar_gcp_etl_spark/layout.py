@@ -298,9 +298,26 @@ def _footer_rowgroup_stats(
             s = rg.column(i).statistics
             if s is None or not s.has_min_max:
                 continue
-            st[c] = [_jsonable(s.min), _jsonable(s.max)]
+            st[c] = [
+                _jsonable(_naive_utc(s.min)), _jsonable(_naive_utc(s.max))
+            ]
         groups.append({"rows": rg.num_rows, "stats": st})
     return groups
+
+
+def _naive_utc(v):
+    """pyarrow returns TIMESTAMP_MICROS/MILLIS statistics as tz-AWARE
+    (UTC) datetimes, while Spark's collect() — the file-level stats
+    path — returns naive datetimes in the session timezone (pinned UTC
+    throughout this repo, session.py/queries._pin_session). Mixing the
+    two in one envelope makes naive-vs-aware comparisons raise
+    TypeError inside the pruner, so row-group datetime stats normalize
+    to the same naive-UTC representation here."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
 
 
 def _bloom_positions_col(c: str, m_bits: int, k: int):

@@ -137,22 +137,29 @@ def gif_frame_hashes(
     1000-frame animation sampled at 8 runs 8 LZW decodes, not 1000."""
     from taar_gcp_etl_spark.operators.multimodal import dhash64
 
-    if max_frames < 1:
-        # A config defect, not a corrupt blob: DECODE_ERRORS must not
-        # swallow it (it would silently drop every row), and the
-        # even-sampling division below needs max_frames-1 >= 1.
-        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
     raw = list(_walk_frames(content))
-    n = len(raw)
-    if n <= max_frames:
-        picks = range(n)
-    elif max_frames == 1:
-        picks = [0]
-    else:
-        picks = sorted({(k * (n - 1)) // (max_frames - 1)
-                        for k in range(max_frames)})
     out = []
-    for k in picks:
+    for k in even_sample_picks(len(raw), max_frames):
         hi, lo = dhash64(_decode_frame(raw[k]))
         out.append((k, hi, lo))
     return out
+
+
+def even_sample_picks(n: int, max_frames: int):
+    """Evenly-spaced sample indices over ``n`` frames — the one shared
+    implementation for every frame-sampling modality (GIF animations,
+    MJPEG movies), so a sampling fix lands once (the max_frames=1
+    divide-by-zero needed fixing twice before this existed).
+
+    max_frames < 1 is a CONFIG defect, not a corrupt blob, and raises
+    TypeError — deliberately NOT a DECODE_ERRORS member (ValueError
+    is), so an executor-side containment `except DECODE_ERRORS` cannot
+    silently drop the whole corpus over a bad argument."""
+    if max_frames < 1:
+        raise TypeError(f"max_frames must be >= 1, got {max_frames}")
+    if n <= max_frames:
+        return range(n)
+    if max_frames == 1:
+        return [0]
+    return sorted({(k * (n - 1)) // (max_frames - 1)
+                   for k in range(max_frames)})

@@ -93,6 +93,11 @@ def _fullbox(buf: bytes, off: int) -> tuple[int, int]:
 def _parse_stts_total(buf: bytes, p: int, e: int) -> int:
     _, q = _fullbox(buf, p)
     n = _u32(buf, q)
+    if q + 4 + n * 8 > e:
+        # same containment as stsz/stco/stsc: a hostile count must
+        # raise, not read sibling boxes' bytes as sample counts (or
+        # spin on a near-2^32 declared count)
+        raise ValueError("mp4: stts table overruns box")
     total = 0
     for i in range(n):
         total += _u32(buf, q + 4 + i * 8)
@@ -310,10 +315,11 @@ def iter_mp4_jpeg_frames(content: bytes, max_frames: int = 8):
     JPEG entropy decode). Raises ValueError when the container parses
     but has no JPEG-decodable video track (an honest 'no decoder for
     avc1', distinct from corrupt)."""
+    from taar_gcp_etl_spark.operators.gif_frames import even_sample_picks
     from taar_gcp_etl_spark.operators.jpeg import decode_jpeg
 
-    if max_frames < 1:
-        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+    if max_frames < 1:  # config defect: TypeError, not DECODE_ERRORS
+        raise TypeError(f"max_frames must be >= 1, got {max_frames}")
     if content is None or len(content) < 16:
         raise ValueError("mp4: too short for a container")
     top = list(_boxes(content, 0, len(content)))
@@ -331,17 +337,9 @@ def iter_mp4_jpeg_frames(content: bytes, max_frames: int = 8):
         if not (set(trk["codecs"]) & JPEG_SAMPLE_CODECS):
             continue
         ranges = _sample_ranges(content, *trk["_stbl"])
-        n = len(ranges)
-        if n == 0:
+        if not ranges:
             return
-        if n <= max_frames:
-            picks = range(n)
-        elif max_frames == 1:
-            picks = [0]
-        else:
-            picks = sorted({(k * (n - 1)) // (max_frames - 1)
-                            for k in range(max_frames)})
-        for k in picks:
+        for k in even_sample_picks(len(ranges), max_frames):
             off, s = ranges[k]
             yield k, decode_jpeg(content[off:off + s])
         return

@@ -711,7 +711,9 @@ def media_frame_dhash(df: DataFrame, max_frames: int = 8) -> DataFrame:
     if max_frames < 1:
         # Fail at plan time on the driver — inside the mapInPandas
         # generator this would crash one task per row instead.
-        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+        # TypeError, matching even_sample_picks: a config defect must
+        # never be classifiable as a corrupt blob (DECODE_ERRORS).
+        raise TypeError(f"max_frames must be >= 1, got {max_frames}")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

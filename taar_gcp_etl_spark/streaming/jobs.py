@@ -817,10 +817,15 @@ def stream_sync_aggregate(
             spark, source_dir, store_dir, keys, measures
         )
 
-    log = (
-        spark.readStream.format("text")
-        .load(f"{source_dir.rstrip('/')}/{'_log'}/")
-    )
+    # the stream may be deployed BEFORE the source's first commit (the
+    # natural bootstrap order for a keep-in-sync loop): the file source
+    # raises PATH_NOT_FOUND on a missing dir, so materialize the log
+    # dir up front — the commit protocol tolerates a pre-existing
+    # empty _log (manifests are versioned files inside it)
+    log_dir = f"{source_dir.rstrip('/')}/{txn._LOG}/"
+    _, fs, p = txn._fs(spark, log_dir)
+    fs.mkdirs(p)
+    log = spark.readStream.format("text").load(log_dir)
     return (
         log.writeStream.foreachBatch(tick)
         .option("checkpointLocation", checkpoint)

@@ -1255,10 +1255,14 @@ class TestAdaptiveSegmentBoundaries:
             "blk",
         )
         d = 2
-        # corpus-wide map: every interior position shows 2 distinct
-        # chars, so the boundaries approximate even splits and the
-        # block-local run stays one hot key per block
+        # corpus-wide map, re-keyed to every block so the block-scoped
+        # join consults the BLIND boundaries (not the even fallback —
+        # review fix): every interior position shows 2 distinct chars,
+        # so cumulative entropy still places the middle piece inside
+        # the block-constant run — one hot key per block
         corpus = J._entropy_boundaries(base, d, 1.0, 512)
+        corpus = {(b, L): v for (_, L), v in corpus.items()
+                  for b in ("P", "Q")}
         n_corpus = J._adaptive_candidates(base, d, corpus, ["blk"]).count()
         blocked = J._entropy_boundaries(
             base, d, 1.0, 512, block_cols=["blk"]

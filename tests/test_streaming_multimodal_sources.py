@@ -2009,9 +2009,10 @@ class TestRealDecoders:
     def test_gif_frame_hashes_max_frames_edge_cases(self, spark):
         """ADVICE r6: max_frames=1 on a longer animation must sample
         one frame, not divide by zero; max_frames<=0 is a config
-        defect and raises ValueError at PLAN TIME on the driver —
-        inside the executor ValueError is a DECODE_ERRORS member
-        (corrupt blobs raise it) and would silently drop the corpus."""
+        defect and raises TypeError — NOT a DECODE_ERRORS member, so
+        an executor-side `except DECODE_ERRORS` containment cannot
+        silently drop the corpus over a bad argument; the DataFrame
+        face additionally fails at plan time on the driver."""
         import numpy as np
         import pytest as _pytest
 
@@ -2031,11 +2032,14 @@ class TestRealDecoders:
         blob = _gif_anim_bytes(frames, pal)
         got = gif_frame_hashes(blob, max_frames=1)
         assert len(got) == 1 and got[0][0] == 0
+        from taar_gcp_etl_spark.operators.multimodal import DECODE_ERRORS
+
         for bad in (0, -3):
-            with _pytest.raises(ValueError, match="max_frames"):
+            with _pytest.raises(TypeError, match="max_frames") as ei:
                 gif_frame_hashes(blob, max_frames=bad)
+            assert not isinstance(ei.value, DECODE_ERRORS)
         # and the DataFrame face fails at plan time on the driver
-        with _pytest.raises(ValueError, match="max_frames"):
+        with _pytest.raises(TypeError, match="max_frames"):
             media_frame_dhash(spark.range(0), max_frames=0)
 
     def test_animated_near_dup_uniform_animation_copies(self, spark):
@@ -2865,8 +2869,18 @@ class TestMp4Container:
         # sample table pointing past EOF: drop the mdat tail
         with _pytest.raises(DECODE_ERRORS):
             list(iter_mp4_jpeg_frames(good[:len(good) // 2], 4))
-        with _pytest.raises(ValueError, match="max_frames"):
+        with _pytest.raises(TypeError, match="max_frames"):
             list(iter_mp4_jpeg_frames(good, 0))
+        # hostile stts count must raise, not read sibling boxes' bytes
+        # as sample counts (review fix)
+        import struct as _st
+
+        stts_at = good.find(b"stts") - 4
+        size = _st.unpack_from(">I", good, stts_at)[0]
+        evil = bytearray(good)
+        _st.pack_into(">I", evil, stts_at + 12, 2_000_000)
+        with _pytest.raises(DECODE_ERRORS, match="stts"):
+            parse_mp4(bytes(evil))
 
     def test_media_container_stats_face(self, spark):
         from pyspark.sql import Row

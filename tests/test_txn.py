@@ -1992,6 +1992,26 @@ class TestStreamSyncAggregate:
             for r in txn.read_aggregate_store(spark, store).collect()
         }
 
+    def test_stream_starts_before_first_commit(self, spark, tmp_path):
+        """Review fix: deploying the sync stream BEFORE the source's
+        first commit (the natural bootstrap order) must wait for it,
+        not die on PATH_NOT_FOUND for the missing _log dir."""
+        from taar_gcp_etl_spark.streaming.jobs import stream_sync_aggregate
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "mv")
+        q = stream_sync_aggregate(
+            spark, src, store, str(tmp_path / "ckpt"), ["grp"],
+            self.MEASURES,
+        )
+        try:
+            q.processAllAvailable()  # nothing committed yet: no-op
+            self._apply(spark, src, [(1, "a", 10, 1, "I")])
+            q.processAllAvailable()
+            assert self._got(spark, store) == self._expect(spark, src)
+        finally:
+            q.stop()
+
     def test_store_follows_churn_and_restart(self, spark, tmp_path):
         from taar_gcp_etl_spark.streaming.jobs import stream_sync_aggregate
 
@@ -2205,6 +2225,38 @@ class TestClusteredRewritePruning:
         ]
         assert all("name" not in g["stats"] for g in rgs)
         assert _footer_rowgroup_stats(str(tmp_path / "nope"), ["day"]) is None
+
+    def test_timestamp_stats_col_prunes_without_tz_clash(
+        self, spark, tmp_path
+    ):
+        """Review fix: pyarrow returns TIMESTAMP_MICROS row-group stats
+        tz-AWARE while Spark's file-level stats are naive (UTC
+        session); unnormalized they made every pruner comparison raise
+        TypeError. End-to-end: a timestamp stats_col prunes cleanly."""
+        import datetime as dt
+
+        t = str(tmp_path / "clus-ts")
+        rows = [
+            (i, dt.datetime(2024, 1, 1 + i // 32), 1, "I")
+            for i in range(128)
+        ]
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                rows, "id long, ts timestamp, seq long, op string"
+            ),
+            t, n_buckets=4, stats_cols=["ts"], target_file_rows=16,
+        )
+        man = txn.latest_manifest(spark, t)
+        entries = next(iter(man["file_stats"].values()))
+        assert any("row_groups" in e for e in entries)
+        rep = txn.cdc_prune_report(
+            spark, t, [("ts", ">=", dt.datetime(2024, 1, 4))]
+        )
+        assert 0 < rep["kept_rows"] < rep["total_rows"], rep
+        got = txn.scan_cdc_pruned(
+            spark, t, [("ts", ">=", dt.datetime(2024, 1, 4))]
+        ).count()
+        assert got == 32  # exactly the last day's rows
 
     def test_pruned_scan_pushes_residual_to_parquet(self, spark, tmp_path):
         """The residual lands on the BASE scan as PushedFilters, so
