@@ -1023,10 +1023,17 @@ def stream_cdc_apply_bucketed(
     op_col: str = "op",
     seq_col: str = "seq",
     n_buckets: int = 64,
+    stats_cols: list[str] | None = None,
+    target_file_rows: int | None = None,
 ):
     """Streaming face of apply_cdc_batch_bucketed — exactly-once CDC
     maintenance of a fact-sized keyed table with per-batch cost bounded
-    by the touched key range, not the table."""
+    by the touched key range, not the table. ``stats_cols`` /
+    ``target_file_rows`` flow through to the batch apply (both are
+    manifest-sticky, so setting them here on the first micro-batch is
+    enough for the table's lifetime): a streaming-ingested fact table
+    gets the same zone maps + bucket-local clustering that make
+    scan_cdc_pruned and the IVM recompute prune work."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         apply_cdc_batch_bucketed(
@@ -1037,6 +1044,8 @@ def stream_cdc_apply_bucketed(
             seq_col,
             n_buckets=n_buckets,
             epoch_id=epoch_id,
+            stats_cols=stats_cols,
+            target_file_rows=target_file_rows,
         )
 
     return (

@@ -2690,7 +2690,7 @@ class TestAudioFingerprint:
 
 def _mp4_bytes(samples, w, h, timescale=1000, sample_delta=40,
                codec=b"jpeg", brand=b"isom", chunking=None,
-               handler=b"vide"):
+               handler=b"vide", stsz_const=False):
     """Spec-built (ISO/IEC 14496-12) minimal MP4 — ftyp + mdat holding
     the given sample payloads + moov with FULL sample tables (stsd/
     stts/stsc/stsz/stco) — written independently of the parser under
@@ -2759,11 +2759,17 @@ def _mp4_bytes(samples, w, h, timescale=1000, sample_delta=40,
         st.pack(">I", len(stsc_runs))
         + b"".join(st.pack(">III", fc, spc, 1) for fc, spc in stsc_runs),
     )
-    stsz = full(
-        b"stsz", 0, 0,
-        st.pack(">II", 0, n)
-        + b"".join(st.pack(">I", len(s)) for s in samples),
-    )
+    if stsz_const:
+        assert len({len(s) for s in samples}) == 1
+        stsz = full(
+            b"stsz", 0, 0, st.pack(">II", len(samples[0]), n)
+        )
+    else:
+        stsz = full(
+            b"stsz", 0, 0,
+            st.pack(">II", 0, n)
+            + b"".join(st.pack(">I", len(s)) for s in samples),
+        )
     stco = full(
         b"stco", 0, 0,
         st.pack(">I", len(chunk_offsets))

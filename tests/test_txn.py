@@ -443,7 +443,8 @@ class TestBucketedCdc:
             .parquet(str(src))
         )
         q = txn.stream_cdc_apply_bucketed(
-            changes, t, str(tmp_path / "ckpt"), n_buckets=8
+            changes, t, str(tmp_path / "ckpt"), n_buckets=8,
+            stats_cols=["seq"], target_file_rows=64,
         )
         q.processAllAvailable()
         spark.createDataFrame(
@@ -452,6 +453,12 @@ class TestBucketedCdc:
         q.processAllAvailable()
         q.stop()
         assert _rows(txn.read_cdc_table(spark, t)) == {1: ("a9", 4)}
+        # r7: the streaming face passes the layout knobs through — the
+        # ingested table carries zone maps + the sticky roll size
+        man = txn.latest_manifest(spark, t)
+        assert man["stats_cols"] == ["seq"]
+        assert man["cluster_rows"] == 64
+        assert man["file_stats"]
 
 
 class TestDeleteOverlays:
