@@ -238,7 +238,9 @@ def refresh_aggregate(
     return untouched.unionByName(touched)
 
 
-_MERGEABLE_OPS = ("sum", "count", "min", "max", "approx_distinct")
+_MERGEABLE_OPS = (
+    "sum", "count", "min", "max", "approx_distinct", "sum_sq"
+)
 
 
 def _measure_agg(spec: tuple[str, str]) -> Column:
@@ -264,6 +266,11 @@ def _measure_agg(spec: tuple[str, str]) -> Column:
         )
     if op == "approx_distinct":
         return F.hll_sketch_agg(F.col(col))
+    if op == "sum_sq":
+        # second moment: +-mergeable AND retraction-invertible like
+        # sum, so variance/stddev derive from (sum_sq, sum, count) —
+        # var = sum_sq/n - (sum/n)^2 — with no exact-state store
+        return F.sum(F.col(col) * F.col(col))
     return getattr(F, op)(F.col(col))
 
 
@@ -278,7 +285,7 @@ def _merge_measure(name: str, op: str) -> Column:
             .when(part.isNull(), stored)
             .otherwise(F.hll_union(stored, part))
         )
-    if op in ("sum", "count"):
+    if op in ("sum", "count", "sum_sq"):
         merged = stored + part
     elif op == "min":
         merged = F.least(stored, part)

@@ -825,7 +825,16 @@ def stream_sync_aggregate(
     log_dir = f"{source_dir.rstrip('/')}/{txn._LOG}/"
     _, fs, p = txn._fs(spark, log_dir)
     fs.mkdirs(p)
-    log = spark.readStream.format("text").load(log_dir)
+    # ignoreMissingFiles: vacuum_txn(keep_last=) may delete an old
+    # manifest between this stream's directory listing and its read —
+    # safe to skip because tick() ignores file CONTENT entirely (the
+    # sync reads the live log itself); without it a slow stream racing
+    # a vacuum dies on FileNotFound.
+    log = (
+        spark.readStream.format("text")
+        .option("ignoreMissingFiles", "true")
+        .load(log_dir)
+    )
     return (
         log.writeStream.foreachBatch(tick)
         .option("checkpointLocation", checkpoint)

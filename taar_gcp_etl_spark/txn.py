@@ -1958,8 +1958,13 @@ def sync_aggregate_from_cdc(
                 f"measure {m!r}: op {measures[m][0]!r} not in "
                 f"{sorted(_MERGEABLE_OPS)}"
             )
-    invertible = all(measures[m][0] in ("sum", "count") for m in mnames)
-    sum_cols = [m for m in mnames if measures[m][0] == "sum"]
+    invertible = all(
+        measures[m][0] in ("sum", "count", "sum_sq") for m in mnames
+    )
+    # sum_sq shares sum's NULL parity (sum over an all-null group is
+    # NULL) and its signed-retraction algebra — the contribution is
+    # col^2 instead of col
+    sum_cols = [m for m in mnames if measures[m][0] in ("sum", "sum_sq")]
     extra = [LIVE_ROWS_COL] + [_nn(m) for m in sum_cols]
 
     def full_agg(live_df: DataFrame) -> DataFrame:
@@ -2021,8 +2026,12 @@ def sync_aggregate_from_cdc(
             daggs = [F.sum(sign).alias(f"_d_{LIVE_ROWS_COL}")]
             for m in mnames:
                 op, c = measures[m]
-                if op == "sum":
-                    daggs.append(F.sum(sign * F.col(c)).alias(f"_d_{m}"))
+                if op in ("sum", "sum_sq"):
+                    contrib = (
+                        F.col(c) * F.col(c) if op == "sum_sq"
+                        else F.col(c)
+                    )
+                    daggs.append(F.sum(sign * contrib).alias(f"_d_{m}"))
                     daggs.append(
                         F.sum(
                             sign * F.col(c).isNotNull().cast("long")
@@ -2052,7 +2061,7 @@ def sync_aggregate_from_cdc(
                 merged = F.coalesce(F.col(f"s.{m}"), F.lit(0)) + F.coalesce(
                     F.col(f"_d_{m}"), F.lit(0)
                 )
-                if op == "sum":
+                if op in ("sum", "sum_sq"):
                     new_nn = F.coalesce(
                         F.col(f"s.{_nn(m)}"), F.lit(0)
                     ) + F.coalesce(F.col(f"_d_{_nn(m)}"), F.lit(0))

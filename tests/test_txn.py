@@ -1963,6 +1963,111 @@ class TestCdcZoneMaps:
         assert len(man["file_stats"]) == 2  # both dirs carry zone maps
 
 
+class TestSumSqMeasure:
+    """r7: 'sum_sq' joins the mergeable/invertible vocabulary — the
+    second moment, so variance/stddev derive from (sum_sq, sum, count)
+    through every maintenance path with no exact-state store."""
+
+    SRC = "id long, grp string, val double, seq long, op string"
+    MEASURES = {"s": ("sum", "val"), "q": ("sum_sq", "val"),
+                "n": ("count", "val")}
+
+    def _apply(self, spark, src, rows):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, self.SRC), src,
+            key_col="id", n_buckets=4,
+        )
+
+    def _got(self, spark, store):
+        return {
+            r.grp: (r.s, r.q, r.n)
+            for r in txn.read_aggregate_store(spark, store).collect()
+        }
+
+    def _expect(self, spark, src):
+        return {
+            r.grp: (r.s, r.q, r.n)
+            for r in txn.read_cdc_table(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.sum("val").alias("s"),
+                F.sum(F.col("val") * F.col("val")).alias("q"),
+                F.count("val").alias("n"),
+            )
+            .collect()
+        }
+
+    def test_invertible_through_churn_with_null_parity(
+        self, spark, tmp_path, monkeypatch
+    ):
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "mv")
+        self._apply(spark, src, [
+            (1, "a", 3.0, 1, "I"), (2, "a", 4.0, 1, "I"),
+            (3, "b", 5.0, 1, "I"), (4, "c", None, 1, "I"),
+        ])
+        txn.sync_aggregate_from_cdc(
+            spark, src, store, ["grp"], self.MEASURES
+        )
+        assert self._got(spark, store) == self._expect(spark, src)
+        # all-sum_sq/sum/count measures: churn must take the INVERTIBLE
+        # path (no source read), and stay exact through update + delete
+        reads = []
+        monkeypatch.setattr(
+            txn, "read_cdc_table",
+            lambda *a, **k: reads.append(1) or (_ for _ in ()).throw(
+                AssertionError("invertible sync must not read source")
+            ),
+        )
+        self._apply(spark, src, [
+            (1, "a", 7.0, 2, "U"),            # 3.0 -> 7.0
+            (3, None, None, 2, "D"),          # b retires
+            (5, "c", 2.0, 2, "I"),            # c gains a non-null
+        ])
+        txn.sync_aggregate_from_cdc(
+            spark, src, store, ["grp"], self.MEASURES
+        )
+        monkeypatch.undo()
+        got = self._got(spark, store)
+        assert got == self._expect(spark, src)
+        assert got["a"] == (11.0, 65.0, 2)    # 7+4, 49+16
+        assert "b" not in got                 # group retired
+        assert got["c"] == (2.0, 4.0, 1)      # NULL parity: was (None,
+        #                                       None, 0) before the ins
+        # derived variance matches an exact stddev_pop over live rows
+        s, q, n = got["a"]
+        var = q / n - (s / n) ** 2
+        exact = (
+            txn.read_cdc_table(spark, src)
+            .filter(F.col("grp") == "a")
+            .agg(F.var_pop("val")).first()[0]
+        )
+        assert abs(var - exact) < 1e-9
+
+    def test_streaming_store_merges_sum_sq(self, spark, tmp_path):
+        from taar_gcp_etl_spark.streaming.jobs import (
+            refresh_aggregate_store,
+        )
+
+        store = str(tmp_path / "st")
+        b1 = spark.createDataFrame(
+            [("a", 3.0), ("a", 4.0)], "grp string, val double"
+        )
+        b2 = spark.createDataFrame(
+            [("a", 5.0), ("b", None)], "grp string, val double"
+        )
+        refresh_aggregate_store(b1, store, ["grp"], self.MEASURES,
+                                epoch_id=1)
+        refresh_aggregate_store(b2, store, ["grp"], self.MEASURES,
+                                epoch_id=2)
+        got = {
+            r.grp: (r.s, r.q, r.n)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert got["a"] == (12.0, 50.0, 3)  # 9+16+25 merged across batches
+        assert got["b"] == (None, None, 0)
+
+
 class TestStreamSyncAggregate:
     """NEXT.md r7 #3: the streaming IVM loop — a file stream over the
     source's _log/ commit stream drives sync_aggregate_from_cdc per
