@@ -552,7 +552,9 @@ def commit_clustered(
             "schema": fields,
             "clustered_by": zorder_by,
             "stats_types": {c: dtypes[c] for c in stats_cols},
-            "files": collect_file_stats(spark, snap_abs, stats_cols),
+            "files": collect_file_stats(
+                spark, snap_abs, stats_cols, row_groups=True
+            ),
         }
         if bloom_cols:
             manifest["blooms_ref"] = _write_bloom_sidecar(
@@ -722,34 +724,59 @@ def prune_report(
             )
         return None
 
-    kept, skipped = [], []
-    for entry in man["files"]:
-        keep = True
+    def zone_overlaps(stats: dict) -> bool:
         for c, op, val in filters:
-            if c in entry["stats"]:
-                lo = _from_jsonable(entry["stats"][c][0], types.get(c, ""))
-                hi = _from_jsonable(entry["stats"][c][1], types.get(c, ""))
-                if not _overlaps(lo, hi, op, val):
-                    keep = False
-                    break
-            # bloom check: equality on a bloom-tracked column, with a
-            # value whose string form is JVM/Python-stable
-            if (
-                op == "="
-                and isinstance(val, (str, int))
-                and not isinstance(val, bool)
-            ):
-                hit = bloom_bits(entry["file"], c)
-                if hit is not None and not _bloom_maybe_contains(
-                    hit[0], val, hit[1], hit[2]
+            if c not in stats:
+                continue
+            lo = _from_jsonable(stats[c][0], types.get(c, ""))
+            hi = _from_jsonable(stats[c][1], types.get(c, ""))
+            if not _overlaps(lo, hi, op, val):
+                return False
+        return True
+
+    kept, skipped = [], []
+    total_rows = kept_rows = 0
+    for entry in man["files"]:
+        total_rows += entry.get("rows", 0)
+        keep = zone_overlaps(entry["stats"])
+        if keep:
+            for c, op, val in filters:
+                # bloom check: equality on a bloom-tracked column, with
+                # a value whose string form is JVM/Python-stable
+                if (
+                    op == "="
+                    and isinstance(val, (str, int))
+                    and not isinstance(val, bool)
                 ):
-                    keep = False
-                    break
+                    hit = bloom_bits(entry["file"], c)
+                    if hit is not None and not _bloom_maybe_contains(
+                        hit[0], val, hit[1], hit[2]
+                    ):
+                        keep = False
+                        break
+        rg_rows = entry.get("rows", 0)
+        if keep and entry.get("row_groups"):
+            # row-group granularity (r7): a Z-sorted file's envelope
+            # may overlap while no row group does — drop it outright;
+            # otherwise count only overlapping groups (the honest IO
+            # estimate: scan_pruned's residual pushdown makes the
+            # reader skip the rest via the same footer stats)
+            rg_rows = sum(
+                g["rows"]
+                for g in entry["row_groups"]
+                if zone_overlaps(g["stats"])
+            )
+            if rg_rows == 0:
+                keep = False
+        if keep:
+            kept_rows += rg_rows
         (kept if keep else skipped).append(entry["file"])
     return {
         "total_files": len(man["files"]),
         "kept_files": len(kept),
         "skipped_files": len(skipped),
+        "total_rows": total_rows,
+        "kept_rows": kept_rows,
         "kept": kept,
         "snapshot": man["snapshot"],
     }

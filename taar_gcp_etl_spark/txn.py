@@ -2148,11 +2148,19 @@ def read_aggregate_store(
     store_dir: str,
     version: int | None = None,
     measures: dict | None = None,
+    derive: dict | None = None,
 ) -> DataFrame | None:
     """User-facing read of a sync_aggregate_from_cdc store: maintenance
     counters hidden. Pass the store's ``measures`` spec to present
     approx_distinct sketch columns as their HLL estimates (long)
-    instead of raw binary."""
+    instead of raw binary.
+
+    ``derive`` adds MOMENT-DERIVED columns so consumers stop
+    hand-writing the algebra: {out_col: (stat, *measure_names)} with
+    stat in {'avg': (sum, count), 'var'/'stddev': (sum_sq, sum,
+    count)} — population forms, var = sum_sq/n - (sum/n)^2, NULL when
+    the count is 0. The store itself stays moments-only (mergeable,
+    invertible); derivation is one select at read time."""
     df = read_txn(spark, store_dir, version=version)
     if df is None:
         return df
@@ -2166,6 +2174,27 @@ def read_aggregate_store(
         from taar_gcp_etl_spark.operators.merge import sketch_estimates
 
         df = sketch_estimates(df, measures)
+    for out, spec in (derive or {}).items():
+        stat, names = spec[0], spec[1:]
+        if stat == "avg":
+            s, n = (F.col(c) for c in names)
+            expr = F.when(n > 0, s / n)
+        elif stat in ("var", "stddev"):
+            q, s, n = (F.col(c) for c in names)
+            expr = F.when(n > 0, q / n - (s / n) * (s / n))
+            if stat == "stddev":
+                # clamp tiny negative rounding residue before sqrt —
+                # under the n>0 guard, or greatest(NULL, 0) would turn
+                # an empty group's NULL into stddev 0
+                expr = F.when(
+                    n > 0, F.sqrt(F.greatest(expr, F.lit(0.0)))
+                )
+        else:
+            raise ValueError(
+                f"derive {out!r}: stat {stat!r} not in "
+                "('avg', 'var', 'stddev')"
+            )
+        df = df.withColumn(out, expr)
     return df
 
 

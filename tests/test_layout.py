@@ -97,6 +97,14 @@ class TestCommitClusteredAndPrune:
             rep = layout.prune_report(spark, table, filters)
             assert rep["total_files"] == 8
             assert 0 < rep["kept_files"] < rep["total_files"], filters
+            # r7: row-group footer stats refine the rows estimate —
+            # kept files' in-file sorting means the matching rows are
+            # a subset of the kept files' rows, never more
+            assert 0 < rep["kept_rows"] <= rep["total_rows"], filters
+            exact = (
+                layout.scan_pruned(spark, table, filters).count()
+            )
+            assert exact <= rep["kept_rows"], filters
 
     def test_conjunction_prunes_at_least_as_hard(self, spark, table):
         a = layout.prune_report(spark, table, [("o_custkey", "<=", 50)])

@@ -2044,6 +2044,45 @@ class TestSumSqMeasure:
         )
         assert abs(var - exact) < 1e-9
 
+    def test_derived_moment_faces(self, spark, tmp_path):
+        """read_aggregate_store(derive=) presents avg/var/stddev from
+        the stored moments — population forms, NULL on empty count —
+        matching exact aggregates over the live rows."""
+        import math
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "mv")
+        self._apply(spark, src, [
+            (1, "a", 3.0, 1, "I"), (2, "a", 4.0, 1, "I"),
+            (3, "a", 8.0, 1, "I"), (4, "c", None, 1, "I"),
+        ])
+        txn.sync_aggregate_from_cdc(
+            spark, src, store, ["grp"], self.MEASURES
+        )
+        got = {
+            r.grp: (r.mean, r.v, r.sd)
+            for r in txn.read_aggregate_store(
+                spark, store,
+                derive={"mean": ("avg", "s", "n"),
+                        "v": ("var", "q", "s", "n"),
+                        "sd": ("stddev", "q", "s", "n")},
+            ).collect()
+        }
+        exact = txn.read_cdc_table(spark, src).filter(
+            F.col("grp") == "a"
+        ).agg(F.avg("val"), F.var_pop("val"), F.stddev_pop("val")).first()
+        assert got["a"][0] == exact[0]
+        assert abs(got["a"][1] - exact[1]) < 1e-9
+        assert abs(got["a"][2] - exact[2]) < 1e-9
+        assert got["c"] == (None, None, None)  # n=0: no moments
+        assert math.isclose(got["a"][2] ** 2, got["a"][1])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not in"):
+            txn.read_aggregate_store(
+                spark, store, derive={"x": ("median", "s", "n")}
+            )
+
     def test_streaming_store_merges_sum_sq(self, spark, tmp_path):
         from taar_gcp_etl_spark.streaming.jobs import (
             refresh_aggregate_store,
