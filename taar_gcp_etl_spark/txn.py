@@ -1868,6 +1868,11 @@ def _pruned_live_for_groups(
     # files are skipped natively — kept_rows is the honest estimate);
     # the file fraction is the fallback cost model.
     plan = _cdc_prune_plan(man, source_dir.rstrip("/"), filters)
+    if plan["unstated_dirs"]:
+        # pre-adoption dirs have unknown contents: the cost model can't
+        # price them and the scan would read them wholesale anyway —
+        # fall back to the plain live scan
+        return None
     frac = (
         plan["kept_rows"] / plan["total_rows"]
         if plan["total_rows"]
@@ -2214,7 +2219,14 @@ def _cdc_prune_plan(
     reader, whose native row-group stats (the same values) skip the
     non-overlapping groups. A row group missing stats for a filtered
     column is kept conservatively; entries without row-group stats
-    count all their rows when the file-level envelope overlaps."""
+    count all their rows when the file-level envelope overlaps.
+
+    ``unstated_dirs``: live dirs (still owning at least one bucket)
+    written BEFORE the table adopted stats_cols have no file_stats
+    entries at all — their contents are unknown to the planner, so
+    they must be read wholesale ({dir: [owned buckets]}). Dropping
+    them instead silently lost every pre-adoption row from the pruned
+    scan (r7 review repro)."""
     from taar_gcp_etl_spark.layout import _from_jsonable, _overlaps
 
     types = man.get("stats_types", {})
@@ -2232,6 +2244,11 @@ def _cdc_prune_plan(
     owned: dict[str, set[int]] = {}
     for b, d in man["buckets"].items():
         owned.setdefault(d, set()).add(int(b))
+    unstated = {
+        d: sorted(bs)
+        for d, bs in owned.items()
+        if d not in man["file_stats"]
+    }
     kept_paths: list[str] = []
     total = kept = 0
     total_rows = kept_rows = 0
@@ -2267,6 +2284,7 @@ def _cdc_prune_plan(
         "kept_files": kept,
         "total_rows": total_rows,
         "kept_rows": kept_rows,
+        "unstated_dirs": unstated,
     }
 
 
@@ -2341,8 +2359,14 @@ def scan_cdc_pruned(
             "(apply batches with stats_cols= first)"
         )
     table_dir = table_dir.rstrip("/")
+    unstated: dict[str, list[int]] = {}
     if kept_paths is None:
-        kept_paths, _total = _cdc_kept_files(man, table_dir, filters)
+        plan = _cdc_prune_plan(man, table_dir, filters)
+        kept_paths = plan["kept_paths"]
+        # dirs written before stats adoption are unknown to the
+        # planner: read them WHOLESALE (their owned buckets only) or
+        # their rows silently vanish from the pruned scan
+        unstated = plan["unstated_dirs"]
 
     key_col = man.get("key_col", "id")
     seq_col = man.get("seq_col", "seq")
@@ -2371,6 +2395,15 @@ def scan_cdc_pruned(
         # early can only promote an overlay TOMBSTONE to latest-per-
         # key, which the ~deleted filter then drops — same output.
         base = base.filter(_residual(filters))
+    for d, bs in sorted(unstated.items()):
+        whole = (
+            spark.read.parquet(f"{table_dir}/{d}")
+            .filter(F.col(BUCKET_COL).isin(bs))
+            .filter(_residual(filters))
+        )
+        base = whole if base is None else base.unionByName(
+            whole, allowMissingColumns=True
+        )
     out = base
     # overlays: always read in full for correctness (tombstones only)
     overlay_dirs = sorted(

@@ -1951,6 +1951,55 @@ class TestCdcZoneMaps:
             spark, t, filters
         )
 
+    def test_midlife_stats_adoption_keeps_pre_adoption_rows(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r7 review repro: a table that adopts stats_cols mid-life has
+        file_stats only for post-adoption dirs. The pruned scan must
+        read pre-adoption dirs WHOLESALE (their owned buckets), not
+        silently drop their rows; the report exposes them and the IVM
+        gate declines while any exist."""
+        from taar_gcp_etl_spark.layout import _residual
+
+        t = str(tmp_path / "zm-adopt")
+        # two batches WITHOUT stats, then adoption
+        txn.apply_cdc_batch_bucketed(
+            self._batch(
+                spark, [(i, f"a{i}", 1, 100 + i, "I") for i in range(8)]
+            ),
+            t, n_buckets=4,
+        )
+        self._apply(spark, t, [(100, "new", 9, 300, "U")])
+        man = txn.latest_manifest(spark, t)
+        assert set(man["buckets"].values()) - set(man["file_stats"])
+        for filters in ([("day", ">=", 1)], [("day", "=", 1)]):
+            got = sorted(
+                tuple(r)
+                for r in txn.scan_cdc_pruned(spark, t, filters).collect()
+            )
+            expect = sorted(
+                tuple(r)
+                for r in txn.read_cdc_table(spark, t)
+                .filter(_residual(filters))
+                .collect()
+            )
+            assert got == expect and len(got) > 0, filters
+        rep = txn.cdc_prune_report(spark, t, [("day", "=", 1)])
+        assert rep["unstated_dirs"]
+        touched = spark.createDataFrame([(9,)], "day long")
+        monkeypatch.setattr(txn, "_IVM_PRUNE_MAX_KEPT_FRACTION", 1.0)
+        assert txn._pruned_live_for_groups(
+            spark, t, man, touched, ["day"], man["version"]
+        ) is None
+        # once every dir is post-adoption (full rewrite), pruning wakes
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=0)
+        man = txn.latest_manifest(spark, t)
+        rep = txn.cdc_prune_report(spark, t, [("day", "=", 9)])
+        assert not rep["unstated_dirs"]
+        assert txn._pruned_live_for_groups(
+            spark, t, man, touched, ["day"], man["version"]
+        ) is not None
+
     def test_stats_cols_sticky_across_batches(self, spark, tmp_path):
         t = str(tmp_path / "zm-sticky")
         self._apply(spark, t, [(1, "a", 1, 1, "I")])
