@@ -1005,8 +1005,12 @@ def apply_cdc_batch_bucketed(
             manifest["stats_types"] = {
                 c: types.get(c, "") for c in eff_stats_cols
             }
-            if eff_file_rows:
-                manifest["cluster_rows"] = int(eff_file_rows)
+        if eff_file_rows:
+            # Sticky independently of stats_cols (the docstring promises
+            # "sticky like stats_cols"): file rolling is useful on its own,
+            # and persisting it only under stats_cols silently dropped the
+            # setting after the first apply for stats-less tables.
+            manifest["cluster_rows"] = int(eff_file_rows)
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
     raise RuntimeError(
@@ -1277,8 +1281,9 @@ def _full_rewrite_manifest(
         }
         types = dict(schema_fields)
         manifest["stats_types"] = {c: types.get(c, "") for c in sc}
-        if man.get("cluster_rows"):
-            manifest["cluster_rows"] = man["cluster_rows"]
+    if man.get("cluster_rows"):
+        # sticky independently of stats_cols, matching apply_cdc_batch
+        manifest["cluster_rows"] = man["cluster_rows"]
     return manifest
 
 

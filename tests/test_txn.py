@@ -2351,6 +2351,40 @@ class TestClusteredRewritePruning:
         rep = txn.cdc_prune_report(spark, t, [("day", "=", 1)])
         assert rep["kept_rows"] / rep["total_rows"] <= 0.5, rep
 
+    def test_cluster_rows_sticky_without_stats_cols(self, spark, tmp_path):
+        """ADVICE r7: target_file_rows must persist even when the table
+        tracks no stats_cols — file rolling is useful on its own, and the
+        docstring promises 'sticky like stats_cols'."""
+        t = str(tmp_path / "roll-nostats")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"a{i}", i // 64, 1, "I") for i in range(256)],
+                self.CDC_D,
+            ),
+            t, n_buckets=4, target_file_rows=16,
+        )
+        man = txn.latest_manifest(spark, t)
+        assert "stats_cols" not in man
+        assert man["cluster_rows"] == 16
+        # a later batch WITHOUT the knob inherits it
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1000 + i, f"b{i}", i % 4, 2, "I") for i in range(8)],
+                self.CDC_D,
+            ),
+            t, n_buckets=4,
+        )
+        man = txn.latest_manifest(spark, t)
+        assert man["cluster_rows"] == 16
+        # and the maintenance full-rewrite path carries it too
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=0)
+        man = txn.latest_manifest(spark, t)
+        assert man["cluster_rows"] == 16
+        assert self._got_all(spark, t) == 264
+
+    def _got_all(self, spark, t):
+        return txn.read_cdc_table(spark, t).count()
+
     def test_prune_plan_row_group_granularity(self):
         """_cdc_prune_plan metadata logic: row-group stats refine the
         rows estimate, and a file whose ENVELOPE overlaps but whose
