@@ -195,7 +195,14 @@ def main() -> None:
         )
         return base.unionByName(twins), (n + 499) // 500
 
+    # block_blind      = LEGACY corpus-wide entropy (blind_clusters off)
+    #                    — the measured quadratic failure mode
+    # blind_hybrid (r8) = no block column, frequent-gram template
+    #                    clusters → conditional entropy; must track the
+    #                    block_keyed linear curve
+    # block_keyed      = explicit block_cols in the boundary aggregate
     blk_points = {"block_blind": [2_000, 4_000, 8_000],
+                  "blind_hybrid": [25_000, 50_000, 100_000],
                   "block_keyed": [25_000, 50_000, 100_000]}
     for mode, ns in blk_points.items():
         curve = []
@@ -212,8 +219,9 @@ def main() -> None:
             bmap = J._entropy_boundaries(
                 base, D, None, 512,
                 block_cols=["blk"] if mode == "block_keyed" else None,
+                blind_clusters=(mode == "blind_hybrid"),
             )
-            if mode == "block_blind":
+            if mode != "block_keyed":
                 # re-key the corpus-wide map to every block so the
                 # block-scoped candidate join actually CONSULTS the
                 # blind boundaries (review fix: keyed ('', L) entries

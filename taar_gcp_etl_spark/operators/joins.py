@@ -327,6 +327,50 @@ def _common_affix_lengths(
 
 
 _BOUNDARY_SAMPLE_ROWS = 100_000
+_BOUNDARY_MAX_CLASSES = 4096  # driver map cap: classes beyond fall back even
+_BLIND_GRAM = 8  # frequent-gram length for blind template clustering
+_BLIND_MAX_GRAMS = 128  # marker-gram vocabulary cap (bounded collect)
+
+
+def _blind_cluster_sig(expr: DataFrame, n_sampled: int):
+    """Template-marker signature for CORPUS-BLIND boundary estimation
+    (NEXT.md r8 #3): mine the sample for frequent fixed-content
+    substrings (``_BLIND_GRAM``-grams occurring in >= max(16, n/1000)
+    sampled strings — a block-local template leaves its literal content
+    as exactly such grams), then sign each string with the sorted set
+    of marker grams it contains. Strings of one template share its
+    markers, so the signature recovers the latent block WITHOUT a block
+    column; corpora with no repeated template content (random/natural
+    strings) yield no frequent grams and return None (single class —
+    the r6 corpus-wide behavior). The marker vocabulary is a bounded
+    collect (<= _BLIND_MAX_GRAMS rows); the signature is a pure column
+    expression over it."""
+    grams = (
+        expr.select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(_t) - "
+                        f"{_BLIND_GRAM - 1}, 0)), "
+                        f"i -> substring(_t, i, {_BLIND_GRAM}))"
+                    )
+                )
+            ).alias("_g")
+        )
+        .groupBy("_g")
+        .count()
+        .filter(F.col("count") >= max(16, n_sampled // 1000))
+        .orderBy(F.desc("count"), "_g")
+        .limit(_BLIND_MAX_GRAMS)
+        .collect()
+    )
+    freq = sorted(r._g for r in grams)
+    if not freq:
+        return None
+    arr = F.array(*[F.lit(g) for g in freq])
+    return F.concat_ws(
+        "\x1f", F.filter(arr, lambda g: F.col("_t").contains(g))
+    )
 
 
 def _entropy_boundaries(
@@ -335,6 +379,8 @@ def _entropy_boundaries(
     sample_frac: float | None,
     max_len: int,
     block_cols: list[str] | None = None,
+    max_classes: int = _BOUNDARY_MAX_CLASSES,
+    blind_clusters: bool = True,
 ) -> dict[tuple[str, int], list[int]]:
     """Frequency-adaptive segment boundaries per (block, length) class
     (the Ed-Join content-filtering idea recast for the segment join):
@@ -353,15 +399,29 @@ def _entropy_boundaries(
     ever form within a block, so per-block boundaries target the
     distribution that actually matters.
 
+    When ``block_cols`` is absent, ``blind_clusters`` (r8) recovers the
+    same cut without a block column: strings are clustered by their
+    frequent-gram template signature (_blind_cluster_sig) and position
+    entropy becomes the cluster-size-weighted WITHIN-cluster diversity
+    sum(n_sig * log(ndc_sig)) — a position constant inside each
+    template contributes ~0 even when its value varies across
+    templates, so the single per-length boundary list dodges it. The
+    output stays keyed ("", length): one map both join sides read, so
+    this is a quality change only.
+
     Sound for ANY boundary scheme B(block, L, i): the pigeonhole proof
     only needs index (length L) and probe (targeting partner length L)
     of the SAME pair to cut at the same B — a matching pair shares its
     block by the join's equality on block_cols, and both sides read
     this map; classes absent from the map fall back to even splits on
-    BOTH sides. Driver receives one row per sampled (block, length ≤
-    max_len) class — bounded by blocks x max_len and by the sample
-    size (auto ~100k strings when sample_frac is None), keeping the
-    diversity aggregate O(sample chars) at corpus scale."""
+    BOTH sides. Driver receives one row per sampled (block, length <=
+    max_len) class, hard-capped at ``max_classes`` keeping the HOTTEST
+    classes by sampled string count (ADVICE r7: unbounded block
+    cardinality could reach hundreds of MB on the driver; hot classes
+    are where the quadratic risk lives, cold ones fall back to even
+    splits) — so the driver map is <= max_classes x max_len ints
+    (~32 MB at the defaults) and the diversity aggregate stays
+    O(sample chars) at corpus scale."""
     bk = (
         F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
         if block_cols
@@ -372,44 +432,67 @@ def _entropy_boundaries(
         F.length("_t").alias("_l"),
         F.col("_t"),
     ).filter((F.col("_l") > 0) & (F.col("_l") <= max_len))
+    blind = not block_cols
+    n = (
+        expr.count()
+        if sample_frac is None or (blind and blind_clusters)
+        else 0  # unused: block path with explicit frac needs no count
+    )
     if sample_frac is None:
         # auto: bound the per-position explode to ~_BOUNDARY_SAMPLE_ROWS
         # strings regardless of corpus size (review fix: the 1.0
         # default exploded every character of the corpus). Small
         # corpora (tests, dimension tables) keep fraction 1.0, so the
         # boundaries stay deterministic there.
-        n = expr.count()
         sample_frac = min(1.0, _BOUNDARY_SAMPLE_ROWS / max(n, 1))
     if sample_frac < 1.0:
         expr = expr.sample(fraction=sample_frac, seed=7)
-    per_pos = (
-        expr.select(
-            "_bk",
-            "_l",
-            F.posexplode(F.split(F.col("_t"), "(?!^)(?=.)")).alias(
-                "_p", "_c"
-            ),
+    n_sampled = max(1, int(n * sample_frac))
+
+    if blind and blind_clusters:
+        sig = _blind_cluster_sig(expr, n_sampled)
+        cls = sig if sig is not None else F.lit("")
+    else:
+        cls = F.col("_bk")
+    per_cls = expr.select(
+        cls.alias("_cls"),
+        F.col("_bk"),
+        "_l",
+        F.posexplode(F.split(F.col("_t"), "(?!^)(?=.)")).alias("_p", "_c"),
+    ).groupBy("_cls", "_bk", "_l", "_p").agg(
+        F.count_distinct("_c").alias("_ndc"),
+        F.count("*").alias("_ns"),  # sampled strings in this class
+    )
+    if blind:
+        # weighted conditional entropy, folded back to ONE class per
+        # length (the map key both sides read stays ("", L))
+        per_pos = per_cls.groupBy("_bk", "_l", "_p").agg(
+            F.sum(F.col("_ns") * F.log("_ndc")).alias("_e"),
+            F.sum("_ns").alias("_ns"),
         )
-        .groupBy("_bk", "_l", "_p")
-        .agg(F.count_distinct("_c").alias("_ndc"))
-        .groupBy("_bk", "_l")
+    else:
+        per_pos = per_cls.select(
+            "_bk", "_l", "_p", F.log("_ndc").alias("_e"), "_ns"
+        )
+    rows = (
+        per_pos.groupBy("_bk", "_l")
         .agg(
             F.map_from_arrays(
-                F.collect_list("_p"), F.collect_list("_ndc")
-            ).alias("_m")
+                F.collect_list("_p"), F.collect_list("_e")
+            ).alias("_m"),
+            F.max("_ns").alias("_n"),
         )
+        # hottest classes first; ties broken deterministically
+        .orderBy(F.desc("_n"), "_bk", "_l")
+        .limit(max_classes)
         .collect()
     )
-    import math
 
     out: dict[tuple[str, int], list[int]] = {}
     nseg = d + 1
-    for row in per_pos:
+    for row in rows:
         L = row._l
-        ent = [
-            math.log(row._m.get(p, 1)) if row._m.get(p, 1) > 1 else 0.0
-            for p in range(L)
-        ]
+        ent = [float(row._m.get(p) or 0.0) for p in range(L)]
         total = sum(ent)
         if total <= 0.0:
             continue  # no variable positions sampled: even splits

@@ -1255,12 +1255,15 @@ class TestAdaptiveSegmentBoundaries:
             "blk",
         )
         d = 2
-        # corpus-wide map, re-keyed to every block so the block-scoped
-        # join consults the BLIND boundaries (not the even fallback —
-        # review fix): every interior position shows 2 distinct chars,
-        # so cumulative entropy still places the middle piece inside
-        # the block-constant run — one hot key per block
-        corpus = J._entropy_boundaries(base, d, 1.0, 512)
+        # LEGACY corpus-wide map (blind_clusters=False), re-keyed to
+        # every block so the block-scoped join consults the BLIND
+        # boundaries (not the even fallback — review fix): every
+        # interior position shows 2 distinct chars, so cumulative
+        # entropy still places the middle piece inside the
+        # block-constant run — one hot key per block
+        corpus = J._entropy_boundaries(
+            base, d, 1.0, 512, blind_clusters=False
+        )
         corpus = {(b, L): v for (_, L), v in corpus.items()
                   for b in ("P", "Q")}
         n_corpus = J._adaptive_candidates(base, d, corpus, ["blk"]).count()
@@ -1274,6 +1277,67 @@ class TestAdaptiveSegmentBoundaries:
         n = 150
         assert n_corpus > 2 * n * (n - 1) / 4, (n_corpus,)  # quadratic
         assert n_blocked < n_corpus / 10, (n_blocked, n_corpus)
+        # r8 hybrid: the BLIND path (no block column at all) now
+        # clusters by frequent-gram template signature, so its single
+        # per-length map dodges the per-block runs too
+        hybrid = J._entropy_boundaries(base, d, 1.0, 512)
+        assert set(k[0] for k in hybrid) == {""}
+        hybrid = {(b, L): v for (_, L), v in hybrid.items()
+                  for b in ("P", "Q")}
+        n_hybrid = J._adaptive_candidates(base, d, hybrid, ["blk"]).count()
+        assert n_hybrid < n_corpus / 10, (n_hybrid, n_corpus)
+
+    def test_blind_hybrid_results_match_even_path(self, spark):
+        """Exactness of the blind hybrid: with NO block column the
+        adaptive join (frequent-gram clustered boundaries) returns
+        exactly the even-split results on the per-block-template
+        corpus."""
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        df = self._block_hot(spark, n_per_block=60)
+        norm = lambda out: sorted(  # noqa: E731
+            (r.id_a, r.id_b, r.dist) for r in out.collect()
+        )
+        even = norm(fuzzy_self_join_segments(df, "t", "id"))
+        adap = norm(
+            fuzzy_self_join_segments(
+                df, "t", "id", adaptive_boundaries=True
+            )
+        )
+        assert adap == even and len(even) >= 2
+
+    def test_max_classes_caps_driver_map_and_stays_exact(self, spark):
+        """ADVICE r7: the boundary map collected to the driver is
+        hard-capped at max_classes, keeping the HOTTEST classes by
+        sampled count; dropped classes fall back to even splits on both
+        sides, so results are unchanged."""
+        from taar_gcp_etl_spark.operators import joins as J
+
+        df = self._block_hot(spark, n_per_block=60)
+        base = df.select(
+            F.col("id").alias("_id"),
+            F.col("t").alias("_orig"),
+            F.col("t").alias("_t"),
+            F.length("t").alias("_len"),
+            "blk",
+        )
+        capped = J._entropy_boundaries(
+            base, 2, 1.0, 512, block_cols=["blk"], max_classes=1
+        )
+        assert len(capped) == 1
+        # the kept class is one of the two (equal-mass) blocks
+        assert list(capped)[0][0] in ("P", "Q")
+        norm = lambda out: sorted(  # noqa: E731
+            (r.id_a, r.id_b) for r in out.collect()
+        )
+        full = J._entropy_boundaries(base, 2, 1.0, 512, block_cols=["blk"])
+        n_cap = norm(J._adaptive_candidates(base, 2, capped, ["blk"]))
+        n_full = norm(J._adaptive_candidates(base, 2, full, ["blk"]))
+        # capped candidates are a superset (even-split fallback for the
+        # dropped block is complete, just less selective)
+        assert set(n_full) <= set(n_cap) or len(n_cap) >= len(n_full)
 
     def test_block_keyed_adaptive_results_match_even_path(self, spark):
         """Exactness: the per-block adaptive join returns exactly the
