@@ -142,6 +142,7 @@ def main() -> None:
         v = layout.commit_clustered(
             li, TABLE, ["l_shipdate", "l_partkey"], n_files=N_FILES,
             bloom_cols=["l_orderkey"], bloom_m_bits=BLOOM_M_BITS,
+            slice_rows=4096,  # ~6 slices per ~23k-row file
         )
         print(f"  committed v{v}", file=sys.stderr)
 
@@ -183,6 +184,66 @@ def main() -> None:
     assert n_plain == n_pruned, (n_plain, n_pruned)
     assert n_plain > 0, "soak predicate matches no rows: vacuous measurement"
     out["matched_rows"] = n_plain
+
+    # 2b. row-group refinement (r8, VERDICT r7 #3): mid-selectivity
+    # probe on ONE clustered column. Z-boxes make every file's single-
+    # column envelope ~a quarter of the domain, so file-level maps keep
+    # far more rows than the probe needs; the manifest's row-group
+    # slices (exact data envelopes, slice_rows=4096 at commit) refine
+    # kept_rows toward true selectivity and drop envelope-overlapping
+    # files whose slices are all disjoint.
+    man = txn.latest_manifest(spark, TABLE)
+    types = man.get("stats_types", {})
+    mid_pred = [
+        ("l_shipdate", "between",
+         (datetime.datetime(1997, 3, 1), datetime.datetime(1997, 3, 31))),
+    ]
+
+    def env_overlaps(stats):
+        for c, op, val in mid_pred:
+            if c not in stats:
+                continue
+            lo = layout._from_jsonable(stats[c][0], types.get(c, ""))
+            hi = layout._from_jsonable(stats[c][1], types.get(c, ""))
+            if not layout._overlaps(lo, hi, op, val):
+                return False
+        return True
+
+    env_rows = rg_rows = env_files = 0
+    dropped_by_rg = 0
+    for e in man["files"]:
+        if not env_overlaps(e["stats"]):
+            continue
+        env_files += 1
+        env_rows += e["rows"]
+        kept = sum(
+            g["rows"] for g in e.get("row_groups", [])
+            if env_overlaps(g["stats"])
+        )
+        rg_rows += kept
+        if kept == 0:
+            dropped_by_rg += 1
+    rep_mid = layout.prune_report(spark, TABLE, mid_pred)
+    true_rows = spark.read.parquet(snap).filter(
+        layout._residual(mid_pred)
+    ).count()
+    out["rg_refinement"] = {
+        "envelope_kept_files": env_files,
+        "envelope_kept_rows_frac": round(env_rows / n_rows, 3),
+        "rg_kept_rows_frac": round(rg_rows / n_rows, 3),
+        "files_dropped_by_rg_gate": dropped_by_rg,
+        "prune_report_kept_rows_frac": round(
+            rep_mid["kept_rows"] / rep_mid["total_rows"], 3
+        ),
+        "true_selectivity": round(true_rows / n_rows, 3),
+    }
+    assert rep_mid["kept_rows"] == rg_rows  # report uses the rg model
+    assert true_rows > 0, "vacuous rg probe"
+    print(f"  rg refinement: envelope {env_files} files / "
+          f"{out['rg_refinement']['envelope_kept_rows_frac']} rows -> rg "
+          f"{out['rg_refinement']['rg_kept_rows_frac']} rows "
+          f"(true {out['rg_refinement']['true_selectivity']}; "
+          f"{dropped_by_rg} files dropped by slices)", file=sys.stderr)
 
     # 3. crossover: identical residual predicate on both paths
 

@@ -195,129 +195,109 @@ def write_clustered(
     )
 
 
+_RG_SLICE_ROWS = 32_768  # logical row-group granularity for manifests
+
+
 def collect_file_stats(
     spark: SparkSession,
     path: str,
     stats_cols: list[str],
     row_groups: bool = False,
+    slice_rows: int = _RG_SLICE_ROWS,
 ) -> list[dict]:
     """Zone maps for every parquet file under ``path``: one DISTRIBUTED
-    aggregation grouped by input_file_name — the collect is bounded at
-    one row per file (the same O(files) metadata every table format's
-    manifest carries). min/max ignore nulls (SQL agg semantics), which
-    is exactly what makes comparison-predicate pruning sound: a
-    predicate can only match non-null values, so non-null extrema are
-    the right envelope and an all-null file (null stats) is provably
-    disjoint from any comparison.
+    aggregation grouped by the file-source ``_metadata`` column — the
+    collect is bounded at one row per file (+ one per row-group slice,
+    below), the same O(files) metadata every table format's manifest
+    carries. min/max ignore nulls (SQL agg semantics), which is exactly
+    what makes comparison-predicate pruning sound: a predicate can only
+    match non-null values, so non-null extrema are the right envelope
+    and an all-null file (null stats) is provably disjoint from any
+    comparison.
 
-    ``row_groups=True`` additionally reads each file's parquet FOOTER
-    (distributed over executors, one small metadata read per file — no
-    data pages) and records per-row-group min/max as
-    ``row_groups: [{rows, stats}]`` on the entry. This gives the prune
-    cost gate sub-file selectivity for big bucket-locally-sorted files
-    whose file-level envelope is wide but whose row groups are narrow.
-    STRING/BINARY columns are excluded from row-group stats (parquet
-    writers may truncate binary min/max, which would understate the
-    upper bound — unsound for pruning; the reader's own internal
-    handling of truncated stats stays correct, we just don't plan on
-    them); numeric/date/timestamp footer stats are exact envelopes.
-    Footer-read failures degrade that file to file-level stats only."""
+    ``row_groups=True`` additionally records per-slice min/max as
+    ``row_groups: [{rows, stats}]`` on each entry, where a slice is
+    ``slice_rows`` consecutive rows by the file's own row order
+    (``_metadata.row_index``). This gives the prune cost gate sub-file
+    selectivity for big bucket-locally-sorted files whose file-level
+    envelope is wide but whose slices are narrow. Both granularities
+    come from the SAME single rollup pass over the just-written data —
+    no parquet footer is ever opened, so (r8, closing the r7 gap) the
+    stats survive object storage exactly like the file-level ones: the
+    old implementation re-opened each file via a LOCAL-path pyarrow
+    footer read, which silently degraded to file-level stats on any
+    non-local filesystem. Slices are exact data-computed envelopes, so
+    string/timestamp columns participate too (the footer path had to
+    exclude binary-backed columns against writer truncation) and there
+    is no tz-normalization seam. Soundness does not depend on slices
+    aligning with PHYSICAL parquet row groups: slices partition the
+    file, so "every slice disjoint" still proves the file has no
+    matching rows, and the residual pushed onto the base scan lets the
+    parquet reader do its own native row-group skipping inside kept
+    files."""
     df = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    rows = (
-        df.withColumn("_file", F.input_file_name())
-        .groupBy("_file")
-        .agg(*aggs)
-        .collect()
-    )
+
+    def entry_of(r) -> dict:
+        stats = {}
+        for c in stats_cols:
+            stats[c] = [_jsonable(r[f"_min_{c}"]), _jsonable(r[f"_max_{c}"])]
+        return {"rows": r["_rows"], "stats": stats}
+
     marker = path.rstrip("/") + "/"
-    out = []
-    for r in rows:
-        uri = r["_file"]
+
+    def rel_name(uri: str) -> str:
         # name relative to the snapshot dir (keeps hive-partition
         # subdirs like _bucket=N/ for bucketed layouts; plain layouts
         # reduce to the basename)
-        name = uri.split(marker, 1)[1] if marker in uri else uri.rsplit("/", 1)[1]
-        stats = {}
-        for c in stats_cols:
-            lo, hi = r[f"_min_{c}"], r[f"_max_{c}"]
-            stats[c] = [_jsonable(lo), _jsonable(hi)]
-        out.append({"file": name, "rows": r["_rows"], "stats": stats})
-    out = sorted(out, key=lambda d: d["file"])
-    if row_groups and out:
-        root = path.rstrip("/")
-        if root.startswith("file:"):
-            root = root[len("file:"):]
-        names = [e["file"] for e in out]
-        sc = spark.sparkContext
-        rg_by_name = dict(
-            sc.parallelize(names, min(len(names), 64)).map(
-                lambda n: (n, _footer_rowgroup_stats(f"{root}/{n}", stats_cols))
-            ).collect()
+        return (
+            uri.split(marker, 1)[1] if marker in uri else uri.rsplit("/", 1)[1]
         )
-        for e in out:
-            rgs = rg_by_name.get(e["file"])
-            if rgs:
-                e["row_groups"] = rgs
+
+    if not row_groups:
+        rows = (
+            df.withColumn("_file", F.col("_metadata.file_path"))
+            .groupBy("_file")
+            .agg(*aggs)
+            .collect()
+        )
+        out = [
+            {"file": rel_name(r["_file"]), **entry_of(r)} for r in rows
+        ]
+        return sorted(out, key=lambda d: d["file"])
+
+    rows = (
+        df.select(
+            F.col("_metadata.file_path").alias("_file"),
+            F.floor(F.col("_metadata.row_index") / slice_rows).alias(
+                "_slice"
+            ),
+            *[F.col(c) for c in stats_cols],
+        )
+        .rollup("_file", "_slice")
+        .agg(*aggs, F.grouping("_file").alias("_gf"),
+             F.grouping("_slice").alias("_gs"))
+        .filter(F.col("_gf") == 0)  # drop the grand-total row
+        .collect()
+    )
+    files: dict[str, dict] = {}
+    slices: dict[str, list] = {}
+    for r in rows:
+        name = rel_name(r["_file"])
+        if r["_gs"] == 1:  # file-level rollup row
+            files[name] = {"file": name, **entry_of(r)}
+        else:
+            slices.setdefault(name, []).append((r["_slice"], entry_of(r)))
+    out = []
+    for name in sorted(files):
+        e = files[name]
+        e["row_groups"] = [
+            s for _, s in sorted(slices.get(name, []), key=lambda t: t[0])
+        ]
+        out.append(e)
     return out
-
-
-def _footer_rowgroup_stats(
-    abs_path: str, stats_cols: list[str]
-) -> list[dict] | None:
-    """Per-row-group [{rows, stats}] from one parquet footer, or None
-    when the footer isn't readable through pyarrow (non-local
-    filesystem, corrupt file) — the caller degrades to file-level
-    stats. Binary-backed columns are skipped (truncation soundness,
-    see collect_file_stats); a row group whose stats are missing for a
-    column simply contributes no envelope for it (kept conservatively
-    by the pruner)."""
-    try:
-        import pyarrow.parquet as pq
-
-        md = pq.ParquetFile(abs_path).metadata
-    except Exception:
-        return None
-    schema = md.schema
-    safe_idx = {}
-    for i in range(md.num_columns):
-        col = schema.column(i)
-        if (
-            col.name in stats_cols
-            and col.physical_type
-            not in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY", "INT96")
-        ):
-            safe_idx[col.name] = i
-    groups = []
-    for g in range(md.num_row_groups):
-        rg = md.row_group(g)
-        st = {}
-        for c, i in safe_idx.items():
-            s = rg.column(i).statistics
-            if s is None or not s.has_min_max:
-                continue
-            st[c] = [
-                _jsonable(_naive_utc(s.min)), _jsonable(_naive_utc(s.max))
-            ]
-        groups.append({"rows": rg.num_rows, "stats": st})
-    return groups
-
-
-def _naive_utc(v):
-    """pyarrow returns TIMESTAMP_MICROS/MILLIS statistics as tz-AWARE
-    (UTC) datetimes, while Spark's collect() — the file-level stats
-    path — returns naive datetimes in the session timezone (pinned UTC
-    throughout this repo, session.py/queries._pin_session). Mixing the
-    two in one envelope makes naive-vs-aware comparisons raise
-    TypeError inside the pruner, so row-group datetime stats normalize
-    to the same naive-UTC representation here."""
-    import datetime
-
-    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-    return v
 
 
 def _bloom_positions_col(c: str, m_bits: int, k: int):
@@ -496,13 +476,17 @@ def commit_clustered(
     bloom_cols: list[str] | None = None,
     bloom_m_bits: int = 1 << 16,
     bloom_k: int = 5,
+    slice_rows: int = _RG_SLICE_ROWS,
 ) -> int | None:
     """Commit ``df`` as the table's next version, Z-clustered on
     ``zorder_by`` with per-file zone maps for ``stats_cols`` (defaults
-    to the zorder columns) recorded in the manifest. Atomicity,
-    epoch-replay skip, and CAS retry semantics are txn.commit_txn's;
-    the snapshot is written clustered and the manifest carries the
-    ``files`` list scan_pruned plans against.
+    to the zorder columns) recorded in the manifest — at file AND
+    row-group-slice granularity (``slice_rows`` rows per slice; size it
+    ~1/8 of the expected file rows so mid-selectivity probes can prune
+    inside files whose envelope is wide). Atomicity, epoch-replay skip,
+    and CAS retry semantics are txn.commit_txn's; the snapshot is
+    written clustered and the manifest carries the ``files`` list
+    scan_pruned plans against.
 
     ``require_parent`` pins a read-modify-write caller's expectation of
     the version being replaced (optimize_zorder rewrites the snapshot
@@ -553,7 +537,8 @@ def commit_clustered(
             "clustered_by": zorder_by,
             "stats_types": {c: dtypes[c] for c in stats_cols},
             "files": collect_file_stats(
-                spark, snap_abs, stats_cols, row_groups=True
+                spark, snap_abs, stats_cols, row_groups=True,
+                slice_rows=slice_rows,
             ),
         }
         if bloom_cols:
@@ -583,6 +568,7 @@ def optimize_zorder(
     n_files: int = 16,
     stats_cols: list[str] | None = None,
     bits: int = 8,
+    slice_rows: int = _RG_SLICE_ROWS,
 ) -> int | None:
     """Table maintenance à la Delta ``OPTIMIZE ... ZORDER BY``: rewrite
     the CURRENT snapshot clustered and commit it as the next version.
@@ -609,6 +595,7 @@ def optimize_zorder(
                 bits=bits,
                 max_attempts=1,
                 require_parent=man["version"],
+                slice_rows=slice_rows,
             )
         except RuntimeError:
             continue  # lost the slot: loop re-reads the fresh state

@@ -807,7 +807,22 @@ def stream_sync_aggregate(
     file-stream checkpoint composes to exactly-once on the store, with
     no marker files. The batch's manifest CONTENT is ignored on
     purpose: reading it would race with log vacuuming, while "at least
-    one new version exists" is all a trigger needs to know."""
+    one new version exists" is all a trigger needs to know.
+
+    Failure posture: a sync that THROWS inside the trigger fails the
+    stream (StreamingQueryException) with the store cursor unmoved —
+    at-least-once retry is the correct default for transient faults
+    (the next start re-runs the sync idempotently). But the retry is
+    NOT bounded here: a persistently poisoned source version (schema
+    break, corrupt file) will fail every restart until an operator
+    intervenes — by fixing the source and restarting, or by rebuilding
+    the store from scratch (drop the store dir; the next sync's
+    cold-start path full-aggregates the live rows and sets the cursor
+    to the latest version, jumping past the poisoned diff). Wrap
+    restarts with external max-retry/alerting policy; this operator
+    deliberately does not skip versions on its own, because a silently
+    skipped commit is an unbounded store divergence, while a stopped
+    stream is a visible page."""
     from taar_gcp_etl_spark import txn
 
     def tick(batch_df: DataFrame, epoch_id: int) -> None:

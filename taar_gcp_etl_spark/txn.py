@@ -323,16 +323,31 @@ class ConditionalPutManifestPublisher:
     whole object or nothing, which is exactly the semantics the commit
     protocol needs."""
 
-    @staticmethod
-    def _is_already_exists(e: Exception) -> bool:
+    # Extension point (ADVICE r7): cause-chain CLASS-NAME markers that
+    # identify "destination already exists" for specific storage
+    # connectors whose lost-race surfaces as a generic wrapper class
+    # with the detail buried in a nested cause message (which the
+    # narrowed free-text rule deliberately no longer reads). Deployments
+    # add their connector's exception class-name substrings here —
+    # e.g. a conditional-PUT connector whose 412 response is wrapped —
+    # as they are encountered; matching stays class-name-based, so an
+    # unrelated IO failure cannot be swallowed into the retry loop.
+    ALREADY_EXISTS_CAUSE_MARKERS: set[str] = {
+        "AlreadyExists",  # Hadoop (File)AlreadyExistsException family
+        "PreconditionFailed",  # HTTP 412 conditional-PUT family
+    }
+
+    @classmethod
+    def _is_already_exists(cls_, e: Exception) -> bool:
         """True iff the create failed because the destination object
         already exists — the conditional-PUT 412 / Hadoop
         (File)AlreadyExistsException family. The Java CAUSE CHAIN is
-        matched on exception CLASS NAMES only; the free-text "already
-        exists" match applies solely to the TOP-LEVEL message (ADVICE
-        r6: an unrelated IO failure whose nested cause merely mentions
-        an existing file must surface, not be swallowed into the
-        retry loop as a lost race)."""
+        matched on exception CLASS NAMES only (markers in
+        ``ALREADY_EXISTS_CAUSE_MARKERS``, extensible per deployment);
+        the free-text "already exists" match applies solely to the
+        TOP-LEVEL message (ADVICE r6: an unrelated IO failure whose
+        nested cause merely mentions an existing file must surface, not
+        be swallowed into the retry loop as a lost race)."""
         seen = set()
         je = getattr(e, "java_exception", None)
         top = je is None  # no JVM chain → e itself is the top level
@@ -344,8 +359,7 @@ class ConditionalPutManifestPublisher:
             except Exception:
                 break
             if (
-                "AlreadyExists" in cls
-                or "PreconditionFailed" in cls
+                any(m in cls for m in cls_.ALREADY_EXISTS_CAUSE_MARKERS)
                 or "already exists" in msg.lower()
             ):
                 return True
@@ -358,7 +372,10 @@ class ConditionalPutManifestPublisher:
         # Plain Python exception: str(e) IS the direct message (no
         # cause chain rides along, unlike py4j's stringified trace).
         text = f"{type(e).__name__}: {e}"
-        return "AlreadyExists" in text or "already exists" in text.lower()
+        return (
+            any(m in text for m in cls_.ALREADY_EXISTS_CAUSE_MARKERS)
+            or "already exists" in text.lower()
+        )
 
     def put_if_absent(
         self, spark: SparkSession, final: str, data: bytes, token: str
@@ -816,10 +833,10 @@ def apply_cdc_batch_bucketed(
     files of that many rows, so per-file zone maps stay narrow even
     after every row has been re-merged many times. Without it, churn
     converges per-file stats to the full range (r6 soak: 44% kept for
-    a 1-of-8-days filter) and pruning dies. Row-group stats from the
-    written files' parquet footers ride in the manifest alongside, so
-    the IVM prune cost gate can see sub-file selectivity for big
-    sorted files.
+    a 1-of-8-days filter) and pruning dies. Row-group-slice stats ride
+    in the manifest alongside (collected in the same single stats pass,
+    ~8 slices per rolled file — see collect_file_stats), so the IVM
+    prune cost gate can see sub-file selectivity for big sorted files.
 
     The flat transactional apply rewrites O(table) per micro-batch:
     right for dimension tables, ruinous for a fact-sized keyed table
@@ -979,6 +996,7 @@ def apply_cdc_batch_bucketed(
                 file_stats[snap_rel] = collect_file_stats(
                     spark, f"{table_dir}/{snap_rel}", eff_stats_cols,
                     row_groups=True,
+                    slice_rows=_slice_rows_for(eff_file_rows),
                 )
         # drop stats of dirs no longer referenced by any bucket
         live_dirs = set(mapping.values())
@@ -1217,6 +1235,20 @@ def _clustered_for_write(
     )
 
 
+def _slice_rows_for(file_rows: int | None) -> int:
+    """Row-group-slice granularity for manifest stats, derived from the
+    table's file rolling: ~8 slices per rolled file (floor 1024 so tiny
+    test tables don't explode the manifest), falling back to the layout
+    module's default when no rolling is configured. Slices are exact
+    data-computed envelopes (collect_file_stats), so finer granularity
+    only costs manifest bytes, never soundness."""
+    from taar_gcp_etl_spark.layout import _RG_SLICE_ROWS
+
+    if not file_rows:
+        return _RG_SLICE_ROWS
+    return max(1024, int(file_rows) // 8)
+
+
 def _rolled_writer(df: DataFrame, target_file_rows: int | None):
     """partitionBy-ready writer that rolls output files at
     ``target_file_rows`` rows — combined with the bucket-local sort,
@@ -1276,7 +1308,8 @@ def _full_rewrite_manifest(
         manifest["stats_cols"] = sc
         manifest["file_stats"] = {
             snap_rel: collect_file_stats(
-                spark, f"{table_dir}/{snap_rel}", sc, row_groups=True
+                spark, f"{table_dir}/{snap_rel}", sc, row_groups=True,
+                slice_rows=_slice_rows_for(man.get("cluster_rows")),
             )
         }
         types = dict(schema_fields)
@@ -1829,13 +1862,29 @@ def _pruned_live_for_groups(
     so the pruned scan is a superset of the rows the semi-join keeps.
     A NULL touched key defeats range/in predicates (comparisons never
     match null), so that column contributes no filter; if no column
-    can contribute, fall back rather than prune unsoundly."""
+    can contribute, fall back rather than prune unsoundly.
+
+    Composite keys (r8, NEXT r8 #5): ALL atomic-typed group keys
+    contribute filters, not just the stats-covered ones. The manifest
+    plan prices files on whichever filters have zone-map/row-group
+    stats (_cdc_prune_plan skips unknown columns conservatively), while
+    the residual scan_cdc_pruned pushes onto the base scan carries
+    every filter — so for a store keyed (day, region) where only day is
+    stats-covered, the region in-list still skips row groups via the
+    parquet reader's native stats and shrinks the semi-join's probe
+    input. At least one stats-covered key must contribute, or no FILE
+    can be pruned and the scan construction cost buys nothing."""
     if "file_stats" not in man or "buckets" not in man:
         return None
     stat_cols = set(man.get("stats_cols") or [])
-    cols = [k for k in group_keys if k in stat_cols]
-    if not cols:
+    if not any(k in stat_cols for k in group_keys):
         return None
+    atomic = {
+        f.name
+        for f in touched.schema.fields
+        if not f.dataType.typeName() in ("array", "map", "struct")
+    }
+    cols = [k for k in group_keys if k in atomic]
     # one bounded job: nulls + bounds per candidate column
     aggs = []
     for k in cols:
@@ -1862,8 +1911,8 @@ def _pruned_live_for_groups(
             filters.append(
                 (k, "between", (stats[f"_min_{k}"], stats[f"_max_{k}"]))
             )
-    if not filters:
-        return None
+    if not any(c in stat_cols for c, _, _ in filters):
+        return None  # residual-only filters can't skip any file
     # cost gate (metadata-only): a prune that keeps most of the BYTES
     # pays the many-small-reads scan construction without saving IO —
     # the r6 sf1 soak measured a hash-bucket-mixed table keeping 44% of
