@@ -190,6 +190,28 @@ def main() -> None:
             )
     except OSError:
         pass  # read-only checkout — the stdout line still carries the headline
+    try:
+        # append-only trend ledger: cross-round regressions become one
+        # diff of docs/bench_trend.jsonl instead of N BENCH_r*.json reads
+        with open(
+            os.path.join(os.path.dirname(full_path), "bench_trend.jsonl"), "a"
+        ) as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": int(time.time()),
+                        "sf": sf,
+                        "n_queries": len(warm),
+                        "value": total_warm,
+                        "adjusted_total": adjusted_total,
+                        "cold": total_cold,
+                        "n_ambient": len(ambient),
+                    }
+                )
+                + "\n"
+            )
+    except OSError:
+        pass
 
     # Stdout line: headline totals + as many of the slowest (warm) queries
     # as fit the byte budget, so the driver's 2000-byte tail always parses.

@@ -246,14 +246,23 @@ def collect_file_stats(
             stats[c] = [_jsonable(r[f"_min_{c}"]), _jsonable(r[f"_max_{c}"])]
         return {"rows": r["_rows"], "stats": stats}
 
-    marker = path.rstrip("/") + "/"
+    import re
+
+    def path_tail(s: str) -> str:
+        # scheme- and leading-slash-insensitive form, so the marker
+        # match survives the reader reporting "file:///x" (or
+        # "s3a://bucket/x") for a table dir passed as "/x" / "file:/x"
+        return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/*", "", s).lstrip("/")
+
+    marker = path_tail(path.rstrip("/")) + "/"
 
     def rel_name(uri: str) -> str:
         # name relative to the snapshot dir (keeps hive-partition
         # subdirs like _bucket=N/ for bucketed layouts; plain layouts
         # reduce to the basename)
+        u = path_tail(uri)
         return (
-            uri.split(marker, 1)[1] if marker in uri else uri.rsplit("/", 1)[1]
+            u.split(marker, 1)[1] if marker in u else uri.rsplit("/", 1)[1]
         )
 
     if not row_groups:

@@ -2649,6 +2649,21 @@ class TestClusteredRewritePruning:
         import inspect
 
         assert "import pyarrow" not in inspect.getsource(layout)
+        # hive-partition subdirs survive a scheme-prefixed table path
+        # (the old substring marker never matched 'file:' vs
+        # 'file:///', silently degrading bucketed file names to
+        # basenames — wrong pruned paths)
+        p3 = str(tmp_path / "rg3")
+        spark.createDataFrame(
+            [(i % 2, i) for i in range(8)], "b int, v long"
+        ).write.partitionBy("b").parquet(p3)
+        names = sorted(
+            e["file"]
+            for e in collect_file_stats(
+                spark, f"file:{p3}", ["v"], row_groups=True
+            )
+        )
+        assert len(names) > 1 and all(n.startswith("b=") for n in names)
 
     def test_timestamp_stats_col_prunes_without_tz_clash(
         self, spark, tmp_path
