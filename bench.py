@@ -80,10 +80,18 @@ def adjudicate(
     within `threshold` of prior (swing didn't reproduce) or more than
     `threshold` away from this round's own warm number (run-to-run
     unstable) flags the query `ambient`. Returns (rerun, ambient,
-    adjusted_total) where adjusted_total substitutes each ambient
-    query's rerun value into the warm total — the headline a quiet
-    host would have produced. Pure in (warm, prior, rerun results), so
-    tests replay a polluted round's map against its quiet-host truth.
+    adjusted_total) where adjusted_total substitutes MIN(warm, rerun)
+    for each ambient query — the headline a quiet host would have
+    produced. The min matters (review fix): when the RERUN itself is
+    the load-polluted measurement (warm 2.0s real regression, rerun
+    3.0s under a load spike), substituting the rerun would inflate the
+    adjusted headline above what was actually measured; min never
+    exceeds a measured value. The ambient FLAG on such a query still
+    records that the measurement was unstable — one rerun cannot
+    distinguish 'regression measured under noise' from 'noise' — but
+    the charged time stays honest. Pure in (warm, prior, rerun
+    results), so tests replay a polluted round's map against its
+    quiet-host truth.
     """
     swings = sorted(
         (
@@ -105,7 +113,11 @@ def adjudicate(
     )
     ambient_set = set(ambient)
     adjusted_total = round(
-        sum(rerun[n] if n in ambient_set else v for n, v in warm.items()), 3
+        sum(
+            min(v, rerun[n]) if n in ambient_set else v
+            for n, v in warm.items()
+        ),
+        3,
     )
     return rerun, ambient, adjusted_total
 
@@ -225,12 +237,14 @@ def main() -> None:
         "cold": total_cold,
         "n_queries": len(warm),
         "n_rerun": len(rerun),
+        "n_ambient": len(ambient),  # survives list truncation below
         "ambient": ambient,
         "queries": {},
     }
     # The full rerun map lives in bench_full.json; stdout carries the
     # ambient names only, truncated if a heavily polluted round would
-    # otherwise blow the driver's 2000-byte tail before any query fits.
+    # otherwise blow the driver's 2000-byte tail before any query fits
+    # (n_ambient stays, so truncation is visible).
     while ambient and len(json.dumps(payload, separators=(",", ":"))) > (
         STDOUT_LINE_BUDGET - 600
     ):

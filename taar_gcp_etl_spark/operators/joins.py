@@ -346,12 +346,19 @@ def _blind_cluster_sig(expr: DataFrame, n_sampled: int):
     collect (<= _BLIND_MAX_GRAMS rows); the signature is a pure column
     expression over it."""
     grams = (
-        expr.select(
+        # strings shorter than the gram contribute nothing: Spark's
+        # sequence(1, 0) is the DESCENDING [1, 0], not empty, so
+        # without the length guard every short string would emit its
+        # whole text twice as a pseudo-gram and frequent short values
+        # ('N/A', country codes) would crowd real template markers out
+        # of the bounded vocabulary (review fix, verified on 4.1.2)
+        expr.filter(F.length("_t") >= _BLIND_GRAM)
+        .select(
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        f"transform(sequence(1, greatest(length(_t) - "
-                        f"{_BLIND_GRAM - 1}, 0)), "
+                        f"transform(sequence(1, length(_t) - "
+                        f"{_BLIND_GRAM - 1}), "
                         f"i -> substring(_t, i, {_BLIND_GRAM}))"
                     )
                 )

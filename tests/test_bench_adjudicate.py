@@ -99,6 +99,18 @@ class TestGenuineChanges:
         assert ambient == ["q"]
         assert adjusted == round(1.02 + 1.0, 3)
 
+    def test_polluted_rerun_never_inflates_adjusted_total(self):
+        """Review fix: warm shows a real 2x regression, but the RERUN
+        lands at 3.0s because a load spike hit it — the unstable rule
+        flags the query (one rerun can't disambiguate), yet the
+        adjusted total must charge min(warm, rerun)=2.0, never a value
+        above what was actually measured."""
+        prior = {"q": 1.0}
+        warm = {"q": 2.0}
+        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 3.0)
+        assert ambient == ["q"]  # unstable: honestly flagged
+        assert adjusted == 2.0  # but never inflated past a measurement
+
     def test_small_queries_below_floor_ignored(self):
         """Sub-0.3 s queries swing wildly from scheduler noise — never
         re-run them."""

@@ -1329,15 +1329,41 @@ class TestAdaptiveSegmentBoundaries:
         assert len(capped) == 1
         # the kept class is one of the two (equal-mass) blocks
         assert list(capped)[0][0] in ("P", "Q")
-        norm = lambda out: sorted(  # noqa: E731
-            (r.id_a, r.id_b) for r in out.collect()
-        )
         full = J._entropy_boundaries(base, 2, 1.0, 512, block_cols=["blk"])
-        n_cap = norm(J._adaptive_candidates(base, 2, capped, ["blk"]))
-        n_full = norm(J._adaptive_candidates(base, 2, full, ["blk"]))
-        # capped candidates are a superset (even-split fallback for the
-        # dropped block is complete, just less selective)
-        assert set(n_full) <= set(n_cap) or len(n_cap) >= len(n_full)
+
+        def verified(bmap):
+            # candidates -> exact levenshtein verify, the shape
+            # fuzzy_self_join_segments composes: candidate sets under
+            # different boundary schemes legitimately differ (each is
+            # complete for true pairs, not a superset of the other),
+            # so RESULT equality is the right exactness assertion
+            texts = base.select("_id", "_t")
+            cand = J._adaptive_candidates(base, 2, bmap, ["blk"])
+            out = (
+                cand.join(
+                    texts.select(
+                        F.col("_id").alias("id_a"),
+                        F.col("_t").alias("_t_a"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    texts.select(
+                        F.col("_id").alias("id_b"),
+                        F.col("_t").alias("_t_b"),
+                    ),
+                    "id_b",
+                )
+                .filter(F.levenshtein("_t_a", "_t_b") <= 2)
+            )
+            return sorted((r.id_a, r.id_b) for r in out.collect())
+
+        res_cap, res_full = verified(capped), verified(full)
+        # the dropped class's even-split fallback loses NOTHING: final
+        # results identical, and the planted pairs are in them
+        assert res_cap == res_full
+        assert (90000 in {a for a, _ in res_cap}
+                or 90000 in {b for _, b in res_cap})
 
     def test_block_keyed_adaptive_results_match_even_path(self, spark):
         """Exactness: the per-block adaptive join returns exactly the
