@@ -195,7 +195,7 @@ def write_clustered(
     )
 
 
-_RG_SLICE_ROWS = 32_768  # logical row-group granularity for manifests
+_RG_SLICE_ROWS = 32_768  # fallback slice granularity (no file-size signal)
 
 
 def collect_file_stats(
@@ -203,7 +203,7 @@ def collect_file_stats(
     path: str,
     stats_cols: list[str],
     row_groups: bool = False,
-    slice_rows: int = _RG_SLICE_ROWS,
+    slice_rows: int | None = None,
 ) -> list[dict]:
     """Zone maps for every parquet file under ``path``: one DISTRIBUTED
     aggregation grouped by the file-source ``_metadata`` column — the
@@ -218,7 +218,12 @@ def collect_file_stats(
     ``row_groups=True`` additionally records per-slice min/max as
     ``row_groups: [{rows, stats}]`` on each entry, where a slice is
     ``slice_rows`` consecutive rows by the file's own row order
-    (``_metadata.row_index``). This gives the prune cost gate sub-file
+    (``_metadata.row_index``). ``slice_rows=None`` (default) sizes
+    slices automatically at ~1/8 of the MEDIAN file's rows (floor 1024,
+    one cheap zero-column count pass over the just-written dir), so
+    every layout gets sub-file granularity without a knob; pass an
+    explicit value when the caller already knows the rolled file size
+    (the CDC path derives it from the sticky target_file_rows). This gives the prune cost gate sub-file
     selectivity for big bucket-locally-sorted files whose file-level
     envelope is wide but whose slices are narrow. Both granularities
     come from the SAME single rollup pass over the just-written data —
@@ -277,6 +282,15 @@ def collect_file_stats(
         ]
         return sorted(out, key=lambda d: d["file"])
 
+    if slice_rows is None:
+        counts = sorted(
+            r[1]
+            for r in df.groupBy(
+                F.col("_metadata.file_path")
+            ).count().collect()
+        )
+        med = counts[len(counts) // 2] if counts else 0
+        slice_rows = max(1024, med // 8)
     rows = (
         df.select(
             F.col("_metadata.file_path").alias("_file"),
@@ -485,7 +499,7 @@ def commit_clustered(
     bloom_cols: list[str] | None = None,
     bloom_m_bits: int = 1 << 16,
     bloom_k: int = 5,
-    slice_rows: int = _RG_SLICE_ROWS,
+    slice_rows: int | None = None,
 ) -> int | None:
     """Commit ``df`` as the table's next version, Z-clustered on
     ``zorder_by`` with per-file zone maps for ``stats_cols`` (defaults
@@ -577,7 +591,7 @@ def optimize_zorder(
     n_files: int = 16,
     stats_cols: list[str] | None = None,
     bits: int = 8,
-    slice_rows: int = _RG_SLICE_ROWS,
+    slice_rows: int | None = None,
 ) -> int | None:
     """Table maintenance à la Delta ``OPTIMIZE ... ZORDER BY``: rewrite
     the CURRENT snapshot clustered and commit it as the next version.

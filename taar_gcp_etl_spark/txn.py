@@ -1235,17 +1235,16 @@ def _clustered_for_write(
     )
 
 
-def _slice_rows_for(file_rows: int | None) -> int:
+def _slice_rows_for(file_rows: int | None) -> int | None:
     """Row-group-slice granularity for manifest stats, derived from the
     table's file rolling: ~8 slices per rolled file (floor 1024 so tiny
-    test tables don't explode the manifest), falling back to the layout
-    module's default when no rolling is configured. Slices are exact
-    data-computed envelopes (collect_file_stats), so finer granularity
-    only costs manifest bytes, never soundness."""
-    from taar_gcp_etl_spark.layout import _RG_SLICE_ROWS
-
+    test tables don't explode the manifest). Without configured rolling,
+    None hands the choice to collect_file_stats' auto-sizing (median
+    file rows / 8 from a cheap count pass). Slices are exact
+    data-computed envelopes, so finer granularity only costs manifest
+    bytes, never soundness."""
     if not file_rows:
-        return _RG_SLICE_ROWS
+        return None
     return max(1024, int(file_rows) // 8)
 
 

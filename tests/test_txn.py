@@ -2623,6 +2623,32 @@ class TestClusteredRewritePruning:
         assert rgs[0]["stats"]["name"] == ["s00", "s09"]
         assert rgs[3]["stats"]["name"] == ["s30", "s39"]
 
+    def test_rowgroup_slice_auto_sizing(self, spark, tmp_path):
+        """slice_rows=None sizes slices at ~1/8 of the median file's
+        rows (floor 1024) from a cheap count pass — unrolled layouts
+        get sub-file granularity without a knob."""
+        from taar_gcp_etl_spark.layout import collect_file_stats
+
+        p = str(tmp_path / "rga")
+        spark.createDataFrame(
+            [(i // 2500, i) for i in range(20_000)], "day long, v long"
+        ).coalesce(1).sortWithinPartitions("day").write.parquet(p)
+        entries = collect_file_stats(spark, p, ["day"], row_groups=True)
+        assert len(entries) == 1
+        rgs = entries[0]["row_groups"]
+        # 20000 // 8 = 2500 rows/slice -> 8 slices, one per day
+        assert len(rgs) == 8
+        assert [g["stats"]["day"] for g in rgs] == [
+            [d, d] for d in range(8)
+        ]
+        # tiny files: floor keeps one slice, never an explosion
+        p2 = str(tmp_path / "rgb")
+        spark.createDataFrame(
+            [(i, i) for i in range(64)], "day long, v long"
+        ).coalesce(1).write.parquet(p2)
+        entries = collect_file_stats(spark, p2, ["day"], row_groups=True)
+        assert len(entries[0]["row_groups"]) == 1
+
     def test_rowgroup_stats_survive_nonlocal_path_form(self, spark, tmp_path):
         """r8 (VERDICT r7 'What's missing' #2): the old implementation
         re-opened each file via a LOCAL-path pyarrow footer read and
