@@ -332,10 +332,10 @@ _BLIND_GRAM = 8  # frequent-gram length for blind template clustering
 _BLIND_MAX_GRAMS = 128  # marker-gram vocabulary cap (bounded collect)
 
 
-def _blind_cluster_sig(expr: DataFrame, n_sampled: int):
+def _blind_cluster_sig(expr: DataFrame, n_sampled: int, gram: int):
     """Template-marker signature for CORPUS-BLIND boundary estimation
     (NEXT.md r8 #3): mine the sample for frequent fixed-content
-    substrings (``_BLIND_GRAM``-grams occurring in >= max(16, n/1000)
+    substrings (``gram``-length grams occurring in >= max(16, n/1000)
     sampled strings — a block-local template leaves its literal content
     as exactly such grams), then sign each string with the sorted set
     of marker grams it contains. Strings of one template share its
@@ -344,7 +344,13 @@ def _blind_cluster_sig(expr: DataFrame, n_sampled: int):
     strings) yield no frequent grams and return None (single class —
     the r6 corpus-wide behavior). The marker vocabulary is a bounded
     collect (<= _BLIND_MAX_GRAMS rows); the signature is a pure column
-    expression over it."""
+    expression over it.
+
+    ``gram`` is sized by the caller to the corpus: a constant run can
+    only ever host a hot piece when it is at least one piece long
+    (~len/(d+1)), so the mining gram must be no longer than that —
+    short entity strings (len < 3x8 at d=2) need shorter grams or
+    their per-cluster runs are invisible to the fixed 8-gram."""
     grams = (
         # strings shorter than the gram contribute nothing: Spark's
         # sequence(1, 0) is the DESCENDING [1, 0], not empty, so
@@ -352,14 +358,14 @@ def _blind_cluster_sig(expr: DataFrame, n_sampled: int):
         # whole text twice as a pseudo-gram and frequent short values
         # ('N/A', country codes) would crowd real template markers out
         # of the bounded vocabulary (review fix, verified on 4.1.2)
-        expr.filter(F.length("_t") >= _BLIND_GRAM)
+        expr.filter(F.length("_t") >= gram)
         .select(
             F.explode(
                 F.array_distinct(
                     F.expr(
                         f"transform(sequence(1, length(_t) - "
-                        f"{_BLIND_GRAM - 1}), "
-                        f"i -> substring(_t, i, {_BLIND_GRAM}))"
+                        f"{gram - 1}), "
+                        f"i -> substring(_t, i, {gram}))"
                     )
                 )
             ).alias("_g")
@@ -457,7 +463,16 @@ def _entropy_boundaries(
     n_sampled = max(1, int(n * sample_frac))
 
     if blind and blind_clusters:
-        sig = _blind_cluster_sig(expr, n_sampled)
+        # gram no longer than a piece (~median_len/(d+1), capped at
+        # _BLIND_GRAM, floor 4): a within-cluster constant run matters
+        # exactly when it can host a whole piece, and a gram longer
+        # than the run cannot see it (short entity strings would make
+        # every template invisible to the fixed 8-gram)
+        med_len = expr.agg(
+            F.percentile_approx("_l", 0.5).alias("m")
+        ).first()["m"] or 0
+        gram = max(4, min(_BLIND_GRAM, int(med_len) // (d + 1)))
+        sig = _blind_cluster_sig(expr, n_sampled, gram)
         cls = sig if sig is not None else F.lit("")
     else:
         cls = F.col("_bk")

@@ -1287,6 +1287,70 @@ class TestAdaptiveSegmentBoundaries:
         n_hybrid = J._adaptive_candidates(base, d, hybrid, ["blk"]).count()
         assert n_hybrid < n_corpus / 10, (n_hybrid, n_corpus)
 
+    def test_blind_gram_adapts_to_short_strings(self, spark):
+        """Short entity strings (18 chars): a 6-char block-specific
+        constant run can host a whole piece (piece ~ 6 at d=2) yet is
+        invisible to a fixed 8-gram — the gram length must shrink to
+        ~median_len/(d+1) so the template markers are mined and the
+        blind boundaries dodge the run. Results stay exactly the even
+        path's."""
+        import random
+
+        from taar_gcp_etl_spark.operators import joins as J
+
+        random.seed(17)
+
+        def rnd(k):  # 8-letter flanks: globally LESS diverse per
+            # position than the ~10-digit run positions, but rich
+            # enough that short flank pieces still discriminate 1k
+            # strings (4-letter flanks made EVERY scheme collide)
+            return "".join(random.choice("abcdefgh") for _ in range(k))
+
+        # 20 latent blocks, each with a distinct 6-digit run at
+        # positions 7-12: per-position global diversity of the run
+        # (~10 digits) EXCEEDS the flanks' (4 letters), so corpus-wide
+        # entropy pulls the middle piece INTO the run — one hot key per
+        # block. The run is 6 chars: a whole piece fits in it (18/3),
+        # but a fixed 8-gram cannot, so only the length-adapted gram
+        # mining can see the template markers.
+        rows = []
+        for bi in range(20):
+            run = f"{(bi * 53421 + 123456) % 1000000:06d}"
+            for i in range(50):
+                rows.append((bi * 10000 + i, rnd(6) + run + rnd(6)))
+        rows.append((90000, rows[0][1][:-1] + "q"))  # true near-pair
+        df = spark.createDataFrame(rows, "id long, t string")
+        base = df.select(
+            F.col("id").alias("_id"),
+            F.col("t").alias("_orig"),
+            F.col("t").alias("_t"),
+            F.length("t").alias("_len"),
+        )
+        d = 2
+        legacy = J._entropy_boundaries(
+            base, d, 1.0, 512, blind_clusters=False
+        )
+        n_legacy = J._adaptive_candidates(base, d, legacy, []).count()
+        hybrid = J._entropy_boundaries(base, d, 1.0, 512)
+        n_hybrid = J._adaptive_candidates(base, d, hybrid, []).count()
+        assert n_legacy > 5000, (n_legacy,)  # per-block hot middle piece
+        assert n_hybrid < n_legacy / 10, (n_hybrid, n_legacy)
+        # exactness: full join equals the even path
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        norm = lambda out: sorted(  # noqa: E731
+            (r.id_a, r.id_b, r.dist) for r in out.collect()
+        )
+        even = norm(fuzzy_self_join_segments(df, "t", "id"))
+        adap = norm(
+            fuzzy_self_join_segments(
+                df, "t", "id", adaptive_boundaries=True
+            )
+        )
+        assert adap == even and len(even) >= 1
+
     def test_blind_hybrid_results_match_even_path(self, spark):
         """Exactness of the blind hybrid: with NO block column the
         adaptive join (frequent-gram clustered boundaries) returns
