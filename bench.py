@@ -80,18 +80,19 @@ def adjudicate(
     within `threshold` of prior (swing didn't reproduce) or more than
     `threshold` away from this round's own warm number (run-to-run
     unstable) flags the query `ambient`. Returns (rerun, ambient,
-    adjusted_total) where adjusted_total substitutes MIN(warm, rerun)
-    for each ambient query — the headline a quiet host would have
-    produced. The min matters (review fix): when the RERUN itself is
-    the load-polluted measurement (warm 2.0s real regression, rerun
-    3.0s under a load spike), substituting the rerun would inflate the
-    adjusted headline above what was actually measured; min never
-    exceeds a measured value. The ambient FLAG on such a query still
-    records that the measurement was unstable — one rerun cannot
-    distinguish 'regression measured under noise' from 'noise' — but
-    the charged time stays honest. Pure in (warm, prior, rerun
-    results), so tests replay a polluted round's map against its
-    quiet-host truth.
+    adjusted_total) where adjusted_total substitutes, for each ambient
+    query, whichever of (warm, rerun) sits CLOSER to the prior-round
+    value — the headline a quiet host would have produced. Closest-to-
+    prior handles both noise directions (review fix, twice): when the
+    RERUN is the polluted measurement (warm 2.0s real regression under
+    a quiet host, rerun 3.0s under a load spike), warm is closer to
+    prior and the headline never inflates past a measured value; when
+    the WARM was fluke-fast (0.9s lucky cache, prior 2.0s, rerun back
+    at 2.0s), the rerun is charged, not the fluke — a plain min() would
+    lock the phantom speedup in. Ambient means "prior is probably still
+    the truth"; picking the measurement consistent with it is exactly
+    that statement. Pure in (warm, prior, rerun results), so tests
+    replay a polluted round's map against its quiet-host truth.
     """
     swings = sorted(
         (
@@ -112,12 +113,15 @@ def adjudicate(
         or _rel(rerun[n], warm[n]) > threshold  # run-to-run unstable
     )
     ambient_set = set(ambient)
+
+    def credible(n: str, v: float) -> float:
+        if n not in ambient_set:
+            return v
+        # the measurement closer to prior (ties -> the smaller one)
+        return min(v, rerun[n], key=lambda x: (_rel(x, prior[n]), x))
+
     adjusted_total = round(
-        sum(
-            min(v, rerun[n]) if n in ambient_set else v
-            for n, v in warm.items()
-        ),
-        3,
+        sum(credible(n, v) for n, v in warm.items()), 3
     )
     return rerun, ambient, adjusted_total
 

@@ -195,7 +195,8 @@ def write_clustered(
     )
 
 
-_RG_SLICE_ROWS = 32_768  # fallback slice granularity (no file-size signal)
+_RG_SLICE_MIN_ROWS = 1024  # auto-sizing floor: tiny files get one slice
+_RG_SLICE_MAX_PER_FILE = 512  # manifest-size cap under skewed file sizes
 
 
 def collect_file_stats(
@@ -223,7 +224,8 @@ def collect_file_stats(
     one cheap zero-column count pass over the just-written dir), so
     every layout gets sub-file granularity without a knob; pass an
     explicit value when the caller already knows the rolled file size
-    (the CDC path derives it from the sticky target_file_rows). This gives the prune cost gate sub-file
+    (the CDC path derives it from the sticky target_file_rows).
+    This gives the prune cost gate sub-file
     selectivity for big bucket-locally-sorted files whose file-level
     envelope is wide but whose slices are narrow. Both granularities
     come from the SAME single rollup pass over the just-written data —
@@ -290,7 +292,15 @@ def collect_file_stats(
             ).count().collect()
         )
         med = counts[len(counts) // 2] if counts else 0
-        slice_rows = max(1024, med // 8)
+        # ~8 slices for the median file, floored so tiny files get one
+        # slice, and bounded so a single skewed giant (one compaction
+        # output among small files) cannot explode the manifest with
+        # tens of thousands of slice entries (review fix)
+        slice_rows = max(
+            _RG_SLICE_MIN_ROWS,
+            med // 8,
+            -(-counts[-1] // _RG_SLICE_MAX_PER_FILE) if counts else 0,
+        )
     rows = (
         df.select(
             F.col("_metadata.file_path").alias("_file"),

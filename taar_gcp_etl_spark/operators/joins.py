@@ -446,11 +446,18 @@ def _entropy_boundaries(
         F.col("_t"),
     ).filter((F.col("_l") > 0) & (F.col("_l") <= max_len))
     blind = not block_cols
-    n = (
-        expr.count()
-        if sample_frac is None or (blind and blind_clusters)
-        else 0  # unused: block path with explicit frac needs no count
-    )
+    med_len = 0
+    if sample_frac is None or (blind and blind_clusters):
+        # one pre-sample pass serves both the auto sample fraction and
+        # the blind gram sizing (review fix: a separate
+        # percentile_approx job re-scanned the corpus)
+        row = expr.agg(
+            F.count("*").alias("n"),
+            F.percentile_approx("_l", 0.5).alias("m"),
+        ).first()
+        n, med_len = row["n"], int(row["m"] or 0)
+    else:
+        n = 0  # unused: block path with explicit frac needs no count
     if sample_frac is None:
         # auto: bound the per-position explode to ~_BOUNDARY_SAMPLE_ROWS
         # strings regardless of corpus size (review fix: the 1.0
@@ -468,10 +475,7 @@ def _entropy_boundaries(
         # exactly when it can host a whole piece, and a gram longer
         # than the run cannot see it (short entity strings would make
         # every template invisible to the fixed 8-gram)
-        med_len = expr.agg(
-            F.percentile_approx("_l", 0.5).alias("m")
-        ).first()["m"] or 0
-        gram = max(4, min(_BLIND_GRAM, int(med_len) // (d + 1)))
+        gram = max(4, min(_BLIND_GRAM, med_len // (d + 1)))
         sig = _blind_cluster_sig(expr, n_sampled, gram)
         cls = sig if sig is not None else F.lit("")
     else:

@@ -111,6 +111,17 @@ class TestGenuineChanges:
         assert ambient == ["q"]  # unstable: honestly flagged
         assert adjusted == 2.0  # but never inflated past a measurement
 
+    def test_fluke_fast_warm_not_locked_in(self):
+        """Review fix #2: a lucky-cache warm (0.9s vs prior 2.0s) whose
+        rerun lands back at prior is ambient — and the adjusted total
+        must charge the rerun (the quiet truth), not lock in the
+        phantom speedup as a plain min() would."""
+        prior = {"q": 2.0}
+        warm = {"q": 0.9}
+        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 2.0)
+        assert ambient == ["q"]
+        assert adjusted == 2.0
+
     def test_small_queries_below_floor_ignored(self):
         """Sub-0.3 s queries swing wildly from scheduler noise — never
         re-run them."""

@@ -2649,6 +2649,30 @@ class TestClusteredRewritePruning:
         entries = collect_file_stats(spark, p2, ["day"], row_groups=True)
         assert len(entries[0]["row_groups"]) == 1
 
+    def test_rowgroup_slice_cap_under_skewed_file_sizes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Review fix: median-based auto-sizing alone would give a
+        skewed giant file (one compaction output among small files)
+        tens of thousands of manifest slice entries — the per-file cap
+        bounds it."""
+        from taar_gcp_etl_spark import layout
+        from taar_gcp_etl_spark.layout import collect_file_stats
+
+        monkeypatch.setattr(layout, "_RG_SLICE_MAX_PER_FILE", 4)
+        p = str(tmp_path / "rgskew")
+        for rows in (100, 100):
+            spark.createDataFrame(
+                [(i, i) for i in range(rows)], "day long, v long"
+            ).coalesce(1).write.mode("append").parquet(p)
+        spark.createDataFrame(
+            [(i, i) for i in range(20_000)], "day long, v long"
+        ).coalesce(1).write.mode("append").parquet(p)
+        entries = collect_file_stats(spark, p, ["day"], row_groups=True)
+        assert len(entries) == 3
+        assert max(len(e["row_groups"]) for e in entries) <= 4
+        assert sum(e["rows"] for e in entries) == 20_200
+
     def test_rowgroup_stats_survive_nonlocal_path_form(self, spark, tmp_path):
         """r8 (VERDICT r7 'What's missing' #2): the old implementation
         re-opened each file via a LOCAL-path pyarrow footer read and
