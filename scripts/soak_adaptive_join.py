@@ -238,6 +238,85 @@ def main() -> None:
             curve.append({"n": n, "candidates": n_cand, "sec": dt})
         out["curves"][mode] = curve
 
+    # ---- SHORT entity strings (r8): length-adapted mining gram ----
+    # 18-char strings, 20 latent blocks, each with a distinct 6-digit
+    # run at positions 7-12. The run fits a whole piece (18/3) but not
+    # the fixed 8-gram, so only the median_len/(d+1)-sized gram can
+    # mine the template markers; corpus-wide boundaries leave the
+    # middle piece inside the per-block run (hot key per block).
+    def corpus_short(n: int, n_blocks: int = 20):
+        base = spark.range(n).select(
+            F.col("id"),
+            F.concat(
+                F.translate(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+                    "0123456789abcdef", "abcdefghabcdefgh",
+                ),
+                F.lpad(
+                    ((F.col("id") % n_blocks) * 53421 + 123456)
+                    .cast("string"), 6, "0",
+                ),
+                F.translate(
+                    F.substring(F.md5(F.col("id").cast("string")), 7, 6),
+                    "0123456789abcdef", "abcdefghabcdefgh",
+                ),
+            ).alias("t"),
+        )
+        twins = base.filter(F.col("id") % 500 == 0).select(
+            (F.col("id") + 10_000_000).alias("id"),
+            F.concat(F.substring(F.col("t"), 1, 17), F.lit("q")).alias("t"),
+        )
+        return base.unionByName(twins), (n + 499) // 500
+
+    # BOTH arms at the same n: 18-char strings carry ~12 variable
+    # chars over an 8-letter alphabet, so a ~4-char piece has only
+    # 8^4 = 4096 values — at that entropy every exact pigeonhole
+    # scheme rides a quadratic piece-collision floor (the r6
+    # 4-char-flank ceiling), and with a FIXED block count the hot-key
+    # term is quadratic too. The claim under test is the CONSTANT: the
+    # adapted gram removes the per-block hot middle piece, cutting
+    # candidates ~4.5x down to the floor itself (measured 399.7k ->
+    # 87.2k at 4k).
+    short_points = {"short_blind_legacy": [1_000, 2_000, 4_000],
+                    "short_blind_hybrid": [1_000, 2_000, 4_000]}
+    for mode, ns in short_points.items():
+        curve = []
+        for n in ns:
+            df, _ = corpus_short(n)
+            base = df.select(
+                F.col("id").alias("_id"),
+                F.col("t").alias("_orig"),
+                F.col("t").alias("_t"),
+                F.length("t").alias("_len"),
+            )
+            t0 = time.perf_counter()
+            bmap = J._entropy_boundaries(
+                base, D, None, 512,
+                blind_clusters=(mode == "short_blind_hybrid"),
+            )
+            n_cand = J._adaptive_candidates(base, D, bmap, []).count()
+            dt = round(time.perf_counter() - t0, 2)
+            curve.append({"n": n, "candidates": n_cand, "sec": dt})
+        out["curves"][mode] = curve
+
+    # exactness at 8k: short-string blind hybrid == even path
+    df, n_true = corpus_short(8_000)
+    norm8 = lambda pairs: sorted(  # noqa: E731
+        (r.id_a, r.id_b, r.dist) for r in pairs.collect()
+    )
+    even8 = norm8(J.fuzzy_self_join_segments(df, "t", "id", max_distance=D))
+    adap8 = norm8(J.fuzzy_self_join_segments(
+        df, "t", "id", max_distance=D, adaptive_boundaries=True,
+    ))
+    out["short_end_to_end"] = {
+        "n": 8_000,
+        "planted_pairs": n_true,
+        "planted_found": sum(1 for a, b, _ in adap8
+                             if b - a == 10_000_000),
+        "total_pairs": len(adap8),
+        "matches_even_path": adap8 == even8,
+    }
+
     # exactness at 8k: block-keyed adaptive == even path (the all-pairs
     # oracle shape), with every planted within-block twin found
     df, n_true = corpus_blocked(8_000)
