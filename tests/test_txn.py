@@ -2372,6 +2372,35 @@ class TestStreamSyncAggregate:
         finally:
             q2.stop()
 
+    def test_stream_survives_log_vacuum_race(self, spark, tmp_path):
+        """The commit-stream file source lists _log/ manifests that
+        vacuum_txn(keep_last=) may delete between listing and read —
+        ignoreMissingFiles (plus tick() ignoring file CONTENT) keeps
+        the stream alive through a vacuum, and later commits still
+        sync exactly."""
+        from taar_gcp_etl_spark.streaming.jobs import stream_sync_aggregate
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "mv")
+        ckpt = str(tmp_path / "ckpt")
+        for k in range(4):  # several manifests so vacuum has victims
+            self._apply(spark, src, [(k, "a", 10 + k, k + 1, "I")])
+        q = stream_sync_aggregate(
+            spark, src, store, ckpt, ["grp"], self.MEASURES
+        )
+        try:
+            q.processAllAvailable()
+            assert self._got(spark, store) == self._expect(spark, src)
+            # vacuum while the stream is live, then keep committing
+            report = txn.vacuum_txn(spark, src, keep_last=1)
+            assert report["removed_manifests"] > 0
+            self._apply(spark, src, [(9, "b", 5, 10, "I")])
+            q.processAllAvailable()
+            assert q.isActive  # no FileNotFound death
+            assert self._got(spark, store) == self._expect(spark, src)
+        finally:
+            q.stop()
+
     def test_store_follows_churn_and_restart(self, spark, tmp_path):
         from taar_gcp_etl_spark.streaming.jobs import stream_sync_aggregate
 
