@@ -299,6 +299,51 @@ def main() -> None:
             curve.append({"n": n, "candidates": n_cand, "sec": dt})
         out["curves"][mode] = curve
 
+    # ---- candidate-volume guard (r9): the SCALE.md short-string
+    # ceiling turned into a plan-time guard. At 100k strings (past
+    # _GUARD_MIN_ROWS) the default candidate_budget="auto" estimates
+    # expected cross-pair volume from a 50k-string sample; the short
+    # 18-char/8-letter fixture rides the quadratic piece-collision
+    # floor even under adaptive boundaries (they cut the constant ~4.5x,
+    # not the exponent) so the guard MUST warn there, while the 40-char
+    # long-string fixture's adaptive candidates track the planted twins
+    # and the guard MUST stay silent. Construction only — the guard
+    # runs eagerly, the join itself stays lazy, so this arm costs one
+    # boundary pass + one sampled estimate per fixture.
+    import warnings as _warnings
+
+    from taar_gcp_etl_spark.operators.joins import (
+        estimate_fuzzy_join_candidates,
+    )
+
+    guard_out = {}
+    for gname, mk in {
+        "short_fixture": lambda n: corpus_short(n)[0],
+        "long_fixture": lambda n: corpus(spark, n)[0],
+    }.items():
+        gdf = mk(100_000)
+        est = estimate_fuzzy_join_candidates(
+            gdf, "t", "id", adaptive_boundaries=True
+        )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            J.fuzzy_self_join_segments(
+                gdf, "t", "id", adaptive_boundaries=True
+            )
+        fired = any(
+            issubclass(w.category, RuntimeWarning)
+            and "candidate volume" in str(w.message)
+            for w in caught
+        )
+        guard_out[gname] = {
+            "n": est["n"],
+            "sample_frac": round(est["sample_frac"], 3),
+            "estimate": round(est["estimate"]),
+            "auto_limit": 64 * est["n"],
+            "guard_fired": fired,
+        }
+    out["guard"] = guard_out
+
     # exactness at 8k: short-string blind hybrid == even path
     df, n_true = corpus_short(8_000)
     norm8 = lambda pairs: sorted(  # noqa: E731

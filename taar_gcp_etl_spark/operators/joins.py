@@ -435,6 +435,23 @@ def _entropy_boundaries(
     splits) — so the driver map is <= max_classes x max_len ints
     (~32 MB at the defaults) and the diversity aggregate stays
     O(sample chars) at corpus scale."""
+    if not block_cols and not blind_clusters:
+        # the legacy corpus-wide blind arm is measured-quadratic on
+        # block-local templates (soak block_blind curve: 141/488/1901
+        # candidates-per-string at just 2k/4k/8k) — kept only as the
+        # soak's negative control; reaching it without a warning
+        # invites production misuse (VERDICT r8 #7)
+        import warnings
+
+        warnings.warn(
+            "_entropy_boundaries(blind_clusters=False) without "
+            "block_cols uses corpus-wide position entropy, which is "
+            "measured-quadratic on corpora with block-local templates; "
+            "use the default blind_clusters=True (frequent-gram "
+            "template clustering) or pass block_cols.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     bk = (
         F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
         if block_cols
@@ -540,14 +557,17 @@ def _entropy_boundaries(
     return out
 
 
-def _even_candidates(
+def _even_keyed(
     base: DataFrame,
     idx_keys: str,
     probe_keys: str,
     block_cols: list[str],
-) -> DataFrame:
-    """Candidate pairs under even splits (the default path): equality
-    on (segment#, piece [, block_cols])."""
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Index/probe key relations for the even-split path: each side is
+    (id, segment#, piece [, block_cols]); candidates are their equi-join
+    on everything but the id. Shared by the candidate generator and the
+    volume estimator so the guard measures EXACTLY the keys the join
+    will shuffle."""
     idx = base.select(
         F.col("_id").alias("_id_i"),
         *block_cols,
@@ -558,8 +578,20 @@ def _even_candidates(
         *block_cols,
         F.explode(F.expr(probe_keys)).alias("_k"),
     ).select("_id_p", *block_cols, "_k.seg", "_k.piece")
+    return idx, probe, ["seg", "piece", *block_cols]
+
+
+def _even_candidates(
+    base: DataFrame,
+    idx_keys: str,
+    probe_keys: str,
+    block_cols: list[str],
+) -> DataFrame:
+    """Candidate pairs under even splits (the default path): equality
+    on (segment#, piece [, block_cols])."""
+    idx, probe, keycols = _even_keyed(base, idx_keys, probe_keys, block_cols)
     return (
-        idx.join(probe, ["seg", "piece", *block_cols])
+        idx.join(probe, keycols)
         .filter(F.col("_id_i") != F.col("_id_p"))
         .select(
             F.least("_id_i", "_id_p").alias("id_a"),
@@ -569,13 +601,17 @@ def _even_candidates(
     )
 
 
-def _adaptive_candidates(
+def _adaptive_keyed(
     base: DataFrame,
     d: int,
     bmap: dict[tuple[str, int], list[int]],
     block_cols: list[str],
-) -> DataFrame:
-    """Candidate pairs under per-(block, length)-class boundaries:
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Index/probe key relations for the adaptive path (see
+    _adaptive_candidates); split out so the candidate-volume estimator
+    samples the SAME key distribution the join will shuffle.
+
+    Candidate pairs under per-(block, length)-class boundaries:
     index cuts at B(block, _len, ·), probe cuts its own text at
     B(block, L, ·) for every partner length L in ±d with shifts ±d —
     the same enumeration as the even path, with the boundary positions
@@ -673,8 +709,20 @@ def _adaptive_candidates(
         )
         .select("_id_p", "_lk", *block_cols, "_k.seg", "_k.piece")
     )
+    return idx, probe, ["seg", "piece", "_lk", *block_cols]
+
+
+def _adaptive_candidates(
+    base: DataFrame,
+    d: int,
+    bmap: dict[tuple[str, int], list[int]],
+    block_cols: list[str],
+) -> DataFrame:
+    """Candidate pairs from the adaptive key relations (_adaptive_keyed):
+    equality on (segment#, piece, partner length [, block_cols])."""
+    idx, probe, keycols = _adaptive_keyed(base, d, bmap, block_cols)
     return (
-        idx.join(probe, ["seg", "piece", "_lk", *block_cols])
+        idx.join(probe, keycols)
         .filter(F.col("_id_i") != F.col("_id_p"))
         .select(
             F.least("_id_i", "_id_p").alias("id_a"),
@@ -682,6 +730,214 @@ def _adaptive_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+class CandidateVolumeExceeded(ValueError):
+    """Raised by fuzzy_self_join_segments when the sampled candidate-volume
+    estimate exceeds the caller's explicit `candidate_budget` — the
+    plan-time guard for the measured short-string quadratic regime
+    (SCALE.md: low piece entropy puts EVERY exact pigeonhole scheme on a
+    collision floor; no boundary scheme can fix it, only real blocking or
+    LSH can)."""
+
+
+def _candidate_volume(
+    idx: DataFrame, probe: DataFrame, keycols: list[str], scale: float
+) -> float:
+    """Expected key-join output rows (cross pairs, pre-dedup) from sampled
+    index/probe key relations, extrapolated to the full corpus.
+
+    Per join key k with sampled counts (i_k, p_k): the join emits
+    i_k * p_k rows. Under string-sampling at fraction f, CROSS-pair terms
+    (two distinct strings) survive with probability f² while SELF-pair
+    terms (a string matching its own keys) survive with probability f —
+    so Σ i_k·p_k naively scaled by 1/f² over-counts the diagonal by 1/f,
+    which DOMINATES on healthy corpora (unique pieces: the diagonal is
+    ~all of S). Estimate the diagonal exactly (keys shared by one id's
+    own index and probe sets) and scale the two terms separately:
+
+        E[cross] ≈ (S − Self) / f²
+
+    Cross pairs are the quantity returned and budgeted — self matches
+    are discarded by the id_i != id_p filter, are bounded at ~(d+1)·n
+    rows, and folding their 1/f-scaled term back in would drown the
+    signal on healthy corpora (the diagonal IS ~all of S there).
+    Cost: two groupBy-counts + one key-count join + one sampled equi-join
+    count, all bounded by sample_rows × per-string key fan-out (~45 keys
+    at d=2) — no pair materialization ever happens here."""
+    ic = idx.groupBy(*keycols).agg(F.count("*").alias("_ci"))
+    pc = probe.groupBy(*keycols).agg(F.count("*").alias("_cp"))
+    row = ic.join(pc, keycols).agg(
+        F.sum(F.col("_ci") * F.col("_cp")).alias("_s")
+    ).first()
+    s = float(row["_s"] or 0.0)
+    self_n = float(
+        idx.join(
+            probe.withColumnRenamed("_id_p", "_id_i"),
+            [*keycols, "_id_i"],
+        ).count()
+    )
+    return max(0.0, s - self_n) * scale * scale
+
+
+def _segment_base(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    trim_common_affixes: bool,
+    d: int,
+) -> tuple[DataFrame, str, str]:
+    """Affix-trimmed working relation + the even-split index/probe key
+    expressions — shared by fuzzy_self_join_segments and the public
+    candidate-volume estimator so both see the identical key space."""
+    nseg = d + 1
+    trim_p, trim_s = (
+        _common_affix_lengths(df, text_col) if trim_common_affixes else (0, 0)
+    )
+    trimmed = F.expr(
+        f"substring({text_col}, {trim_p} + 1, "
+        f"greatest(length({text_col}) - {trim_p + trim_s}, 0))"
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_orig"),
+        trimmed.alias("_t"),
+        F.length(trimmed).alias("_len"),
+        *block_cols,
+    )
+    piece = (
+        "substring(_t, cast(floor({i} * {L} / %(nseg)d) as int) + 1 + {s}, "
+        "cast(floor(({i} + 1) * {L} / %(nseg)d) "
+        "- floor({i} * {L} / %(nseg)d) as int))" % {"nseg": nseg}
+    )
+    idx_keys = (
+        "transform(sequence(0, %(d)d), i -> "
+        "named_struct('seg', i, 'piece', %(p)s))"
+        % {"d": d, "p": piece.format(i="i", L="_len", s="0")}
+    )
+    probe_piece = piece.format(i="i", L="L", s="s")
+    probe_keys = (
+        "array_distinct(filter(flatten(flatten("
+        "transform(sequence(0, %(d)d), i -> "
+        "transform(sequence(greatest(_len - %(d)d, 1), _len + %(d)d), L -> "
+        "transform(sequence(-%(d)d, %(d)d), s -> "
+        "CASE WHEN cast(floor(i * L / %(n)d) as int) + 1 + s >= 1 "
+        "AND cast(floor(i * L / %(n)d) as int) + s "
+        "+ cast(floor((i + 1) * L / %(n)d) - floor(i * L / %(n)d) as int) "
+        "<= _len "
+        "THEN named_struct('seg', i, 'piece', %(p)s) END))))), "
+        "x -> x IS NOT NULL))" % {"d": d, "n": nseg, "p": probe_piece}
+    )
+    return base, idx_keys, probe_keys
+
+
+_GUARD_SAMPLE_ROWS = 50_000
+_GUARD_MIN_ROWS = 100_000  # "auto" estimates only at quadratic-risk scale
+
+
+def _guard_candidate_volume(
+    base: DataFrame,
+    d: int,
+    block_cols: list[str],
+    idx_keys: str,
+    probe_keys: str,
+    bmap: dict[tuple[str, int], list[int]] | None,
+    budget: int | str,
+    sample_rows: int,
+    min_rows: int,
+) -> tuple[float, int] | None:
+    """Estimate candidate volume from a string sample and enforce the
+    budget. Explicit int budget: always estimate, raise
+    CandidateVolumeExceeded over budget. "auto": estimate only when the
+    corpus is big enough for a quadratic to matter (>= min_rows strings)
+    and warn over 64·n — 64 verify comparisons per string is already far
+    beyond any healthy blocking scheme's fan-out, while a quadratic
+    regime blows past it immediately (n²/4096 > 64n at n ≈ 260k).
+    Returns (estimate, n) when an estimate was made."""
+    explicit = not isinstance(budget, str)
+    if not explicit and budget != "auto":
+        raise ValueError(
+            f"candidate_budget must be an int, 'auto', or None — got "
+            f"{budget!r}"
+        )
+    n = base.count()
+    if not explicit and n < min_rows:
+        return None
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = base.sample(fraction=frac, seed=11) if frac < 1.0 else base
+    if bmap is not None:
+        idx, probe, keycols = _adaptive_keyed(sample, d, bmap, block_cols)
+    else:
+        idx, probe, keycols = _even_keyed(
+            sample, idx_keys, probe_keys, block_cols
+        )
+    est = _candidate_volume(idx, probe, keycols, 1.0 / frac)
+    limit = float(budget) if explicit else 64.0 * n
+    if est > limit:
+        msg = (
+            f"fuzzy_self_join_segments: estimated candidate volume "
+            f"~{est:.3g} pairs exceeds budget {limit:.3g} at n={n} "
+            f"strings — the corpus is in a piece-collision regime "
+            f"(short strings / low alphabet entropy: SCALE.md) where "
+            f"every exact pigeonhole scheme is quadratic. Supply "
+            f"block_cols that genuinely partition the corpus, fall back "
+            f"to LSH near-dup (operators.dedup.lsh_near_duplicates), or "
+            f"raise candidate_budget if the volume is intended."
+        )
+        if explicit:
+            raise CandidateVolumeExceeded(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    return est, n
+
+
+def estimate_fuzzy_join_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    max_distance: int = 2,
+    trim_common_affixes: bool = True,
+    adaptive_boundaries: bool = False,
+    boundary_sample_frac: float | None = None,
+    boundary_max_len: int = 512,
+    sample_rows: int = _GUARD_SAMPLE_ROWS,
+) -> dict:
+    """Plan-time candidate-volume estimate for fuzzy_self_join_segments
+    under the SAME parameters: expected key-equijoin output rows (cross
+    pairs, pre-dedup — the shuffle volume the verify stage would pay).
+    Returns {"n", "sample_frac", "estimate"}. See _candidate_volume for
+    the diagonal-corrected extrapolation; tests pin it within 2× of the
+    measured join volume at two corpus scales."""
+    d = max_distance
+    block_cols = block_cols or []
+    base, idx_keys, probe_keys = _segment_base(
+        df, text_col, id_col, block_cols, trim_common_affixes, d
+    )
+    bmap = (
+        _entropy_boundaries(
+            base, d, boundary_sample_frac, boundary_max_len,
+            block_cols=block_cols,
+        )
+        if adaptive_boundaries
+        else None
+    )
+    n = base.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = base.sample(fraction=frac, seed=11) if frac < 1.0 else base
+    if bmap is not None:
+        idx, probe, keycols = _adaptive_keyed(sample, d, bmap, block_cols)
+    else:
+        idx, probe, keycols = _even_keyed(
+            sample, idx_keys, probe_keys, block_cols
+        )
+    return {
+        "n": n,
+        "sample_frac": frac,
+        "estimate": _candidate_volume(idx, probe, keycols, 1.0 / frac),
+    }
 
 
 def fuzzy_self_join_segments(
@@ -694,6 +950,7 @@ def fuzzy_self_join_segments(
     adaptive_boundaries: bool = False,
     boundary_sample_frac: float | None = None,
     boundary_max_len: int = 512,
+    candidate_budget: int | str | None = "auto",
 ) -> DataFrame:
     """Scalable EXACT blocking for the approximate-string self-join:
     pigeonhole segment join (the PassJoin family — Li, Deng, Feng 2011,
@@ -747,56 +1004,50 @@ def fuzzy_self_join_segments(
     adaptive path also carries the partner length L in the join key
     (strictly tighter, exact). Both knobs preserve exactness — the
     boundary scheme is shared by index and probe, and the final
-    levenshtein verify is unchanged."""
+    levenshtein verify is unchanged.
+
+    PIECE-ENTROPY CEILING AND THE CANDIDATE-VOLUME GUARD (r9): boundary
+    placement cannot rescue a corpus whose pieces have too few possible
+    values — ~18-char strings over an 8-letter alphabet give a ~4-char
+    piece only 8⁴ = 4096 values, so EVERY exact pigeonhole scheme rides
+    a quadratic collision floor there (measured: SCALE.md, soak
+    short_* curves — adapted boundaries cut the constant 4.5×, not the
+    exponent). `candidate_budget` turns that documented regime into a
+    plan-time guard: before the candidate join runs, the expected
+    key-equijoin output volume is estimated from a bounded string
+    sample over the EXACT key relations the join would shuffle
+    (_candidate_volume: per-key count products with the self-match
+    diagonal scaled separately — unbiased for cross pairs). The default
+    "auto" estimates only at quadratic-risk scale (>= 100k strings, so
+    small corpora pay nothing) and WARNS past 64·n expected
+    pairs; an explicit int budget always estimates and RAISES
+    CandidateVolumeExceeded with the remedy (real block_cols, LSH
+    near-dup, or a bigger budget). None/0 disables. Related floor: the
+    blind boundary estimator's marker-gram is never shorter than 4
+    chars (_blind_cluster_sig), so corpora with median trimmed length
+    < 12 at d=2 get pieces shorter than the gram can certify — blind
+    clustering degrades to corpus-wide entropy there, exactly the
+    regime the guard exists to catch."""
     d = max_distance
-    nseg = d + 1
     block_cols = block_cols or []
-    trim_p, trim_s = (
-        _common_affix_lengths(df, text_col) if trim_common_affixes else (0, 0)
-    )
-    trimmed = F.expr(
-        f"substring({text_col}, {trim_p} + 1, "
-        f"greatest(length({text_col}) - {trim_p + trim_s}, 0))"
-    )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_orig"),
-        trimmed.alias("_t"),
-        F.length(trimmed).alias("_len"),
-        *block_cols,
+    base, idx_keys, probe_keys = _segment_base(
+        df, text_col, id_col, block_cols, trim_common_affixes, d
     )
 
-    piece = (
-        "substring(_t, cast(floor({i} * {L} / %(nseg)d) as int) + 1 + {s}, "
-        "cast(floor(({i} + 1) * {L} / %(nseg)d) "
-        "- floor({i} * {L} / %(nseg)d) as int))" % {"nseg": nseg}
-    )
-    idx_keys = (
-        "transform(sequence(0, %(d)d), i -> "
-        "named_struct('seg', i, 'piece', %(p)s))"
-        % {"d": d, "p": piece.format(i="i", L="_len", s="0")}
-    )
-    # probe enumerates (segment, partner length L, shift s); invalid
-    # positions (outside [1, len]) collapse to null and are filtered
-    probe_piece = piece.format(i="i", L="L", s="s")
-    probe_keys = (
-        "array_distinct(filter(flatten(flatten("
-        "transform(sequence(0, %(d)d), i -> "
-        "transform(sequence(greatest(_len - %(d)d, 1), _len + %(d)d), L -> "
-        "transform(sequence(-%(d)d, %(d)d), s -> "
-        "CASE WHEN cast(floor(i * L / %(n)d) as int) + 1 + s >= 1 "
-        "AND cast(floor(i * L / %(n)d) as int) + s "
-        "+ cast(floor((i + 1) * L / %(n)d) - floor(i * L / %(n)d) as int) "
-        "<= _len "
-        "THEN named_struct('seg', i, 'piece', %(p)s) END))))), "
-        "x -> x IS NOT NULL))" % {"d": d, "n": nseg, "p": probe_piece}
-    )
-
-    if adaptive_boundaries:
-        bmap = _entropy_boundaries(
+    bmap = (
+        _entropy_boundaries(
             base, d, boundary_sample_frac, boundary_max_len,
             block_cols=block_cols,
         )
+        if adaptive_boundaries
+        else None
+    )
+    if candidate_budget:
+        _guard_candidate_volume(
+            base, d, block_cols, idx_keys, probe_keys, bmap,
+            candidate_budget, _GUARD_SAMPLE_ROWS, _GUARD_MIN_ROWS,
+        )
+    if bmap is not None:
         cand = _adaptive_candidates(base, d, bmap, block_cols)
     else:
         cand = _even_candidates(base, idx_keys, probe_keys, block_cols)

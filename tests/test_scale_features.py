@@ -1539,3 +1539,188 @@ class TestSpanDedupSkew:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert "hashpartitioning(_g" in plan
+
+
+class TestCandidateVolumeGuard:
+    """Plan-time candidate-volume guard for the pigeonhole fuzzy join
+    (NEXT/VERDICT r8 #1): the short-string piece-collision regime
+    (SCALE.md ceiling) was documented but SILENT — a user running the
+    segment join on 10M short entity strings got the quadratic with no
+    warning. The guard estimates expected key-join output volume from a
+    bounded string sample over the exact key relations the join would
+    shuffle, then warns ("auto") or raises (explicit budget)."""
+
+    def _short_corpus(self, spark, n, n_blocks=20):
+        """18-char strings over an 8-letter alphabet with a per-block
+        6-digit run — the measured quadratic fixture (soak short_*)."""
+        return spark.range(n).select(
+            F.col("id"),
+            F.concat(
+                F.translate(
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 6),
+                    "0123456789abcdef", "abcdefghabcdefgh",
+                ),
+                F.lpad(
+                    ((F.col("id") % n_blocks) * 53421 + 123456)
+                    .cast("string"), 6, "0",
+                ),
+                F.translate(
+                    F.substring(F.md5(F.col("id").cast("string")), 7, 6),
+                    "0123456789abcdef", "abcdefghabcdefgh",
+                ),
+            ).alias("t"),
+        )
+
+    def _healthy_corpus(self, spark, n):
+        """32-hex strings: pieces are ~10 hex chars, key space vastly
+        exceeds any corpus — candidates stay ~O(n)."""
+        return spark.range(n).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("t")
+        )
+
+    def _measured_cross_volume(self, df, sample_rows=None):
+        """Ground truth: actual key-equijoin output rows with the
+        self-match diagonal removed (what _candidate_volume estimates)."""
+        from taar_gcp_etl_spark.operators import joins as J
+
+        base, ik, pk = J._segment_base(df, "t", "id", [], True, 2)
+        idx, probe, keycols = J._even_keyed(base, ik, pk, [])
+        total = idx.join(probe, keycols).count()
+        self_n = idx.join(
+            probe.withColumnRenamed("_id_p", "_id_i"),
+            [*keycols, "_id_i"],
+        ).count()
+        return total - self_n
+
+    def test_estimator_within_2x_of_measured_at_two_scales(self, spark):
+        """The r8 VERDICT done-bar: sampled estimate within ~2x of the
+        measured candidate volume at two corpus scales of the quadratic
+        fixture (sampling actually exercised: sample_rows << n)."""
+        from taar_gcp_etl_spark.operators.joins import (
+            estimate_fuzzy_join_candidates,
+        )
+
+        for n in (1_500, 3_000):
+            df = self._short_corpus(spark, n)
+            measured = self._measured_cross_volume(df)
+            est = estimate_fuzzy_join_candidates(
+                df, "t", "id", sample_rows=600
+            )
+            assert est["n"] == n and est["sample_frac"] < 0.5
+            ratio = est["estimate"] / max(measured, 1)
+            assert 0.5 <= ratio <= 2.0, (n, measured, est)
+
+    def test_estimator_no_diagonal_blowup_on_healthy_corpus(self, spark):
+        """Unique-piece corpora: naive 1/f² scaling of the raw key-join
+        count would over-estimate by 1/f because self matches scale
+        linearly; the diagonal-corrected estimate must stay ~O(n), not
+        O(n/f)."""
+        from taar_gcp_etl_spark.operators.joins import (
+            estimate_fuzzy_join_candidates,
+        )
+
+        n = 4_000
+        est = estimate_fuzzy_join_candidates(
+            self._healthy_corpus(spark, n), "t", "id", sample_rows=400
+        )
+        # cross volume on random hex is essentially zero; allow noise
+        # far below n but fail hard on any 1/f-scaled diagonal leak
+        # (400-row sample -> f=0.1 -> a leak would read ~n/f = 40k)
+        assert est["estimate"] < n, est
+
+    def test_explicit_budget_raises_with_actionable_message(self, spark):
+        from taar_gcp_etl_spark.operators.joins import (
+            CandidateVolumeExceeded,
+            fuzzy_self_join_segments,
+        )
+
+        df = self._short_corpus(spark, 2_000)
+        with pytest.raises(CandidateVolumeExceeded) as ei:
+            fuzzy_self_join_segments(
+                df, "t", "id", candidate_budget=5_000
+            )
+        msg = str(ei.value)
+        assert "block_cols" in msg and "candidate_budget" in msg
+
+    def test_explicit_budget_passes_healthy_corpus(self, spark):
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        df = self._healthy_corpus(spark, 2_000)
+        out = fuzzy_self_join_segments(
+            df, "t", "id", candidate_budget=500_000
+        )
+        assert out.count() == 0  # random hex: no pairs within d=2
+
+    def test_auto_mode_silent_below_risk_scale(self, spark):
+        """'auto' must not estimate (or warn) on small corpora — the
+        registry/bench fuzzy queries run at ~15k strings and pay
+        nothing for the guard."""
+        import warnings
+
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        df = self._short_corpus(spark, 1_000)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            fuzzy_self_join_segments(df, "t", "id").count()
+
+    def test_auto_mode_warns_at_risk_scale(self, spark, monkeypatch):
+        """Past _GUARD_MIN_ROWS strings, 'auto' estimates and warns when
+        the expected volume exceeds 64·n. The threshold is monkeypatched
+        down so the unit test stays seconds; the real 100k threshold is
+        exercised by the soak's guard arm. Corpus: constant 12-char
+        interior run -> the even middle piece is ONE hot key -> expected
+        cross volume ~n² >> 64·n deterministically."""
+        from taar_gcp_etl_spark.operators import joins as J
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        monkeypatch.setattr(J, "_GUARD_MIN_ROWS", 500)
+        n = 2_000
+        df = spark.range(n).select(
+            F.col("id"),
+            F.concat(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 3),
+                F.lit("Z" * 12),
+                F.substring(F.md5(F.col("id").cast("string")), 4, 3),
+            ).alias("t"),
+        )
+        with pytest.warns(RuntimeWarning, match="candidate volume"):
+            fuzzy_self_join_segments(df, "t", "id")
+
+    def test_legacy_blind_arm_warns(self, spark):
+        """VERDICT r8 #7: the measured-quadratic corpus-wide blind arm
+        (blind_clusters=False, no block_cols) stays reachable as the
+        soak's negative control but must announce itself."""
+        from taar_gcp_etl_spark.operators import joins as J
+
+        df = self._short_corpus(spark, 300)
+        base = df.select(
+            F.col("id").alias("_id"),
+            F.col("t").alias("_orig"),
+            F.col("t").alias("_t"),
+            F.length("t").alias("_len"),
+        )
+        with pytest.warns(RuntimeWarning, match="blind_clusters"):
+            J._entropy_boundaries(base, 2, 1.0, 512, blind_clusters=False)
+
+    def test_adaptive_path_guard_raises_too(self, spark):
+        """The guard rides the adaptive key relations when adaptive
+        boundaries are on — same budget contract."""
+        from taar_gcp_etl_spark.operators.joins import (
+            CandidateVolumeExceeded,
+            fuzzy_self_join_segments,
+        )
+
+        df = self._short_corpus(spark, 2_000)
+        with pytest.raises(CandidateVolumeExceeded):
+            fuzzy_self_join_segments(
+                df, "t", "id",
+                adaptive_boundaries=True,
+                candidate_budget=5_000,
+            )
