@@ -2697,6 +2697,61 @@ def q_fuzzy_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-aligned fact-fact join (txn.join_bucketed, VERDICT r8 #4):
+    customer and a per-customer order-stats table are committed as
+    bucketed CDC tables sharing modulus 16, then joined WITHOUT
+    exchanging either side — per-bucket pruned reads coalesced to one
+    partition satisfy the join's clustered distribution, so the plan
+    carries zero shuffle Exchange (pinned by
+    tests/test_txn.py::TestJoinBucketed). The oracle is the plain SQL
+    join, so the driver's hash compare proves the bucket-aligned
+    decomposition loses and invents nothing. Tables build once per
+    (sf_dir, row-count) under the system temp dir, like q_zorder_scan's
+    clustered layout."""
+    import hashlib
+    import os
+    import tempfile
+
+    from taar_gcp_etl_spark import txn
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    n = cust.count()
+    tag = hashlib.sha256(f"{sf_dir}|{n}|bjoin".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"taar-bjoin-{tag}")
+    left, right = f"{base}-cust", f"{base}-ostats"
+    if txn.latest_manifest(spark, left) is None:
+        txn.apply_cdc_batch_bucketed(
+            cust.select(
+                "c_custkey", "c_name", "c_acctbal",
+                F.col("c_custkey").alias("seq"), F.lit("I").alias("op"),
+            ),
+            left, key_col="c_custkey", n_buckets=16,
+        )
+    if txn.latest_manifest(spark, right) is None:
+        stats = orders.groupBy("o_custkey").agg(
+            F.count("*").cast("int").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        txn.apply_cdc_batch_bucketed(
+            stats.select(
+                "*",
+                F.col("o_custkey").alias("seq"), F.lit("I").alias("op"),
+            ),
+            right, key_col="o_custkey", n_buckets=16,
+        )
+    out = txn.join_bucketed(spark, left, right)
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "o_custkey",
+        "n_orders",
+        "total_price",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2867,6 +2922,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical": q_url_canonical,
     "span_dedup_keep": q_span_dedup_keep,
     "fuzzy_join_adaptive": q_fuzzy_join_adaptive,
+    "join_bucketed": q_join_bucketed,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -3855,6 +3911,17 @@ ORACLE_SQL: dict[str, str] = {
           AND a.c_custkey < b.c_custkey
         WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
           AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "join_bucketed": """
+        SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal,
+               o.o_custkey, o.n_orders, o.total_price
+        FROM customer c
+        JOIN (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS INTEGER) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
     """,
     "fuzzy_join_adaptive": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -1144,6 +1144,207 @@ def read_cdc_table(
     return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out
 
 
+def _empty_live(spark: SparkSession, man: dict) -> DataFrame:
+    """Empty relation with a bucketed table's LIVE schema (internal
+    tombstone/bucket columns hidden) — the per-bucket stand-in for a
+    bucket no dir owns yet, so outer joins still see the side's columns.
+    Catalyst's PropagateEmptyRelation prunes the sub-join it feeds."""
+    fields = [
+        (n, t)
+        for n, t in man["schema"]
+        if n not in (DELETED_COL, BUCKET_COL)
+    ]
+    return spark.createDataFrame(
+        [], ", ".join(f"`{n}` {t}" for n, t in fields)
+    )
+
+
+def join_bucketed(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    how: str = "inner",
+    rsuffix: str = "_r",
+) -> DataFrame | None:
+    """Bucket-aligned join of two bucketed CDC tables on their key
+    columns with ZERO shuffle of either side (VERDICT r8 #4 — the read
+    face of txn's bucket layout; apply_cdc_batch_bucketed already
+    exploits alignment for merges, reads previously re-shuffled through
+    a standard join).
+
+    Both tables hash their key space with the SAME function
+    (_bucket_of: pmod(xxhash64(key), n_buckets)), so equal keys land in
+    equal bucket ids whenever n_buckets match — the join decomposes into
+    n_buckets independent per-bucket joins with no cross-bucket matches
+    possible. Each per-bucket side reads its `_bucket=b/` partition
+    directories DIRECTLY (both the honest IO bound and the honest size
+    estimate — see live()) and is coalesced to ONE partition:
+    SinglePartition satisfies every clustered distribution, so
+    EnsureRequirements inserts NO Exchange — the sort-merge join sorts
+    locally inside the task and the big sides never touch the shuffle
+    service. The union of the n_buckets sub-joins runs one task per
+    bucket, which is exactly the layout's design parallelism (buckets
+    sized to a few GB at 100 TB; a 100 TB × 100 TB fact-fact merge
+    moves ZERO bytes between executors vs ~200 TB through the shuffle
+    for a plain join).
+
+    Correctness guards: n_buckets must match (rescale_buckets one side
+    first — hash alignment is meaningless across moduli) and the key
+    columns must share a type (xxhash64 is type-sensitive: the same
+    logical key as int vs string buckets differently). Key column NAMES
+    may differ (c_custkey vs o_custkey) — the join keeps both columns
+    then; equal names merge as a USING join. Right-side columns whose
+    names collide with a left column (`seq` always does — every CDC
+    table stores one) are renamed with ``rsuffix`` so the output is
+    unambiguous and union-able. Both sides read at their
+    manifest version pinned ONCE up front, so a concurrent commit
+    mid-plan cannot tear the bucket set. Tombstones are filtered and
+    internal columns hidden (read_cdc_table semantics). Buckets with
+    merge-on-read delete overlays resolve them inside the per-bucket
+    branch (a bucket-LOCAL window — still no cross-bucket traffic,
+    folded away by the next rewrite). Returns None when either table
+    has no committed version.
+
+    Trade-off vs a plain join: the plan has O(n_buckets) branches and
+    per-bucket parallelism is 1 task — right for the co-located
+    fact-fact merge it exists for, wrong for joining a bucketed fact
+    to an UNBUCKETED relation (use a normal join and let AQE work).
+    """
+    if how not in {
+        "inner", "left", "left_outer", "right", "right_outer",
+        "full", "full_outer", "outer", "left_semi", "left_anti",
+    }:
+        raise ValueError(f"join_bucketed: unsupported how={how!r}")
+    man_l = latest_manifest(spark, left_dir)
+    man_r = latest_manifest(spark, right_dir)
+    if man_l is None or man_r is None:
+        return None
+    for d, m in ((left_dir, man_l), (right_dir, man_r)):
+        if "buckets" not in m:
+            raise ValueError(
+                f"{d} is not a bucketed CDC table (flat snapshot layout)"
+            )
+    nb_l, nb_r = man_l["n_buckets"], man_r["n_buckets"]
+    if nb_l != nb_r:
+        raise ValueError(
+            f"join_bucketed: bucket-count mismatch ({left_dir}={nb_l}, "
+            f"{right_dir}={nb_r}) — rescale_buckets one side first; "
+            "hash alignment only holds at equal moduli"
+        )
+    key_l, key_r = man_l["key_col"], man_r["key_col"]
+    types_l = dict(man_l.get("schema") or [])
+    types_r = dict(man_r.get("schema") or [])
+    t_l, t_r = types_l.get(key_l), types_r.get(key_r)
+    if t_l and t_r and t_l != t_r:
+        raise ValueError(
+            f"join_bucketed: key type mismatch ({key_l}:{t_l} vs "
+            f"{key_r}:{t_r}) — xxhash64 buckets differ across types"
+        )
+    if "schema" not in man_l or "schema" not in man_r:
+        raise ValueError(
+            "join_bucketed needs manifest schemas on both tables "
+            "(every bucketed commit path records one)"
+        )
+    merged = key_l == key_r
+    live_l = {
+        n for n, _ in man_l["schema"] if n not in (DELETED_COL, BUCKET_COL)
+    }
+    ren = {
+        n: n + rsuffix
+        for n, _ in man_r["schema"]
+        if n in live_l
+        and n not in (DELETED_COL, BUCKET_COL)
+        and not (merged and n == key_r)
+    }
+    key_r_out = ren.get(key_r, key_r)
+
+    def live(table_dir: str, man: dict, b: int):
+        """Live rows of ONE bucket, read from its `_bucket=b/` partition
+        directories DIRECTLY (not via a basePath scan + isin filter):
+        pointing the reader inside the partition dir makes the relation's
+        size estimate the bucket's actual bytes. That matters because
+        EnsureRequirements only lets SinglePartition satisfy the join's
+        distribution while the estimate stays under
+        spark.sql.maxSinglePartitionBytes (128 MB default) — a basePath
+        scan is credited the WHOLE dir (the hive filter prunes IO but
+        not the estimate), which re-inserted a per-bucket shuffle at
+        just 4M rows. Buckets genuinely larger than the conf degrade
+        gracefully: Spark re-adds a bucket-LOCAL exchange (bounded by
+        one bucket, never the table) — raise the conf to the bucket
+        size to keep the zero-shuffle plan, which is the same tuning a
+        native bucketed-table SMJ needs for one-task-per-bucket sorts."""
+        table_dir_ = table_dir.rstrip("/")
+        d = man["buckets"].get(str(b))
+        if d is None:
+            return None
+        dirs = [f"{table_dir_}/{d}/{BUCKET_COL}={b}"]
+        overlays = (man.get("overlays") or {}).get(str(b)) or []
+        dirs += [f"{table_dir_}/{p}/{BUCKET_COL}={b}" for p in overlays]
+        parts_b = []
+        for p in dirs:
+            _, fs, jp = _fs(spark, p)
+            # a mapped bucket can lack its subdir (e.g. compaction
+            # retired every row the bucket had) — empty, not an error
+            if fs.exists(jp):
+                parts_b.append(spark.read.parquet(p))
+        if not parts_b:
+            return None
+        out = parts_b[0]
+        for q in parts_b[1:]:
+            out = out.unionByName(q, allowMissingColumns=True)
+        have = set(out.columns)
+        out = out.select(
+            *[
+                F.col(n) if n in have else F.lit(None).cast(t).alias(n)
+                for n, t in man["schema"]
+                if n != BUCKET_COL
+            ]
+        ).coalesce(1)
+        if len(parts_b) > 1:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(man["key_col"]).orderBy(
+                F.desc(man["seq_col"]), F.asc(DELETED_COL)
+            )
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    def pair(l_b: DataFrame, r_b: DataFrame) -> DataFrame:
+        r_b = r_b.withColumnsRenamed(ren)
+        if merged:
+            return l_b.join(r_b, key_l, how)
+        return l_b.join(r_b, l_b[key_l] == r_b[key_r_out], how)
+
+    parts: list[DataFrame] = []
+    for b in range(nb_l):
+        l_b = live(left_dir, man_l, b)
+        r_b = live(right_dir, man_r, b)
+        if l_b is None and r_b is None:
+            continue
+        if how == "inner" and (l_b is None or r_b is None):
+            continue
+        if l_b is None:
+            l_b = _empty_live(spark, man_l)
+        if r_b is None:
+            r_b = _empty_live(spark, man_r)
+        parts.append(pair(l_b.coalesce(1), r_b.coalesce(1)))
+    if not parts:
+        # committed-but-disjoint (or both-empty) mappings: an EMPTY
+        # relation with the joined schema, not None (None means "no
+        # committed version", and both tables have one here)
+        parts.append(
+            pair(_empty_live(spark, man_l), _empty_live(spark, man_r))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def compact_cdc_tombstones(
     spark: SparkSession,
     table_dir: str,

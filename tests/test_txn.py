@@ -3039,3 +3039,134 @@ class TestMaintainCdcTable:
         self._apply(spark, t, [(1, "a", 1, "I")])
         rep = txn.maintain_cdc_table(spark, t, vacuum_keep_last=0)
         assert rep["vacuum"] is None
+
+
+class TestJoinBucketed:
+    """Bucket-aligned join face (VERDICT r8 #4): two tables bucketed by
+    the same hash/modulus join with ZERO shuffle exchange of either
+    side — per-bucket pruned reads coalesced to one partition satisfy
+    the join's clustered distribution, so EnsureRequirements inserts no
+    Exchange and the sort-merge runs task-local."""
+
+    def _mk(self, spark, t, rows, schema=CDC_SCHEMA, **kw):
+        kw.setdefault("n_buckets", 8)
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, schema), t, **kw
+        )
+
+    def _plain_equal(self, spark, left, right, how):
+        """Reference result: read_cdc_table + standard join with the
+        same rsuffix discipline."""
+        l = txn.read_cdc_table(spark, left)
+        r = txn.read_cdc_table(spark, right)
+        ren = {c: c + "_r" for c in r.columns if c in l.columns and c != "id"}
+        return l.join(r.withColumnsRenamed(ren), "id", how)
+
+    def test_inner_and_outer_equal_plain_join(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(i, f"l{i}", i, "I") for i in range(1, 31)])
+        self._mk(
+            spark, right, [(i, f"r{i}", i, "I") for i in range(15, 46)]
+        )
+
+        def norm(df):
+            return sorted(
+                tuple(r) for r in df.select(sorted(df.columns)).collect()
+            )
+
+        for how in ("inner", "left", "full"):
+            got = txn.join_bucketed(spark, left, right, how=how)
+            want = self._plain_equal(spark, left, right, how)
+            assert sorted(got.columns) == sorted(want.columns), how
+            assert norm(got) == norm(want), how
+
+    def test_zero_shuffle_exchange_on_both_sides(self, spark, tmp_path):
+        """THE plan contract: no Exchange hashpartitioning / range-
+        partitioning anywhere in the bucket-aligned plan, while the
+        plain join of the same tables DOES shuffle (contrast keeps the
+        assertion honest)."""
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(i, f"l{i}", i, "I") for i in range(1, 41)])
+        self._mk(spark, right, [(i, f"r{i}", i, "I") for i in range(1, 41)])
+        got = txn.join_bucketed(spark, left, right)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+        plain = self._plain_equal(spark, left, right, "inner")
+        # disable broadcast so the contrast join actually shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pplan = (
+                plain._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange hashpartitioning" in pplan
+
+    def test_bucket_count_mismatch_raises(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(1, "a", 1, "I")], n_buckets=8)
+        self._mk(spark, right, [(1, "b", 1, "I")], n_buckets=16)
+        with pytest.raises(ValueError, match="bucket-count mismatch"):
+            txn.join_bucketed(spark, left, right)
+
+    def test_key_type_mismatch_raises(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(1, "a", 1, "I")])
+        self._mk(
+            spark, right, [("1", "b", 1, "I")],
+            schema="id string, val string, seq long, op string",
+        )
+        with pytest.raises(ValueError, match="key type mismatch"):
+            txn.join_bucketed(spark, left, right)
+
+    def test_flat_table_raises(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(1, "a", 1, "I")])
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame([(1, "b", 1, "I")], CDC_SCHEMA), right
+        )
+        with pytest.raises(ValueError, match="not a bucketed"):
+            txn.join_bucketed(spark, left, right)
+
+    def test_overlay_deletes_resolved_inside_bucket(self, spark, tmp_path):
+        """A delete-only batch leaves a merge-on-read overlay; the
+        bucket-aligned join must not resurrect the deleted key."""
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(i, f"l{i}", i, "I") for i in range(1, 21)])
+        self._mk(spark, right, [(i, f"r{i}", i, "I") for i in range(1, 21)])
+        self._mk(spark, left, [(7, None, 100, "D")])  # overlay tombstone
+        man = txn.latest_manifest(spark, left)
+        assert man["overlays"], "fixture must exercise the overlay path"
+        got = txn.join_bucketed(spark, left, right)
+        ids = {r.id for r in got.collect()}
+        assert 7 not in ids and len(ids) == 19
+
+    def test_disjoint_mappings_inner_is_empty_with_schema(
+        self, spark, tmp_path
+    ):
+        """Two single-key tables whose keys hash to different buckets:
+        the inner result is an EMPTY frame with the joined schema (not
+        None — both tables have committed versions)."""
+        b_of = lambda k: spark.createDataFrame(  # noqa: E731
+            [(k,)], "id long"
+        ).select(txn._bucket_of("id", 8).alias("b")).collect()[0].b
+        k1 = 1
+        k2 = next(k for k in range(2, 100) if b_of(k) != b_of(k1))
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(k1, "a", 1, "I")])
+        self._mk(spark, right, [(k2, "b", 1, "I")])
+        got = txn.join_bucketed(spark, left, right)
+        assert got.count() == 0
+        assert "val" in got.columns and "val_r" in got.columns
+
+    def test_version_pinned_against_concurrent_commit(self, spark, tmp_path):
+        """The plan reads both sides at the manifest version seen up
+        front: a commit AFTER join_bucketed returns must not change the
+        already-built DataFrame's rows."""
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        self._mk(spark, left, [(i, f"l{i}", i, "I") for i in range(1, 11)])
+        self._mk(spark, right, [(i, f"r{i}", i, "I") for i in range(1, 11)])
+        got = txn.join_bucketed(spark, left, right)
+        self._mk(spark, left, [(99, "late", 200, "I")])
+        assert got.count() == 10
