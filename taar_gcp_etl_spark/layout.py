@@ -199,6 +199,27 @@ _RG_SLICE_MIN_ROWS = 1024  # auto-sizing floor: tiny files get one slice
 _RG_SLICE_MAX_PER_FILE = 512  # manifest-size cap under skewed file sizes
 
 
+def _path_tail(s: str) -> str:
+    """Scheme- and leading-slash-insensitive form of a path/URI, so a
+    marker match survives the reader reporting "file:///x" (or
+    "s3a://bucket/x") for a table dir passed as "/x" / "file:/x" —
+    the seam that keeps manifests portable across filesystems (pure
+    function; pinned by tests over file:/, file:///, s3a:// shapes)."""
+    import re
+
+    return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/*", "", s).lstrip("/")
+
+
+def _rel_name(uri: str, marker: str) -> str:
+    """File name relative to the snapshot dir whose scheme-stripped
+    path + "/" is ``marker`` (keeps hive-partition subdirs like
+    _bucket=N/ for bucketed layouts; plain layouts reduce to the
+    basename; unmatched markers fall back to the basename rather than
+    leaking an absolute local path into the manifest)."""
+    u = _path_tail(uri)
+    return u.split(marker, 1)[1] if marker in u else uri.rsplit("/", 1)[1]
+
+
 def collect_file_stats(
     spark: SparkSession,
     path: str,
@@ -220,11 +241,15 @@ def collect_file_stats(
     ``row_groups: [{rows, stats}]`` on each entry, where a slice is
     ``slice_rows`` consecutive rows by the file's own row order
     (``_metadata.row_index``). ``slice_rows=None`` (default) sizes
-    slices automatically at ~1/8 of the MEDIAN file's rows (floor 1024,
-    one cheap zero-column count pass over the just-written dir), so
-    every layout gets sub-file granularity without a knob; pass an
-    explicit value when the caller already knows the rolled file size
-    (the CDC path derives it from the sticky target_file_rows).
+    slices automatically at ~1/8 of the MEDIAN file's rows (floor
+    1024); pass an explicit value when the caller already knows the
+    rolled file size (the CDC path derives it from the sticky
+    target_file_rows). Either way a zero-column count pass over the
+    just-written dir clamps the slice size so NO file exceeds
+    ``_RG_SLICE_MAX_PER_FILE`` slices (ADVICE r8: an explicit
+    slice_rows from a stale sticky cluster_rows, against a
+    pre-adoption or compacted giant, previously emitted unbounded
+    slice entries into the driver collect and the manifest).
     This gives the prune cost gate sub-file
     selectivity for big bucket-locally-sorted files whose file-level
     envelope is wide but whose slices are narrow. Both granularities
@@ -253,24 +278,10 @@ def collect_file_stats(
             stats[c] = [_jsonable(r[f"_min_{c}"]), _jsonable(r[f"_max_{c}"])]
         return {"rows": r["_rows"], "stats": stats}
 
-    import re
-
-    def path_tail(s: str) -> str:
-        # scheme- and leading-slash-insensitive form, so the marker
-        # match survives the reader reporting "file:///x" (or
-        # "s3a://bucket/x") for a table dir passed as "/x" / "file:/x"
-        return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/*", "", s).lstrip("/")
-
-    marker = path_tail(path.rstrip("/")) + "/"
+    marker = _path_tail(path.rstrip("/")) + "/"
 
     def rel_name(uri: str) -> str:
-        # name relative to the snapshot dir (keeps hive-partition
-        # subdirs like _bucket=N/ for bucketed layouts; plain layouts
-        # reduce to the basename)
-        u = path_tail(uri)
-        return (
-            u.split(marker, 1)[1] if marker in u else uri.rsplit("/", 1)[1]
-        )
+        return _rel_name(uri, marker)
 
     if not row_groups:
         rows = (
@@ -284,23 +295,30 @@ def collect_file_stats(
         ]
         return sorted(out, key=lambda d: d["file"])
 
+    # one zero-column count pass over the just-written dir: sizes the
+    # auto slice AND (ADVICE r8) clamps an EXPLICIT slice_rows so no
+    # file can exceed _RG_SLICE_MAX_PER_FILE slices — a stale/small
+    # sticky cluster_rows against a pre-adoption or compacted giant
+    # previously pushed thousands of slice entries per file into the
+    # driver collect and the manifest
+    counts = sorted(
+        r[1]
+        for r in df.groupBy(
+            F.col("_metadata.file_path")
+        ).count().collect()
+    )
+    cap_floor = (
+        -(-counts[-1] // _RG_SLICE_MAX_PER_FILE) if counts else 0
+    )
     if slice_rows is None:
-        counts = sorted(
-            r[1]
-            for r in df.groupBy(
-                F.col("_metadata.file_path")
-            ).count().collect()
-        )
         med = counts[len(counts) // 2] if counts else 0
         # ~8 slices for the median file, floored so tiny files get one
         # slice, and bounded so a single skewed giant (one compaction
         # output among small files) cannot explode the manifest with
         # tens of thousands of slice entries (review fix)
-        slice_rows = max(
-            _RG_SLICE_MIN_ROWS,
-            med // 8,
-            -(-counts[-1] // _RG_SLICE_MAX_PER_FILE) if counts else 0,
-        )
+        slice_rows = max(_RG_SLICE_MIN_ROWS, med // 8, cap_floor)
+    else:
+        slice_rows = max(int(slice_rows), cap_floor, 1)
     rows = (
         df.select(
             F.col("_metadata.file_path").alias("_file"),

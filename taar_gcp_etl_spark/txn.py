@@ -2116,11 +2116,14 @@ def _pruned_live_for_groups(
     # cost gate (metadata-only): a prune that keeps most of the BYTES
     # pays the many-small-reads scan construction without saving IO —
     # the r6 sf1 soak measured a hash-bucket-mixed table keeping 44% of
-    # files and losing to the plain scan 1.8x. Gate on the ROW fraction
-    # when row-group stats exist (scan_cdc_pruned pushes the residual
-    # to the parquet reader, so non-overlapping row groups of kept
-    # files are skipped natively — kept_rows is the honest estimate);
-    # the file fraction is the fallback cost model.
+    # files and losing to the plain scan 1.8x. Price on the MEAN of the
+    # two honest bounds (ADVICE r8): kept_rows (slice model — the IO if
+    # the reader's physical row-group skipping matches the logical
+    # slices) and kept_file_rows (all rows of kept files — the IO if
+    # each rolled file is one physical row group and the residual skips
+    # nothing inside it). Files without slice stats make the bounds
+    # equal, so this degrades exactly to the old row-fraction gate
+    # there; the file fraction is the no-row-counts fallback.
     plan = _cdc_prune_plan(man, source_dir.rstrip("/"), filters)
     if plan["unstated_dirs"]:
         # pre-adoption dirs have unknown contents: the cost model can't
@@ -2128,7 +2131,8 @@ def _pruned_live_for_groups(
         # fall back to the plain live scan
         return None
     frac = (
-        plan["kept_rows"] / plan["total_rows"]
+        (plan["kept_rows"] + plan["kept_file_rows"])
+        / (2 * plan["total_rows"])
         if plan["total_rows"]
         else (
             plan["kept_files"] / plan["total_files"]
@@ -2465,15 +2469,23 @@ def _cdc_prune_plan(
     Per dir, only files of buckets the dir still OWNS are candidates
     (a superseded bucket's file may linger in an old dir).
 
-    Granularity (r7): when an entry carries per-ROW-GROUP stats
-    (collect_file_stats row_groups=True), a file survives only if at
-    least one row group overlaps every filter, and ``kept_rows``
-    counts just the overlapping row groups — the honest IO estimate,
-    because scan_cdc_pruned pushes the residual down to the parquet
-    reader, whose native row-group stats (the same values) skip the
-    non-overlapping groups. A row group missing stats for a filtered
-    column is kept conservatively; entries without row-group stats
-    count all their rows when the file-level envelope overlaps.
+    Granularity (r7, honesty fixed r9 per ADVICE r8): when an entry
+    carries per-slice stats (collect_file_stats row_groups=True — r8
+    slices are LOGICAL row_index windows, not physical parquet row
+    groups), a file survives only if at least one slice overlaps every
+    filter, and ``kept_rows`` counts just the overlapping slices.
+    That is an OPTIMISTIC lower bound on IO, not a guarantee:
+    scan_cdc_pruned pushes the residual down to the parquet reader,
+    whose native row-group skipping is CORRELATED with the slice model
+    (the bucket-local stats_cols sort gives both the same locality)
+    but works at physical-group granularity — a rolled file is often
+    ONE physical group, in which case the reader skips nothing inside
+    kept files. ``kept_file_rows`` (all rows of kept files) is the
+    matching pessimistic bound; cost gates should price between the
+    two (the IVM gate blends them). A slice missing stats for a
+    filtered column is kept conservatively; entries without slice
+    stats count all their rows when the file-level envelope overlaps
+    (making kept_rows == kept_file_rows there).
 
     ``unstated_dirs``: live dirs (still owning at least one bucket)
     written BEFORE the table adopted stats_cols have no file_stats
@@ -2505,7 +2517,7 @@ def _cdc_prune_plan(
     }
     kept_paths: list[str] = []
     total = kept = 0
-    total_rows = kept_rows = 0
+    total_rows = kept_rows = kept_file_rows = 0
     for d, entries in man["file_stats"].items():
         own = owned.get(d, set())
         for e in entries:
@@ -2526,11 +2538,12 @@ def _cdc_prune_plan(
                     g["rows"] for g in rgs if overlaps(g["stats"])
                 )
                 if rg_rows == 0:
-                    continue  # envelope overlapped, no row group does
+                    continue  # envelope overlapped, no slice does
             else:
                 rg_rows = e.get("rows", 0)
             kept += 1
             kept_rows += rg_rows
+            kept_file_rows += e.get("rows", 0)
             kept_paths.append(f"{table_dir}/{d}/{e['file']}")
     return {
         "kept_paths": kept_paths,
@@ -2538,6 +2551,7 @@ def _cdc_prune_plan(
         "kept_files": kept,
         "total_rows": total_rows,
         "kept_rows": kept_rows,
+        "kept_file_rows": kept_file_rows,
         "unstated_dirs": unstated,
     }
 

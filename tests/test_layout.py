@@ -507,3 +507,96 @@ class TestOptimizeZorder:
             )
             is None
         )
+
+
+class TestManifestPathShapes:
+    """VERDICT r8 #6: _path_tail/_rel_name are the seam that keeps
+    manifest file names portable across filesystems — pin every
+    reader-reported URI shape (file:/, file:///, s3a://bucket/) against
+    every table-dir shape the caller might pass, so a refactor cannot
+    silently re-introduce local-path assumptions. Pure functions, no
+    Spark needed."""
+
+    TABLE_DIR_FORMS = [
+        "/data/tbl",
+        "file:/data/tbl",
+        "file:///data/tbl",
+        "s3a://bucket/data/tbl",
+    ]
+    URI_PREFIXES = ["", "file:/", "file://", "file:///", "s3a://bucket/"]
+
+    def test_rel_name_stable_across_scheme_combinations(self):
+        """Whatever scheme the caller used for the table dir and
+        whatever scheme the reader reports back, the manifest-recorded
+        name must be the same snapshot-relative path."""
+        for table_dir in self.TABLE_DIR_FORMS:
+            marker = layout._path_tail(table_dir.rstrip("/")) + "/"
+            for pre in self.URI_PREFIXES:
+                uri = f"{pre}data/tbl/data/v01-tok/_bucket=3/part-0.parquet"
+                # an s3a table dir only ever sees s3a-reported URIs and
+                # vice versa — skip host-mismatched pairings where the
+                # bucket segment wouldn't be present
+                if ("bucket" in table_dir) != ("bucket" in pre):
+                    continue
+                assert layout._rel_name(uri, marker) == (
+                    "data/v01-tok/_bucket=3/part-0.parquet"
+                ), (table_dir, pre)
+
+    def test_plain_layout_reduces_to_basename(self):
+        marker = layout._path_tail("/data/tbl") + "/"
+        assert layout._rel_name(
+            "file:///data/tbl/data/v01-tok/part-7.parquet", marker
+        ) == "data/v01-tok/part-7.parquet"
+
+    def test_unmatched_marker_falls_back_to_basename(self):
+        """A URI outside the table dir must not leak an absolute local
+        path into the manifest."""
+        marker = layout._path_tail("/other/place") + "/"
+        assert layout._rel_name(
+            "file:///data/tbl/part-9.parquet", marker
+        ) == "part-9.parquet"
+
+    def test_path_tail_shapes(self):
+        assert layout._path_tail("file:/a/b") == "a/b"
+        assert layout._path_tail("file:///a/b") == "a/b"
+        assert layout._path_tail("s3a://bucket/a/b") == "bucket/a/b"
+        assert layout._path_tail("/a/b") == "a/b"
+        assert layout._path_tail("hdfs://nn:8020/a/b") == "nn:8020/a/b"
+
+
+class TestSliceCountClamp:
+    """ADVICE r8: an EXPLICIT slice_rows (stale sticky cluster_rows, or
+    an ad-hoc caller) must not emit more than _RG_SLICE_MAX_PER_FILE
+    slice entries for any file — the clamp derives from the same
+    zero-column count pass that auto-sizing uses."""
+
+    def test_explicit_tiny_slice_rows_clamped(self, spark, tmp_path):
+        d = str(tmp_path / "giant")
+        spark.range(60_000).selectExpr(
+            "id", "id % 97 as k"
+        ).coalesce(1).write.parquet(d)
+        entries = layout.collect_file_stats(
+            spark, d, ["k"], row_groups=True, slice_rows=10
+        )
+        assert entries, "fixture wrote at least one file"
+        for e in entries:
+            assert len(e["row_groups"]) <= layout._RG_SLICE_MAX_PER_FILE
+        # and the slices still cover every row
+        assert sum(
+            s["rows"] for e in entries for s in e["row_groups"]
+        ) == 60_000
+
+    def test_reasonable_explicit_slice_rows_respected(
+        self, spark, tmp_path
+    ):
+        """The clamp must not disturb a sane explicit value: 4 slices
+        of 2500 rows for a 10k-row file."""
+        d = str(tmp_path / "sane")
+        spark.range(10_000).selectExpr(
+            "id", "id % 7 as k"
+        ).coalesce(1).write.parquet(d)
+        entries = layout.collect_file_stats(
+            spark, d, ["k"], row_groups=True, slice_rows=2500
+        )
+        assert len(entries) == 1
+        assert len(entries[0]["row_groups"]) == 4

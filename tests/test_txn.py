@@ -3170,3 +3170,121 @@ class TestJoinBucketed:
         got = txn.join_bucketed(spark, left, right)
         self._mk(spark, left, [(99, "late", 200, "I")])
         assert got.count() == 10
+
+
+class TestPruneGateBlend:
+    """ADVICE r8: kept_rows (logical-slice model) is an OPTIMISTIC IO
+    bound — a rolled file is often ONE physical parquet row group, so
+    the residual may skip nothing inside kept files. The plan now also
+    reports kept_file_rows (pessimistic bound) and the IVM gate prices
+    the mean of the two."""
+
+    def _man(self):
+        return {
+            "buckets": {"0": "data/v1"},
+            "stats_types": {"day": "bigint"},
+            "file_stats": {
+                "data/v1": [
+                    {
+                        # wide-envelope giant: slices say only 100 of
+                        # 1000 rows match, but if the file is one
+                        # physical row group the scan reads all 1000
+                        "file": "_bucket=0/big.parquet",
+                        "rows": 1000,
+                        "stats": {"day": [0, 9]},
+                        "row_groups": [
+                            {"rows": 100, "stats": {"day": [7, 7]}},
+                            {"rows": 900, "stats": {"day": [0, 6]}},
+                        ],
+                    },
+                    {
+                        "file": "_bucket=0/skip.parquet",
+                        "rows": 1000,
+                        "stats": {"day": [0, 5]},
+                    },
+                ]
+            },
+        }
+
+    def test_plan_reports_both_bounds(self):
+        plan = txn._cdc_prune_plan(self._man(), "/t", [("day", "=", 7)])
+        assert plan["kept_rows"] == 100  # optimistic: matching slices
+        assert plan["kept_file_rows"] == 1000  # pessimistic: whole file
+        assert plan["total_rows"] == 2000
+
+    def test_bounds_equal_without_slice_stats(self):
+        """Legacy entries (no row_groups) must keep the old semantics:
+        both bounds are the file's rows, so the blend degrades to the
+        r7 row-fraction gate exactly."""
+        man = self._man()
+        del man["file_stats"]["data/v1"][0]["row_groups"]
+        plan = txn._cdc_prune_plan(man, "/t", [("day", "=", 7)])
+        assert plan["kept_rows"] == plan["kept_file_rows"] == 1000
+
+    def test_gate_declines_on_blend_where_slice_model_alone_passed(
+        self, spark, tmp_path
+    ):
+        """End-to-end: every file's slices say a touched-group filter
+        keeps ~1/8 of rows (under the 0.25 gate), but every file's
+        envelope overlaps every group — each kept file may be one
+        physical row group, so the blend ~(0.125 + 1.0)/2 > 0.25 and
+        the sync must fall back to the plain dir scan, staying exact."""
+        schema = "id long, grp long, val long, seq long, op string"
+        measures = {"mx": ("max", "val")}
+        src = str(tmp_path / "srcblend")
+        store = str(tmp_path / "mvblend")
+
+        def apply(rows, seq):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame(
+                    [(i, g, v, seq, "I") for i, g, v in rows], schema
+                ),
+                src, key_col="id", n_buckets=1, stats_cols=["grp"],
+                # rows interleave all 8 groups; slice ~1/8 of the file
+                # so each slice is nearly group-pure after the
+                # bucket-local sort on grp
+                target_file_rows=4096,
+            )
+
+        n, n_grp = 4096, 8
+        apply([(i, i % n_grp, i) for i in range(n)], seq=1)
+        txn.sync_aggregate_from_cdc(spark, src, store, ["grp"], measures)
+        plan_calls = []
+        real = txn.scan_cdc_pruned
+        import taar_gcp_etl_spark.txn as txn_mod
+
+        orig_plan = txn_mod._cdc_prune_plan
+
+        def spy_plan(*a, **k):
+            p = orig_plan(*a, **k)
+            plan_calls.append(p)
+            return p
+
+        txn_mod._cdc_prune_plan = spy_plan
+        scan_calls = []
+        txn_mod.scan_cdc_pruned = lambda *a, **k: (
+            scan_calls.append(1), real(*a, **k)
+        )[1]
+        try:
+            apply([(0, 0, 10_000_000)], seq=2)  # touch group 0 only
+            txn.sync_aggregate_from_cdc(
+                spark, src, store, ["grp"], measures
+            )
+        finally:
+            txn_mod._cdc_prune_plan = orig_plan
+            txn_mod.scan_cdc_pruned = real
+        assert plan_calls, "the planner ran"
+        p = plan_calls[-1]
+        slice_frac = p["kept_rows"] / p["total_rows"]
+        blend = (p["kept_rows"] + p["kept_file_rows"]) / (
+            2 * p["total_rows"]
+        )
+        assert slice_frac <= txn._IVM_PRUNE_MAX_KEPT_FRACTION, p
+        assert blend > txn._IVM_PRUNE_MAX_KEPT_FRACTION, p
+        assert scan_calls == []  # gate declined under the blend
+        # and the store is still exact
+        got = {
+            r.grp: r.mx
+            for r in txn.read_aggregate_store(spark, store).collect()
+        }
+        assert got[0] == 10_000_000
