@@ -102,7 +102,7 @@ def adjudicate(
     threshold: float = 0.15,
     floor: float = 0.3,
     max_reruns: int = 60,
-) -> tuple[dict[str, float], list[str], float]:
+) -> tuple[dict[str, float], list[str], dict[str, float], float]:
     """Re-run every warm-vs-prior swing once and adjudicate it.
 
     A query swings when both rounds measured it, either round cost
@@ -118,7 +118,10 @@ def adjudicate(
     (ADVICE r8: a fully contended host could otherwise double suite
     wall-clock with ~130 reruns that are themselves noise; the whole-
     suite contention sentinel in main() marks rounds where adjudication
-    itself is untrustworthy). Closest-to-
+    itself is untrustworthy). Returns (rerun, ambient, adjusted_map,
+    adjusted_total) — the per-query adjudicated map rides along so the
+    caller never rebuilds it (one credible_map call feeds both the
+    headline and the trend ledger). Closest-to-
     prior handles both noise directions (review fix, twice): when the
     RERUN is the polluted measurement (warm 2.0s real regression under
     a quiet host, rerun 3.0s under a load spike), warm is closer to
@@ -148,10 +151,9 @@ def adjudicate(
         if _rel(rerun[n], prior[n]) <= threshold  # swing didn't reproduce
         or _rel(rerun[n], warm[n]) > threshold  # run-to-run unstable
     )
-    adjusted_total = round(
-        sum(credible_map(warm, prior, rerun, ambient).values()), 3
-    )
-    return rerun, ambient, adjusted_total
+    adjusted_map = credible_map(warm, prior, rerun, ambient)
+    adjusted_total = round(sum(adjusted_map.values()), 3)
+    return rerun, ambient, adjusted_map, adjusted_total
 
 
 def find_regressions(
@@ -182,6 +184,36 @@ def find_regressions(
         if v > med and v - med >= floor and _rel(v, med) > threshold:
             out.append(n)
     return out
+
+
+def load_history(
+    trend_path: str, sf: float, prior: dict[str, float]
+) -> list[dict[str, float]]:
+    """Same-sf per-query trend history for the regression gate: every
+    ledger entry that carries a per-query adjudicated map. The prior
+    round's bench_full.json warm map joins ONLY when the ledger has no
+    such entry yet (pre-ledger bootstrap): once a round has a ledger
+    entry, its bench_full warm map is the SAME round seen twice — and
+    the warm copy carries exactly the polluted values credible_map
+    rejected, so double-counting it biased the median toward noise
+    (review fix; pinned by TestLoadHistory)."""
+    history: list[dict[str, float]] = []
+    try:
+        with open(trend_path) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("sf") == sf and isinstance(
+                    e.get("queries_adjusted"), dict
+                ):
+                    history.append(e["queries_adjusted"])
+    except OSError:
+        pass
+    if not history and prior:
+        history.append(prior)
+    return history
 
 
 def main() -> None:
@@ -225,23 +257,7 @@ def main() -> None:
             prior = prev.get("queries", {})
     except (OSError, ValueError):
         pass
-    # Same-sf per-query trend history for the regression gate: the prior
-    # round's full warm map (oldest pseudo-entry, pre-ledger rounds) plus
-    # every ledger entry that carries a per-query adjudicated map.
-    history: list[dict[str, float]] = [prior] if prior else []
-    try:
-        with open(trend_path) as f:
-            for line in f:
-                try:
-                    e = json.loads(line)
-                except ValueError:
-                    continue
-                if e.get("sf") == sf and isinstance(
-                    e.get("queries_adjusted"), dict
-                ):
-                    history.append(e["queries_adjusted"])
-    except OSError:
-        pass
+    history = load_history(trend_path, sf, prior)
 
     def sentinel_sec() -> float:
         """Whole-suite contention sentinel (ADVICE r8): a fixed CPU-bound
@@ -260,6 +276,11 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
+    # sentinel plan warm-up (untimed): its first-ever execution pays
+    # whole-stage codegen + JIT that the end sample won't, which biased
+    # _rel(s_end, s_start) toward the contended threshold on quiet
+    # hosts (review fix) — time only steady-state executions
+    sentinel_sec()
     s_start = sentinel_sec()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -271,12 +292,11 @@ def main() -> None:
     total_cold = round(sum(cold.values()), 3)
 
     # Adjudicate warm-vs-prior outliers (largest swings first, capped).
-    rerun, ambient, adjusted_total = adjudicate(
+    rerun, ambient, adjusted_map, adjusted_total = adjudicate(
         warm, prior, lambda n: run_once(SPARK_QUERIES[n])
     )
     s_end = sentinel_sec()
     is_contended = _rel(s_end, s_start) > 0.5
-    adjusted_map = credible_map(warm, prior, rerun, ambient)
     regressions = find_regressions(adjusted_map, history)
     try:
         with open(full_path, "w") as f:
@@ -351,7 +371,9 @@ def main() -> None:
     # ambient/regression names only, truncated if a heavily polluted
     # round would otherwise blow the driver's 2000-byte tail before any
     # query fits (the n_* counts stay, so truncation is visible).
-    for lst, key in ((regressions, "regressions"), (ambient, "ambient")):
+    # Ambient pops FIRST: regressions are the round's actionable signal
+    # and there are almost always far fewer of them (review fix).
+    for lst, key in ((ambient, "ambient"), (regressions, "regressions")):
         while lst and len(
             json.dumps(payload, separators=(",", ":"))
         ) > (STDOUT_LINE_BUDGET - 600):

@@ -242,14 +242,18 @@ def collect_file_stats(
     ``slice_rows`` consecutive rows by the file's own row order
     (``_metadata.row_index``). ``slice_rows=None`` (default) sizes
     slices automatically at ~1/8 of the MEDIAN file's rows (floor
-    1024); pass an explicit value when the caller already knows the
-    rolled file size (the CDC path derives it from the sticky
-    target_file_rows). Either way a zero-column count pass over the
-    just-written dir clamps the slice size so NO file exceeds
-    ``_RG_SLICE_MAX_PER_FILE`` slices (ADVICE r8: an explicit
-    slice_rows from a stale sticky cluster_rows, against a
-    pre-adoption or compacted giant, previously emitted unbounded
-    slice entries into the driver collect and the manifest).
+    1024, one zero-column count pass over the just-written dir); pass
+    an explicit value when the caller already knows the rolled file
+    size (the CDC path derives it from the sticky target_file_rows —
+    that path pays NO extra scan). Either way no file's manifest entry
+    exceeds ``_RG_SLICE_MAX_PER_FILE`` slices (ADVICE r8): the auto
+    path folds the cap into the slice size, the explicit path merges
+    ADJACENT over-cap slices after the rollup (exact envelope unions —
+    _merge_adjacent_slices), so a stale sticky cluster_rows against a
+    compacted giant can no longer bloat the manifest. The transient
+    rollup collect on the explicit path is bounded by
+    rows/slice_rows, pathological only under that same staleness and
+    never persisted.
     This gives the prune cost gate sub-file
     selectivity for big bucket-locally-sorted files whose file-level
     envelope is wide but whose slices are narrow. Both granularities
@@ -295,30 +299,33 @@ def collect_file_stats(
         ]
         return sorted(out, key=lambda d: d["file"])
 
-    # one zero-column count pass over the just-written dir: sizes the
-    # auto slice AND (ADVICE r8) clamps an EXPLICIT slice_rows so no
-    # file can exceed _RG_SLICE_MAX_PER_FILE slices — a stale/small
-    # sticky cluster_rows against a pre-adoption or compacted giant
-    # previously pushed thousands of slice entries per file into the
-    # driver collect and the manifest
-    counts = sorted(
-        r[1]
-        for r in df.groupBy(
-            F.col("_metadata.file_path")
-        ).count().collect()
-    )
-    cap_floor = (
-        -(-counts[-1] // _RG_SLICE_MAX_PER_FILE) if counts else 0
-    )
     if slice_rows is None:
+        counts = sorted(
+            r[1]
+            for r in df.groupBy(
+                F.col("_metadata.file_path")
+            ).count().collect()
+        )
         med = counts[len(counts) // 2] if counts else 0
         # ~8 slices for the median file, floored so tiny files get one
         # slice, and bounded so a single skewed giant (one compaction
         # output among small files) cannot explode the manifest with
         # tens of thousands of slice entries (review fix)
-        slice_rows = max(_RG_SLICE_MIN_ROWS, med // 8, cap_floor)
+        slice_rows = max(
+            _RG_SLICE_MIN_ROWS,
+            med // 8,
+            -(-counts[-1] // _RG_SLICE_MAX_PER_FILE) if counts else 0,
+        )
     else:
-        slice_rows = max(int(slice_rows), cap_floor, 1)
+        # the EXPLICIT path (ADVICE r8 clamp) does NOT pay a second
+        # scan for file counts (review fix: the CDC apply path passes
+        # slice_rows on every commit and deliberately avoids that
+        # pass): slices over the cap are merged ADJACENTLY after the
+        # rollup instead — envelope unions of consecutive slices are
+        # exact envelopes of the concatenated rows, so the manifest
+        # stays bounded at _RG_SLICE_MAX_PER_FILE entries per file
+        # either way
+        slice_rows = max(int(slice_rows), 1)
     rows = (
         df.select(
             F.col("_metadata.file_path").alias("_file"),
@@ -344,10 +351,53 @@ def collect_file_stats(
     out = []
     for name in sorted(files):
         e = files[name]
-        e["row_groups"] = [
-            s for _, s in sorted(slices.get(name, []), key=lambda t: t[0])
-        ]
+        e["row_groups"] = _merge_adjacent_slices(
+            [
+                s
+                for _, s in sorted(
+                    slices.get(name, []), key=lambda t: t[0]
+                )
+            ],
+            _RG_SLICE_MAX_PER_FILE,
+        )
         out.append(e)
+    return out
+
+
+def _merge_adjacent_slices(entries: list[dict], max_n: int) -> list[dict]:
+    """Cap a file's slice list at ``max_n`` by merging ADJACENT slices:
+    rows add, per-column envelopes union (min/max over the jsonable
+    forms — numbers compare numerically, date/timestamp isoformat
+    strings compare chronologically, None is the all-null slice and is
+    skipped like SQL aggregation does). Adjacency keeps the merged
+    envelope narrow under the bucket-local stats sort: consecutive
+    slices cover consecutive value ranges, so a union of neighbors is
+    the tightest union available without re-scanning."""
+    if len(entries) <= max_n:
+        return entries
+    group = -(-len(entries) // max_n)
+    out = []
+    for i in range(0, len(entries), group):
+        chunk = entries[i : i + group]
+        stats: dict = {}
+        for col in chunk[0]["stats"]:
+            los = [
+                c["stats"][col][0]
+                for c in chunk
+                if c["stats"][col][0] is not None
+            ]
+            his = [
+                c["stats"][col][1]
+                for c in chunk
+                if c["stats"][col][1] is not None
+            ]
+            stats[col] = [
+                min(los) if los else None,
+                max(his) if his else None,
+            ]
+        out.append(
+            {"rows": sum(c["rows"] for c in chunk), "stats": stats}
+        )
     return out
 
 

@@ -836,6 +836,33 @@ _GUARD_SAMPLE_ROWS = 50_000
 _GUARD_MIN_ROWS = 100_000  # "auto" estimates only at quadratic-risk scale
 
 
+def _sampled_estimate(
+    base: DataFrame,
+    d: int,
+    block_cols: list[str],
+    idx_keys: str,
+    probe_keys: str,
+    bmap: dict[tuple[str, int], list[int]] | None,
+    sample_rows: int,
+    n: int,
+) -> tuple[float, float]:
+    """Sample the corpus and estimate cross-pair key-join volume over
+    the SAME key relations the join shuffles. The one shared seam the
+    guard (_guard_candidate_volume) and the public estimator
+    (estimate_fuzzy_join_candidates) both go through — they must stay
+    in lockstep or the estimator stops predicting what the guard
+    enforces. Returns (estimate, sample_frac)."""
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = base.sample(fraction=frac, seed=11) if frac < 1.0 else base
+    if bmap is not None:
+        idx, probe, keycols = _adaptive_keyed(sample, d, bmap, block_cols)
+    else:
+        idx, probe, keycols = _even_keyed(
+            sample, idx_keys, probe_keys, block_cols
+        )
+    return _candidate_volume(idx, probe, keycols, 1.0 / frac), frac
+
+
 def _guard_candidate_volume(
     base: DataFrame,
     d: int,
@@ -861,18 +888,18 @@ def _guard_candidate_volume(
             f"candidate_budget must be an int, 'auto', or None — got "
             f"{budget!r}"
         )
+    if not explicit:
+        # bounded probe, not a full count (review fix): LocalLimit
+        # short-circuits, so corpora under the risk threshold pay
+        # O(min_rows) rows scanned — honoring the "small corpora pay
+        # nothing" contract — instead of a full pass that exists only
+        # to learn the guard doesn't apply
+        if base.limit(min_rows).count() < min_rows:
+            return None
     n = base.count()
-    if not explicit and n < min_rows:
-        return None
-    frac = min(1.0, sample_rows / max(n, 1))
-    sample = base.sample(fraction=frac, seed=11) if frac < 1.0 else base
-    if bmap is not None:
-        idx, probe, keycols = _adaptive_keyed(sample, d, bmap, block_cols)
-    else:
-        idx, probe, keycols = _even_keyed(
-            sample, idx_keys, probe_keys, block_cols
-        )
-    est = _candidate_volume(idx, probe, keycols, 1.0 / frac)
+    est, _ = _sampled_estimate(
+        base, d, block_cols, idx_keys, probe_keys, bmap, sample_rows, n
+    )
     limit = float(budget) if explicit else 64.0 * n
     if est > limit:
         msg = (
@@ -925,19 +952,10 @@ def estimate_fuzzy_join_candidates(
         else None
     )
     n = base.count()
-    frac = min(1.0, sample_rows / max(n, 1))
-    sample = base.sample(fraction=frac, seed=11) if frac < 1.0 else base
-    if bmap is not None:
-        idx, probe, keycols = _adaptive_keyed(sample, d, bmap, block_cols)
-    else:
-        idx, probe, keycols = _even_keyed(
-            sample, idx_keys, probe_keys, block_cols
-        )
-    return {
-        "n": n,
-        "sample_frac": frac,
-        "estimate": _candidate_volume(idx, probe, keycols, 1.0 / frac),
-    }
+    est, frac = _sampled_estimate(
+        base, d, block_cols, idx_keys, probe_keys, bmap, sample_rows, n
+    )
+    return {"n": n, "sample_frac": frac, "estimate": est}
 
 
 def fuzzy_self_join_segments(

@@ -1249,13 +1249,23 @@ def join_bucketed(
     live_l = {
         n for n, _ in man_l["schema"] if n not in (DELETED_COL, BUCKET_COL)
     }
-    ren = {
-        n: n + rsuffix
-        for n, _ in man_r["schema"]
-        if n in live_l
-        and n not in (DELETED_COL, BUCKET_COL)
-        and not (merged and n == key_r)
-    }
+    live_r = [
+        n for n, _ in man_r["schema"] if n not in (DELETED_COL, BUCKET_COL)
+    ]
+    # collision-safe rename: the suffixed name must not collide with a
+    # left column NOR with another right column (a right side carrying
+    # both 'val' and 'val_r' would otherwise emit two 'val_r's — review
+    # fix); keep appending the suffix until the name is free
+    taken = set(live_l) | set(live_r)
+    ren: dict[str, str] = {}
+    for n in live_r:
+        if n not in live_l or (merged and n == key_r):
+            continue
+        cand = n + rsuffix
+        while cand in taken:
+            cand += rsuffix
+        taken.add(cand)
+        ren[n] = cand
     key_r_out = ren.get(key_r, key_r)
 
     def live(table_dir: str, man: dict, b: int):

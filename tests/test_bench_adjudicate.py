@@ -40,7 +40,7 @@ class TestReplayR7:
         19.91->0.48, 39.24->1.47, 12.78->0.93). adjusted_total must land
         within 15% of the quiet total instead of shipping 236 s."""
         polluted, quiet = replay["polluted"], replay["quiet"]
-        rerun, ambient, adjusted = adjudicate(
+        rerun, ambient, _, adjusted = adjudicate(
             polluted, quiet, lambda n: quiet[n]
         )
         quiet_total = replay["quiet_total"]
@@ -55,7 +55,7 @@ class TestReplayR7:
 
     def test_rerun_count_bounded_by_swings_not_registry(self, replay):
         polluted, quiet = replay["polluted"], replay["quiet"]
-        rerun, _, _ = adjudicate(polluted, quiet, lambda n: quiet[n])
+        rerun, _, _, _ = adjudicate(polluted, quiet, lambda n: quiet[n])
         # Only genuinely swinging queries re-run — not all 129.
         assert 0 < len(rerun) < len(polluted)
 
@@ -69,7 +69,7 @@ class TestReplayR7:
             calls.append(n)
             return quiet[n]
 
-        rerun, ambient, adjusted = adjudicate(quiet, quiet, boom)
+        rerun, ambient, _, adjusted = adjudicate(quiet, quiet, boom)
         assert rerun == {} and ambient == [] and calls == []
         assert adjusted == round(sum(quiet.values()), 3)
 
@@ -80,7 +80,7 @@ class TestGenuineChanges:
         keeps its warm number in the adjusted total."""
         prior = {"q": 1.0, "r": 0.5}
         warm = {"q": 2.0, "r": 0.5}
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 2.05)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 2.05)
         assert rerun == {"q": 2.05}
         assert ambient == []
         assert adjusted == 2.5
@@ -88,14 +88,14 @@ class TestGenuineChanges:
     def test_real_speedup_survives_unadjusted(self):
         prior = {"q": 2.0}
         warm = {"q": 0.9}
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 0.92)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 0.92)
         assert ambient == []
         assert adjusted == 0.9
 
     def test_ambient_inflation_substitutes_rerun(self):
         prior = {"q": 1.0, "r": 1.0}
         warm = {"q": 10.0, "r": 1.0}  # q inflated 10x by host load
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 1.02)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 1.02)
         assert ambient == ["q"]
         assert adjusted == round(1.02 + 1.0, 3)
 
@@ -107,7 +107,7 @@ class TestGenuineChanges:
         above what was actually measured."""
         prior = {"q": 1.0}
         warm = {"q": 2.0}
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 3.0)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 3.0)
         assert ambient == ["q"]  # unstable: honestly flagged
         assert adjusted == 2.0  # but never inflated past a measurement
 
@@ -118,7 +118,7 @@ class TestGenuineChanges:
         phantom speedup as a plain min() would."""
         prior = {"q": 2.0}
         warm = {"q": 0.9}
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 2.0)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 2.0)
         assert ambient == ["q"]
         assert adjusted == 2.0
 
@@ -127,7 +127,7 @@ class TestGenuineChanges:
         re-run them."""
         prior = {"q": 0.05}
         warm = {"q": 0.2}  # 4x, but both under the floor
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 0.1)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 0.1)
         assert rerun == {} and ambient == []
         assert adjusted == 0.2
 
@@ -144,7 +144,7 @@ class TestZeroGuard:
     def test_prior_zero_is_automatic_swing(self):
         prior = {"q": 0.0}
         warm = {"q": 0.5}
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 0.5)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 0.5)
         # Re-measured (automatic swing), reproduces -> genuine, not ambient.
         assert rerun == {"q": 0.5}
         assert ambient == []
@@ -153,7 +153,7 @@ class TestZeroGuard:
     def test_warm_zero_no_crash(self):
         prior = {"q": 0.5}
         warm = {"q": 0.0}
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 0.0)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 0.0)
         # rerun stable at warm (rel(0,0)=0) and away from prior -> genuine.
         assert ambient == []
         assert adjusted == 0.0
@@ -161,7 +161,7 @@ class TestZeroGuard:
     def test_rerun_zero_with_inflated_warm_is_ambient(self):
         prior = {"q": 0.5}
         warm = {"q": 5.0}
-        rerun, ambient, adjusted = adjudicate(warm, prior, lambda n: 0.0)
+        rerun, ambient, _, adjusted = adjudicate(warm, prior, lambda n: 0.0)
         # rel(rerun, warm) = 1.0 > 0.15 -> unstable -> ambient.
         assert ambient == ["q"]
         assert adjusted == 0.0
@@ -176,7 +176,7 @@ class TestRerunCap:
         prior = {f"q{i}": 1.0 for i in range(100)}
         # q0 swings 101x, q1 swings ~51x, ... q99 barely over threshold
         warm = {f"q{i}": 1.0 + (100 - i) for i in range(100)}
-        rerun, ambient, _ = adjudicate(
+        rerun, ambient, _, _ = adjudicate(
             warm, prior, lambda n: prior[n], max_reruns=5
         )
         assert len(rerun) == 5
@@ -188,21 +188,25 @@ class TestRerunCap:
         """The r7 polluted round had fewer than max_reruns genuine swings
         — the default cap must not change its adjudication."""
         polluted, quiet = replay["polluted"], replay["quiet"]
-        _, _, adjusted = adjudicate(polluted, quiet, lambda n: quiet[n])
+        _, _, _, adjusted = adjudicate(polluted, quiet, lambda n: quiet[n])
         assert abs(adjusted / replay["quiet_total"] - 1) <= 0.15
 
 
 class TestCredibleMap:
-    def test_matches_adjusted_total(self, replay):
+    def test_returned_map_is_the_single_source_of_truth(self, replay):
+        """adjudicate returns the adjudicated per-query map itself
+        (review fix: main() used to rebuild it, a silent-divergence
+        seam): the returned map must equal a fresh credible_map call
+        and sum to adjusted_total."""
         from bench import credible_map
 
         polluted, quiet = replay["polluted"], replay["quiet"]
-        rerun, ambient, adjusted = adjudicate(
+        rerun, ambient, amap, adjusted = adjudicate(
             polluted, quiet, lambda n: quiet[n]
         )
-        cmap = credible_map(polluted, quiet, rerun, ambient)
-        assert set(cmap) == set(polluted)
-        assert round(sum(cmap.values()), 3) == adjusted
+        assert amap == credible_map(polluted, quiet, rerun, ambient)
+        assert set(amap) == set(polluted)
+        assert round(sum(amap.values()), 3) == adjusted
 
 
 class TestFindRegressions:
@@ -262,3 +266,60 @@ class TestFindRegressions:
         from bench import find_regressions
 
         assert find_regressions({"q": 5.0}, []) == []
+
+
+class TestLoadHistory:
+    """Review fix: bench_full.json's warm map must not double-count a
+    round the ledger already carries — the warm copy holds exactly the
+    polluted values credible_map rejected, so the duplicate biased the
+    trend median toward noise and could mask a real regression."""
+
+    def _write(self, tmp_path, lines):
+        p = tmp_path / "trend.jsonl"
+        p.write_text("".join(json.dumps(e) + "\n" for e in lines))
+        return str(p)
+
+    def test_prior_excluded_once_ledger_has_entries(self, tmp_path):
+        from bench import find_regressions, load_history
+
+        # round N was contended: warm q=3.0 (bench_full), adjudicated 1.0
+        ledger = [
+            {"sf": 0.1, "queries_adjusted": {"q": 1.0}},
+            {"sf": 0.1, "queries_adjusted": {"q": 1.1}},
+        ]
+        prior_warm = {"q": 3.0}
+        hist = load_history(
+            self._write(tmp_path, ledger), 0.1, prior_warm
+        )
+        assert hist == [{"q": 1.0}, {"q": 1.1}]
+        # a real regression to 1.9 s (median 1.05) must flag — with the
+        # polluted prior double-counted the median was 1.1->... 3.0 in
+        # play and the gate stayed silent
+        assert find_regressions({"q": 1.9}, hist) == ["q"]
+
+    def test_prior_bootstraps_empty_ledger(self, tmp_path):
+        from bench import load_history
+
+        hist = load_history(
+            self._write(tmp_path, []), 0.1, {"q": 2.0}
+        )
+        assert hist == [{"q": 2.0}]
+
+    def test_cross_sf_and_legacy_entries_skipped(self, tmp_path):
+        from bench import load_history
+
+        ledger = [
+            {"sf": 0.001, "queries_adjusted": {"q": 9.0}},  # other sf
+            {"sf": 0.1, "value": 100.0},  # legacy: no per-query map
+        ]
+        hist = load_history(
+            self._write(tmp_path, ledger), 0.1, {"q": 2.0}
+        )
+        assert hist == [{"q": 2.0}]  # bootstrap only
+
+    def test_missing_file_returns_prior_only(self, tmp_path):
+        from bench import load_history
+
+        assert load_history(
+            str(tmp_path / "absent.jsonl"), 0.1, {"q": 1.0}
+        ) == [{"q": 1.0}]

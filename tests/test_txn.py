@@ -3288,3 +3288,32 @@ class TestPruneGateBlend:
             for r in txn.read_aggregate_store(spark, store).collect()
         }
         assert got[0] == 10_000_000
+
+
+class TestJoinBucketedRenameCollision:
+    """Review fix: the rsuffix rename must not itself collide — a right
+    table carrying both 'val' and 'val_r' (with 'val' colliding against
+    the left) previously produced two 'val_r' output columns."""
+
+    def test_suffixed_name_collision_avoided(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", 1, "I")], CDC_SCHEMA
+            ),
+            left, n_buckets=8,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "b", "pre-existing", 1, "I")],
+                "id long, val string, val_r string, seq long, op string",
+            ),
+            right, n_buckets=8,
+        )
+        out = txn.join_bucketed(spark, left, right)
+        cols = out.columns
+        assert len(cols) == len(set(cols)), cols  # no duplicates
+        row = out.collect()[0]
+        # left val kept, right val renamed PAST the taken val_r
+        assert row.val == "a" and row.val_r == "pre-existing"
+        assert row.val_r_r == "b"
