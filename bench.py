@@ -196,7 +196,11 @@ def load_history(
     entry, its bench_full warm map is the SAME round seen twice — and
     the warm copy carries exactly the polluted values credible_map
     rejected, so double-counting it biased the median toward noise
-    (review fix; pinned by TestLoadHistory)."""
+    (review fix; pinned by TestLoadHistory). Entries the sentinel
+    stamped ``contended`` are skipped outright: their adjudication ran
+    under the same shifting load that caused the swings, so feeding
+    them to the median would launder exactly the noise the sentinel
+    exists to quarantine."""
     history: list[dict[str, float]] = []
     try:
         with open(trend_path) as f:
@@ -205,8 +209,10 @@ def load_history(
                     e = json.loads(line)
                 except ValueError:
                     continue
-                if e.get("sf") == sf and isinstance(
-                    e.get("queries_adjusted"), dict
+                if (
+                    e.get("sf") == sf
+                    and not e.get("contended")
+                    and isinstance(e.get("queries_adjusted"), dict)
                 ):
                     history.append(e["queries_adjusted"])
     except OSError:
@@ -266,10 +272,14 @@ def main() -> None:
         changed DURING the run, so the adjudication reruns themselves ran
         under the same contention that caused the swings — the round's
         adjusted numbers are marked untrustworthy rather than silently
-        shipped."""
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id * 7)").collect()
-        return round(time.perf_counter() - t0, 3)
+        shipped. Each sample is the MEDIAN of three executions: a
+        single ~0.2 s reading flips the flag on one scheduler hiccup."""
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id * 7)").collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()

@@ -14,15 +14,19 @@ executes without driver materialization):
            partition each; ZERO shuffle exchange (plan asserted here
            too, not just in the unit test).
 
-Honest-claim note (r5 soak lesson): local wall-clock is page-cache
-bound, so the headline is the RATIO on warm data plus the plan shape;
-the structural claim (no exchange of either side) is what scales to a
-real cluster where the shuffle crosses the network. Measured crossover:
-at 4M rows/side the aligned path LOST 2.3x (64 file-index creations +
-32 codegen branches are a fixed driver cost, and an in-process shuffle
-of 4M rows is nearly free); at 16M rows/side it WINS 2.8x (plain 10.3s,
-aligned 3.7s) — the fixed cost amortizes while the plain join's shuffle
-grows with data, exactly the regime the face is for.
+Honest-claim note (r5 soak lesson, re-learned here): local wall-clock
+is page-cache and ambient bound. A first cut ran the arms in blocks and
+measured "plain 10.3 s vs aligned 3.7 s = 2.8x win" — that plain block
+had landed in a loaded window; alternated quiet minima show NEAR-PARITY
+at 16M rows/side (plain ~3.7 s, aligned ~3.9 s). That parity is itself
+the honest local result: on local[32] the exchange is an in-process
+memory copy (~free), so the aligned path's avoided shuffle buys nothing
+here while its O(n_buckets) plan overhead costs a little. The claim
+that scales is STRUCTURAL and asserted on the plan, not the clock: zero
+shuffle exchange of either side, so on a real cluster the ~2x-data
+network/disk shuffle cost disappears while everything else is the same
+work. At 4M rows/side the fixed plan cost still loses ~2x — use the
+face for big co-located merges, not small ones.
 
 Usage: python scripts/soak_bucket_join.py  (one JSON line, writes
 docs/bench_soak_bucket_join.json)
@@ -110,11 +114,19 @@ def main() -> None:
             "Exchange hashpartitioning" in plan
             or "Exchange rangepartitioning" in plan
         )
-        times = {}
-        for name, mk in (("plain", plain), ("aligned", aligned)):
-            runs = [run_noop(mk()) for _ in range(2)]
-            times[name] = min(runs)
+        # ALTERNATE the arms (3 rounds) and keep per-arm minima: a
+        # block of consecutive runs hands whichever arm goes second a
+        # warmer page cache and charges ambient spikes to one arm only
+        # (the first cut of this soak measured plain 10.3 s in a loaded
+        # window and called it a 2.8x aligned win; alternated quiet
+        # minima show near-parity locally — the honest local claim)
+        runs: dict[str, list[float]] = {"plain": [], "aligned": []}
+        for _ in range(3):
+            for name, mk in (("plain", plain), ("aligned", aligned)):
+                runs[name].append(run_noop(mk()))
+        times = {k: min(v) for k, v in runs.items()}
         out["sec"] = times
+        out["sec_runs"] = runs
         out["speedup_aligned_over_plain"] = round(
             times["plain"] / max(times["aligned"], 1e-9), 2
         )

@@ -2700,7 +2700,7 @@ def q_fuzzy_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-aligned fact-fact join (txn.join_bucketed, VERDICT r8 #4):
     customer and a per-customer order-stats table are committed as
-    bucketed CDC tables sharing modulus 16, then joined WITHOUT
+    bucketed CDC tables sharing a modulus, then joined WITHOUT
     exchanging either side — per-bucket pruned reads coalesced to one
     partition satisfy the join's clustered distribution, so the plan
     carries zero shuffle Exchange (pinned by
@@ -2718,7 +2718,10 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     n = cust.count()
-    tag = hashlib.sha256(f"{sf_dir}|{n}|bjoin".encode()).hexdigest()[:12]
+    nb = 8  # small modulus at bench scale: the plan is O(n_buckets)
+    tag = hashlib.sha256(
+        f"{sf_dir}|{n}|bjoin|{nb}".encode()
+    ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"taar-bjoin-{tag}")
     left, right = f"{base}-cust", f"{base}-ostats"
     if txn.latest_manifest(spark, left) is None:
@@ -2727,7 +2730,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c_custkey", "c_name", "c_acctbal",
                 F.col("c_custkey").alias("seq"), F.lit("I").alias("op"),
             ),
-            left, key_col="c_custkey", n_buckets=16,
+            left, key_col="c_custkey", n_buckets=nb,
         )
     if txn.latest_manifest(spark, right) is None:
         stats = orders.groupBy("o_custkey").agg(
@@ -2739,7 +2742,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "*",
                 F.col("o_custkey").alias("seq"), F.lit("I").alias("op"),
             ),
-            right, key_col="o_custkey", n_buckets=16,
+            right, key_col="o_custkey", n_buckets=nb,
         )
     out = txn.join_bucketed(spark, left, right)
     return out.select(

@@ -1268,6 +1268,18 @@ def join_bucketed(
         ren[n] = cand
     key_r_out = ren.get(key_r, key_r)
 
+    _subdir_cache: dict[str, set] = {}
+
+    def _list_subdirs(parent: str) -> set:
+        if parent not in _subdir_cache:
+            _, fs, jp = _fs(spark, parent)
+            _subdir_cache[parent] = (
+                {st.getPath().getName() for st in fs.listStatus(jp)}
+                if fs.exists(jp)
+                else set()
+            )
+        return _subdir_cache[parent]
+
     def live(table_dir: str, man: dict, b: int):
         """Live rows of ONE bucket, read from its `_bucket=b/` partition
         directories DIRECTLY (not via a basePath scan + isin filter):
@@ -1292,10 +1304,13 @@ def join_bucketed(
         dirs += [f"{table_dir_}/{p}/{BUCKET_COL}={b}" for p in overlays]
         parts_b = []
         for p in dirs:
-            _, fs, jp = _fs(spark, p)
             # a mapped bucket can lack its subdir (e.g. compaction
-            # retired every row the bucket had) — empty, not an error
-            if fs.exists(jp):
+            # retired every row the bucket had) — empty, not an error;
+            # presence comes from ONE cached listStatus per snapshot
+            # dir, not n_buckets exists() round-trips (driver plan cost
+            # at high bucket counts / object storage latency)
+            parent, leaf = p.rsplit("/", 1)
+            if leaf in _list_subdirs(parent):
                 parts_b.append(spark.read.parquet(p))
         if not parts_b:
             return None
@@ -1329,19 +1344,39 @@ def join_bucketed(
             return l_b.join(r_b, key_l, how)
         return l_b.join(r_b, l_b[key_l] == r_b[key_r_out], how)
 
-    parts: list[DataFrame] = []
-    for b in range(nb_l):
+    # prefill the listing cache sequentially (one listStatus per unique
+    # snapshot/overlay dir — read-only during the threaded build below)
+    for td, man in ((left_dir, man_l), (right_dir, man_r)):
+        td_ = td.rstrip("/")
+        rels = set(man["buckets"].values())
+        for paths in (man.get("overlays") or {}).values():
+            rels.update(paths)
+        for rel in rels:
+            _list_subdirs(f"{td_}/{rel}")
+
+    def build(b: int) -> DataFrame | None:
         l_b = live(left_dir, man_l, b)
         r_b = live(right_dir, man_r, b)
         if l_b is None and r_b is None:
-            continue
+            return None
         if how == "inner" and (l_b is None or r_b is None):
-            continue
+            return None
         if l_b is None:
             l_b = _empty_live(spark, man_l)
         if r_b is None:
             r_b = _empty_live(spark, man_r)
-        parts.append(pair(l_b.coalesce(1), r_b.coalesce(1)))
+        return pair(l_b.coalesce(1), r_b.coalesce(1))
+
+    # per-bucket construction is driver-side analysis + file-index
+    # round-trips (~100 ms each); sequential it is O(n_buckets) driver
+    # seconds — minutes at a real modulus — so build branches in a
+    # thread pool (DataFrame construction on one SparkSession is
+    # thread-safe; the listing cache above is read-only here)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, max(nb_l, 1))) as ex:
+        built = list(ex.map(build, range(nb_l)))
+    parts: list[DataFrame] = [p for p in built if p is not None]
     if not parts:
         # committed-but-disjoint (or both-empty) mappings: an EMPTY
         # relation with the joined schema, not None (None means "no

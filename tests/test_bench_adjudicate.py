@@ -323,3 +323,19 @@ class TestLoadHistory:
         assert load_history(
             str(tmp_path / "absent.jsonl"), 0.1, {"q": 1.0}
         ) == [{"q": 1.0}]
+
+    def test_contended_entries_quarantined(self, tmp_path):
+        """A ledger entry the sentinel stamped contended must not feed
+        the trend median — its adjudication ran under the same shifting
+        load that caused the swings."""
+        from bench import load_history
+
+        ledger = [
+            {"sf": 0.1, "queries_adjusted": {"q": 1.0}},
+            {"sf": 0.1, "contended": True,
+             "queries_adjusted": {"q": 5.0}},
+        ]
+        hist = load_history(
+            self._write(tmp_path, ledger), 0.1, {"q": 9.0}
+        )
+        assert hist == [{"q": 1.0}]
