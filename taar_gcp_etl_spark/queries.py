@@ -2755,6 +2755,89 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized JOIN view (txn.sync_join_from_cdc): the
+    store holds customer ⋈ per-customer order stats, cold-started at the
+    base version and then maintained INCREMENTALLY through a
+    deterministic churn batch (balance bump on custkey%10, delete
+    custkey%13 on the left; delete o_custkey%7 on the right) — so the
+    driver's hash compare proves the delta-maintained view equals the
+    from-scratch SQL join of the post-churn state. Tables and both
+    syncs build once per (sf_dir, row-count) under the system temp dir;
+    replayed syncs no-op on the packed two-source cursor."""
+    import hashlib
+    import os
+    import tempfile
+
+    from taar_gcp_etl_spark import txn
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    n = cust.count()
+    nb = 8
+    tag = hashlib.sha256(
+        f"{sf_dir}|{n}|sjoin|{nb}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"taar-sjoin-{tag}")
+    left, right = f"{base}-cust", f"{base}-ostats"
+    store = f"{base}-mv"
+    if txn.latest_manifest(spark, left) is None:
+        txn.apply_cdc_batch_bucketed(
+            cust.select(
+                "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"),
+                F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            ),
+            left, key_col="c_custkey", n_buckets=nb,
+        )
+    if txn.latest_manifest(spark, right) is None:
+        stats = orders.groupBy("o_custkey").agg(
+            F.count("*").cast("int").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        txn.apply_cdc_batch_bucketed(
+            stats.select(
+                "*", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+            ),
+            right, key_col="o_custkey", n_buckets=nb,
+        )
+    # cold-start sync at the base versions (no-op when already synced)
+    txn.sync_join_from_cdc(spark, left, right, store)
+    if txn.latest_manifest(spark, left)["version"] == 1:
+        # deterministic churn, applied exactly once per fixture build
+        txn.apply_cdc_batch_bucketed(
+            cust.filter(
+                (F.col("c_custkey") % 10 == 0)
+                | (F.col("c_custkey") % 13 == 0)
+            ).select(
+                "c_custkey", "c_name",
+                (F.round("c_acctbal", 2) + 100.0).alias("acctbal"),
+                F.lit(2).alias("seq"),
+                F.when(F.col("c_custkey") % 13 == 0, "D")
+                .otherwise("U").alias("op"),
+            ),
+            left, key_col="c_custkey", n_buckets=nb,
+        )
+        txn.apply_cdc_batch_bucketed(
+            orders.select(F.col("o_custkey")).distinct()
+            .filter(F.col("o_custkey") % 7 == 0)
+            .select(
+                "o_custkey",
+                F.lit(None).cast("int").alias("n_orders"),
+                F.lit(None).cast("double").alias("total_price"),
+                F.lit(2).alias("seq"), F.lit("D").alias("op"),
+            ),
+            right, key_col="o_custkey", n_buckets=nb,
+        )
+    # the incremental sync (no-op on replays: packed cursor current)
+    txn.sync_join_from_cdc(spark, left, right, store)
+    out = txn.read_join_store(spark, store)
+    return out.select(
+        "c_custkey", "c_name", "acctbal",
+        "o_custkey", "n_orders", "total_price",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2926,6 +3009,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup_keep": q_span_dedup_keep,
     "fuzzy_join_adaptive": q_fuzzy_join_adaptive,
     "join_bucketed": q_join_bucketed,
+    "sync_join": q_sync_join,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -3925,6 +4009,24 @@ ORACLE_SQL: dict[str, str] = {
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders GROUP BY o_custkey
         ) o ON c.c_custkey = o.o_custkey
+    """,
+    "sync_join": """
+        WITH cust2 AS (
+            SELECT c_custkey, c_name,
+                   ROUND(c_acctbal, 2)
+                     + CASE WHEN c_custkey % 10 = 0
+                            THEN 100.0 ELSE 0.0 END AS acctbal
+            FROM customer WHERE c_custkey % 13 <> 0
+        ), ostats AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS INTEGER) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, c.acctbal,
+               o.o_custkey, o.n_orders, o.total_price
+        FROM cust2 c JOIN ostats o ON c.c_custkey = o.o_custkey
+        WHERE o.o_custkey % 7 <> 0
     """,
     "fuzzy_join_adaptive": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

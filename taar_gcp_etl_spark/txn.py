@@ -2451,6 +2451,294 @@ def sync_aggregate_from_cdc(
             df.unpersist()
 
 
+_JOIN_CURSOR_SHIFT = 31  # right version in the low 31 bits
+
+
+def _pack_join_cursor(v_left: int, v_right: int) -> int:
+    """One monotone integer from the (left, right) source-version pair,
+    so commit_txn's existing epoch guard gives the two-source sync
+    exactly-once replay semantics without new manifest machinery. Both
+    source versions only ever grow, so the packed value grows with
+    either — and equality means neither advanced (replay skip). 31 bits
+    bounds the RIGHT source at ~2.1e9 versions; Python ints and JSON
+    manifests carry the left side unbounded."""
+    if v_right >= (1 << _JOIN_CURSOR_SHIFT):
+        raise ValueError(
+            f"right source version {v_right} exceeds the packed-cursor "
+            f"bound 2^{_JOIN_CURSOR_SHIFT}"
+        )
+    return (v_left << _JOIN_CURSOR_SHIFT) | v_right
+
+
+def _unpack_join_cursor(epoch: int) -> tuple[int, int]:
+    return epoch >> _JOIN_CURSOR_SHIFT, epoch & (
+        (1 << _JOIN_CURSOR_SHIFT) - 1
+    )
+
+
+def sync_join_from_cdc(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    store_dir: str,
+    how: str = "inner",
+    rsuffix: str = "_r",
+    prune_probe: bool = True,
+) -> int | None:
+    """Incremental materialized JOIN-view maintenance: keep
+    ``store_dir`` equal to ``live(left) JOIN live(right)`` on the two
+    tables' key columns, maintained from their change feeds with
+    O(changed keys) work per sync — the join-view sibling of
+    sync_aggregate_from_cdc (the delta-join rule ΔV = ΔL⋈R ∪ L⋈ΔR,
+    specialized to KEY-KEY joins where it collapses to "recompute
+    exactly the touched keys").
+
+    Why key-key makes this cheap and exact: both sides key their rows
+    uniquely (CDC primary keys — non-null by construction), so every
+    join output row is itself addressed by the join key. A sync:
+
+    1. reads both sources' COMPACT change feeds since the last synced
+       versions — O(changes) via change-file netting when the log
+       allows (read_changes_bucketed);
+    2. takes the distinct TOUCHED key set (either side changing a key
+       can flip that key's output row);
+    3. re-joins the live sides restricted to the touched keys — the
+       probes are bucket-PRUNED when a source is bucketed (touched
+       keys → touched bucket ids → read_txn(buckets=...), a
+       partition-dir-pruned read) and semi-joined against the
+       broadcast touched set, so probe cost is O(touched buckets),
+       never a table scan;
+    4. applies the per-key outcome to the store AS A CDC BATCH:
+       fresh join rows upsert, touched keys with no qualifying row
+       tombstone. The store is itself a BUCKETED CDC table (bucketed
+       by the store key at the left source's modulus), so the write
+       rewrites only the store's TOUCHED buckets — without this the
+       maintenance is O(changes) on the read side but O(store) on the
+       write side, which the 4M-row soak measured as the dominant cost
+       (a flat-store first cut spent its sync rewriting 4M rows to
+       carry 1000 changes).
+
+    ``how``: 'inner', 'left', or 'full' — unmatched-side columns are
+    null, and a key whose qualifying liveness disappears (e.g. the
+    left row of a LEFT join is deleted) leaves the store. Right-side
+    columns colliding with left names rename with ``rsuffix`` (every
+    CDC table stores ``seq``, so the collision is the norm), the same
+    discipline as join_bucketed. For 'full' with differing key names
+    the store key column (the LEFT key name) carries
+    coalesce(left key, right key) so right-only rows stay addressable.
+
+    Cold start (no store yet): one full join of the live sides —
+    through join_bucketed's zero-shuffle per-bucket plan when both
+    sources are bucketed at the same modulus, the planner's join
+    otherwise.
+
+    Cursor + idempotence: the store manifest's epoch_id packs BOTH
+    source versions (_pack_join_cursor — monotone, so the bucketed
+    apply's existing epoch guard replay-skips a sync where neither
+    source advanced); the packed cursor doubles as the CDC batch's
+    sequence number, which is per-key monotone across syncs by the
+    same argument. Reads of the view go through read_cdc_table(store)
+    — the maintenance columns (`_mv_seq`) ride along as payload; the
+    business columns are whatever the join produced. Single writer
+    assumed (the view is owned by its sync, like any MV). A vacuumed
+    change-feed base raises (read_changes contract): rebuild the store
+    rather than silently treating the gap as inserts. Returns the
+    committed store version (None = nothing to do).
+    """
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"sync_join_from_cdc: unsupported how={how!r}")
+    man_l = latest_manifest(spark, left_dir)
+    man_r = latest_manifest(spark, right_dir)
+    if man_l is None or man_r is None:
+        return None
+    to_l, to_r = man_l["version"], man_r["version"]
+    key_l = man_l.get("key_col", "id")
+    key_r = man_r.get("key_col", "id")
+    merged_key = key_l == key_r
+
+    def live_cols(man: dict) -> list[str]:
+        return [
+            n
+            for n, _ in man.get("schema") or []
+            if n not in (DELETED_COL, BUCKET_COL)
+        ]
+
+    cols_l, cols_r = live_cols(man_l), live_cols(man_r)
+    # collision-safe right renames — join_bucketed's discipline
+    taken = set(cols_l) | set(cols_r)
+    ren: dict[str, str] = {}
+    for nm in cols_r:
+        if nm not in cols_l or (merged_key and nm == key_r):
+            continue
+        cand = nm + rsuffix
+        while cand in taken:
+            cand += rsuffix
+        taken.add(cand)
+        ren[nm] = cand
+    key_r_out = ren.get(key_r, key_r)
+
+    def joined(l_df: DataFrame, r_df: DataFrame) -> DataFrame:
+        r_df = r_df.withColumnsRenamed(ren)
+        if merged_key:
+            out = l_df.join(r_df, key_l, how)
+        else:
+            out = l_df.join(r_df, l_df[key_l] == r_df[key_r_out], how)
+            if how == "full":
+                out = out.withColumn(
+                    key_l, F.coalesce(F.col(key_l), F.col(key_r_out))
+                )
+        return out
+
+    def live_side(
+        table_dir: str, man: dict, version: int, key_col: str,
+        keys: DataFrame | None,
+    ) -> DataFrame:
+        """Live rows, restricted to the touched keys when given:
+        bucket-pruned read + broadcast semi-join."""
+        buckets = None
+        if keys is not None and prune_probe and "buckets" in man:
+            nb = man["n_buckets"]
+            buckets = [
+                r[0]
+                for r in keys.select(
+                    _bucket_of("_k", nb).alias("_b")
+                ).distinct().collect()
+            ]
+        df = read_txn(spark, table_dir, version=version, buckets=buckets)
+        if df is None:
+            return _empty_live(spark, man)
+        out = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if BUCKET_COL in out.columns:
+            out = out.drop(BUCKET_COL)
+        if keys is not None:
+            out = out.join(
+                F.broadcast(keys.withColumnRenamed("_k", key_col)),
+                key_col,
+                "left_semi",
+            )
+        return out
+
+    packed = _pack_join_cursor(to_l, to_r)
+    nb_store = man_l.get("n_buckets") or 64
+    store_man = latest_manifest(spark, store_dir)
+    persisted: list[DataFrame] = []
+
+    def stamp(df: DataFrame, op: str) -> DataFrame:
+        return df.withColumn("_mv_seq", F.lit(packed)).withColumn(
+            "_mv_op", F.lit(op)
+        )
+
+    try:
+        if store_man is None:
+            # cold start: full join of the live sides — zero-shuffle
+            # bucket-aligned when the layouts admit it — committed as
+            # the store's seed CDC batch
+            if (
+                "buckets" in man_l
+                and "buckets" in man_r
+                and man_l["n_buckets"] == man_r["n_buckets"]
+            ):
+                cold = join_bucketed(
+                    spark, left_dir, right_dir, how=how, rsuffix=rsuffix
+                )
+                if how == "full" and not merged_key:
+                    # join_bucketed keeps the raw (nullable) left key;
+                    # the store key must be the coalesce or right-only
+                    # rows become unaddressable by later syncs
+                    cold = cold.withColumn(
+                        key_l,
+                        F.coalesce(F.col(key_l), F.col(key_r_out)),
+                    )
+            else:
+                cold = joined(
+                    live_side(left_dir, man_l, to_l, key_l, None),
+                    live_side(right_dir, man_r, to_r, key_r, None),
+                )
+            return apply_cdc_batch_bucketed(
+                stamp(cold, "I"), store_dir,
+                key_col=key_l, op_col="_mv_op", seq_col="_mv_seq",
+                n_buckets=nb_store, epoch_id=packed,
+            )
+        last = store_man.get("epoch_id")
+        if last is None:
+            raise ValueError(
+                f"{store_dir} exists but carries no sync cursor — not a "
+                "sync_join_from_cdc store; use a fresh directory"
+            )
+        if packed <= last:
+            return None  # neither source advanced: replay skip
+        last_l, last_r = _unpack_join_cursor(last)
+        touched_parts = []
+        for table_dir, frm, to, key_col in (
+            (left_dir, last_l, to_l, key_l),
+            (right_dir, last_r, to_r, key_r),
+        ):
+            if frm == to:
+                continue
+            ch = read_changes_bucketed(
+                spark, table_dir, frm, to, mode="compact"
+            )
+            if ch is not None:
+                touched_parts.append(
+                    ch.select(F.col(key_col).alias("_k"))
+                )
+        if not touched_parts:
+            return None
+        touched = touched_parts[0]
+        for t in touched_parts[1:]:
+            touched = touched.unionByName(t)
+        # several consumers (two bucket-id collects, two semi-joins,
+        # the vanished-keys anti-join) — persist the O(changes) key
+        # set, cutting the change-feed lineage (a snapshot-diff
+        # fallback re-executed per action multiplied sync cost in the
+        # sf1 IVM soak)
+        touched = touched.distinct().persist()
+        persisted.append(touched)
+        if touched.limit(1).isEmpty():
+            return None  # e.g. maintenance-only commits in the window
+        fresh = joined(
+            live_side(left_dir, man_l, to_l, key_l, touched),
+            live_side(right_dir, man_r, to_r, key_r, touched),
+        )
+        # touched keys with no qualifying join row any more: tombstones
+        # with fresh's schema, so the batch unions cleanly
+        vanished = touched.join(
+            fresh.select(F.col(key_l).alias("_k")), "_k", "left_anti"
+        )
+        dels = vanished.select(
+            *[
+                F.col("_k").cast(f.dataType).alias(f.name)
+                if f.name == key_l
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fresh.schema.fields
+            ]
+        )
+        batch = stamp(fresh, "U").unionByName(stamp(dels, "D"))
+        return apply_cdc_batch_bucketed(
+            batch, store_dir,
+            key_col=key_l, op_col="_mv_op", seq_col="_mv_seq",
+            n_buckets=None, epoch_id=packed,
+        )
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
+def read_join_store(
+    spark: SparkSession,
+    store_dir: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """User-facing read of a sync_join_from_cdc view: live join rows
+    with the maintenance cursor column hidden (the store is a normal
+    bucketed CDC table underneath — time travel and the change feed
+    work on it like any other)."""
+    df = read_cdc_table(spark, store_dir, version=version)
+    if df is None:
+        return None
+    return df.drop("_mv_seq")
+
+
 def read_aggregate_store(
     spark: SparkSession,
     store_dir: str,

@@ -3317,3 +3317,228 @@ class TestJoinBucketedRenameCollision:
         # left val kept, right val renamed PAST the taken val_r
         assert row.val == "a" and row.val_r == "pre-existing"
         assert row.val_r_r == "b"
+
+
+class TestSyncJoinFromCdc:
+    """Incremental materialized JOIN view (sync_join_from_cdc): store ==
+    live(L) JOIN live(R) on the key columns, maintained from the change
+    feeds with O(touched keys) probes — the join-view sibling of
+    sync_aggregate_from_cdc. Every test's final assertion is equality
+    with a from-scratch join of the live sides (the full-recompute
+    truth)."""
+
+    L = "id long, lval string, seq long, op string"
+    R = "id long, rval string, seq long, op string"
+
+    def _apply(self, spark, t, rows, schema, **kw):
+        kw.setdefault("n_buckets", 8)
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, schema), t, **kw
+        )
+
+    def _truth(self, spark, left, right, how):
+        l = txn.read_cdc_table(spark, left)
+        r = txn.read_cdc_table(spark, right)
+        ren = {c: c + "_r" for c in r.columns if c in l.columns and c != "id"}
+        return l.join(r.withColumnsRenamed(ren), "id", how)
+
+    def _norm(self, df):
+        return sorted(
+            (tuple(r) for r in df.select(sorted(df.columns)).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    def _check(self, spark, left, right, store, how):
+        got = txn.read_join_store(spark, store)
+        want = self._truth(spark, left, right, how)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert self._norm(got) == self._norm(want)
+
+    def test_cold_start_then_incremental_all_change_kinds(
+        self, spark, tmp_path
+    ):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        self._apply(
+            spark, left,
+            [(i, f"l{i}", 1, "I") for i in range(1, 21)], self.L,
+        )
+        self._apply(
+            spark, right,
+            [(i, f"r{i}", 1, "I") for i in range(5, 26)], self.R,
+        )
+        v1 = txn.sync_join_from_cdc(spark, left, right, store)
+        assert v1 == 1
+        self._check(spark, left, right, store, "inner")
+        # delta: left update (7), left delete (8), left insert (30);
+        # right delete (9), right insert (2 — completes a pair)
+        self._apply(
+            spark, left,
+            [(7, "l7b", 2, "U"), (8, None, 2, "D"), (30, "l30", 2, "I")],
+            self.L,
+        )
+        self._apply(
+            spark, right,
+            [(9, None, 2, "D"), (2, "r2", 2, "I")], self.R,
+        )
+        v2 = txn.sync_join_from_cdc(spark, left, right, store)
+        assert v2 == 2
+        self._check(spark, left, right, store, "inner")
+        got = {r.id: r.lval for r in txn.read_join_store(spark, store).collect()}
+        assert got[7] == "l7b" and 8 not in got and 9 not in got
+        assert got[2] == "l2"  # right insert completed the pair
+
+    def test_replay_skip_and_one_sided_advance(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        self._apply(spark, left, [(1, "a", 1, "I")], self.L)
+        self._apply(spark, right, [(1, "b", 1, "I")], self.R)
+        assert txn.sync_join_from_cdc(spark, left, right, store) == 1
+        # neither source advanced: exactly-once replay skip
+        assert txn.sync_join_from_cdc(spark, left, right, store) is None
+        # only the RIGHT advances
+        self._apply(spark, right, [(1, "b2", 2, "U")], self.R)
+        assert txn.sync_join_from_cdc(spark, left, right, store) == 2
+        self._check(spark, left, right, store, "inner")
+
+    def test_left_join_null_fill_and_completion(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        self._apply(
+            spark, left,
+            [(i, f"l{i}", 1, "I") for i in (1, 2, 3)], self.L,
+        )
+        self._apply(spark, right, [(1, "r1", 1, "I")], self.R)
+        txn.sync_join_from_cdc(spark, left, right, store, how="left")
+        self._check(spark, left, right, store, "left")
+        rows = {r.id: r.rval for r in txn.read_join_store(spark, store).collect()}
+        assert rows == {1: "r1", 2: None, 3: None}
+        # a later right insert fills the null row incrementally
+        self._apply(spark, right, [(2, "r2", 2, "I")], self.R)
+        txn.sync_join_from_cdc(spark, left, right, store, how="left")
+        self._check(spark, left, right, store, "left")
+        rows = {r.id: r.rval for r in txn.read_join_store(spark, store).collect()}
+        assert rows[2] == "r2"
+        # deleting the LEFT row evicts the key entirely under 'left'
+        self._apply(spark, left, [(3, None, 2, "D")], self.L)
+        txn.sync_join_from_cdc(spark, left, right, store, how="left")
+        rows = {r.id for r in txn.read_join_store(spark, store).collect()}
+        assert rows == {1, 2}
+
+    def test_probe_is_bucket_pruned(self, spark, tmp_path, monkeypatch):
+        """The incremental probe must pass a bucket restriction to
+        read_txn — O(touched buckets), never a table scan."""
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        self._apply(
+            spark, left,
+            [(i, f"l{i}", 1, "I") for i in range(1, 41)], self.L,
+        )
+        self._apply(
+            spark, right,
+            [(i, f"r{i}", 1, "I") for i in range(1, 41)], self.R,
+        )
+        txn.sync_join_from_cdc(spark, left, right, store)
+        self._apply(spark, left, [(5, "l5b", 2, "U")], self.L)
+        seen = []
+        real = txn.read_txn
+
+        def spy(spark_, table_dir, *a, **kw):
+            if table_dir in (left, right):
+                seen.append((table_dir, kw.get("buckets")))
+            return real(spark_, table_dir, *a, **kw)
+
+        monkeypatch.setattr(txn, "read_txn", spy)
+        txn.sync_join_from_cdc(spark, left, right, store)
+        probes = [b for _, b in seen if b is not None]
+        assert probes, "probes must restrict buckets"
+        b5 = spark.createDataFrame([(5,)], "id long").select(
+            txn._bucket_of("id", 8).alias("b")
+        ).collect()[0].b
+        for b in probes:
+            assert b == [b5]
+        self._check(spark, left, right, store, "inner")
+
+    def test_full_outer_differing_key_names(self, spark, tmp_path):
+        """'full' with different key columns: the store key (left name)
+        carries the coalesce, so right-only keys stay addressable by
+        later syncs — including when the cold start took the
+        bucket-aligned path."""
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", 1, "I"), (2, "b", 1, "I")],
+                "lid long, lval string, seq long, op string",
+            ),
+            left, key_col="lid", n_buckets=8,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(2, "x", 1, "I"), (3, "y", 1, "I")],
+                "rid long, rval string, seq long, op string",
+            ),
+            right, key_col="rid", n_buckets=8,
+        )
+        txn.sync_join_from_cdc(spark, left, right, store, how="full")
+        got = {r.lid: (r.lval, r.rval)
+               for r in txn.read_join_store(spark, store).collect()}
+        assert got == {1: ("a", None), 2: ("b", "x"), 3: (None, "y")}
+        # update the right-only key: the store row must be replaced,
+        # not duplicated (the coalesced key addresses it)
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(3, "y2", 2, "U")],
+                "rid long, rval string, seq long, op string",
+            ),
+            right, key_col="rid", n_buckets=8,
+        )
+        txn.sync_join_from_cdc(spark, left, right, store, how="full")
+        rows = txn.read_join_store(spark, store).collect()
+        assert len(rows) == 3
+        got = {r.lid: (r.lval, r.rval) for r in rows}
+        assert got[3] == (None, "y2")
+
+    def test_cursor_pack_roundtrip(self):
+        for vl, vr in ((0, 0), (1, 2), (12345, 67890), (1, (1 << 31) - 1)):
+            assert txn._unpack_join_cursor(
+                txn._pack_join_cursor(vl, vr)
+            ) == (vl, vr)
+        with pytest.raises(ValueError, match="packed-cursor"):
+            txn._pack_join_cursor(1, 1 << 31)
+        # monotone in each argument
+        assert txn._pack_join_cursor(2, 0) > txn._pack_join_cursor(1, 5)
+        assert txn._pack_join_cursor(1, 6) > txn._pack_join_cursor(1, 5)
+
+    def test_incremental_equals_rebuild_under_churn(self, spark, tmp_path):
+        """Property-style: 4 random-ish churn batches on both sides;
+        after each sync the store equals a from-scratch join."""
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        self._apply(
+            spark, left,
+            [(i, f"l{i}", 0, "I") for i in range(1, 31)], self.L,
+        )
+        self._apply(
+            spark, right,
+            [(i, f"r{i}", 0, "I") for i in range(10, 41)], self.R,
+        )
+        txn.sync_join_from_cdc(spark, left, right, store)
+        for step in range(1, 5):
+            seq = step * 10
+            self._apply(
+                spark, left,
+                [(3 * step, f"lu{step}", seq, "U"),
+                 (5 * step, None, seq, "D"),
+                 (100 + step, f"ln{step}", seq, "I")],
+                self.L,
+            )
+            self._apply(
+                spark, right,
+                [(4 * step, f"ru{step}", seq, "U"),
+                 (7 * step, None, seq, "D"),
+                 (100 + step, f"rn{step}", seq, "I")],
+                self.R,
+            )
+            txn.sync_join_from_cdc(spark, left, right, store)
+            self._check(spark, left, right, store, "inner")
