@@ -2838,6 +2838,59 @@ def q_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative MERGE INTO (txn.merge_into): the customer table is
+    seeded as a bucketed CDC table, then ONE merge applies a source
+    relation mixing the three clause outcomes — matched rows where
+    ``is_del`` holds DELETE (c_custkey%13), the rest of the matched
+    rows UPDATE (c_custkey%3: acctbal+50), and synthetic unmatched
+    keys INSERT (c_custkey%5, shifted by 10M past the key range). The
+    oracle re-derives the post-merge state as plain SQL (left join +
+    clause CASEs + insert union), so the driver's hash compare proves
+    the single-commit classification-and-apply equals clause-by-clause
+    relational algebra. Table + merge build once per (sf_dir,
+    row-count) fixture tag; replays skip on the table version."""
+    import hashlib
+    import os
+    import tempfile
+
+    from taar_gcp_etl_spark import txn
+
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    tag = hashlib.sha256(f"{sf_dir}|{n}|minto".encode()).hexdigest()[:12]
+    t = os.path.join(tempfile.gettempdir(), f"taar-minto-{tag}")
+    if txn.latest_manifest(spark, t) is None:
+        txn.apply_cdc_batch_bucketed(
+            cust.select(
+                "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+            ),
+            t, key_col="c_custkey", n_buckets=8,
+        )
+    if txn.latest_manifest(spark, t)["version"] == 1:
+        src = cust.filter(F.col("c_custkey") % 3 == 0).select(
+            "c_custkey", "c_name",
+            (F.round("c_acctbal", 2) + 50.0).alias("acctbal"),
+            (F.col("c_custkey") % 13 == 0).alias("is_del"),
+        ).unionByName(
+            cust.filter(F.col("c_custkey") % 5 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.concat(
+                    F.lit("new-"), F.col("c_custkey").cast("string")
+                ).alias("c_name"),
+                F.lit(1.0).alias("acctbal"),
+                F.lit(False).alias("is_del"),
+            )
+        )
+        txn.merge_into(spark, t, src, matched_delete_condition="is_del")
+    return txn.read_cdc_table(spark, t).select(
+        "c_custkey", "c_name", "acctbal"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3010,6 +3063,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join_adaptive": q_fuzzy_join_adaptive,
     "join_bucketed": q_join_bucketed,
     "sync_join": q_sync_join,
+    "merge_into": q_merge_into,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -4027,6 +4081,27 @@ ORACLE_SQL: dict[str, str] = {
                o.o_custkey, o.n_orders, o.total_price
         FROM cust2 c JOIN ostats o ON c.c_custkey = o.o_custkey
         WHERE o.o_custkey % 7 <> 0
+    """,
+    "merge_into": """
+        WITH src AS (
+            SELECT c_custkey AS k, c_name AS name,
+                   ROUND(c_acctbal, 2) + 50.0 AS acctbal,
+                   (c_custkey % 13 = 0) AS is_del
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000, 'new-' || CAST(c_custkey AS VARCHAR),
+                   1.0, FALSE
+            FROM customer WHERE c_custkey % 5 = 0
+        )
+        SELECT t.c_custkey,
+               COALESCE(s.name, t.c_name) AS c_name,
+               COALESCE(s.acctbal, ROUND(t.c_acctbal, 2)) AS acctbal
+        FROM customer t LEFT JOIN src s ON t.c_custkey = s.k
+        WHERE s.is_del IS DISTINCT FROM TRUE
+        UNION ALL
+        SELECT s.k, s.name, s.acctbal
+        FROM src s LEFT JOIN customer t ON s.k = t.c_custkey
+        WHERE t.c_custkey IS NULL
     """,
     "fuzzy_join_adaptive": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

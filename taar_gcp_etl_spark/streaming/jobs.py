@@ -857,6 +857,81 @@ def stream_sync_aggregate(
     )
 
 
+def stream_sync_join(
+    spark,
+    left_dir: str,
+    right_dir: str,
+    store_dir: str,
+    checkpoint: str,
+    how: str = "inner",
+    rsuffix: str = "_r",
+    prune_probe: bool = True,
+):
+    """Streaming maintenance of a materialized JOIN view: the
+    streaming twin of txn.sync_join_from_cdc, exactly as
+    stream_sync_aggregate twins sync_aggregate_from_cdc. Watches BOTH
+    sources' commit streams (a file stream over each ``_log/``, one
+    manifest per committed version, unioned into one trigger source)
+    so a commit on EITHER side fires a sync; each trigger re-joins
+    only the touched keys and lands one transactional store commit.
+
+    Exactly-once composes the same way as the aggregate loop, with one
+    twist: the sync's cursor packs BOTH source versions into the store
+    manifest's epoch_id (_pack_join_cursor, monotone in either
+    component), so a replayed or coalesced trigger — including the
+    common race where left and right commit between two triggers and
+    the union delivers both manifests in one micro-batch — re-runs the
+    sync, which no-ops when neither source advanced past the packed
+    cursor. Manifest CONTENT is ignored (vacuum-safe, like the
+    aggregate loop); "some source committed" is the only signal a
+    trigger carries.
+
+    Failure posture is inherited verbatim from stream_sync_aggregate's
+    poison contract: a sync that throws fails the stream visibly with
+    the cursor unmoved; restarts retry the same versions idempotently;
+    a persistently poisoned source version requires operator action
+    (fix the source, or drop the store dir — the next sync cold-starts
+    from the live sides and jumps the cursor past the poisoned diff).
+    Never a silent skip.
+
+    Scale posture: trigger cost is txn.sync_join_from_cdc's —
+    O(changes) change-feed reads, bucket-pruned O(touched buckets)
+    probes, touched-bucket-only store rewrites. The stream itself adds
+    only two tiny file-stream listings over manifest JSONs.
+    """
+    from taar_gcp_etl_spark import txn
+
+    def tick(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.limit(1).isEmpty():
+            return  # spurious trigger: no new commit on either side
+        txn.sync_join_from_cdc(
+            spark, left_dir, right_dir, store_dir,
+            how=how, rsuffix=rsuffix, prune_probe=prune_probe,
+        )
+
+    # Bootstrap order tolerance: either source (or both) may not have
+    # committed yet when the sync stream deploys — materialize both
+    # log dirs so the file source doesn't die on PATH_NOT_FOUND.
+    streams = []
+    for src in (left_dir, right_dir):
+        log_dir = f"{src.rstrip('/')}/{txn._LOG}/"
+        _, fs, p = txn._fs(spark, log_dir)
+        fs.mkdirs(p)
+        streams.append(
+            spark.readStream.format("text")
+            # vacuum may delete an old manifest between listing and
+            # read; content is ignored, so skipping is safe
+            .option("ignoreMissingFiles", "true")
+            .load(log_dir)
+        )
+    log = streams[0].union(streams[1])
+    return (
+        log.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def stream_refresh_aggregate(
     events: DataFrame,
     table_dir: str,

@@ -3542,3 +3542,335 @@ class TestSyncJoinFromCdc:
             )
             txn.sync_join_from_cdc(spark, left, right, store)
             self._check(spark, left, right, store, "inner")
+
+
+class TestStreamSyncJoin:
+    """Streaming maintenance of the materialized join view
+    (stream_sync_join): a commit on EITHER source's log fires a
+    txn.sync_join_from_cdc tick; exactly-once rides the packed
+    two-version cursor; poison contract inherited from the aggregate
+    loop. Truth for every check is a from-scratch join of the live
+    sides."""
+
+    L = "id long, lval string, seq long, op string"
+    R = "id long, rval string, seq long, op string"
+
+    def _apply(self, spark, t, rows, schema):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, schema), t, n_buckets=8
+        )
+
+    def _truth(self, spark, left, right, how="inner"):
+        l = txn.read_cdc_table(spark, left)
+        r = txn.read_cdc_table(spark, right)
+        ren = {c: c + "_r" for c in r.columns if c in l.columns and c != "id"}
+        return l.join(r.withColumnsRenamed(ren), "id", how)
+
+    def _norm(self, df):
+        return sorted(
+            (tuple(r) for r in df.select(sorted(df.columns)).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    def _check(self, spark, left, right, store, how="inner"):
+        got = txn.read_join_store(spark, store)
+        want = self._truth(spark, left, right, how)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert self._norm(got) == self._norm(want)
+
+    def test_stream_starts_before_either_commit(self, spark, tmp_path):
+        """Deploy-first bootstrap: the sync stream starts with NEITHER
+        source committed (both _log dirs missing) and must wait, then
+        cold-start the view on the first commits."""
+        from taar_gcp_etl_spark.streaming.jobs import stream_sync_join
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        q = stream_sync_join(
+            spark, left, right, store, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()  # nothing committed yet: no-op
+            assert txn.latest_manifest(spark, store) is None
+            self._apply(spark, left, [(1, "a", 1, "I")], self.L)
+            self._apply(spark, right, [(1, "b", 1, "I")], self.R)
+            q.processAllAvailable()
+            self._check(spark, left, right, store)
+        finally:
+            q.stop()
+
+    def test_one_sided_commits_fire_and_restart_no_replay(
+        self, spark, tmp_path
+    ):
+        """A commit on EITHER side alone fires a sync; a restart on the
+        same checkpoint replays no double-apply (packed-cursor no-op)
+        and later commits still flow."""
+        from taar_gcp_etl_spark.streaming.jobs import stream_sync_join
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        ckpt = str(tmp_path / "ckpt")
+        self._apply(
+            spark, left, [(i, f"l{i}", 1, "I") for i in (1, 2, 3)], self.L
+        )
+        self._apply(
+            spark, right, [(i, f"r{i}", 1, "I") for i in (2, 3, 4)], self.R
+        )
+        q = stream_sync_join(spark, left, right, store, ckpt)
+        try:
+            q.processAllAvailable()
+            self._check(spark, left, right, store)
+            # LEFT-only churn: update + delete
+            self._apply(
+                spark, left,
+                [(2, "l2b", 2, "U"), (3, None, 2, "D")], self.L,
+            )
+            q.processAllAvailable()
+            self._check(spark, left, right, store)
+            # RIGHT-only churn: insert completes a pair
+            self._apply(spark, right, [(1, "r1", 2, "I")], self.R)
+            q.processAllAvailable()
+            self._check(spark, left, right, store)
+            got = {r.id: (r.lval, r.rval)
+                   for r in txn.read_join_store(spark, store).collect()}
+            assert got == {1: ("l1", "r1"), 2: ("l2b", "r2")}
+        finally:
+            q.stop()
+        ver = txn.latest_manifest(spark, store)["version"]
+        # restart on the same checkpoint: processed manifests replay
+        # into cursor no-ops, not double-applies; new commits flow
+        self._apply(spark, left, [(5, "l5", 3, "I")], self.L)
+        self._apply(spark, right, [(5, "r5", 3, "I")], self.R)
+        q2 = stream_sync_join(spark, left, right, store, ckpt)
+        try:
+            q2.processAllAvailable()
+            self._check(spark, left, right, store)
+            assert txn.latest_manifest(spark, store)["version"] > ver
+        finally:
+            q2.stop()
+
+    def test_poison_fails_stream_cursor_unmoved(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Inherited poison contract: a throwing sync fails the stream
+        visibly, the packed cursor does not move, and a restart with
+        the fault cleared catches up exactly."""
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from taar_gcp_etl_spark.streaming.jobs import stream_sync_join
+
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        ckpt = str(tmp_path / "ckpt")
+        self._apply(spark, left, [(1, "a", 1, "I")], self.L)
+        self._apply(spark, right, [(1, "b", 1, "I")], self.R)
+        txn.sync_join_from_cdc(spark, left, right, store)
+        cursor0 = txn.latest_manifest(spark, store)["epoch_id"]
+
+        real = txn.sync_join_from_cdc
+        monkeypatch.setattr(
+            txn, "sync_join_from_cdc",
+            lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("poisoned source version")
+            ),
+        )
+        q = stream_sync_join(spark, left, right, store, ckpt)
+        try:
+            self._apply(spark, right, [(2, "b2", 2, "I")], self.R)
+            with pytest.raises(StreamingQueryException):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        assert txn.latest_manifest(spark, store)["epoch_id"] == cursor0
+
+        monkeypatch.setattr(txn, "sync_join_from_cdc", real)
+        q2 = stream_sync_join(spark, left, right, store, ckpt)
+        try:
+            q2.processAllAvailable()
+            self._check(spark, left, right, store)
+            assert txn.latest_manifest(spark, store)["epoch_id"] > cursor0
+        finally:
+            q2.stop()
+
+
+class TestMergeInto:
+    """Declarative MERGE INTO (txn.merge_into): Delta-ordered clause
+    semantics compiled onto the bucketed CDC apply. Truth for each test
+    is the hand-computed post-merge live state."""
+
+    T = "id long, val string, flag boolean"
+
+    def _seed(self, spark, t, rows):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, v, f, 1, "I") for i, v, f in rows],
+                self.T + ", seq long, op string",
+            ),
+            t, n_buckets=8,
+        )
+
+    def _src(self, spark, rows):
+        return spark.createDataFrame(rows, self.T)
+
+    def _live(self, spark, t):
+        return {
+            r.id: (r.val, r.flag)
+            for r in txn.read_cdc_table(spark, t).collect()
+        }
+
+    def test_upsert_default_clauses(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        v = txn.merge_into(
+            spark, t,
+            self._src(spark, [(2, "b2", True), (3, "c", False)]),
+        )
+        assert v == 2
+        assert self._live(spark, t) == {
+            1: ("a", False), 2: ("b2", True), 3: ("c", False),
+        }
+
+    def test_cold_start_creates_table(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        v = txn.merge_into(
+            spark, t, self._src(spark, [(1, "a", False)]),
+            n_buckets=4,
+        )
+        assert v == 1
+        assert self._live(spark, t) == {1: ("a", False)}
+        man = txn.latest_manifest(spark, t)
+        assert man["n_buckets"] == 4 and man["key_col"] == "id"
+        # the created table takes further merges (warm path)
+        txn.merge_into(spark, t, self._src(spark, [(1, "a2", True)]))
+        assert self._live(spark, t) == {1: ("a2", True)}
+
+    def test_cold_start_requires_key(self, spark, tmp_path):
+        src = spark.createDataFrame([(1, "x")], "k long, val string")
+        with pytest.raises(ValueError, match="key_col"):
+            txn.merge_into(spark, str(tmp_path / "t"), src)
+        t = str(tmp_path / "t2")
+        txn.merge_into(spark, t, src, key_col="k")
+        assert txn.latest_manifest(spark, t)["key_col"] == "k"
+
+    def test_clause_order_delete_flag_wins(self, spark, tmp_path):
+        """The CDC-extract shape: matched_delete_condition (Delta's
+        first WHEN MATCHED clause) beats the update clause; unmatched
+        deletes fall through to insert unless filtered out."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        txn.merge_into(
+            spark, t,
+            self._src(
+                spark,
+                [(1, "a2", True),   # matched + flag → DELETE
+                 (2, "b2", False),  # matched, no flag → UPDATE
+                 (3, "c", True)],   # unmatched + flag → not inserted
+            ),
+            matched_delete_condition="flag",
+            not_matched_condition="NOT flag",
+        )
+        assert self._live(spark, t) == {2: ("b2", False)}
+
+    def test_conditions_see_target_columns(self, spark, tmp_path):
+        """matched_condition over t_<col>: only update rows whose
+        incoming val differs from the stored one (idempotent-extract
+        guard) — the unchanged row must NOT advance."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        v = txn.merge_into(
+            spark, t,
+            self._src(spark, [(1, "a", False), (2, "b2", False)]),
+            matched_condition="val <> t_val",
+            when_not_matched=None,
+        )
+        assert v == 2
+        assert self._live(spark, t) == {1: ("a", False), 2: ("b2", False)}
+        # nothing qualifies → no commit at all
+        assert txn.merge_into(
+            spark, t,
+            self._src(spark, [(2, "b2", False)]),
+            matched_condition="val <> t_val",
+            when_not_matched=None,
+        ) is None
+        assert txn.latest_manifest(spark, t)["version"] == 2
+
+    def test_when_matched_delete(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        txn.merge_into(
+            spark, t, self._src(spark, [(1, "x", False)]),
+            when_matched="delete", when_not_matched=None,
+        )
+        assert self._live(spark, t) == {2: ("b", False)}
+
+    def test_duplicate_source_keys_raise(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        with pytest.raises(ValueError, match="one row per key"):
+            txn.merge_into(
+                spark, t,
+                self._src(spark, [(1, "x", False), (1, "y", False)]),
+            )
+
+    def test_t_prefix_collision_raises(self, spark, tmp_path):
+        """A source column named t_<target col> would shadow the
+        t_-prefixed target column conditions refer to — refuse rather
+        than silently binding the condition to the source copy."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        src = spark.createDataFrame(
+            [(1, "x", False, "shadow")],
+            self.T + ", t_val string",
+        )
+        with pytest.raises(ValueError, match="collide"):
+            txn.merge_into(spark, t, src)
+
+    def test_extra_source_columns_feed_conditions(self, spark, tmp_path):
+        """CDC-extract shape: the source carries a metadata column the
+        table doesn't have; conditions read it, the batch drops it."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        src = spark.createDataFrame(
+            [(1, "a2", False, True), (2, "b2", False, False),
+             (3, "c", False, False)],
+            self.T + ", is_delete boolean",
+        )
+        txn.merge_into(spark, t, src, matched_delete_condition="is_delete")
+        assert self._live(spark, t) == {
+            2: ("b2", False), 3: ("c", False),
+        }
+        live_df = txn.read_cdc_table(spark, t)
+        assert "is_delete" not in live_df.columns
+
+    def test_merge_probe_is_bucket_pruned(self, spark, tmp_path, monkeypatch):
+        t = str(tmp_path / "t")
+        self._seed(
+            spark, t, [(i, f"v{i}", False) for i in range(1, 41)]
+        )
+        seen = []
+        real = txn.read_txn
+
+        def spy(spark_, table_dir, *a, **kw):
+            if table_dir == t:
+                seen.append(kw.get("buckets"))
+            return real(spark_, table_dir, *a, **kw)
+
+        monkeypatch.setattr(txn, "read_txn", spy)
+        txn.merge_into(spark, t, self._src(spark, [(5, "v5b", True)]))
+        probes = [b for b in seen if b is not None]
+        assert probes, "classification probe must restrict buckets"
+        b5 = spark.createDataFrame([(5,)], "id long").select(
+            txn._bucket_of("id", 8).alias("b")
+        ).collect()[0].b
+        assert probes[0] == [b5]
+        assert self._live(spark, t)[5] == ("v5b", True)
+
+    def test_epoch_replay_skips(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        src = self._src(spark, [(1, "a2", False)])
+        assert txn.merge_into(spark, t, src, epoch_id=7) == 2
+        assert txn.merge_into(spark, t, src, epoch_id=7) is None
+        assert txn.latest_manifest(spark, t)["version"] == 2
