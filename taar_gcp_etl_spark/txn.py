@@ -1265,6 +1265,36 @@ def merge_into(
     def _cond(c):
         return F.expr(c) if isinstance(c, str) else c
 
+    # the source is traversed several times (cardinality check, bucket
+    # collect, the classification join, the staged batch) — persist for
+    # the call so a recomputed (or nondeterministic) source can't
+    # diverge between traversals, and release before returning
+    from pyspark import StorageLevel
+
+    source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _merge_into_impl(
+            spark, table_dir, source, man,
+            when_matched, matched_condition, matched_delete_condition,
+            when_not_matched, not_matched_condition,
+            key_col, n_buckets, epoch_id, _cond,
+        )
+    finally:
+        source.unpersist()
+
+
+def _merge_into_impl(
+    spark, table_dir, source, man,
+    when_matched, matched_condition, matched_delete_condition,
+    when_not_matched, not_matched_condition,
+    key_col, n_buckets, epoch_id, _cond,
+):
+    if man is not None:
+        seq_col = man.get("seq_col", "seq")
+        live_cols = [
+            n for n, _ in man.get("schema") or []
+            if n not in (DELETED_COL, BUCKET_COL, seq_col)
+        ]
     # MERGE cardinality: at most one source row per key
     dup = (
         source.groupBy(key_col).count().filter(F.col("count") > 1)
@@ -1360,6 +1390,14 @@ def merge_into(
             F.lit(seq_val).cast(dict(man["schema"]).get(seq_col, "long")),
         )
     )
+    if "buckets" not in man:
+        # flat (dimension-sized) CDC table: the O(table) rewrite is the
+        # layer's contract for these — same clause semantics, no bucket
+        # pruning to exploit
+        return apply_cdc_batch_txn(
+            batch, table_dir, key_col=key_col, op_col="_m_op",
+            seq_col=seq_col, epoch_id=epoch_id,
+        )
     return apply_cdc_batch_bucketed(
         batch, table_dir, key_col=key_col, op_col="_m_op",
         seq_col=seq_col, n_buckets=None, epoch_id=epoch_id,

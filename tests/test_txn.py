@@ -3874,3 +3874,24 @@ class TestMergeInto:
         assert txn.merge_into(spark, t, src, epoch_id=7) == 2
         assert txn.merge_into(spark, t, src, epoch_id=7) is None
         assert txn.latest_manifest(spark, t)["version"] == 2
+
+    def test_flat_table_routes_through_flat_apply(self, spark, tmp_path):
+        """A flat (dimension-sized) CDC table takes the same clause
+        semantics through apply_cdc_batch_txn — no bucket machinery."""
+        t = str(tmp_path / "flat")
+        txn.apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(1, "a", False, 1, "I"), (2, "b", False, 1, "I")],
+                self.T + ", seq long, op string",
+            ),
+            t,
+        )
+        v = txn.merge_into(
+            spark, t,
+            self._src(spark, [(2, "b2", True), (3, "c", False)]),
+        )
+        assert v == 2
+        assert self._live(spark, t) == {
+            1: ("a", False), 2: ("b2", True), 3: ("c", False),
+        }
+        assert "buckets" not in txn.latest_manifest(spark, t)
