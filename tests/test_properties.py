@@ -854,3 +854,72 @@ def test_mp4_sample_walk_recovers_exact_ranges(
     assert len(ranges) == len(samples)
     for k, (off, sz) in enumerate(ranges):
         assert blob[off:off + sz] == samples[k]
+
+
+# --- merge_into vs a dict model ---------------------------------------
+
+merge_steps = st.lists(  # each step: list of (key, val, is_del)
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),        # key (small domain forces collisions)
+            st.integers(0, 99),       # payload value
+            st.booleans(),            # delete flag
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: r[0],     # MERGE cardinality: unique keys
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(seed=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 99)),
+    min_size=0, max_size=6, unique_by=lambda r: r[0],
+), steps=merge_steps)
+def test_merge_into_matches_dict_model(spark, tmp_path_factory, seed, steps):
+    """A random sequence of mixed-clause merges equals the obvious
+    dict model: matched+flag deletes, matched updates, unmatched+!flag
+    inserts, unmatched+flag drops."""
+    from taar_gcp_etl_spark import txn
+
+    t = str(tmp_path_factory.mktemp("minto") / "t")
+    model: dict[int, int] = {}
+    if seed:
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(k, v, 1, "I") for k, v in seed],
+                "id long, val long, seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        model.update(dict(seed))
+    for step in steps:
+        src = spark.createDataFrame(
+            step or [(None, None, None)],
+            "id long, val long, is_del boolean",
+        ).filter(F.col("id").isNotNull())
+        txn.merge_into(
+            spark, t, src,
+            matched_delete_condition="is_del",
+            not_matched_condition="NOT is_del",
+        )
+        for k, v, is_del in step:
+            if k in model:
+                if is_del:
+                    model.pop(k)
+                else:
+                    model[k] = v
+            elif not is_del:
+                model[k] = v
+    live = txn.read_cdc_table(spark, t)
+    got = (
+        {r.id: r.val for r in live.collect()} if live is not None else {}
+    )
+    assert got == model
