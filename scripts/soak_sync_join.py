@@ -136,6 +136,58 @@ def main() -> None:
     out["rows"] = a.n
     out["store_equals_rebuild"] = (a.n, a.c) == (b.n, b.c)
 
+    # streaming arm: the stream_sync_join wrapper over the same 4M-row
+    # sides — measures the commit-stream trigger's end-to-end latency
+    # (commit lands -> store synced) for a bucket-localized churn batch,
+    # against the batch sync's wall for the same work above. The wrapper
+    # adds only two manifest-JSON file-stream listings per trigger, so
+    # the delta IS the trigger plumbing.
+    from taar_gcp_etl_spark.streaming.jobs import stream_sync_join
+
+    smv = f"{base}-smv"
+    ckpt = f"{base}-ckpt"
+    shutil.rmtree(smv, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = stream_sync_join(spark, left, right, smv, ckpt)
+    try:
+        t0 = time.perf_counter()
+        q.processAllAvailable()  # cold trigger: full seed
+        out["stream_cold_sync_sec"] = round(time.perf_counter() - t0, 2)
+        seq += 1
+        churn2 = (
+            spark.range(N)
+            .filter(txn._bucket_of("id", N_BUCKETS) == 7)
+            .limit(CHURN)
+            .select(
+                "id",
+                F.md5(F.concat(F.lit("v3"), F.col("id").cast("string")))
+                .alias("pay_l"),
+                F.lit(seq).alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        txn.apply_cdc_batch_bucketed(churn2, left, n_buckets=None)
+        t0 = time.perf_counter()
+        q.processAllAvailable()  # commit -> synced, one trigger
+        out["stream_incremental_one_bucket_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+    finally:
+        q.stop()
+    s = txn.read_join_store(spark, smv).agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("id", "pay_l", "pay_r")).alias("c"),
+    ).collect()[0]
+    truth = txn.read_cdc_table(spark, left).join(
+        txn.read_cdc_table(spark, right)
+        .withColumnsRenamed({"seq": "seq_r"}),
+        "id",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("id", "pay_l", "pay_r")).alias("c"),
+    ).collect()[0]
+    out["stream_store_equals_live_join"] = (s.n, s.c) == (truth.n, truth.c)
+
     line = json.dumps(out)
     print(line)
     with open(

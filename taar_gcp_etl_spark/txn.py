@@ -1151,6 +1151,7 @@ def merge_into(
     *,
     when_matched: str | None = "update",
     matched_condition=None,
+    matched_update_set: dict | None = None,
     matched_delete_condition=None,
     when_not_matched: str | None = "insert",
     not_matched_condition=None,
@@ -1184,6 +1185,16 @@ def merge_into(
     ``"deleted_flag"`` as ``matched_delete_condition`` for the common
     CDC-extract-with-delete-flag shape). A source column that already
     uses a needed ``t_<name>`` raises rather than silently shadowing.
+
+    ``matched_update_set`` (Delta's ``UPDATE SET col = expr``): a
+    {column: expression} map evaluated in the same namespace; named
+    columns take the expression on UPDATE rows, UNNAMED columns KEEP
+    the current target value (not the source value — Delta's SET-list
+    semantics; e.g. ``{"balance": "t_balance + delta"}`` accumulates).
+    With an update-set and no insert clause the source may carry just
+    the key plus whatever the expressions read. The key column cannot
+    be SET. Without it, UPDATE takes every column from the source
+    (``UPDATE SET *``).
 
     Sequencing: every batch row is stamped ``seq = current version + 1``
     — per-key monotone across merges because each merge commits at
@@ -1220,6 +1231,11 @@ def merge_into(
             "merge_into: matched_delete_condition duplicates "
             "when_matched='delete' — use one"
         )
+    if matched_update_set is not None and when_matched != "update":
+        raise ValueError(
+            "merge_into: matched_update_set requires "
+            "when_matched='update'"
+        )
     table_dir = table_dir.rstrip("/")
     man = latest_manifest(spark, table_dir)
     if man is not None:
@@ -1237,7 +1253,25 @@ def merge_into(
             n for n, _ in man.get("schema") or []
             if n not in (DELETED_COL, BUCKET_COL, seq_col)
         ]
-        missing = [c for c in live_cols if c not in source.columns]
+        if matched_update_set is not None:
+            bad = sorted(
+                set(matched_update_set) - (set(live_cols) - {key_col})
+            )
+            if bad:
+                raise ValueError(
+                    f"merge_into: matched_update_set names {bad} — not "
+                    f"settable payload columns (live payload: "
+                    f"{[c for c in live_cols if c != key_col]})"
+                )
+        # with a SET-list and no insert clause, UPDATE rows never read
+        # unnamed source columns (they keep the target value), so the
+        # source may carry just the key plus the expressions' inputs
+        required = (
+            [key_col]
+            if matched_update_set is not None and when_not_matched is None
+            else live_cols
+        )
+        missing = [c for c in required if c not in source.columns]
         if missing:
             raise ValueError(
                 f"merge_into: source is missing table columns {missing} "
@@ -1275,7 +1309,8 @@ def merge_into(
     try:
         return _merge_into_impl(
             spark, table_dir, source, man,
-            when_matched, matched_condition, matched_delete_condition,
+            when_matched, matched_condition, matched_update_set,
+            matched_delete_condition,
             when_not_matched, not_matched_condition,
             key_col, n_buckets, epoch_id, _cond,
         )
@@ -1285,7 +1320,8 @@ def merge_into(
 
 def _merge_into_impl(
     spark, table_dir, source, man,
-    when_matched, matched_condition, matched_delete_condition,
+    when_matched, matched_condition, matched_update_set,
+    matched_delete_condition,
     when_not_matched, not_matched_condition,
     key_col, n_buckets, epoch_id, _cond,
 ):
@@ -1381,13 +1417,30 @@ def _merge_into_impl(
         )
         op = F.when(d, "D").otherwise(op)
 
+    types = dict(man["schema"])
+
+    def _out_col(c):
+        # source value when the source carries the column; otherwise
+        # (SET-list merges with a key-only source) the current target
+        # value rides along — D rows ignore payload, U rows override
+        # below, I rows are impossible without the full source (the
+        # `required` check above)
+        base = F.col(c) if c in src_cols else F.col(f"t_{c}")
+        if matched_update_set is not None and c != key_col:
+            upd = matched_update_set.get(c)
+            # named column: the SET expression; unnamed: KEEP the
+            # current target value (Delta SET-list semantics)
+            upd_val = _cond(upd) if upd is not None else F.col(f"t_{c}")
+            base = F.when(F.col("_m_op") == "U", upd_val).otherwise(base)
+        return base.cast(types.get(c)).alias(c)
+
     batch = (
         j.withColumn("_m_op", op)
         .filter(F.col("_m_op").isNotNull())
-        .select(*live_cols, F.col("_m_op"))
+        .select(*[_out_col(c) for c in live_cols], F.col("_m_op"))
         .withColumn(
             seq_col,
-            F.lit(seq_val).cast(dict(man["schema"]).get(seq_col, "long")),
+            F.lit(seq_val).cast(types.get(seq_col, "long")),
         )
     )
     if "buckets" not in man:

@@ -3895,3 +3895,62 @@ class TestMergeInto:
             1: ("a", False), 2: ("b2", True), 3: ("c", False),
         }
         assert "buckets" not in txn.latest_manifest(spark, t)
+
+    def test_matched_update_set_expressions(self, spark, tmp_path):
+        """Delta SET-list semantics: named columns take the expression
+        (reading source AND current-target values), UNNAMED columns
+        keep the target value; a key-plus-inputs source suffices when
+        no insert clause is active."""
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, 100, "keep1", 1, "I"), (2, 200, "keep2", 1, "I")],
+                "id long, bal long, note string, seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        # source carries only the key + the expression's input
+        src = spark.createDataFrame(
+            [(1, 5), (3, 7)], "id long, delta long"
+        )
+        v = txn.merge_into(
+            spark, t, src,
+            matched_update_set={"bal": "t_bal + delta"},
+            when_not_matched=None,
+        )
+        assert v == 2
+        rows = {
+            r.id: (r.bal, r.note)
+            for r in txn.read_cdc_table(spark, t).collect()
+        }
+        # 1 accumulated, note KEPT; 3 unmatched and dropped (no insert)
+        assert rows == {1: (105, "keep1"), 2: (200, "keep2")}
+        # second merge accumulates again (reads the NEW target value)
+        txn.merge_into(
+            spark, t, spark.createDataFrame([(1, 10)], "id long, delta long"),
+            matched_update_set={"bal": "t_bal + delta"},
+            when_not_matched=None,
+        )
+        got = {r.id: r.bal for r in txn.read_cdc_table(spark, t).collect()}
+        assert got[1] == 115
+
+    def test_matched_update_set_validation(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        src = self._src(spark, [(1, "x", False)])
+        with pytest.raises(ValueError, match="when_matched='update'"):
+            txn.merge_into(
+                spark, t, src, when_matched="delete",
+                matched_update_set={"val": "'x'"},
+            )
+        with pytest.raises(ValueError, match="not settable"):
+            txn.merge_into(
+                spark, t, src, matched_update_set={"id": "id + 1"},
+            )
+        # key-only source is NOT enough when the insert clause is live
+        with pytest.raises(ValueError, match="missing table columns"):
+            txn.merge_into(
+                spark, t,
+                spark.createDataFrame([(1,)], "id long"),
+                matched_update_set={"val": "'x'"},
+            )
