@@ -1207,9 +1207,15 @@ def merge_into(
     bucket ids → partition-dir-pruned read_txn, broadcast-semi-joined
     down to the matched keys — sync_join_from_cdc's probe discipline),
     and the apply rewrites only the touched buckets. O(source +
-    touched buckets), never O(table). Cold start (no manifest yet):
-    everything is unmatched; the insert clause seeds the table at
-    ``n_buckets`` (ignored afterwards — bucketing is sticky).
+    touched buckets), never O(table) — which also states the honest
+    ceiling: a source spread across EVERY bucket degrades to a full
+    rewrite plus classification (measured 1.5x a plain overwrite at 8M
+    rows; SCALE.md "Declarative MERGE INTO"). Key- or time-correlated
+    sources — the common case — stay in the localized regime. Cold
+    start (no manifest yet): everything is unmatched; the insert
+    clause seeds the table at ``n_buckets`` (ignored afterwards —
+    bucketing is sticky). Flat (dimension-sized) tables route through
+    apply_cdc_batch_txn with identical clause semantics.
 
     Returns the committed version; None when no clause produced a row
     (or ``epoch_id`` replay-skipped). Reference analogue: none — the
