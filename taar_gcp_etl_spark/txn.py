@@ -3043,6 +3043,37 @@ def sync_join_from_cdc(
             df.unpersist()
 
 
+def register_cdc_table(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    version: int | None = None,
+) -> bool:
+    """Expose a transactional CDC table (flat or bucketed) to SQL as a
+    temp view — ``spark.sql(f"SELECT ... FROM {name}")`` then reads the
+    table's LIVE rows (tombstones and maintenance columns hidden), or a
+    pinned ``version`` for time travel. The view captures the snapshot
+    AT REGISTRATION (the manifest resolved now — the same semantics as
+    every read_* face; re-register to see later commits: a view that
+    silently tracked the log would make two reads in one SQL statement
+    see different versions). Join/aggregate stores are CDC tables
+    underneath, so this registers them too; the `_mv_seq` maintenance
+    column is hidden like read_join_store hides it. Returns False when
+    the table has no committed version yet (nothing registered).
+
+    Scale: registration is manifest-read only; the scan work stays in
+    the SQL that uses the view, with the same bucket-dir layout
+    underneath (partition pruning on `_bucket=` predicates etc. applies
+    as for any read_txn relation)."""
+    df = read_cdc_table(spark, table_dir, version=version)
+    if df is None:
+        return False
+    if "_mv_seq" in df.columns:
+        df = df.drop("_mv_seq")
+    df.createOrReplaceTempView(name)
+    return True
+
+
 def read_join_store(
     spark: SparkSession,
     store_dir: str,

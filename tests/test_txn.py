@@ -3954,3 +3954,78 @@ class TestMergeInto:
                 spark.createDataFrame([(1,)], "id long"),
                 matched_update_set={"val": "'x'"},
             )
+
+
+class TestRegisterCdcTable:
+    """SQL face over the txn layer: register_cdc_table exposes live
+    rows (or a pinned version) as a temp view; snapshot captured at
+    registration."""
+
+    def test_register_live_and_time_travel(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        assert not txn.register_cdc_table(spark, t, "missing_tbl")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", 1, "I"), (2, "b", 1, "I")],
+                "id long, val string, seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(2, None, 2, "D"), (3, "c", 2, "I")],
+                "id long, val string, seq long, op string",
+            ),
+            t, n_buckets=None,
+        )
+        assert txn.register_cdc_table(spark, t, "reg_live")
+        got = {
+            r.id: r.val
+            for r in spark.sql(
+                "SELECT id, val FROM reg_live ORDER BY id"
+            ).collect()
+        }
+        assert got == {1: "a", 3: "c"}
+        # time travel to version 1 under a second name
+        assert txn.register_cdc_table(spark, t, "reg_v1", version=1)
+        got1 = {
+            r.id: r.val for r in spark.sql(
+                "SELECT id, val FROM reg_v1"
+            ).collect()
+        }
+        assert got1 == {1: "a", 2: "b"}
+        # snapshot-at-registration: a later commit is NOT visible
+        # through the existing view until re-registration
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(4, "d", 3, "I")],
+                "id long, val string, seq long, op string",
+            ),
+            t, n_buckets=None,
+        )
+        assert spark.sql(
+            "SELECT count(*) AS n FROM reg_live"
+        ).collect()[0].n == 2
+        txn.register_cdc_table(spark, t, "reg_live")
+        assert spark.sql(
+            "SELECT count(*) AS n FROM reg_live"
+        ).collect()[0].n == 3
+        spark.catalog.dropTempView("reg_live")
+        spark.catalog.dropTempView("reg_v1")
+
+    def test_register_join_store_hides_cursor(self, spark, tmp_path):
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        for d, col in ((left, "lval"), (right, "rval")):
+            txn.apply_cdc_batch_bucketed(
+                spark.createDataFrame(
+                    [(1, "x", 1, "I")],
+                    f"id long, {col} string, seq long, op string",
+                ),
+                d, n_buckets=4,
+            )
+        txn.sync_join_from_cdc(spark, left, right, store)
+        assert txn.register_cdc_table(spark, store, "reg_mv")
+        cols = spark.sql("SELECT * FROM reg_mv").columns
+        assert "_mv_seq" not in cols and "lval" in cols and "rval" in cols
+        spark.catalog.dropTempView("reg_mv")
