@@ -1156,6 +1156,7 @@ def merge_into(
     when_not_matched: str | None = "insert",
     not_matched_condition=None,
     key_col: str | None = None,
+    evolve_schema: bool = False,
     n_buckets: int | None = 64,
     epoch_id: int | None = None,
 ) -> int | None:
@@ -1185,6 +1186,14 @@ def merge_into(
     ``"deleted_flag"`` as ``matched_delete_condition`` for the common
     CDC-extract-with-delete-flag shape). A source column that already
     uses a needed ``t_<name>`` raises rather than silently shadowing.
+
+    ``evolve_schema=True`` (Delta's automatic schema evolution): EVERY
+    extra source column becomes a new table column (additive-only —
+    the txn layer's standing evolution contract; existing rows read
+    the new columns as null). Off by default because extra source
+    columns otherwise serve as condition-only metadata (the CDC
+    delete-flag shape) and silently persisting them would surprise;
+    don't combine with metadata columns you don't want stored.
 
     ``matched_update_set`` (Delta's ``UPDATE SET col = expr``): a
     {column: expression} map evaluated in the same namespace; named
@@ -1259,6 +1268,10 @@ def merge_into(
             n for n, _ in man.get("schema") or []
             if n not in (DELETED_COL, BUCKET_COL, seq_col)
         ]
+        if evolve_schema:
+            live_cols += [
+                c for c in source.columns if c not in live_cols
+            ]
         if matched_update_set is not None:
             bad = sorted(
                 set(matched_update_set) - (set(live_cols) - {key_col})
@@ -1318,7 +1331,7 @@ def merge_into(
             when_matched, matched_condition, matched_update_set,
             matched_delete_condition,
             when_not_matched, not_matched_condition,
-            key_col, n_buckets, epoch_id, _cond,
+            key_col, evolve_schema, n_buckets, epoch_id, _cond,
         )
     finally:
         source.unpersist()
@@ -1329,7 +1342,7 @@ def _merge_into_impl(
     when_matched, matched_condition, matched_update_set,
     matched_delete_condition,
     when_not_matched, not_matched_condition,
-    key_col, n_buckets, epoch_id, _cond,
+    key_col, evolve_schema, n_buckets, epoch_id, _cond,
 ):
     if man is not None:
         seq_col = man.get("seq_col", "seq")
@@ -1337,6 +1350,13 @@ def _merge_into_impl(
             n for n, _ in man.get("schema") or []
             if n not in (DELETED_COL, BUCKET_COL, seq_col)
         ]
+        if evolve_schema:
+            # additive evolution: every extra source column joins the
+            # batch; the apply's schema contract records it and old
+            # snapshots read it as null
+            live_cols += [
+                c for c in source.columns if c not in live_cols
+            ]
     # MERGE cardinality: at most one source row per key
     dup = (
         source.groupBy(key_col).count().filter(F.col("count") > 1)
@@ -1435,10 +1455,17 @@ def _merge_into_impl(
         if matched_update_set is not None and c != key_col:
             upd = matched_update_set.get(c)
             # named column: the SET expression; unnamed: KEEP the
-            # current target value (Delta SET-list semantics)
-            upd_val = _cond(upd) if upd is not None else F.col(f"t_{c}")
+            # current target value (Delta SET-list semantics) — except
+            # an evolved column, which has no target value yet and
+            # takes the source's
+            upd_val = (
+                _cond(upd)
+                if upd is not None
+                else (F.col(f"t_{c}") if c in types else base)
+            )
             base = F.when(F.col("_m_op") == "U", upd_val).otherwise(base)
-        return base.cast(types.get(c)).alias(c)
+        typ = types.get(c)
+        return (base.cast(typ) if typ else base).alias(c)
 
     batch = (
         j.withColumn("_m_op", op)

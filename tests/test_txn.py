@@ -3955,6 +3955,27 @@ class TestMergeInto:
                 matched_update_set={"val": "'x'"},
             )
 
+    def test_evolve_schema_adds_source_columns(self, spark, tmp_path):
+        """Delta-style automatic schema evolution: with
+        evolve_schema=True an extra source column becomes a table
+        column (additive); untouched rows read it as null. Default
+        remains metadata-drop."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        src = spark.createDataFrame(
+            [(2, "b2", True, "fr")],
+            self.T + ", lang string",
+        )
+        txn.merge_into(spark, t, src, evolve_schema=True)
+        live = txn.read_cdc_table(spark, t)
+        assert "lang" in live.columns
+        got = {r.id: (r.val, r.lang) for r in live.collect()}
+        assert got == {1: ("a", None), 2: ("b2", "fr")}
+        # a later non-evolving merge must still supply lang (it is a
+        # table column now)
+        with pytest.raises(ValueError, match="missing table columns"):
+            txn.merge_into(spark, t, self._src(spark, [(3, "c", False)]))
+
 
 class TestRegisterCdcTable:
     """SQL face over the txn layer: register_cdc_table exposes live
