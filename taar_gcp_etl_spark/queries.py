@@ -2885,7 +2885,16 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(False).alias("is_del"),
             )
         )
-        txn.merge_into(spark, t, src, matched_delete_condition="is_del")
+        import warnings
+
+        with warnings.catch_warnings():
+            # the fixture's churn is deliberately spread (c_custkey % 3)
+            # to exercise every clause — silence the full-width
+            # plan-time warning merge_into rightly emits for it
+            warnings.simplefilter("ignore", RuntimeWarning)
+            txn.merge_into(
+                spark, t, src, matched_delete_condition="is_del"
+            )
     return txn.read_cdc_table(spark, t).select(
         "c_custkey", "c_name", "acctbal"
     )

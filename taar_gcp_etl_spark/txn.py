@@ -1395,6 +1395,23 @@ def _merge_into_impl(
                 _bucket_of(key_col, nb).alias("_b")
             ).distinct().collect()
         ]
+        if len(buckets) >= nb:
+            # full-width source: the merge degrades to a full rewrite
+            # PLUS classification (measured 1.5x a plain overwrite —
+            # SCALE.md "Declarative MERGE INTO"). Same guard philosophy
+            # as the fuzzy-join candidate-volume check: say it at plan
+            # time, don't let the regime be silent.
+            import warnings
+
+            warnings.warn(
+                f"merge_into: source keys touch all {nb} buckets of "
+                f"{table_dir} — the merge will rewrite the whole table "
+                "(plus a classification pass). Key- or time-correlated "
+                "batches stay O(touched buckets); for full-table "
+                "changes a plain rewrite is cheaper.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
     cur = read_txn(spark, table_dir, buckets=buckets)
     if cur is None:
         live = _empty_live(spark, man)

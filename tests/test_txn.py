@@ -3976,6 +3976,32 @@ class TestMergeInto:
         with pytest.raises(ValueError, match="missing table columns"):
             txn.merge_into(spark, t, self._src(spark, [(3, "c", False)]))
 
+    def test_full_width_source_warns(self, spark, tmp_path):
+        """A source touching every bucket degrades to a full rewrite —
+        said at plan time (RuntimeWarning), not silently."""
+        import warnings as _w
+
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", False, 1, "I") for i in range(16)],
+                self.T + ", seq long, op string",
+            ),
+            t, n_buckets=2,
+        )
+        wide = self._src(
+            spark, [(i, f"w{i}", False) for i in range(16)]
+        )
+        with pytest.warns(RuntimeWarning, match="touch all 2 buckets"):
+            txn.merge_into(spark, t, wide)
+        # a narrow source stays silent
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            txn.merge_into(
+                spark, t, self._src(spark, [(1, "z", False)])
+            )
+        assert self._live(spark, t)[1] == ("z", False)
+
 
 class TestRegisterCdcTable:
     """SQL face over the txn layer: register_cdc_table exposes live
