@@ -1357,15 +1357,23 @@ def _merge_into_impl(
             live_cols += [
                 c for c in source.columns if c not in live_cols
             ]
-    # MERGE cardinality: at most one source row per key
-    dup = (
-        source.groupBy(key_col).count().filter(F.col("count") > 1)
+    # MERGE cardinality (at most one source row per key) and key
+    # validity (CDC keys are non-null by construction; a null key
+    # would also poison the bucket probe) — one aggregation pass
+    bad = (
+        source.groupBy(key_col).count()
+        .filter((F.col("count") > 1) | F.col(key_col).isNull())
         .limit(1).collect()
     )
-    if dup:
+    if bad:
+        if bad[0][0] is None:
+            raise ValueError(
+                f"merge_into: source has NULL {key_col} rows — CDC "
+                "keys are non-null; filter them out or fix the extract"
+            )
         raise ValueError(
             f"merge_into: source has multiple rows for key "
-            f"{key_col}={dup[0][0]!r} — MERGE requires one row per key"
+            f"{key_col}={bad[0][0]!r} — MERGE requires one row per key"
         )
 
     seq_val = (man["version"] + 1) if man else 1

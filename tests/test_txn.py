@@ -3814,6 +3814,15 @@ class TestMergeInto:
                 self._src(spark, [(1, "x", False), (1, "y", False)]),
             )
 
+    def test_null_source_key_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        with pytest.raises(ValueError, match="NULL id"):
+            txn.merge_into(
+                spark, t,
+                self._src(spark, [(None, "x", False), (2, "y", False)]),
+            )
+
     def test_t_prefix_collision_raises(self, spark, tmp_path):
         """A source column named t_<target col> would shadow the
         t_-prefixed target column conditions refer to — refuse rather
