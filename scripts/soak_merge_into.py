@@ -13,10 +13,11 @@ page-cache noise). Measured:
 - a ~1100-row SPREAD merge (keys at stride N/1000 hash everywhere):
   worst case — probe and rewrite touch all 32 buckets; honest cost is
   a full-size rewrite plus classification.
-- mixed clauses both times: ~1% of matched rows carry a delete flag
-  (matched_delete_condition), the rest update, plus ~100 unmatched
-  inserts guarded by not_matched_condition — the full clause
-  classifier, not just upserts.
+- mixed clauses both times: ~1% of matched rows carry a HASH-derived
+  delete flag (matched_delete_condition; hash so the flag rate is
+  immune to the arms' key patterns), the rest update, plus ~100
+  unmatched inserts guarded by not_matched_condition — the full
+  clause classifier, not just upserts.
 - a FULL REWRITE baseline: what a non-transactional engine pays to
   apply the same change (read + overwrite the whole live table).
 - STRUCTURAL metric per merge: how many of the 32 bucket->dir manifest
@@ -81,7 +82,10 @@ def src_for(spark, ids, inserts, tag: str):
     return ids.select(
         F.col("id"),
         wide_payload(tag, F.col("id")).alias("payload"),
-        (F.col("id") % 100 == 0).alias("is_del"),
+        # hash-derived ~1% delete flag: pattern-proof (review r9 — the
+        # old id%100 test made the stride-keyed spread arm 100%
+        # deletes, so the published worst-case measured the wrong mix)
+        (F.abs(F.xxhash64("id")) % 100 == 0).alias("is_del"),
     ).unionByName(
         inserts.select(
             "id",

@@ -1205,12 +1205,14 @@ def merge_into(
     be SET. Without it, UPDATE takes every column from the source
     (``UPDATE SET *``).
 
-    Sequencing: every batch row is stamped ``seq = current version + 1``
-    — per-key monotone across merges because each merge commits at
-    least one version, so a later merge always outranks an earlier one
-    under the CDC seq guard (single writer per table, the layer's
-    standing assumption; a CAS-retried commit lands at a HIGHER version
-    and stays monotone).
+    Sequencing: each batch row is stamped ``seq = max(current version
+    + 1, key's current seq + 1)`` — the per-key component (read off
+    the same classification probe, tombstones included) makes merges
+    interleave correctly with user-supplied seq scales (binlog LSN /
+    timestamp), while the version floor keeps never-seen keys monotone
+    across merges (single writer per table, the layer's standing
+    assumption; a CAS-retried commit lands at a HIGHER version and
+    stays monotone).
 
     Cost: classification reads ONLY the touched buckets (source keys →
     bucket ids → partition-dir-pruned read_txn, broadcast-semi-joined
@@ -1223,8 +1225,12 @@ def merge_into(
     sources — the common case — stay in the localized regime. Cold
     start (no manifest yet): everything is unmatched; the insert
     clause seeds the table at ``n_buckets`` (ignored afterwards —
-    bucketing is sticky). Flat (dimension-sized) tables route through
-    apply_cdc_batch_txn with identical clause semantics.
+    bucketing is sticky) with the source's columns AS-IS — there is no
+    table schema yet to trim against, so condition-metadata columns
+    WOULD persist; pre-select the payload when cold-starting with a
+    metadata-carrying extract (warm merges drop extras automatically).
+    Flat (dimension-sized) tables route through apply_cdc_batch_txn
+    with identical clause semantics.
 
     Returns the committed version; None when no clause produced a row
     (or ``epoch_id`` replay-skipped). Reference analogue: none — the
@@ -1282,19 +1288,29 @@ def merge_into(
                     f"settable payload columns (live payload: "
                     f"{[c for c in live_cols if c != key_col]})"
                 )
-        # with a SET-list and no insert clause, UPDATE rows never read
-        # unnamed source columns (they keep the target value), so the
-        # source may carry just the key plus the expressions' inputs
-        required = (
-            [key_col]
-            if matched_update_set is not None and when_not_matched is None
-            else live_cols
+        # the source must carry the full payload only when some clause
+        # actually READS it: inserts (take source values) or SET-less
+        # updates (UPDATE SET *). Delete-only merges and SET-list
+        # updates never read unnamed source columns, so a key-plus-
+        # expression-inputs source suffices (review finding r9).
+        needs_full = when_not_matched == "insert" or (
+            when_matched == "update" and matched_update_set is None
         )
+        required = live_cols if needs_full else [key_col]
         missing = [c for c in required if c not in source.columns]
         if missing:
             raise ValueError(
                 f"merge_into: source is missing table columns {missing} "
                 f"(live schema: {live_cols})"
+            )
+        # the bucket probe and the classification join are TYPE
+        # sensitive (xxhash64 buckets int 5 and long 5 differently) —
+        # align the source key with the table's stored key type before
+        # anything hashes or joins it (review finding r9, verified)
+        key_typ = dict(man["schema"]).get(key_col)
+        if key_typ:
+            source = source.withColumn(
+                key_col, F.col(key_col).cast(key_typ)
             )
         # extra source columns (beyond the live schema) stay visible to
         # the clause conditions — the CDC-extract metadata shape — and
@@ -1314,6 +1330,8 @@ def merge_into(
                 f"merge_into: key_col {key_col!r} not in source "
                 f"columns {source.columns}"
             )
+        seq_col = "seq"
+        live_cols = None  # cold start: the source defines the schema
 
     def _cond(c):
         return F.expr(c) if isinstance(c, str) else c
@@ -1331,7 +1349,7 @@ def merge_into(
             when_matched, matched_condition, matched_update_set,
             matched_delete_condition,
             when_not_matched, not_matched_condition,
-            key_col, evolve_schema, n_buckets, epoch_id, _cond,
+            key_col, live_cols, seq_col, n_buckets, epoch_id, _cond,
         )
     finally:
         source.unpersist()
@@ -1342,21 +1360,8 @@ def _merge_into_impl(
     when_matched, matched_condition, matched_update_set,
     matched_delete_condition,
     when_not_matched, not_matched_condition,
-    key_col, evolve_schema, n_buckets, epoch_id, _cond,
+    key_col, live_cols, seq_col, n_buckets, epoch_id, _cond,
 ):
-    if man is not None:
-        seq_col = man.get("seq_col", "seq")
-        live_cols = [
-            n for n, _ in man.get("schema") or []
-            if n not in (DELETED_COL, BUCKET_COL, seq_col)
-        ]
-        if evolve_schema:
-            # additive evolution: every extra source column joins the
-            # batch; the apply's schema contract records it and old
-            # snapshots read it as null
-            live_cols += [
-                c for c in source.columns if c not in live_cols
-            ]
     # MERGE cardinality (at most one source row per key) and key
     # validity (CDC keys are non-null by construction; a null key
     # would also poison the bucket probe) — one aggregation pass
@@ -1420,17 +1425,25 @@ def _merge_into_impl(
                 RuntimeWarning,
                 stacklevel=3,
             )
+    # classify against the RAW keyed state (tombstones INCLUDED):
+    # matched-ness is liveness, but the per-row seq stamp below must
+    # outrank the key's CURRENT seq even when that seq lives on a
+    # tombstone or was user-supplied (binlog LSN / timestamp — review
+    # finding r9, verified: a version-derived stamp silently lost to
+    # seq=1000 rows)
     cur = read_txn(spark, table_dir, buckets=buckets)
     if cur is None:
-        live = _empty_live(spark, man)
+        raw = _empty_live(spark, man).withColumn(
+            DELETED_COL, F.lit(False)
+        )
     else:
-        live = cur.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
-        if BUCKET_COL in live.columns:
-            live = live.drop(BUCKET_COL)
-    live = live.join(
+        raw = cur
+        if BUCKET_COL in raw.columns:
+            raw = raw.drop(BUCKET_COL)
+    raw = raw.join(
         F.broadcast(source.select(key_col)), key_col, "left_semi"
     )
-    t_ren = {c: f"t_{c}" for c in live.columns}
+    t_ren = {c: f"t_{c}" for c in raw.columns}
     clash = [
         t for c, t in t_ren.items() if t in src_cols and c != key_col
     ] + (["t_" + key_col] if "t_" + key_col in src_cols else [])
@@ -1440,11 +1453,28 @@ def _merge_into_impl(
             "with the t_-prefixed target columns conditions refer to — "
             "rename them in the source"
         )
-    tgt = live.withColumnsRenamed(t_ren)
+    tgt = raw.withColumnsRenamed(t_ren)
     j = source.join(
         tgt, source[key_col] == tgt[f"t_{key_col}"], "left"
     )
-    matched = F.col(f"t_{key_col}").isNotNull()
+    t_del = f"t_{DELETED_COL}"
+    # a tombstoned key is NOT matched (MERGE sees live rows only) —
+    # but its seq still rides in t_<seq_col> for the stamp; its
+    # payload t_ columns are nulls, same as a never-seen key's
+    matched = F.col(f"t_{key_col}").isNotNull() & ~F.coalesce(
+        F.col(t_del), F.lit(False)
+    )
+    tombstoned = F.col(f"t_{key_col}").isNotNull() & F.coalesce(
+        F.col(t_del), F.lit(False)
+    )
+    # hide the tombstone's stale payload from conditions and KEEP
+    # semantics: a dead key's t_ values must read as null (it is
+    # unmatched), not as the last pre-delete payload
+    for c, t in t_ren.items():
+        if c not in (key_col, DELETED_COL) and c != seq_col:
+            j = j.withColumn(
+                t, F.when(tombstoned, F.lit(None)).otherwise(F.col(t))
+            )
 
     op = F.lit(None).cast("string")
     # unmatched insert (lowest precedence, orthogonal branch)
@@ -1492,13 +1522,22 @@ def _merge_into_impl(
         typ = types.get(c)
         return (base.cast(typ) if typ else base).alias(c)
 
+    # per-row seq: outrank the key's CURRENT seq (live OR tombstone,
+    # user-supplied LSNs included), floored at version+1 so never-seen
+    # keys and fresh tables stay monotone across merges
+    seq_expr = F.greatest(
+        F.lit(seq_val).cast("long"),
+        F.coalesce(
+            F.col(f"t_{seq_col}").cast("long") + 1, F.lit(0).cast("long")
+        ),
+    ).cast(types.get(seq_col, "long"))
     batch = (
         j.withColumn("_m_op", op)
         .filter(F.col("_m_op").isNotNull())
-        .select(*[_out_col(c) for c in live_cols], F.col("_m_op"))
-        .withColumn(
-            seq_col,
-            F.lit(seq_val).cast(types.get(seq_col, "long")),
+        .select(
+            *[_out_col(c) for c in live_cols],
+            F.col("_m_op"),
+            seq_expr.alias(seq_col),
         )
     )
     if "buckets" not in man:
@@ -3110,18 +3149,37 @@ def register_cdc_table(
     silently tracked the log would make two reads in one SQL statement
     see different versions). Join/aggregate stores are CDC tables
     underneath, so this registers them too; the `_mv_seq` maintenance
-    column is hidden like read_join_store hides it. Returns False when
-    the table has no committed version yet (nothing registered).
+    column is hidden like read_join_store hides it. AGGREGATE stores
+    are plain commit_txn snapshots (no tombstone column) — they route
+    through read_txn with the store's maintenance counters
+    (`_live_rows`, `_nn_*`) hidden; sketch measures surface as their
+    raw mergeable state (use read_aggregate_store(measures=) for
+    estimates). Returns False when the table has no committed version
+    yet (nothing registered).
 
     Scale: registration is manifest-read only; the scan work stays in
     the SQL that uses the view, with the same bucket-dir layout
     underneath (partition pruning on `_bucket=` predicates etc. applies
     as for any read_txn relation)."""
-    df = read_cdc_table(spark, table_dir, version=version)
+    man = latest_manifest(spark, table_dir)
+    if man is None:
+        return False
+    schema_names = {n for n, _ in man.get("schema") or []}
+    if DELETED_COL in schema_names:
+        df = read_cdc_table(spark, table_dir, version=version)
+    else:
+        # snapshot-shaped (aggregate store / plain commit_txn table):
+        # no tombstones to filter — review r9 fix; read_cdc_table's
+        # tombstone filter raised UNRESOLVED_COLUMN here
+        df = read_txn(spark, table_dir, version=version)
     if df is None:
         return False
-    if "_mv_seq" in df.columns:
-        df = df.drop("_mv_seq")
+    drop = [
+        c
+        for c in df.columns
+        if c == "_mv_seq" or c == LIVE_ROWS_COL or c.startswith("_nn_")
+    ]
+    df = df.drop(*drop)
     df.createOrReplaceTempView(name)
     return True
 

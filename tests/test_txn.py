@@ -3823,6 +3823,67 @@ class TestMergeInto:
                 self._src(spark, [(None, "x", False), (2, "y", False)]),
             )
 
+    def test_outranks_user_supplied_seqs(self, spark, tmp_path):
+        """Review r9 (verified repro): a table whose stored seqs are
+        user-supplied (binlog LSN / timestamp scale) must still accept
+        merge updates — the stamp is per-key current-seq + 1, not the
+        version count."""
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", False, 1000, "I"), (2, "b", False, 2000, "I")],
+                self.T + ", seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        v = txn.merge_into(
+            spark, t, self._src(spark, [(1, "a2", True), (3, "c", False)])
+        )
+        assert v == 2
+        assert self._live(spark, t) == {
+            1: ("a2", True), 2: ("b", False), 3: ("c", False),
+        }
+        # and a delete against the high-seq row must also win
+        txn.merge_into(
+            spark, t, self._src(spark, [(2, None, True)]),
+            when_matched="delete", when_not_matched=None,
+        )
+        assert 2 not in self._live(spark, t)
+        # insert over a HIGH-SEQ TOMBSTONE must resurrect (the stamp
+        # reads the tombstone's seq even though the key is unmatched)
+        txn.merge_into(spark, t, self._src(spark, [(2, "back", False)]))
+        assert self._live(spark, t)[2] == ("back", False)
+
+    def test_source_key_type_coerced_to_table_type(self, spark, tmp_path):
+        """Review r9 (verified repro): xxhash64 buckets int 5 and
+        long 5 differently — the source key is cast to the table's key
+        type before the bucket probe, so an int-keyed extract against
+        a long-keyed table still classifies matches correctly."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(i, f"v{i}", False) for i in range(1, 9)])
+        src = spark.createDataFrame(
+            [(5, "v5b", True)], "id int, val string, flag boolean"
+        )
+        v = txn.merge_into(spark, t, src)
+        assert v == 2
+        live = self._live(spark, t)
+        assert live[5] == ("v5b", True)
+        assert len(live) == 8  # matched as update, NOT inserted anew
+
+    def test_delete_only_merge_accepts_key_only_source(
+        self, spark, tmp_path
+    ):
+        """Review r9: D rows never read payload — a delete-keys
+        extract (just the key) suffices for delete-only merges."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        txn.merge_into(
+            spark, t,
+            spark.createDataFrame([(1,)], "id long"),
+            when_matched="delete", when_not_matched=None,
+        )
+        assert self._live(spark, t) == {2: ("b", False)}
+
     def test_t_prefix_collision_raises(self, spark, tmp_path):
         """A source column named t_<target col> would shadow the
         t_-prefixed target column conditions refer to — refuse rather
@@ -4085,3 +4146,35 @@ class TestRegisterCdcTable:
         cols = spark.sql("SELECT * FROM reg_mv").columns
         assert "_mv_seq" not in cols and "lval" in cols and "rval" in cols
         spark.catalog.dropTempView("reg_mv")
+
+    def test_register_aggregate_store_snapshot(self, spark, tmp_path):
+        """Review r9 fix: aggregate stores are snapshot-shaped (no
+        tombstone column) — registration must route through read_txn
+        and hide the maintenance counters instead of raising."""
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "agg")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", 10, 1, "I"), (2, "a", 20, 1, "I"),
+                 (3, "b", 5, 1, "I")],
+                "id long, grp string, val long, seq long, op string",
+            ),
+            src, n_buckets=4, stats_cols=["grp"],
+        )
+        txn.sync_aggregate_from_cdc(
+            spark, src, store, ["grp"],
+            {"total": ("sum", "val"), "n": ("count", "*")},
+        )
+        assert txn.register_cdc_table(spark, store, "reg_agg")
+        rows = {
+            r.grp: (r.total, r.n)
+            for r in spark.sql(
+                "SELECT grp, total, n FROM reg_agg"
+            ).collect()
+        }
+        assert rows == {"a": (30, 2), "b": (5, 1)}
+        cols = spark.sql("SELECT * FROM reg_agg").columns
+        assert not any(
+            c == "_live_rows" or c.startswith("_nn_") for c in cols
+        )
+        spark.catalog.dropTempView("reg_agg")
