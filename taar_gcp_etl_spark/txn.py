@@ -446,8 +446,17 @@ def commit_txn(
     epoch_id: int | None = None,
     max_attempts: int = 5,
     spark: SparkSession | None = None,
+    manifest_extra: dict | None = None,
 ) -> int | None:
     """Atomically commit the table's next version.
+
+    ``manifest_extra`` adds caller metadata fields to the manifest
+    (e.g. apply_cdc_batch_txn stamps ``key_col``/``seq_col`` so flat
+    CDC tables stay mergeable under non-default keys — ADVICE r9);
+    reserved manifest fields cannot be overridden. ``key_col`` /
+    ``seq_col`` already present on the PRIOR manifest carry forward
+    automatically, so maintenance rewrites (compaction, aggregate
+    refresh) never strip the key stamp a CDC apply recorded.
 
     ``df`` is either a DataFrame (blind write — content independent of
     the table's current state) or a BUILDER ``f(current_version | None)
@@ -517,6 +526,18 @@ def commit_txn(
             "parent": cur_version,
             "schema": fields,
         }
+        # key/seq stamps survive maintenance rewrites that don't know
+        # about them (the prior manifest is the source of truth unless
+        # the caller restates them via manifest_extra)
+        if man:
+            for k in ("key_col", "seq_col"):
+                if k in man:
+                    manifest[k] = man[k]
+        if manifest_extra:
+            for k, v in manifest_extra.items():
+                if k not in ("version", "snapshot", "epoch_id",
+                             "parent", "schema", "buckets"):
+                    manifest[k] = v
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
         # lost the race for this version: the orphan snapshot stays for
@@ -1124,7 +1145,10 @@ def apply_cdc_batch_txn(
         )
         return _merge_cdc(cur, staged, key_col, seq_col)
 
-    return commit_txn(build, table_dir, epoch_id=epoch_id, spark=spark)
+    return commit_txn(
+        build, table_dir, epoch_id=epoch_id, spark=spark,
+        manifest_extra={"key_col": key_col, "seq_col": seq_col},
+    )
 
 
 def read_cdc_table(
@@ -1144,99 +1168,127 @@ def read_cdc_table(
     return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out
 
 
-def merge_into(
-    spark: SparkSession,
-    table_dir: str,
-    source: DataFrame,
-    *,
-    when_matched: str | None = "update",
-    matched_condition=None,
-    matched_update_set: dict | None = None,
-    matched_delete_condition=None,
-    when_not_matched: str | None = "insert",
-    not_matched_condition=None,
-    key_col: str | None = None,
-    evolve_schema: bool = False,
-    n_buckets: int | None = 64,
-    epoch_id: int | None = None,
-) -> int | None:
-    """Declarative MERGE INTO over a transactional CDC table — the
-    user-facing upsert face (Delta/Iceberg `MERGE` semantics, SQL:2003
-    `MERGE INTO`) compiled onto apply_cdc_batch_bucketed, so one call
-    classifies a source relation against the table's CURRENT live keys
-    and lands the outcome as a single atomic, bucket-pruned commit.
+MERGE_BROADCAST_KEY_GATE = 4_000_000
+"""Row-count gate above which merge_into / sync_join_from_cdc stop
+broadcasting the source/touched key set and fall back to a plain
+(AQE-planned) semi-join. A merge *batch* — the intended shape — is far
+below this; past it the broadcast would OOM the driver before the
+full-width warning even matters (VERDICT r9 #3: Delta makes the same
+switch). 4M long keys is ~32 MB serialized, comfortably under Spark's
+default driver ceilings while still letting every realistic batch take
+the broadcast fast path. Module-level so tests (and operators with
+unusual drivers) can tune it."""
 
-    Source contract: one row per key (standard MERGE cardinality — a
-    key matched by several source rows is ambiguous, and this raises
-    exactly as Delta does), schema = the table's live payload schema
-    (key + payload columns; `seq`/`op` are stamped here, not supplied).
 
-    Clauses, evaluated in Delta's order:
+def _normalize_merge_clauses(
+    when,
+    when_matched,
+    matched_condition,
+    matched_update_set,
+    matched_delete_condition,
+    when_not_matched,
+    not_matched_condition,
+) -> tuple[list[dict], list[dict]]:
+    """Validate and normalize merge_into's clause surface to
+    (matched_clauses, not_matched_clauses) — each an ordered list of
+    {'kind', 'condition', 'set'} dicts evaluated FIRST-MATCH-WINS
+    (Delta's WHEN-clause ordering). The legacy kwargs compile to the
+    same normal form, preserving their documented precedence (explicit
+    delete condition first, then the update/delete clause)."""
+    if when is not None:
+        legacy_used = (
+            when_matched != "update"
+            or when_not_matched != "insert"
+            or matched_condition is not None
+            or matched_update_set is not None
+            or matched_delete_condition is not None
+            or not_matched_condition is not None
+        )
+        if legacy_used:
+            raise ValueError(
+                "merge_into: when=[...] replaces the clause kwargs "
+                "(when_matched/matched_*/when_not_matched/"
+                "not_matched_condition) — pass one style, not both"
+            )
+        if not isinstance(when, (list, tuple)) or not when:
+            raise ValueError(
+                "merge_into: when= must be a non-empty list of clause "
+                "dicts, e.g. [{'matched': 'update', 'condition': ..., "
+                "'set': {...}}, {'not_matched': 'insert'}]"
+            )
+        matched_clauses: list[dict] = []
+        not_matched_clauses: list[dict] = []
+        for i, cl in enumerate(when):
+            if not isinstance(cl, dict):
+                raise ValueError(
+                    f"merge_into: when[{i}] is not a dict: {cl!r}"
+                )
+            keys = set(cl)
+            has_m = "matched" in keys
+            has_u = "not_matched" in keys
+            if has_m == has_u:
+                raise ValueError(
+                    f"merge_into: when[{i}] needs exactly one of "
+                    f"'matched' / 'not_matched', got {sorted(keys)}"
+                )
+            extra = keys - {"matched", "not_matched", "condition", "set"}
+            if extra:
+                raise ValueError(
+                    f"merge_into: when[{i}] has unknown fields "
+                    f"{sorted(extra)}"
+                )
+            if has_m:
+                kind = cl["matched"]
+                if kind not in ("update", "delete"):
+                    raise ValueError(
+                        f"merge_into: when[{i}]['matched'] must be "
+                        f"'update' or 'delete', got {kind!r}"
+                    )
+                if kind == "delete" and cl.get("set") is not None:
+                    raise ValueError(
+                        f"merge_into: when[{i}] is a delete clause — "
+                        "'set' only applies to updates"
+                    )
+                matched_clauses.append(
+                    {
+                        "kind": kind,
+                        "condition": cl.get("condition"),
+                        "set": cl.get("set"),
+                    }
+                )
+            else:
+                if cl["not_matched"] != "insert":
+                    raise ValueError(
+                        f"merge_into: when[{i}]['not_matched'] must be "
+                        f"'insert', got {cl['not_matched']!r}"
+                    )
+                if cl.get("set") is not None:
+                    raise ValueError(
+                        f"merge_into: when[{i}] is an insert clause — "
+                        "inserts take the source row; 'set' is not "
+                        "supported"
+                    )
+                not_matched_clauses.append(
+                    {"kind": "insert", "condition": cl.get("condition")}
+                )
+        # Delta's rule: with several clauses on a side, all but the
+        # LAST need a condition (an unconditional clause shadows
+        # everything after it — almost certainly a mistake)
+        for side, cls in (
+            ("matched", matched_clauses),
+            ("not_matched", not_matched_clauses),
+        ):
+            for cl in cls[:-1]:
+                if cl["condition"] is None:
+                    raise ValueError(
+                        f"merge_into: every {side} clause except the "
+                        "last must carry a condition — an earlier "
+                        "unconditional clause shadows the rest"
+                    )
+        return matched_clauses, not_matched_clauses
 
-    * matched  + ``matched_delete_condition``        → DELETE
-    * matched  + ``when_matched='update'`` [+cond]   → UPDATE
-    * matched  + ``when_matched='delete'`` [+cond]   → DELETE
-    * matched, no clause fires                       → row untouched
-    * unmatched + ``when_not_matched='insert'`` [+cond] → INSERT
-    * unmatched, no clause fires                     → row dropped
-
-    Conditions are SQL strings or Columns over the source row with the
-    CURRENT target row's columns exposed as ``t_<name>`` (e.g.
-    ``"event_seq > t_event_seq"`` for a late-data guard, or
-    ``"deleted_flag"`` as ``matched_delete_condition`` for the common
-    CDC-extract-with-delete-flag shape). A source column that already
-    uses a needed ``t_<name>`` raises rather than silently shadowing.
-
-    ``evolve_schema=True`` (Delta's automatic schema evolution): EVERY
-    extra source column becomes a new table column (additive-only —
-    the txn layer's standing evolution contract; existing rows read
-    the new columns as null). Off by default because extra source
-    columns otherwise serve as condition-only metadata (the CDC
-    delete-flag shape) and silently persisting them would surprise;
-    don't combine with metadata columns you don't want stored.
-
-    ``matched_update_set`` (Delta's ``UPDATE SET col = expr``): a
-    {column: expression} map evaluated in the same namespace; named
-    columns take the expression on UPDATE rows, UNNAMED columns KEEP
-    the current target value (not the source value — Delta's SET-list
-    semantics; e.g. ``{"balance": "t_balance + delta"}`` accumulates).
-    With an update-set and no insert clause the source may carry just
-    the key plus whatever the expressions read. The key column cannot
-    be SET. Without it, UPDATE takes every column from the source
-    (``UPDATE SET *``).
-
-    Sequencing: each batch row is stamped ``seq = max(current version
-    + 1, key's current seq + 1)`` — the per-key component (read off
-    the same classification probe, tombstones included) makes merges
-    interleave correctly with user-supplied seq scales (binlog LSN /
-    timestamp), while the version floor keeps never-seen keys monotone
-    across merges (single writer per table, the layer's standing
-    assumption; a CAS-retried commit lands at a HIGHER version and
-    stays monotone).
-
-    Cost: classification reads ONLY the touched buckets (source keys →
-    bucket ids → partition-dir-pruned read_txn, broadcast-semi-joined
-    down to the matched keys — sync_join_from_cdc's probe discipline),
-    and the apply rewrites only the touched buckets. O(source +
-    touched buckets), never O(table) — which also states the honest
-    ceiling: a source spread across EVERY bucket degrades to a full
-    rewrite plus classification (measured 1.5x a plain overwrite at 8M
-    rows; SCALE.md "Declarative MERGE INTO"). Key- or time-correlated
-    sources — the common case — stay in the localized regime. Cold
-    start (no manifest yet): everything is unmatched; the insert
-    clause seeds the table at ``n_buckets`` (ignored afterwards —
-    bucketing is sticky) with the source's columns AS-IS — there is no
-    table schema yet to trim against, so condition-metadata columns
-    WOULD persist; pre-select the payload when cold-starting with a
-    metadata-carrying extract (warm merges drop extras automatically).
-    Flat (dimension-sized) tables route through apply_cdc_batch_txn
-    with identical clause semantics.
-
-    Returns the committed version; None when no clause produced a row
-    (or ``epoch_id`` replay-skipped). Reference analogue: none — the
-    reference's jobs re-derive whole artifacts; this is the
-    keyed-table mutation face a warehouse user expects.
-    """
+    # legacy kwargs → normal form (documented precedence preserved:
+    # matched_delete_condition is Delta's FIRST matched clause)
     if when_matched not in ("update", "delete", None):
         raise ValueError(
             f"merge_into: when_matched must be 'update', 'delete' or "
@@ -1257,10 +1309,184 @@ def merge_into(
             "merge_into: matched_update_set requires "
             "when_matched='update'"
         )
+    matched_clauses = []
+    if matched_delete_condition is not None:
+        matched_clauses.append(
+            {"kind": "delete", "condition": matched_delete_condition,
+             "set": None}
+        )
+    if when_matched is not None:
+        matched_clauses.append(
+            {"kind": when_matched, "condition": matched_condition,
+             "set": matched_update_set}
+        )
+    not_matched_clauses = (
+        [{"kind": "insert", "condition": not_matched_condition}]
+        if when_not_matched == "insert"
+        else []
+    )
+    return matched_clauses, not_matched_clauses
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    *,
+    when: list[dict] | None = None,
+    when_matched: str | None = "update",
+    matched_condition=None,
+    matched_update_set: dict | None = None,
+    matched_delete_condition=None,
+    when_not_matched: str | None = "insert",
+    not_matched_condition=None,
+    key_col: str | None = None,
+    evolve_schema: bool = False,
+    n_buckets: int | None = 64,
+    epoch_id: int | None = None,
+    payload_cols: list[str] | None = None,
+) -> int | None:
+    """Declarative MERGE INTO over a transactional CDC table — the
+    user-facing upsert face (Delta/Iceberg `MERGE` semantics, SQL:2003
+    `MERGE INTO`) compiled onto apply_cdc_batch_bucketed, so one call
+    classifies a source relation against the table's CURRENT live keys
+    and lands the outcome as a single atomic, bucket-pruned commit.
+
+    Source contract: one row per key (standard MERGE cardinality — a
+    key matched by several source rows is ambiguous, and this raises
+    exactly as Delta does), schema = the table's live payload schema
+    (key + payload columns; `seq`/`op` are stamped here, not supplied).
+
+    Clauses — the general form is ``when=[...]``, an ORDERED list of
+    clause dicts evaluated with Delta's first-match-wins semantics
+    (matched and not-matched sides are independent; within a side the
+    FIRST clause whose condition holds decides the row, and all but
+    the last clause on a side must carry a condition)::
+
+        when=[
+            {"matched": "delete", "condition": "is_del"},
+            {"matched": "update", "condition": "src_seq > t_src_seq",
+             "set": {"balance": "t_balance + delta"}},
+            {"matched": "update"},                     # catch-all
+            {"not_matched": "insert", "condition": "NOT is_del"},
+        ]
+
+    A matched row no clause claims is untouched; an unmatched row no
+    insert clause claims is dropped. The flat kwargs remain as sugar
+    for the common single-clause shapes and compile to the same normal
+    form (``matched_delete_condition`` is the first matched clause —
+    the CDC-extract-with-delete-flag shape — then
+    ``when_matched``/``matched_condition``/``matched_update_set``,
+    then ``when_not_matched``/``not_matched_condition``):
+
+    * matched  + ``matched_delete_condition``        → DELETE
+    * matched  + ``when_matched='update'`` [+cond]   → UPDATE
+    * matched  + ``when_matched='delete'`` [+cond]   → DELETE
+    * matched, no clause fires                       → row untouched
+    * unmatched + ``when_not_matched='insert'`` [+cond] → INSERT
+    * unmatched, no clause fires                     → row dropped
+
+    Conditions are SQL strings or Columns over the source row with the
+    CURRENT target row's columns exposed as ``t_<name>`` (e.g.
+    ``"event_seq > t_event_seq"`` for a late-data guard). A source
+    column that already uses a needed ``t_<name>`` raises rather than
+    silently shadowing.
+
+    ``evolve_schema=True`` (Delta's automatic schema evolution): EVERY
+    extra source column becomes a new table column (additive-only —
+    the txn layer's standing evolution contract; existing rows read
+    the new columns as null). Off by default because extra source
+    columns otherwise serve as condition-only metadata (the CDC
+    delete-flag shape) and silently persisting them would surprise;
+    don't combine with metadata columns you don't want stored.
+
+    Update ``set`` maps (Delta's ``UPDATE SET col = expr``): a
+    {column: expression} map evaluated in the same namespace, PER
+    CLAUSE; named columns take the expression on that clause's UPDATE
+    rows, UNNAMED columns KEEP the current target value (not the
+    source value — Delta's SET-list semantics; e.g. ``{"balance":
+    "t_balance + delta"}`` accumulates). With set-lists on every
+    update clause and no insert clause the source may carry just the
+    key plus whatever the expressions read. The key column cannot be
+    SET. A set-less update clause takes every column from the source
+    (``UPDATE SET *``).
+
+    Sequencing: each batch row is stamped ``seq = max(current version
+    + 1, key's current seq + 1)`` — the per-key component (read off
+    the same classification probe, tombstones included) makes merges
+    interleave correctly with user-supplied seq scales (binlog LSN /
+    timestamp), while the version floor keeps never-seen keys monotone
+    across merges (single writer per table, the layer's standing
+    assumption; a CAS-retried commit lands at a HIGHER version and
+    stays monotone). Note the classification snapshot itself is NOT
+    recomputed on a CAS retry — the probe, clause evaluation, and
+    ``t_``-referencing SET expressions all read the state observed at
+    call time, which is exactly the single-writer contract; a
+    concurrent writer between probe and apply would see per-key mixed
+    outcomes (ADVICE r9, documented rather than defended).
+
+    Source key typing: the probe and the classification join are type
+    sensitive (xxhash64 buckets int 5 and long 5 differently), so a
+    source key column whose type differs from the table's is aligned
+    with ``try_cast`` and the merge RAISES if any non-null source key
+    fails the cast or would overflow (ADVICE r9: a blind non-ANSI cast
+    silently wrapped narrowing keys and mis-merged them).
+
+    Cost: classification reads ONLY the touched buckets (source keys →
+    bucket ids → partition-dir-pruned read_txn, semi-joined down to
+    the matched keys — broadcast while the source is under
+    ``MERGE_BROADCAST_KEY_GATE`` rows, a plain AQE-planned semi-join
+    past it), and the apply rewrites only the touched buckets.
+    O(source + touched buckets), never O(table) — which also states
+    the honest ceiling: a source spread across EVERY bucket degrades
+    to a full rewrite plus classification (measured 1.5x a plain
+    overwrite at 8M rows; SCALE.md "Declarative MERGE INTO"). Key- or
+    time-correlated sources — the common case — stay in the localized
+    regime. Cold start (no manifest yet): everything is unmatched; the
+    insert clauses seed the table at ``n_buckets`` (ignored afterwards
+    — bucketing is sticky) with the source's columns AS-IS unless
+    ``payload_cols=[...]`` names the payload subset to store (the
+    CDC-extract shape whose delete-flag column must NOT persist; warm
+    merges drop extras automatically, so payload_cols is cold-start
+    only and raises once the table exists). Flat (dimension-sized)
+    tables route through apply_cdc_batch_txn with identical clause
+    semantics; their manifests carry ``key_col``/``seq_col`` stamps
+    (older stamp-less flat tables fall back to the caller-supplied
+    ``key_col``).
+
+    Returns the committed version; None when no clause produced a row
+    (or ``epoch_id`` replay-skipped). Reference analogue: none — the
+    reference's jobs re-derive whole artifacts; this is the
+    keyed-table mutation face a warehouse user expects.
+    """
+    matched_clauses, not_matched_clauses = _normalize_merge_clauses(
+        when, when_matched, matched_condition, matched_update_set,
+        matched_delete_condition, when_not_matched, not_matched_condition,
+    )
     table_dir = table_dir.rstrip("/")
     man = latest_manifest(spark, table_dir)
+    if payload_cols is not None and man is not None:
+        raise ValueError(
+            "merge_into: payload_cols= is a cold-start parameter — "
+            f"{table_dir} already exists and its schema decides what "
+            "persists (extra source columns are dropped automatically)"
+        )
+    key_needs_cast: str | None = None
     if man is not None:
-        man_key = man.get("key_col", "id")
+        man_key = man.get("key_col")
+        if man_key is None:
+            # stamp-less manifest (pre-r10 flat table, or a plain
+            # commit_txn table): trust the caller's key_col (ADVICE
+            # r9 — rejecting it made non-default-key flat tables
+            # unmergeable), default 'id'
+            man_key = key_col if key_col is not None else "id"
+            schema_names = [n for n, _ in man.get("schema") or []]
+            if man_key not in schema_names:
+                raise ValueError(
+                    f"merge_into: {table_dir} carries no key_col stamp "
+                    f"and {man_key!r} is not a table column "
+                    f"({schema_names}) — pass key_col= naming the key"
+                )
         if key_col is not None and key_col != man_key:
             raise ValueError(
                 f"merge_into: key_col={key_col!r} does not match the "
@@ -1278,23 +1504,25 @@ def merge_into(
             live_cols += [
                 c for c in source.columns if c not in live_cols
             ]
-        if matched_update_set is not None:
-            bad = sorted(
-                set(matched_update_set) - (set(live_cols) - {key_col})
-            )
+        settable = set(live_cols) - {key_col}
+        for cl in matched_clauses:
+            if cl.get("set") is None:
+                continue
+            bad = sorted(set(cl["set"]) - settable)
             if bad:
                 raise ValueError(
-                    f"merge_into: matched_update_set names {bad} — not "
+                    f"merge_into: update clause SET names {bad} — not "
                     f"settable payload columns (live payload: "
-                    f"{[c for c in live_cols if c != key_col]})"
+                    f"{sorted(settable)})"
                 )
         # the source must carry the full payload only when some clause
         # actually READS it: inserts (take source values) or SET-less
         # updates (UPDATE SET *). Delete-only merges and SET-list
         # updates never read unnamed source columns, so a key-plus-
         # expression-inputs source suffices (review finding r9).
-        needs_full = when_not_matched == "insert" or (
-            when_matched == "update" and matched_update_set is None
+        needs_full = bool(not_matched_clauses) or any(
+            cl["kind"] == "update" and cl.get("set") is None
+            for cl in matched_clauses
         )
         required = live_cols if needs_full else [key_col]
         missing = [c for c in required if c not in source.columns]
@@ -1306,12 +1534,14 @@ def merge_into(
         # the bucket probe and the classification join are TYPE
         # sensitive (xxhash64 buckets int 5 and long 5 differently) —
         # align the source key with the table's stored key type before
-        # anything hashes or joins it (review finding r9, verified)
+        # anything hashes or joins it. try_cast + a failed-cast probe
+        # (below, post-persist) rather than a blind cast: non-ANSI
+        # casts silently wrap narrowing keys (ADVICE r9)
         key_typ = dict(man["schema"]).get(key_col)
-        if key_typ:
-            source = source.withColumn(
-                key_col, F.col(key_col).cast(key_typ)
-            )
+        src_typ = source.schema[key_col].dataType.simpleString() \
+            if key_col in source.columns else None
+        if key_typ and src_typ and src_typ != key_typ:
+            key_needs_cast = key_typ
         # extra source columns (beyond the live schema) stay visible to
         # the clause conditions — the CDC-extract metadata shape — and
         # are dropped from the final batch below
@@ -1330,6 +1560,18 @@ def merge_into(
                 f"merge_into: key_col {key_col!r} not in source "
                 f"columns {source.columns}"
             )
+        if payload_cols is not None:
+            missing = [c for c in payload_cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"merge_into: payload_cols {missing} not in source "
+                    f"columns {source.columns}"
+                )
+            if key_col in payload_cols:
+                raise ValueError(
+                    "merge_into: payload_cols must not repeat the key "
+                    f"column {key_col!r} — it is always stored"
+                )
         seq_col = "seq"
         live_cols = None  # cold start: the source defines the schema
 
@@ -1344,12 +1586,26 @@ def merge_into(
 
     source = source.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        if key_needs_cast:
+            casted = F.col(key_col).try_cast(key_needs_cast)
+            bad_key = (
+                source.filter(
+                    F.col(key_col).isNotNull() & casted.isNull()
+                ).select(key_col).limit(1).collect()
+            )
+            if bad_key:
+                raise ValueError(
+                    f"merge_into: source {key_col} value "
+                    f"{bad_key[0][0]!r} does not fit the table's key "
+                    f"type {key_needs_cast} — fix the extract's key "
+                    "type (a silent cast would merge under a wrong key)"
+                )
+            source = source.withColumn(key_col, casted)
         return _merge_into_impl(
             spark, table_dir, source, man,
-            when_matched, matched_condition, matched_update_set,
-            matched_delete_condition,
-            when_not_matched, not_matched_condition,
+            matched_clauses, not_matched_clauses,
             key_col, live_cols, seq_col, n_buckets, epoch_id, _cond,
+            payload_cols,
         )
     finally:
         source.unpersist()
@@ -1357,10 +1613,9 @@ def merge_into(
 
 def _merge_into_impl(
     spark, table_dir, source, man,
-    when_matched, matched_condition, matched_update_set,
-    matched_delete_condition,
-    when_not_matched, not_matched_condition,
+    matched_clauses, not_matched_clauses,
     key_col, live_cols, seq_col, n_buckets, epoch_id, _cond,
+    payload_cols,
 ):
     # MERGE cardinality (at most one source row per key) and key
     # validity (CDC keys are non-null by construction; a null key
@@ -1384,18 +1639,36 @@ def _merge_into_impl(
     seq_val = (man["version"] + 1) if man else 1
     src_cols = source.columns
 
+    def _insert_filter(df: DataFrame) -> DataFrame:
+        """Rows some insert clause claims (first-match-wins collapses
+        to an OR: every insert clause takes the same action)."""
+        conds = [cl["condition"] for cl in not_matched_clauses]
+        if any(c is None for c in conds):
+            return df
+        keep = F.lit(False)
+        for c in conds:
+            keep = keep | F.coalesce(_cond(c), F.lit(False))
+        return df.filter(keep)
+
     if man is None:
-        if when_not_matched is None:
+        if not not_matched_clauses:
             return None
-        batch = source
-        if not_matched_condition is not None:
-            batch = batch.filter(_cond(not_matched_condition))
+        batch = _insert_filter(source)
+        if payload_cols is not None:
+            batch = batch.select(key_col, *payload_cols)
         return apply_cdc_batch_bucketed(
             batch.withColumn("seq", F.lit(seq_val).cast("long"))
             .withColumn("op", F.lit("I")),
             table_dir, key_col=key_col, n_buckets=n_buckets,
             epoch_id=epoch_id,
         )
+
+    # a merge *batch* broadcasts its key set through the probes; a
+    # source past the gate would OOM the driver long before the
+    # full-width warning matters — fall back to a plain semi-join and
+    # let AQE pick the strategy (VERDICT r9 #3, Delta's behavior)
+    n_src = source.count()
+    hint_small = n_src <= MERGE_BROADCAST_KEY_GATE
 
     # probe the touched buckets for the CURRENT rows of the source's
     # keys — bucket-dir pruned + broadcast semi-join, O(touched buckets)
@@ -1440,8 +1713,10 @@ def _merge_into_impl(
         raw = cur
         if BUCKET_COL in raw.columns:
             raw = raw.drop(BUCKET_COL)
+    src_keys = source.select(key_col)
     raw = raw.join(
-        F.broadcast(source.select(key_col)), key_col, "left_semi"
+        F.broadcast(src_keys) if hint_small else src_keys,
+        key_col, "left_semi",
     )
     t_ren = {c: f"t_{c}" for c in raw.columns}
     clash = [
@@ -1476,27 +1751,28 @@ def _merge_into_impl(
                 t, F.when(tombstoned, F.lit(None)).otherwise(F.col(t))
             )
 
-    op = F.lit(None).cast("string")
-    # unmatched insert (lowest precedence, orthogonal branch)
-    if when_not_matched == "insert":
-        ins = ~matched
-        if not_matched_condition is not None:
-            ins = ins & F.coalesce(
-                _cond(not_matched_condition), F.lit(False)
-            )
-        op = F.when(ins, "I").otherwise(op)
-    # matched clauses, Delta order: explicit delete clause first
-    if when_matched is not None:
-        act = F.lit("U" if when_matched == "update" else "D")
-        m = matched
-        if matched_condition is not None:
-            m = m & F.coalesce(_cond(matched_condition), F.lit(False))
-        op = F.when(m, act).otherwise(op)
-    if matched_delete_condition is not None:
-        d = matched & F.coalesce(
-            _cond(matched_delete_condition), F.lit(False)
-        )
-        op = F.when(d, "D").otherwise(op)
+    # first-match-wins, per side: build op + the winning matched-clause
+    # index in one reversed F.when chain (the first listed clause ends
+    # up outermost, so it decides)
+    m_op = F.lit(None).cast("string")
+    m_idx = F.lit(None).cast("int")
+    for i in range(len(matched_clauses) - 1, -1, -1):
+        cl = matched_clauses[i]
+        c = matched
+        if cl["condition"] is not None:
+            c = c & F.coalesce(_cond(cl["condition"]), F.lit(False))
+        act = "U" if cl["kind"] == "update" else "D"
+        m_op = F.when(c, act).otherwise(m_op)
+        m_idx = F.when(c, F.lit(i)).otherwise(m_idx)
+    u_op = F.lit(None).cast("string")
+    for i in range(len(not_matched_clauses) - 1, -1, -1):
+        cl = not_matched_clauses[i]
+        c = ~matched
+        if cl["condition"] is not None:
+            c = c & F.coalesce(_cond(cl["condition"]), F.lit(False))
+        u_op = F.when(c, "I").otherwise(u_op)
+    # matched/unmatched are disjoint — coalesce composes the sides
+    op = F.coalesce(m_op, u_op)
 
     types = dict(man["schema"])
 
@@ -1507,20 +1783,30 @@ def _merge_into_impl(
         # below, I rows are impossible without the full source (the
         # `required` check above)
         base = F.col(c) if c in src_cols else F.col(f"t_{c}")
-        if matched_update_set is not None and c != key_col:
-            upd = matched_update_set.get(c)
-            # named column: the SET expression; unnamed: KEEP the
-            # current target value (Delta SET-list semantics) — except
-            # an evolved column, which has no target value yet and
-            # takes the source's
-            upd_val = (
-                _cond(upd)
-                if upd is not None
-                else (F.col(f"t_{c}") if c in types else base)
-            )
-            base = F.when(F.col("_m_op") == "U", upd_val).otherwise(base)
+        val = base
+        if c != key_col:
+            # per-clause SET dispatch: rows claimed by clause i take
+            # its expression for named columns and KEEP the current
+            # target value for unnamed ones (Delta SET-list semantics)
+            # — except an evolved column, which has no target value
+            # yet and takes the source's. Set-less update clauses are
+            # UPDATE SET * (source row) — `base` already says that.
+            for i in range(len(matched_clauses) - 1, -1, -1):
+                cl = matched_clauses[i]
+                if cl["kind"] != "update" or cl.get("set") is None:
+                    continue
+                upd = cl["set"].get(c)
+                upd_val = (
+                    _cond(upd)
+                    if upd is not None
+                    else (F.col(f"t_{c}") if c in types else base)
+                )
+                val = F.when(
+                    (F.col("_m_op") == "U") & (F.col("_m_cl") == i),
+                    upd_val,
+                ).otherwise(val)
         typ = types.get(c)
-        return (base.cast(typ) if typ else base).alias(c)
+        return (val.cast(typ) if typ else val).alias(c)
 
     # per-row seq: outrank the key's CURRENT seq (live OR tombstone,
     # user-supplied LSNs included), floored at version+1 so never-seen
@@ -1533,6 +1819,7 @@ def _merge_into_impl(
     ).cast(types.get(seq_col, "long"))
     batch = (
         j.withColumn("_m_op", op)
+        .withColumn("_m_cl", m_idx)
         .filter(F.col("_m_op").isNotNull())
         .select(
             *[_out_col(c) for c in live_cols],
@@ -3002,9 +3289,13 @@ def sync_join_from_cdc(
     def live_side(
         table_dir: str, man: dict, version: int, key_col: str,
         keys: DataFrame | None,
+        hint_small: bool = True,
     ) -> DataFrame:
         """Live rows, restricted to the touched keys when given:
-        bucket-pruned read + broadcast semi-join."""
+        bucket-pruned read + semi-join (broadcast while the touched
+        set is under MERGE_BROADCAST_KEY_GATE rows; a plain AQE-planned
+        join past it — VERDICT r9 #3, a churn burst must not OOM the
+        driver)."""
         buckets = None
         if keys is not None and prune_probe and "buckets" in man:
             nb = man["n_buckets"]
@@ -3021,8 +3312,9 @@ def sync_join_from_cdc(
         if BUCKET_COL in out.columns:
             out = out.drop(BUCKET_COL)
         if keys is not None:
+            k = keys.withColumnRenamed("_k", key_col)
             out = out.join(
-                F.broadcast(keys.withColumnRenamed("_k", key_col)),
+                F.broadcast(k) if hint_small else k,
                 key_col,
                 "left_semi",
             )
@@ -3104,11 +3396,13 @@ def sync_join_from_cdc(
         # sf1 IVM soak)
         touched = touched.distinct().persist()
         persisted.append(touched)
-        if touched.limit(1).isEmpty():
+        n_touched = touched.count()
+        if n_touched == 0:
             return None  # e.g. maintenance-only commits in the window
+        hint_small = n_touched <= MERGE_BROADCAST_KEY_GATE
         fresh = joined(
-            live_side(left_dir, man_l, to_l, key_l, touched),
-            live_side(right_dir, man_r, to_r, key_r, touched),
+            live_side(left_dir, man_l, to_l, key_l, touched, hint_small),
+            live_side(right_dir, man_r, to_r, key_r, touched, hint_small),
         )
         # touched keys with no qualifying join row any more: tombstones
         # with fresh's schema, so the batch unions cleanly
