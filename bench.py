@@ -419,8 +419,12 @@ def main() -> None:
     regressions = find_regressions(
         adjusted_map, history, sentinel=sentinel_run
     )
+    # demote flags when the host is quarantine-slow vs trend OR the
+    # sentinel drifted during the run (contended): either way the
+    # per-query numbers are dominated by the host, and a real
+    # regression re-flags on the next at-trend run from the ledger
     host_suspect: list[str] = []
-    if host_index and host_index > HOST_INDEX_QUARANTINE:
+    if is_contended or (host_index and host_index > HOST_INDEX_QUARANTINE):
         host_suspect, regressions = regressions, []
     try:
         with open(full_path, "w") as f:

@@ -4072,6 +4072,316 @@ class TestMergeInto:
             )
         assert self._live(spark, t)[1] == ("z", False)
 
+    # --- r10: N-ordered clause lists (when=[...]) ----------------------
+
+    def test_clause_list_first_match_wins(self, spark, tmp_path):
+        """Two overlapping matched-update clauses: the FIRST listed
+        clause claims the row (Delta ordering) — VERDICT r9 #2's 'done'
+        shape. Key 1 satisfies both conditions and must take clause
+        0's SET; key 2 only the second; key 3 falls to the catch-all
+        delete."""
+        t = str(tmp_path / "t")
+        self._seed(
+            spark, t,
+            [(1, "a", False), (2, "b", False), (3, "c", False)],
+        )
+        src = spark.createDataFrame(
+            [(1, "hot", False), (2, "warm", False), (3, "cold", True)],
+            self.T,
+        )
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"matched": "update", "condition": "val = 'hot'",
+                 "set": {"val": "concat(val, '-first')"}},
+                {"matched": "update",
+                 "condition": "val in ('hot', 'warm')",
+                 "set": {"val": "concat(val, '-second')"}},
+                {"matched": "delete"},
+            ],
+        )
+        assert self._live(spark, t) == {
+            1: ("hot-first", False),   # both matched → first wins
+            2: ("warm-second", False),
+        }
+
+    def test_clause_list_per_clause_sets_keep_semantics(self, spark, tmp_path):
+        """Each update clause carries its OWN set; unnamed columns KEEP
+        the current target value per clause independently."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", True)])
+        src = spark.createDataFrame(
+            [(1, "x", True), (2, "y", False)], self.T
+        )
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                # clause 0: sets val only → flag KEEPS target (False)
+                {"matched": "update", "condition": "t_val = 'a'",
+                 "set": {"val": "upper(val)"}},
+                # clause 1: sets flag only → val KEEPS target ('b')
+                {"matched": "update", "set": {"flag": "flag"}},
+            ],
+            key_col="id",
+        )
+        assert self._live(spark, t) == {
+            1: ("X", False), 2: ("b", False),
+        }
+
+    def test_clause_list_multiple_inserts_first_match(self, spark, tmp_path):
+        """Several not-matched insert clauses OR together (every insert
+        takes the source row); rows claimed by none are dropped."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        src = self._src(
+            spark,
+            [(2, "keep-flag", True), (3, "keep-k", False),
+             (4, "drop", False)],
+        )
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"not_matched": "insert", "condition": "flag"},
+                {"not_matched": "insert",
+                 "condition": "val like 'keep%'"},
+            ],
+        )
+        assert self._live(spark, t) == {
+            1: ("a", False), 2: ("keep-flag", True), 3: ("keep-k", False),
+        }
+
+    def test_clause_list_validation(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        src = self._src(spark, [(1, "a2", False)])
+        with pytest.raises(ValueError, match="replaces the clause kwargs"):
+            txn.merge_into(
+                spark, t, src,
+                when=[{"matched": "update"}],
+                matched_condition="flag",
+            )
+        with pytest.raises(ValueError, match="except the last"):
+            txn.merge_into(
+                spark, t, src,
+                when=[{"matched": "update"}, {"matched": "delete"}],
+            )
+        with pytest.raises(ValueError, match="exactly one of"):
+            txn.merge_into(spark, t, src, when=[{"condition": "flag"}])
+        with pytest.raises(ValueError, match="delete clause"):
+            txn.merge_into(
+                spark, t, src,
+                when=[{"matched": "delete", "set": {"val": "'x'"}}],
+            )
+        with pytest.raises(ValueError, match="non-empty list"):
+            txn.merge_into(spark, t, src, when=[])
+
+    def test_clause_list_cold_start_insert_or(self, spark, tmp_path):
+        """Cold start with a clause list: the insert clauses' OR decides
+        which source rows seed the table."""
+        t = str(tmp_path / "t")
+        txn.merge_into(
+            spark, t,
+            self._src(spark, [(1, "a", True), (2, "b", False)]),
+            when=[{"not_matched": "insert", "condition": "flag"}],
+            n_buckets=4,
+        )
+        assert self._live(spark, t) == {1: ("a", True)}
+
+    # --- r10: cold-start payload trim (payload_cols=) ------------------
+
+    def test_cold_start_payload_cols_trims_metadata(self, spark, tmp_path):
+        """VERDICT r9 #8: a cold-start merge from a CDC extract carrying
+        a delete-flag column stores only the named payload."""
+        t = str(tmp_path / "t")
+        src = spark.createDataFrame(
+            [(1, "a", False), (2, "b", True)],
+            "id long, val string, is_del boolean",
+        )
+        txn.merge_into(
+            spark, t, src,
+            matched_delete_condition="is_del",
+            not_matched_condition="NOT is_del",
+            payload_cols=["val"],
+            n_buckets=4,
+        )
+        live = txn.read_cdc_table(spark, t)
+        assert set(live.columns) == {"id", "val", "seq"}
+        assert {r.id: r.val for r in live.collect()} == {1: "a"}
+        # warm merges reject the parameter — the schema now decides
+        with pytest.raises(ValueError, match="cold-start parameter"):
+            txn.merge_into(spark, t, src, payload_cols=["val"])
+        # and the warm path drops the metadata column automatically
+        txn.merge_into(
+            spark, t,
+            spark.createDataFrame(
+                [(1, "a2", False), (2, "b2", False)],
+                "id long, val string, is_del boolean",
+            ),
+            matched_delete_condition="is_del",
+            not_matched_condition="NOT is_del",
+        )
+        assert {r.id: r.val
+                for r in txn.read_cdc_table(spark, t).collect()} == {
+            1: "a2", 2: "b2",
+        }
+
+    def test_cold_start_payload_cols_validation(self, spark, tmp_path):
+        src = spark.createDataFrame([(1, "a")], "id long, val string")
+        with pytest.raises(ValueError, match="not in source"):
+            txn.merge_into(
+                spark, str(tmp_path / "t"), src, payload_cols=["nope"]
+            )
+        with pytest.raises(ValueError, match="repeat the key"):
+            txn.merge_into(
+                spark, str(tmp_path / "t2"), src, payload_cols=["id"]
+            )
+
+    # --- r10: source key type safety (ADVICE r9) -----------------------
+
+    def test_key_type_mismatch_raises_not_wraps(self, spark, tmp_path):
+        """An int-keyed table merged from a long-keyed source whose keys
+        overflow int must RAISE a type error — the old blind non-ANSI
+        cast silently wrapped the key and merged under a wrong one."""
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", 1, "I")],
+                "id int, val string, seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        overflow = spark.createDataFrame(
+            [(2**40, "boom")], "id long, val string"
+        )
+        with pytest.raises(ValueError, match="does not fit"):
+            txn.merge_into(spark, t, overflow)
+        # a string key that fails the cast raises the same way, not the
+        # misleading NULL-key error
+        bad_str = spark.createDataFrame(
+            [("not-a-number", "x")], "id string, val string"
+        )
+        with pytest.raises(ValueError, match="does not fit"):
+            txn.merge_into(spark, t, bad_str)
+        # in-range values of a differing type still merge fine
+        ok = spark.createDataFrame([(1, "a2")], "id long, val string")
+        txn.merge_into(spark, t, ok)
+        assert {r.id: r.val
+                for r in txn.read_cdc_table(spark, t).collect()} == {1: "a2"}
+
+    # --- r10: flat tables with non-default keys (ADVICE r9) ------------
+
+    def test_flat_table_non_default_key_merges(self, spark, tmp_path):
+        """apply_cdc_batch_txn stamps key_col/seq_col into flat
+        manifests, so a flat table keyed on a non-default column is
+        mergeable — the r9 manifest omission made it unmergeable."""
+        from taar_gcp_etl_spark.txn import apply_cdc_batch_txn
+
+        t = str(tmp_path / "t")
+        apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [("g1", 1.0, 1, "I"), ("g2", 2.0, 1, "I")],
+                "guid string, score double, seq long, op string",
+            ),
+            t, key_col="guid",
+        )
+        man = txn.latest_manifest(spark, t)
+        assert man["key_col"] == "guid" and man["seq_col"] == "seq"
+        src = spark.createDataFrame(
+            [("g2", 2.5), ("g3", 3.0)], "guid string, score double"
+        )
+        txn.merge_into(spark, t, src)  # key_col read off the manifest
+        assert {r.guid: r.score
+                for r in txn.read_cdc_table(spark, t).collect()} == {
+            "g1": 1.0, "g2": 2.5, "g3": 3.0,
+        }
+        # explicit matching key_col is accepted, a wrong one raises
+        txn.merge_into(
+            spark, t,
+            spark.createDataFrame([("g1", 1.5)],
+                                  "guid string, score double"),
+            key_col="guid",
+        )
+        with pytest.raises(ValueError, match="does not match"):
+            txn.merge_into(spark, t, src, key_col="score")
+
+    def test_stampless_flat_manifest_falls_back_to_caller_key(
+        self, spark, tmp_path
+    ):
+        """A pre-r10 flat manifest (no key_col field) must trust the
+        CALLER's key_col instead of rejecting it against the 'id'
+        default (ADVICE r9 medium)."""
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [("g1", 1.0, 1, False)],
+            "guid string, score double, seq long, _deleted boolean",
+        )
+        txn.commit_txn(df, t)  # plain commit: no key stamp
+        man = txn.latest_manifest(spark, t)
+        assert "key_col" not in man
+        src = spark.createDataFrame(
+            [("g1", 9.0)], "guid string, score double"
+        )
+        # naming a non-column raises clearly while the table is
+        # stampless (afterwards the stamp itself rejects mismatches)
+        with pytest.raises(ValueError, match="no key_col stamp"):
+            txn.merge_into(spark, t, src, key_col="absent")
+        txn.merge_into(spark, t, src, key_col="guid")
+        assert {r.guid: r.score
+                for r in txn.read_cdc_table(spark, t).collect()} == {
+            "g1": 9.0,
+        }
+        # the merge routed through apply_cdc_batch_txn, which stamps
+        # the manifest — the table has healed into a keyed one
+        assert txn.latest_manifest(spark, t)["key_col"] == "guid"
+        with pytest.raises(ValueError, match="does not match"):
+            txn.merge_into(spark, t, src, key_col="absent")
+
+    def test_maintenance_rewrite_keeps_key_stamp(self, spark, tmp_path):
+        """compact/maintenance commits route through commit_txn, which
+        carries key_col/seq_col forward from the prior manifest — the
+        stamp survives a rewrite that doesn't know about it."""
+        from taar_gcp_etl_spark.txn import apply_cdc_batch_txn
+
+        t = str(tmp_path / "t")
+        apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [("g1", 1.0, 1, "I"), ("g2", 2.0, 2, "D")],
+                "guid string, score double, seq long, op string",
+            ),
+            t, key_col="guid",
+        )
+        txn.compact_cdc_tombstones(spark, t, min_live_seq=10)
+        man = txn.latest_manifest(spark, t)
+        assert man["key_col"] == "guid" and man["seq_col"] == "seq"
+
+    # --- r10: broadcast size gate (VERDICT r9 #3) -----------------------
+
+    def test_broadcast_gate_switches_plan_same_result(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Past MERGE_BROADCAST_KEY_GATE source rows the classification
+        probe drops the broadcast hint (AQE plans the semi-join); the
+        merge result is identical either way."""
+        t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+        rows = [(i, f"v{i}", False) for i in range(40)]
+        for t in (t1, t2):
+            self._seed(spark, t, rows)
+        src_rows = [(i, f"m{i}", i % 3 == 0) for i in range(0, 60, 2)]
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            txn.merge_into(
+                spark, t1, self._src(spark, src_rows),
+                matched_delete_condition="flag",
+            )
+            monkeypatch.setattr(txn, "MERGE_BROADCAST_KEY_GATE", 5)
+            txn.merge_into(
+                spark, t2, self._src(spark, src_rows),
+                matched_delete_condition="flag",
+            )
+        assert self._live(spark, t1) == self._live(spark, t2)
+
 
 class TestRegisterCdcTable:
     """SQL face over the txn layer: register_cdc_table exposes live
