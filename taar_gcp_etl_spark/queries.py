@@ -2838,6 +2838,64 @@ def q_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cdc_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-pruned USER read of a bucketed CDC table
+    (txn.read_cdc_table(filters=) — VERDICT r9 #5): orders ingested as
+    three date-correlated commits (the common time-correlated CDC
+    shape, each commit's files covering a narrow o_orderdate band,
+    stats_cols recording per-file envelopes), then read back through
+    the filtered face — the plan scans ONLY the files whose envelope
+    overlaps the date predicate and pushes the residual to the parquet
+    reader. The oracle is the plain SQL filter over the source table,
+    so the driver's hash compare proves file skipping loses no rows
+    (soundness under the merge-on-read layout). Fixture builds once
+    per content-fingerprinted tag."""
+    import datetime
+    import hashlib
+    import os
+    import tempfile
+
+    from taar_gcp_etl_spark import txn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    n = orders.count()
+    fp = orders.select(
+        F.sum(F.xxhash64("o_orderkey", "o_orderdate")).alias("h")
+    ).collect()[0][0]
+    tag = hashlib.sha256(
+        f"{sf_dir}|{n}|{fp}|cdcprune".encode()
+    ).hexdigest()[:12]
+    t = os.path.join(tempfile.gettempdir(), f"taar-cdcprune-{tag}")
+    # o_orderdate is TIMESTAMP_NTZ in the fixture parquet — the zone
+    # map comparisons are type-strict, so the cutoffs must match
+    cuts = [
+        datetime.datetime(1994, 1, 1), datetime.datetime(1996, 1, 1)
+    ]
+    if txn.latest_manifest(spark, t) is None:
+        slices = [
+            orders.filter(F.col("o_orderdate") < F.lit(cuts[0])),
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(cuts[0]))
+                & (F.col("o_orderdate") < F.lit(cuts[1]))
+            ),
+            orders.filter(F.col("o_orderdate") >= F.lit(cuts[1])),
+        ]
+        for i, sl in enumerate(slices):
+            txn.apply_cdc_batch_bucketed(
+                sl.withColumn("seq", F.lit(i + 1).cast("long"))
+                .withColumn("op", F.lit("I")),
+                t, key_col="o_orderkey", n_buckets=8,
+                stats_cols=["o_orderdate"],
+            )
+    return txn.read_cdc_table(
+        spark, t, filters=[("o_orderdate", ">=", cuts[1])]
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "price")
+
+
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative MERGE INTO (txn.merge_into): the customer table is
     seeded as a bucketed CDC table, then ONE merge applies a FOUR-
@@ -3094,6 +3152,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_bucketed": q_join_bucketed,
     "sync_join": q_sync_join,
     "merge_into": q_merge_into,
+    "cdc_pruned_read": q_cdc_pruned_read,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -4111,6 +4170,11 @@ ORACLE_SQL: dict[str, str] = {
                o.o_custkey, o.n_orders, o.total_price
         FROM cust2 c JOIN ostats o ON c.c_custkey = o.o_custkey
         WHERE o.o_custkey % 7 <> 0
+    """,
+    "cdc_pruned_read": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
     """,
     "merge_into": """
         -- four-clause MERGE, Delta precedence: (1) matched+is_del

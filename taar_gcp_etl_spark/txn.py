@@ -1156,11 +1156,51 @@ def read_cdc_table(
     table_dir: str,
     include_tombstones: bool = False,
     version: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame | None:
     """Live rows of a transactional CDC table — flat or bucketed
     (tombstones filtered, the bucket column hidden; pass
     include_tombstones=True for the raw keyed state, or ``version`` for
-    time travel)."""
+    time travel).
+
+    ``filters`` (VERDICT r9 #5 — the user-facing face of
+    scan_cdc_pruned's zone-map skipping): a layout.py predicate list
+    ``[(col, op, val), ...]`` (ops ``< <= > >= = between in``, ANDed).
+    On a bucketed table with manifest file stats the read plans over
+    ONLY the files whose per-file/slice envelopes overlap, pushes the
+    residual to the parquet reader (native row-group skipping inside
+    kept files), and re-applies it after overlay resolution — same
+    result as filtering the plain read, a fraction of the IO when the
+    table was ingested stats-clustered (apply batches with
+    ``stats_cols=``). Tables without stats (or flat layouts) apply the
+    predicate as a plain pushed filter — always correct, prunes at
+    parquet row-group granularity only. Incompatible with
+    ``include_tombstones`` (a tombstone's payload is null — filtering
+    it by payload is meaningless)."""
+    if filters:
+        if include_tombstones:
+            raise ValueError(
+                "read_cdc_table: filters= cannot combine with "
+                "include_tombstones — tombstone payloads are null"
+            )
+        from taar_gcp_etl_spark.layout import _residual
+
+        man = (
+            latest_manifest(spark, table_dir)
+            if version is None
+            else read_manifest(spark, table_dir, version)
+        )
+        if man is None:
+            return None
+        if "buckets" in man and "file_stats" in man:
+            return scan_cdc_pruned(
+                spark, table_dir, filters, version=version
+            )
+        df = read_txn(spark, table_dir, version=version)
+        out = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if BUCKET_COL in out.columns:
+            out = out.drop(BUCKET_COL)
+        return out.filter(_residual(filters))
     df = read_txn(spark, table_dir, version=version)
     if df is None or include_tombstones:
         return df
@@ -1862,6 +1902,8 @@ def join_bucketed(
     right_dir: str,
     how: str = "inner",
     rsuffix: str = "_r",
+    filters_left: list[tuple] | None = None,
+    filters_right: list[tuple] | None = None,
 ) -> DataFrame | None:
     """Bucket-aligned join of two bucketed CDC tables on their key
     columns with ZERO shuffle of either side (VERDICT r8 #4 — the read
@@ -1906,6 +1948,22 @@ def join_bucketed(
     per-bucket parallelism is 1 task — right for the co-located
     fact-fact merge it exists for, wrong for joining a bucketed fact
     to an UNBUCKETED relation (use a normal join and let AQE work).
+
+    ``filters_left`` / ``filters_right`` (VERDICT r9 #5): layout.py
+    predicate lists over each side's OWN column names (before the
+    rsuffix rename), applied with scan_cdc_pruned's discipline inside
+    every per-bucket branch — when the side's manifest carries file
+    stats, only overlapping base files are read (a bucket whose base
+    files are ALL pruned contributes no live rows, so its branch
+    collapses: for an inner join the whole per-bucket sub-join
+    disappears — "join this month's partitions of two 100 TB tables"
+    reads this month's files, not the tables); the residual rides on
+    the base scan (parquet row-group skipping) and re-applies after
+    merge-on-read overlay resolution. Sound for the same reason
+    scan_cdc_pruned is: overlays hold only tombstones, so dropping a
+    base row early can only promote a tombstone the live filter drops
+    anyway. Sides without stats apply the residual as a plain pushed
+    filter.
     """
     if how not in {
         "inner", "left", "left_outer", "right", "right_outer",
@@ -1965,6 +2023,34 @@ def join_bucketed(
         ren[n] = cand
     key_r_out = ren.get(key_r, key_r)
 
+    from taar_gcp_etl_spark.layout import _residual
+
+    def _prune_info(table_dir: str, man: dict, filters) -> dict | None:
+        """Per-side prune plan: kept base files grouped by bucket id
+        (None when the side has no zone maps — residual-only), plus the
+        pre-stats dirs that must be read wholesale."""
+        if not filters:
+            return None
+        info = {"filters": filters, "kept": None, "unstated": {}}
+        if "file_stats" in man:
+            plan = _cdc_prune_plan(man, table_dir.rstrip("/"), filters)
+            by_b: dict[int, list[str]] = {}
+            for p in plan["kept_paths"]:
+                seg = [
+                    s for s in p.split("/")
+                    if s.startswith(f"{BUCKET_COL}=")
+                ]
+                if seg:
+                    by_b.setdefault(
+                        int(seg[0].split("=", 1)[1]), []
+                    ).append(p)
+            info["kept"] = by_b
+            info["unstated"] = plan["unstated_dirs"]
+        return info
+
+    prune_l = _prune_info(left_dir, man_l, filters_left)
+    prune_r = _prune_info(right_dir, man_r, filters_right)
+
     _subdir_cache: dict[str, set] = {}
 
     def _list_subdirs(parent: str) -> set:
@@ -1977,7 +2063,7 @@ def join_bucketed(
             )
         return _subdir_cache[parent]
 
-    def live(table_dir: str, man: dict, b: int):
+    def live(table_dir: str, man: dict, b: int, prune: dict | None):
         """Live rows of ONE bucket, read from its `_bucket=b/` partition
         directories DIRECTLY (not via a basePath scan + isin filter):
         pointing the reader inside the partition dir makes the relation's
@@ -1991,24 +2077,53 @@ def join_bucketed(
         gracefully: Spark re-adds a bucket-LOCAL exchange (bounded by
         one bucket, never the table) — raise the conf to the bucket
         size to keep the zero-shuffle plan, which is the same tuning a
-        native bucketed-table SMJ needs for one-task-per-bucket sorts."""
+        native bucketed-table SMJ needs for one-task-per-bucket sorts.
+
+        With ``prune`` (a _prune_info dict) the BASE read follows
+        scan_cdc_pruned's discipline: zone-map-kept files only (a
+        fully-pruned bucket returns None — overlays hold only
+        tombstones, so no base rows means no live rows), residual on
+        the base scan, residual again after overlay resolution."""
         table_dir_ = table_dir.rstrip("/")
         d = man["buckets"].get(str(b))
         if d is None:
             return None
-        dirs = [f"{table_dir_}/{d}/{BUCKET_COL}={b}"]
-        overlays = (man.get("overlays") or {}).get(str(b)) or []
-        dirs += [f"{table_dir_}/{p}/{BUCKET_COL}={b}" for p in overlays]
         parts_b = []
-        for p in dirs:
-            # a mapped bucket can lack its subdir (e.g. compaction
-            # retired every row the bucket had) — empty, not an error;
-            # presence comes from ONE cached listStatus per snapshot
-            # dir, not n_buckets exists() round-trips (driver plan cost
-            # at high bucket counts / object storage latency)
-            parent, leaf = p.rsplit("/", 1)
+        # a mapped bucket can lack its subdir (e.g. compaction
+        # retired every row the bucket had) — empty, not an error;
+        # presence comes from ONE cached listStatus per snapshot
+        # dir, not n_buckets exists() round-trips (driver plan cost
+        # at high bucket counts / object storage latency)
+        base_path = f"{table_dir_}/{d}/{BUCKET_COL}={b}"
+        parent, leaf = base_path.rsplit("/", 1)
+        if leaf in _list_subdirs(parent):
+            if prune is not None and prune["kept"] is not None and not (
+                d in prune["unstated"] and b in prune["unstated"][d]
+            ):
+                kept = prune["kept"].get(b)
+                if kept:
+                    parts_b.append(
+                        spark.read.parquet(*kept).filter(
+                            _residual(prune["filters"])
+                        )
+                    )
+                # else: every base file of this bucket pruned — no
+                # live row can pass the filter; handled below
+            else:
+                base = spark.read.parquet(base_path)
+                if prune is not None:
+                    base = base.filter(_residual(prune["filters"]))
+                parts_b.append(base)
+        if prune is not None and not parts_b:
+            # pruned-empty (or absent) base: overlays carry only
+            # tombstones, so the bucket has no qualifying live rows —
+            # collapse the branch without reading anything
+            return None
+        for p in (man.get("overlays") or {}).get(str(b)) or []:
+            op_ = f"{table_dir_}/{p}/{BUCKET_COL}={b}"
+            parent, leaf = op_.rsplit("/", 1)
             if leaf in _list_subdirs(parent):
-                parts_b.append(spark.read.parquet(p))
+                parts_b.append(spark.read.parquet(op_))
         if not parts_b:
             return None
         out = parts_b[0]
@@ -2033,7 +2148,13 @@ def join_bucketed(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        return out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        out = out.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        if prune is not None:
+            # final residual after overlay resolution — base rows are
+            # pre-filtered, but re-applying is free (same pushed
+            # predicate) and keeps the invariant local to read
+            out = out.filter(_residual(prune["filters"]))
+        return out
 
     def pair(l_b: DataFrame, r_b: DataFrame) -> DataFrame:
         r_b = r_b.withColumnsRenamed(ren)
@@ -2052,8 +2173,8 @@ def join_bucketed(
             _list_subdirs(f"{td_}/{rel}")
 
     def build(b: int) -> DataFrame | None:
-        l_b = live(left_dir, man_l, b)
-        r_b = live(right_dir, man_r, b)
+        l_b = live(left_dir, man_l, b, prune_l)
+        r_b = live(right_dir, man_r, b, prune_r)
         if l_b is None and r_b is None:
             return None
         if how == "inner" and (l_b is None or r_b is None):
@@ -3433,6 +3554,7 @@ def register_cdc_table(
     table_dir: str,
     name: str,
     version: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> bool:
     """Expose a transactional CDC table (flat or bucketed) to SQL as a
     temp view — ``spark.sql(f"SELECT ... FROM {name}")`` then reads the
@@ -3454,13 +3576,25 @@ def register_cdc_table(
     Scale: registration is manifest-read only; the scan work stays in
     the SQL that uses the view, with the same bucket-dir layout
     underneath (partition pruning on `_bucket=` predicates etc. applies
-    as for any read_txn relation)."""
+    as for any read_txn relation). ``filters`` (CDC-shaped tables only)
+    bakes read_cdc_table's zone-map file skipping into the registered
+    view — "register this month's slice" plans over this month's files;
+    the predicate is part of the view's definition, so SQL over it
+    cannot see rows outside the slice."""
     man = latest_manifest(spark, table_dir)
     if man is None:
         return False
     schema_names = {n for n, _ in man.get("schema") or []}
     if DELETED_COL in schema_names:
-        df = read_cdc_table(spark, table_dir, version=version)
+        df = read_cdc_table(
+            spark, table_dir, version=version, filters=filters
+        )
+    elif filters:
+        raise ValueError(
+            "register_cdc_table: filters= applies to CDC-shaped tables "
+            f"(with a tombstone column); {table_dir} is a plain "
+            "snapshot — filter in the SQL instead"
+        )
     else:
         # snapshot-shaped (aggregate store / plain commit_txn table):
         # no tombstones to filter — review r9 fix; read_cdc_table's
@@ -3482,12 +3616,15 @@ def read_join_store(
     spark: SparkSession,
     store_dir: str,
     version: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame | None:
     """User-facing read of a sync_join_from_cdc view: live join rows
     with the maintenance cursor column hidden (the store is a normal
     bucketed CDC table underneath — time travel and the change feed
-    work on it like any other)."""
-    df = read_cdc_table(spark, store_dir, version=version)
+    work on it like any other). ``filters`` delegates to
+    read_cdc_table's zone-map pushdown (file skipping when the store
+    was maintained with stats_cols; plain pushed predicate otherwise)."""
+    df = read_cdc_table(spark, store_dir, version=version, filters=filters)
     if df is None:
         return None
     return df.drop("_mv_seq")

@@ -3544,6 +3544,73 @@ class TestSyncJoinFromCdc:
             self._check(spark, left, right, store, "inner")
 
 
+    def test_store_lifecycle_compact_vacuum_rescale(self, spark, tmp_path):
+        """VERDICT r9 #4: store maintenance under churn — tombstone
+        compaction (every churned key writes one into the store),
+        vacuum, and a bucket rescale all apply cleanly to a
+        sync_join_from_cdc store: the packed two-version cursor
+        survives each op (replayed syncs still no-op, fresh churn still
+        syncs) and the store stays equal to the from-scratch join."""
+        left, right = str(tmp_path / "l"), str(tmp_path / "r")
+        store = str(tmp_path / "mv")
+        self._apply(
+            spark, left,
+            [(i, f"l{i}", 1, "I") for i in range(40)], self.L,
+        )
+        self._apply(
+            spark, right,
+            [(i, f"r{i}", 1, "I") for i in range(40)], self.R,
+        )
+        txn.sync_join_from_cdc(spark, left, right, store)
+        # churn rounds: deletes stack tombstones into the store
+        for rnd in range(2, 5):
+            dels = [(i, None, rnd, "D") for i in range(rnd * 5, rnd * 5 + 3)]
+            ups = [(i + 20, f"l{i}v{rnd}", rnd, "U") for i in range(3)]
+            self._apply(spark, left, dels + ups, self.L, n_buckets=None)
+            txn.sync_join_from_cdc(spark, left, right, store)
+        self._check(spark, left, right, store, "inner")
+        man = txn.latest_manifest(spark, store)
+        cursor = man["epoch_id"]
+        raw = txn.read_cdc_table(spark, store, include_tombstones=True)
+        n_tomb = raw.filter(F.col("_deleted")).count()
+        assert n_tomb >= 9  # the churn really stacked tombstones
+
+        # compact at the current cursor horizon (single writer: no
+        # older sync can replay) — tombstones retire, cursor survives
+        assert txn.compact_cdc_tombstones(
+            spark, store, min_live_seq=cursor + 1, seq_col="_mv_seq"
+        ) is not None
+        man2 = txn.latest_manifest(spark, store)
+        assert man2["epoch_id"] == cursor
+        raw2 = txn.read_cdc_table(spark, store, include_tombstones=True)
+        assert raw2.filter(F.col("_deleted")).count() == 0
+        # a replayed sync still no-ops on the preserved cursor
+        assert txn.sync_join_from_cdc(spark, left, right, store) is None
+
+        # vacuum the superseded snapshots — cursor and content intact
+        txn.vacuum_txn(spark, store, keep_last=1)
+        assert txn.latest_manifest(spark, store)["epoch_id"] == cursor
+        self._check(spark, left, right, store, "inner")
+
+        # fresh churn after maintenance still syncs incrementally
+        self._apply(
+            spark, left, [(0, "l0z", 9, "U"), (1, None, 9, "D")],
+            self.L, n_buckets=None,
+        )
+        assert txn.sync_join_from_cdc(spark, left, right, store) is not None
+        self._check(spark, left, right, store, "inner")
+
+        # bucket rescale of the store: layout changes, cursor + rows
+        # survive, and the next sync keeps maintaining it
+        txn.rescale_buckets(spark, store, 16)
+        assert txn.latest_manifest(spark, store)["n_buckets"] == 16
+        self._check(spark, left, right, store, "inner")
+        self._apply(
+            spark, left, [(2, "l2z", 10, "U")], self.L, n_buckets=None,
+        )
+        assert txn.sync_join_from_cdc(spark, left, right, store) is not None
+        self._check(spark, left, right, store, "inner")
+
 class TestStreamSyncJoin:
     """Streaming maintenance of the materialized join view
     (stream_sync_join): a commit on EITHER source's log fires a
@@ -4383,6 +4450,143 @@ class TestMergeInto:
         assert self._live(spark, t1) == self._live(spark, t2)
 
 
+class TestPrunedUserReads:
+    """VERDICT r9 #5: zone-map pushdown on the USER-FACING read faces —
+    read_cdc_table(filters=) and join_bucketed(filters_left/right=) —
+    must equal the plain read + filter while scanning fewer files."""
+
+    CDC_D = "id long, val string, day long, seq long, op string"
+
+    def _apply(self, spark, t, rows, **kw):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, self.CDC_D),
+            t, n_buckets=4, stats_cols=["day"], **kw
+        )
+
+    def _fixture(self, spark, t):
+        # three day-correlated batches (time-correlated ingest: each
+        # commit's files cover a narrow day range)
+        self._apply(
+            spark, t, [(i, f"a{i}", 1, 100 + i, "I") for i in range(8)]
+        )
+        self._apply(
+            spark, t,
+            [(i, f"b{i}", 2, 200 + i, "I") for i in range(8, 16)],
+        )
+        self._apply(
+            spark, t,
+            [(i, f"c{i}", 3, 300 + i, "I") for i in range(16, 24)],
+        )
+
+    def test_read_cdc_table_filters_equal_and_prune(self, spark, tmp_path):
+        from taar_gcp_etl_spark.layout import _residual
+
+        t = str(tmp_path / "t")
+        self._fixture(spark, t)
+        filters = [("day", ">=", 3)]
+        plain = txn.read_cdc_table(spark, t)
+        pruned = txn.read_cdc_table(spark, t, filters=filters)
+        assert sorted(
+            tuple(r) for r in pruned.collect()
+        ) == sorted(
+            tuple(r) for r in plain.filter(_residual(filters)).collect()
+        )
+        # strictly fewer files scanned than the full read
+        assert 0 < len(pruned.inputFiles()) < len(plain.inputFiles())
+        # the residual reaches the parquet reader
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "day" in plan
+
+    def test_read_cdc_table_filters_flat_table(self, spark, tmp_path):
+        """No zone maps (flat layout): the filter applies as a plain
+        pushed predicate — same rows, no error."""
+        from taar_gcp_etl_spark.txn import apply_cdc_batch_txn
+
+        t = str(tmp_path / "t")
+        apply_cdc_batch_txn(
+            spark.createDataFrame(
+                [(i, f"v{i}", i % 3, i, "I") for i in range(12)],
+                self.CDC_D,
+            ),
+            t,
+        )
+        got = txn.read_cdc_table(spark, t, filters=[("day", "=", 1)])
+        assert sorted(r.id for r in got.collect()) == [
+            i for i in range(12) if i % 3 == 1
+        ]
+        with pytest.raises(ValueError, match="include_tombstones"):
+            txn.read_cdc_table(
+                spark, t, filters=[("day", "=", 1)],
+                include_tombstones=True,
+            )
+
+    def test_read_filters_hide_deletes_and_overlays(self, spark, tmp_path):
+        """Soundness under tombstones: deleted keys stay hidden from the
+        pruned read; a filter that matches a tombstone's old base row
+        must not resurrect it."""
+        t = str(tmp_path / "t")
+        self._fixture(spark, t)
+        # delete two day-3 keys (overlay or rewrite, whichever the
+        # layer picks)
+        self._apply(
+            spark, t,
+            [(16, None, 3, 400, "D"), (17, None, 3, 401, "D")],
+        )
+        got = txn.read_cdc_table(spark, t, filters=[("day", "=", 3)])
+        assert sorted(r.id for r in got.collect()) == list(range(18, 24))
+
+    def test_join_bucketed_filters_equal_and_prune(self, spark, tmp_path):
+        from taar_gcp_etl_spark.layout import _residual
+
+        lt, rt = str(tmp_path / "l"), str(tmp_path / "r")
+        self._fixture(spark, lt)
+        self._fixture(spark, rt)
+        filters = [("day", ">=", 3)]
+        plain = txn.join_bucketed(spark, lt, rt, how="inner")
+        pruned = txn.join_bucketed(
+            spark, lt, rt, how="inner",
+            filters_left=filters, filters_right=filters,
+        )
+        assert sorted(
+            tuple(r) for r in pruned.collect()
+        ) == sorted(
+            tuple(r)
+            for r in plain.filter(_residual(filters))
+            .filter(_residual([("day_r", ">=", 3)]))
+            .collect()
+        )
+        assert 0 < len(pruned.inputFiles()) < len(plain.inputFiles())
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+
+    def test_join_bucketed_filter_collapses_branches(self, spark, tmp_path):
+        """A filter matching NOTHING prunes every base file — the inner
+        join collapses to the empty relation without scanning a byte of
+        either side's data files."""
+        lt, rt = str(tmp_path / "l"), str(tmp_path / "r")
+        self._fixture(spark, lt)
+        self._fixture(spark, rt)
+        out = txn.join_bucketed(
+            spark, lt, rt, how="inner",
+            filters_left=[("day", ">=", 99)],
+        )
+        assert out.count() == 0
+        assert out.inputFiles() == []
+
+    def test_join_bucketed_outer_keeps_unfiltered_side(self, spark, tmp_path):
+        """filters_left on a LEFT join restricts the preserved side;
+        the right side still enriches whatever survives."""
+        lt, rt = str(tmp_path / "l"), str(tmp_path / "r")
+        self._fixture(spark, lt)
+        self._fixture(spark, rt)
+        out = txn.join_bucketed(
+            spark, lt, rt, how="left",
+            filters_left=[("day", "=", 2)],
+        )
+        rows = {r.id: (r.day, r.day_r) for r in out.collect()}
+        assert set(rows) == set(range(8, 16))
+        assert all(v == (2, 2) for v in rows.values())
+
 class TestRegisterCdcTable:
     """SQL face over the txn layer: register_cdc_table exposes live
     rows (or a pinned version) as a temp view; snapshot captured at
@@ -4488,3 +4692,31 @@ class TestRegisterCdcTable:
             c == "_live_rows" or c.startswith("_nn_") for c in cols
         )
         spark.catalog.dropTempView("reg_agg")
+
+    def test_filters_delegate_to_pruned_read(self, spark, tmp_path):
+        """register_cdc_table(filters=) bakes file skipping into the
+        view; snapshot-shaped tables reject the parameter with
+        guidance (filter in SQL instead)."""
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, i % 4, f"v{i}", 1, "I") for i in range(24)],
+                "id long, day int, val string, seq long, op string",
+            ),
+            t, n_buckets=4, stats_cols=["day"],
+        )
+        assert txn.register_cdc_table(
+            spark, t, "slice_view", filters=[("day", "=", 2)]
+        )
+        got = spark.sql("SELECT id FROM slice_view ORDER BY id")
+        assert [r.id for r in got.collect()] == [
+            i for i in range(24) if i % 4 == 2
+        ]
+        snap = str(tmp_path / "snap")
+        txn.commit_txn(
+            spark.createDataFrame([(1, 2)], "a long, b long"), snap
+        )
+        with pytest.raises(ValueError, match="plain"):
+            txn.register_cdc_table(
+                spark, snap, "v2", filters=[("a", "=", 1)]
+            )
