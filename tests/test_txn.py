@@ -4720,3 +4720,97 @@ class TestRegisterCdcTable:
             txn.register_cdc_table(
                 spark, snap, "v2", filters=[("a", "=", 1)]
             )
+
+
+class TestStreamMergeInto:
+    """Streaming MERGE (streaming.jobs.stream_merge_into): foreachBatch
+    + txn.merge_into with per-batch key dedup and epoch replay skip —
+    the Delta streaming-upsert recipe as one call."""
+
+    D = "id long, val string, flag boolean, ts long"
+
+    def test_end_to_end_with_dedup_and_clauses(self, spark, tmp_path):
+        from taar_gcp_etl_spark.streaming.jobs import stream_merge_into
+
+        src = tmp_path / "src"
+        src.mkdir()
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", False, 0, 1, "I"), (2, "b", False, 0, 1, "I")],
+                self.D + ", seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        # trigger 1: key 3 arrives TWICE in one batch (ts 5 then 9 —
+        # dedup keeps ts 9); key 1 updates; key 2 delete-flagged
+        spark.createDataFrame(
+            [(3, "c-old", False, 5), (3, "c-new", False, 9),
+             (1, "a2", False, 7), (2, None, True, 8)],
+            self.D,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        stream = (
+            spark.readStream.schema(self.D)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_merge_into(
+            stream, t, str(tmp_path / "ckpt"),
+            dedup_order="ts",
+            matched_delete_condition="flag",
+            not_matched_condition="NOT flag",
+        )
+        q.processAllAvailable()
+        live = {
+            r.id: r.val for r in txn.read_cdc_table(spark, t).collect()
+        }
+        assert live == {1: "a2", 3: "c-new"}
+        v_after = txn.latest_manifest(spark, t)["version"]
+        # trigger 2: another file
+        spark.createDataFrame(
+            [(3, "c3", False, 12)], self.D
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        q.stop()
+        assert txn.latest_manifest(spark, t)["version"] > v_after
+        assert {
+            r.id: r.val for r in txn.read_cdc_table(spark, t).collect()
+        } == {1: "a2", 3: "c3"}
+
+    def test_epoch_replay_skips(self, spark, tmp_path):
+        """A replayed epoch (fresh checkpoint over already-merged
+        files) must not double-apply an accumulating SET expression."""
+        from taar_gcp_etl_spark.streaming.jobs import stream_merge_into
+
+        src = tmp_path / "src"
+        src.mkdir()
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", False, 0, 1, "I")],
+                self.D + ", seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        spark.createDataFrame(
+            [(1, "a", False, 3)], self.D
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+        def run(ckpt):
+            stream = spark.readStream.schema(self.D).parquet(str(src))
+            q = stream_merge_into(
+                stream, t, str(tmp_path / ckpt),
+                when=[{"matched": "update",
+                       "set": {"ts": "t_ts + ts"}}],
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run("ckpt1")
+        got = {r.id: r.ts for r in txn.read_cdc_table(spark, t).collect()}
+        assert got == {1: 3}
+        # same files, FRESH checkpoint: epoch_id restarts at 0, which
+        # the manifest guard treats as already-committed — no re-apply
+        run("ckpt2")
+        got2 = {r.id: r.ts for r in txn.read_cdc_table(spark, t).collect()}
+        assert got2 == {1: 3}
