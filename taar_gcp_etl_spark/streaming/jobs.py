@@ -1011,10 +1011,16 @@ def stream_merge_into(
             if key is None:
                 man = txn.latest_manifest(spark, table_dir)
                 key = (man or {}).get("key_col", "id")
-            w = Window.partitionBy(key).orderBy(
-                F.desc(dedup_order),
-                F.desc(F.xxhash64(*batch.columns)),
-            )
+            # xxhash64 rejects map-typed inputs at analysis time —
+            # tie-break over the hashable columns only (review r10);
+            # with none, ties fall to an arbitrary-but-single winner
+            hashable = [
+                c for c, t in batch.dtypes if "map<" not in t
+            ]
+            order = [F.desc(dedup_order)]
+            if hashable:
+                order.append(F.desc(F.xxhash64(*hashable)))
+            w = Window.partitionBy(key).orderBy(*order)
             batch = (
                 batch.withColumn("_smi_rn", F.row_number().over(w))
                 .filter(F.col("_smi_rn") == 1)

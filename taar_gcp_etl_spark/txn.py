@@ -534,9 +534,17 @@ def commit_txn(
                 if k in man:
                     manifest[k] = man[k]
         if manifest_extra:
+            # every field the layer itself interprets is reserved — a
+            # caller-supplied 'overlays' or 'file_stats' would corrupt
+            # reads (review r10)
+            reserved = {
+                "version", "snapshot", "epoch_id", "parent", "schema",
+                "buckets", "n_buckets", "overlays", "file_stats",
+                "stats_types", "stats_cols", "cluster_rows",
+                "change_files", "target_file_rows",
+            }
             for k, v in manifest_extra.items():
-                if k not in ("version", "snapshot", "epoch_id",
-                             "parent", "schema", "buckets"):
+                if k not in reserved:
                     manifest[k] = v
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
@@ -1194,7 +1202,7 @@ def read_cdc_table(
             return None
         if "buckets" in man and "file_stats" in man:
             return scan_cdc_pruned(
-                spark, table_dir, filters, version=version
+                spark, table_dir, filters, version=version, man=man
             )
         df = read_txn(spark, table_dir, version=version)
         out = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
@@ -1625,13 +1633,30 @@ def merge_into(
     from pyspark import StorageLevel
 
     source = source.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = source  # unpersist THIS handle — rebinding `source`
+    # below would make the finally a no-op and leak the cache entry
+    # (review r10: every cast-path merge pinned one batch forever)
     try:
         if key_needs_cast:
             casted = F.col(key_col).try_cast(key_needs_cast)
+            src_typ = source.schema[key_col].dataType.simpleString()
+            integral = {"tinyint", "smallint", "int", "bigint"}
+            bad_cond = F.col(key_col).isNotNull() & casted.isNull()
+            if (
+                key_needs_cast.split("(")[0] in integral
+                and (src_typ in ("float", "double")
+                     or src_typ.startswith("decimal"))
+            ):
+                # ANSI cast TRUNCATES fractional->integral (5.7 -> 5,
+                # non-null) — a truncated key merges under a NEIGHBOR
+                # key, the exact silent corruption this probe exists to
+                # stop; a round-trip inequality catches it (review r10)
+                bad_cond = bad_cond | (
+                    F.col(key_col).isNotNull()
+                    & (casted.cast(src_typ) != F.col(key_col))
+                )
             bad_key = (
-                source.filter(
-                    F.col(key_col).isNotNull() & casted.isNull()
-                ).select(key_col).limit(1).collect()
+                source.filter(bad_cond).select(key_col).limit(1).collect()
             )
             if bad_key:
                 raise ValueError(
@@ -1648,7 +1673,7 @@ def merge_into(
             payload_cols,
         )
     finally:
-        source.unpersist()
+        persisted.unpersist()
 
 
 def _merge_into_impl(
@@ -3814,6 +3839,7 @@ def scan_cdc_pruned(
     filters: list[tuple],
     version: int | None = None,
     kept_paths: list[str] | None = None,
+    man: dict | None = None,
 ) -> DataFrame | None:
     """Zone-map-pruned analytics scan over a BUCKETED CDC table: skip
     base files whose per-file stats are disjoint from ``filters``
@@ -3838,11 +3864,16 @@ def scan_cdc_pruned(
     date range) skips old dirs wholesale."""
     from taar_gcp_etl_spark.layout import _from_jsonable, _overlaps, _residual
 
-    man = (
-        latest_manifest(spark, table_dir)
-        if version is None
-        else read_manifest(spark, table_dir, version)
-    )
+    if man is None:
+        # ``man`` lets a caller that already resolved the manifest
+        # (read_cdc_table's routing check) hand it over — one manifest
+        # round-trip per filtered read, and the routing decision and
+        # the scan are guaranteed the same version (review r10)
+        man = (
+            latest_manifest(spark, table_dir)
+            if version is None
+            else read_manifest(spark, table_dir, version)
+        )
     if man is None:
         return None
     if "buckets" not in man or "file_stats" not in man:

@@ -4449,6 +4449,45 @@ class TestMergeInto:
             )
         assert self._live(spark, t1) == self._live(spark, t2)
 
+    def test_fractional_key_truncation_raises(self, spark, tmp_path):
+        """Review r10: ANSI cast truncates double->long (5.7 -> 5,
+        non-null), sneaking past a null-only probe and merging under a
+        NEIGHBOR key — the round-trip check must raise instead."""
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(5, "a", 1, "I")], "id long, val string, seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        frac = spark.createDataFrame(
+            [(5.7, "boom")], "id double, val string"
+        )
+        with pytest.raises(ValueError, match="does not fit"):
+            txn.merge_into(spark, t, frac)
+        # whole-valued doubles (the JSON-decoded-int shape) still merge
+        ok = spark.createDataFrame([(5.0, "a2")], "id double, val string")
+        txn.merge_into(spark, t, ok)
+        assert {r.id: r.val
+                for r in txn.read_cdc_table(spark, t).collect()} == {5: "a2"}
+
+    def test_cast_path_releases_persisted_source(self, spark, tmp_path):
+        """Review r10: the key-cast path rebound `source` before the
+        finally-unpersist, leaking one cache entry per merge — the
+        cache manager must be empty after a cast-path merge."""
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", 1, "I")], "id long, val string, seq long, op string",
+            ),
+            t, n_buckets=4,
+        )
+        spark.catalog.clearCache()
+        txn.merge_into(
+            spark, t,
+            spark.createDataFrame([(1, "a2")], "id int, val string"),
+        )
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 class TestPrunedUserReads:
     """VERDICT r9 #5: zone-map pushdown on the USER-FACING read faces —
@@ -4814,3 +4853,26 @@ class TestStreamMergeInto:
         run("ckpt2")
         got2 = {r.id: r.ts for r in txn.read_cdc_table(spark, t).collect()}
         assert got2 == {1: 3}
+
+    def test_dedup_tiebreak_tolerates_map_columns(self, spark, tmp_path):
+        """Review r10: the dedup tie-break hashed every column, which
+        xxhash64 rejects for maps at analysis time — a map-carrying
+        stream must still merge."""
+        from taar_gcp_etl_spark.streaming.jobs import stream_merge_into
+
+        src = tmp_path / "src"
+        src.mkdir()
+        t = str(tmp_path / "t")
+        d = "id long, attrs map<string,string>, ts long"
+        spark.createDataFrame(
+            [(1, {"k": "v1"}, 1), (1, {"k": "v2"}, 2)], d
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(d).parquet(str(src))
+        q = stream_merge_into(
+            stream, t, str(tmp_path / "ckpt"),
+            dedup_order="ts", key_col="id", n_buckets=4,
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = txn.read_cdc_table(spark, t).collect()
+        assert len(got) == 1 and got[0].attrs == {"k": "v2"}
