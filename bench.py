@@ -60,6 +60,15 @@ median sentinel) rides in all three artifacts. adjusted_total is now
 capped per-query at the measured warm value — "adjusted" means NOT
 WORSE than measured; the uncapped credible map still feeds the ledger
 and the gate, where the anti-phantom-speedup property matters.
+
+Quarantine (round 10, extended in-round): flags demote to
+`regressions_host_suspect` when the sentinel drifted during the run
+(contended), the host index reads at/past 1.25, OR more than
+max(4, 5% of registry) queries flag at once — the mass-flag trigger
+catches IO/scheduler contention the CPU-bound sentinel undermeasures
+(observed live: a 379 s noisy-neighbor run, 33 flags, index exactly
+1.25). Demoted runs are stamped host_suspect in the ledger and excluded
+from future trend medians.
 """
 
 from __future__ import annotations
@@ -77,15 +86,28 @@ from taar_gcp_etl_spark.session import get_spark  # noqa: E402
 STDOUT_LINE_BUDGET = 1900  # driver tail capture is 2000 bytes
 
 HOST_INDEX_QUARANTINE = 1.25
-"""Host-speed index past which the run's regression flags are demoted to
-``regressions_host_suspect``: the host is measurably (>25%) slower than
-the trend's, so per-query trend comparisons are dominated by the host,
-not the code — r9's post-restart rounds flagged 10 phantom regressions
-this way. Sentinel scaling (find_regressions) removes the UNIFORM
-component; contention is rarely perfectly uniform, so whatever survives
-on a quarantined-speed host is listed as suspect rather than shipped as
-an engine regression. Real regressions persist in the adjusted ledger
-values and re-flag on the next at-trend run; host noise doesn't."""
+"""Host-speed index at/past which the run's regression flags are demoted
+to ``regressions_host_suspect``: the host is measurably (>=25%) slower
+than the trend's, so per-query trend comparisons are dominated by the
+host, not the code — r9's post-restart rounds flagged 10 phantom
+regressions this way. Sentinel scaling (find_regressions) removes the
+UNIFORM component; contention is rarely perfectly uniform, so whatever
+survives on a quarantined-speed host is listed as suspect rather than
+shipped as an engine regression. Real regressions persist in the
+adjusted ledger values and re-flag on the next at-trend run; host noise
+doesn't."""
+
+MASS_FLAG_FLOOR = 4
+"""Second quarantine trigger, independent of the sentinel: when MORE
+THAN max(MASS_FLAG_FLOOR, 5% of the registry) queries flag in one run,
+the signal is the host, not the code — a code change that regresses
+dozens of unrelated queries simultaneously does not exist in practice,
+but an IO/scheduler-contended neighbor VM produces exactly that shape
+while barely moving the CPU-bound sentinel (observed live in r10: a
+379 s run, 33 flags, sentinel index just 1.25 — the CPU sentinel
+undermeasures IO contention by construction). Demoted runs are also
+stamped ``host_suspect`` in the trend ledger and excluded from future
+medians."""
 
 
 def _rel(a: float, b: float) -> float:
@@ -179,6 +201,31 @@ def adjudicate(
     adjusted_map = credible_map(warm, prior, rerun, ambient)
     adjusted_total = capped_adjusted_total(warm, adjusted_map)
     return rerun, ambient, adjusted_map, adjusted_total
+
+
+def quarantine_flags(
+    regressions: list[str],
+    n_queries: int,
+    host_index: float | None,
+    contended: bool,
+) -> tuple[list[str], list[str]]:
+    """(headline regressions, host-suspect demotions). Demote EVERYTHING
+    when any host-noise trigger fires: the sentinel drifted during the
+    run (contended), the host-speed index is at/past
+    HOST_INDEX_QUARANTINE, or the flag count exceeds
+    max(MASS_FLAG_FLOOR, 5% of the registry) — dozens of unrelated
+    queries do not regress from one code change, but a noisy-neighbor
+    VM produces exactly that shape while the CPU sentinel barely moves
+    (r10 live observation: 379 s run, 33 flags, index 1.25). Pure so
+    tests replay real rounds."""
+    mass_flag = len(regressions) > max(MASS_FLAG_FLOOR, n_queries // 20)
+    if (
+        contended
+        or mass_flag
+        or (host_index is not None and host_index >= HOST_INDEX_QUARANTINE)
+    ):
+        return [], regressions
+    return regressions, []
 
 
 def capped_adjusted_total(
@@ -308,6 +355,7 @@ def load_history(
                 if (
                     e.get("sf") == sf
                     and not e.get("contended")
+                    and not e.get("host_suspect")
                     and isinstance(e.get("queries_adjusted"), dict)
                 ):
                     history.append(
@@ -423,9 +471,9 @@ def main() -> None:
     # sentinel drifted during the run (contended): either way the
     # per-query numbers are dominated by the host, and a real
     # regression re-flags on the next at-trend run from the ledger
-    host_suspect: list[str] = []
-    if is_contended or (host_index and host_index > HOST_INDEX_QUARANTINE):
-        host_suspect, regressions = regressions, []
+    regressions, host_suspect = quarantine_flags(
+        regressions, len(adjusted_map), host_index, is_contended
+    )
     try:
         with open(full_path, "w") as f:
             json.dump(
@@ -471,6 +519,7 @@ def main() -> None:
                         "n_ambient": len(ambient),
                         "n_regressions": len(regressions),
                         "contended": is_contended,
+                        "host_suspect": bool(host_suspect),
                         "sentinel": sentinel_run,
                         "host_index": host_index,
                         "n_host_suspect": len(host_suspect),

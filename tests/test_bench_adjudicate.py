@@ -503,3 +503,51 @@ class TestCappedAdjustedTotal:
         from bench import capped_adjusted_total
 
         assert capped_adjusted_total({"a": 1.0}, {}) == 1.0
+
+
+class TestQuarantineFlags:
+    """Host-noise demotion triggers (r10): contended sentinel, host
+    index at/past 1.25, or a mass flag count — each turns the headline
+    regressions into regressions_host_suspect."""
+
+    def test_live_r10_mass_flag_event(self):
+        """Replay of the r10 in-round observation: a noisy-neighbor VM
+        produced a 379 s run with 33 flags while the CPU sentinel read
+        exactly 1.25 — one tick short of the old strict-> index gate.
+        Both the >= boundary and the mass-flag trigger now demote it."""
+        from bench import quarantine_flags
+
+        flags = [f"q{i}" for i in range(33)]
+        headline, suspect = quarantine_flags(flags, 133, 1.25, False)
+        assert headline == [] and suspect == flags
+        # even with a fooled sentinel (index 1.0) the mass gate fires
+        headline, suspect = quarantine_flags(flags, 133, 1.0, False)
+        assert headline == [] and suspect == flags
+
+    def test_small_flag_counts_survive(self):
+        from bench import quarantine_flags
+
+        headline, suspect = quarantine_flags(["a", "b"], 133, 1.1, False)
+        assert headline == ["a", "b"] and suspect == []
+        # floor: up to max(4, 6) flags pass at 133 queries
+        six = list("abcdef")
+        headline, _ = quarantine_flags(six, 133, None, False)
+        assert headline == six
+
+    def test_contended_demotes(self):
+        from bench import quarantine_flags
+
+        assert quarantine_flags(["a"], 133, None, True) == ([], ["a"])
+
+    def test_host_suspect_entries_excluded_from_history(self, tmp_path):
+        from bench import load_history
+
+        ledger = [
+            {"sf": 0.1, "queries_adjusted": {"q": 1.0}},
+            {"sf": 0.1, "host_suspect": True,
+             "queries_adjusted": {"q": 3.0}},
+        ]
+        p = tmp_path / "trend.jsonl"
+        p.write_text("".join(json.dumps(e) + "\n" for e in ledger))
+        hist = load_history(str(p), 0.1, {})
+        assert hist == [{"queries": {"q": 1.0}, "sentinel": None}]
