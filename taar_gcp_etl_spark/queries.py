@@ -2839,6 +2839,73 @@ def q_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_merge_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-snapshot MERGE sync (txn.merge_into with Delta's WHEN NOT
+    MATCHED BY SOURCE — r10): the customer table is seeded as a
+    bucketed CDC table, then ONE merge reconciles it against "today's
+    extract" (customers with c_custkey % 4 != 0, balances bumped +5):
+    carried rows UPDATE, new rows would INSERT, and ABSENT rows are
+    claimed by two first-match-wins not-matched-by-source clauses —
+    DELETE when the stored balance is under 1000, else a stale-marker
+    UPDATE over t_ columns only. The oracle re-derives the post-merge
+    state as one CASE expression over the seed table, so the hash
+    compare proves the O(table) absent-row classification composes
+    with the source-driven clauses in a single commit. Fixture builds
+    once per content-fingerprinted tag."""
+    import hashlib
+    import os
+    import tempfile
+
+    from taar_gcp_etl_spark import txn
+
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    fp = cust.select(
+        F.sum(F.xxhash64("c_custkey", "c_name", "c_acctbal")).alias("h")
+    ).collect()[0][0]
+    tag = hashlib.sha256(
+        f"{sf_dir}|{n}|{fp}|msync".encode()
+    ).hexdigest()[:12]
+    t = os.path.join(tempfile.gettempdir(), f"taar-msync-{tag}")
+    if txn.latest_manifest(spark, t) is None:
+        txn.apply_cdc_batch_bucketed(
+            cust.select(
+                "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+            ),
+            t, key_col="c_custkey", n_buckets=8,
+        )
+    if txn.latest_manifest(spark, t)["version"] == 1:
+        src = cust.filter(F.col("c_custkey") % 4 != 0).select(
+            "c_custkey", "c_name",
+            (F.round("c_acctbal", 2) + 5.0).alias("acctbal"),
+        )
+        import warnings
+
+        with warnings.catch_warnings():
+            # a snapshot sync is inherently full-width — the plan-time
+            # warning is correct and expected here
+            warnings.simplefilter("ignore", RuntimeWarning)
+            txn.merge_into(
+                spark, t, src,
+                when=[
+                    {"matched": "update"},
+                    {"not_matched": "insert"},
+                    {"not_matched_by_source": "delete",
+                     "condition": "t_acctbal < 1000"},
+                    {"not_matched_by_source": "update",
+                     "set": {"c_name":
+                             "concat(t_c_name, ' (stale)')"}},
+                ],
+            )
+    return txn.read_cdc_table(spark, t).select(
+        "c_custkey", "c_name", "acctbal"
+    )
+
+
 def q_cdc_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map-pruned USER read of a bucketed CDC table
     (txn.read_cdc_table(filters=) — VERDICT r9 #5): orders ingested as
@@ -3153,6 +3220,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_join": q_sync_join,
     "merge_into": q_merge_into,
     "cdc_pruned_read": q_cdc_pruned_read,
+    "merge_snapshot_sync": q_merge_snapshot_sync,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -4170,6 +4238,18 @@ ORACLE_SQL: dict[str, str] = {
                o.o_custkey, o.n_orders, o.total_price
         FROM cust2 c JOIN ostats o ON c.c_custkey = o.o_custkey
         WHERE o.o_custkey % 7 <> 0
+    """,
+    "merge_snapshot_sync": """
+        -- extract = custkey % 4 != 0 (update, +5); absentees: delete
+        -- when stored balance < 1000, else stale-stamp the name
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN c_name || ' (stale)' ELSE c_name END AS c_name,
+               CASE WHEN c_custkey % 4 = 0
+                    THEN ROUND(c_acctbal, 2)
+                    ELSE ROUND(c_acctbal, 2) + 5.0 END AS acctbal
+        FROM customer
+        WHERE c_custkey % 4 != 0 OR ROUND(c_acctbal, 2) >= 1000
     """,
     "cdc_pruned_read": """
         SELECT o_orderkey, o_custkey, o_orderdate,

@@ -1236,13 +1236,15 @@ def _normalize_merge_clauses(
     matched_delete_condition,
     when_not_matched,
     not_matched_condition,
-) -> tuple[list[dict], list[dict]]:
+) -> tuple[list[dict], list[dict], list[dict]]:
     """Validate and normalize merge_into's clause surface to
-    (matched_clauses, not_matched_clauses) — each an ordered list of
-    {'kind', 'condition', 'set'} dicts evaluated FIRST-MATCH-WINS
-    (Delta's WHEN-clause ordering). The legacy kwargs compile to the
-    same normal form, preserving their documented precedence (explicit
-    delete condition first, then the update/delete clause)."""
+    (matched_clauses, not_matched_clauses, nbs_clauses) — each an
+    ordered list of {'kind', 'condition', 'set'} dicts evaluated
+    FIRST-MATCH-WINS (Delta's WHEN-clause ordering; nbs = Delta's WHEN
+    NOT MATCHED BY SOURCE, target rows whose key the source does not
+    carry). The legacy kwargs compile to the same normal form,
+    preserving their documented precedence (explicit delete condition
+    first, then the update/delete clause)."""
     if when is not None:
         legacy_used = (
             when_matched != "update"
@@ -1266,6 +1268,7 @@ def _normalize_merge_clauses(
             )
         matched_clauses: list[dict] = []
         not_matched_clauses: list[dict] = []
+        nbs_clauses: list[dict] = []
         for i, cl in enumerate(when):
             if not isinstance(cl, dict):
                 raise ValueError(
@@ -1274,17 +1277,49 @@ def _normalize_merge_clauses(
             keys = set(cl)
             has_m = "matched" in keys
             has_u = "not_matched" in keys
-            if has_m == has_u:
+            has_n = "not_matched_by_source" in keys
+            if has_m + has_u + has_n != 1:
                 raise ValueError(
                     f"merge_into: when[{i}] needs exactly one of "
-                    f"'matched' / 'not_matched', got {sorted(keys)}"
+                    f"'matched' / 'not_matched' / "
+                    f"'not_matched_by_source', got {sorted(keys)}"
                 )
-            extra = keys - {"matched", "not_matched", "condition", "set"}
+            extra = keys - {
+                "matched", "not_matched", "not_matched_by_source",
+                "condition", "set",
+            }
             if extra:
                 raise ValueError(
                     f"merge_into: when[{i}] has unknown fields "
                     f"{sorted(extra)}"
                 )
+            if has_n:
+                kind = cl["not_matched_by_source"]
+                if kind not in ("update", "delete"):
+                    raise ValueError(
+                        f"merge_into: when[{i}]['not_matched_by_source'] "
+                        f"must be 'update' or 'delete', got {kind!r}"
+                    )
+                if kind == "update" and not cl.get("set"):
+                    raise ValueError(
+                        f"merge_into: when[{i}] is a "
+                        "not_matched_by_source UPDATE — it has no "
+                        "source row to take values from, so 'set' is "
+                        "required (expressions over t_<col> only)"
+                    )
+                if kind == "delete" and cl.get("set") is not None:
+                    raise ValueError(
+                        f"merge_into: when[{i}] is a delete clause — "
+                        "'set' only applies to updates"
+                    )
+                nbs_clauses.append(
+                    {
+                        "kind": kind,
+                        "condition": cl.get("condition"),
+                        "set": cl.get("set"),
+                    }
+                )
+                continue
             if has_m:
                 kind = cl["matched"]
                 if kind not in ("update", "delete"):
@@ -1325,6 +1360,7 @@ def _normalize_merge_clauses(
         for side, cls in (
             ("matched", matched_clauses),
             ("not_matched", not_matched_clauses),
+            ("not_matched_by_source", nbs_clauses),
         ):
             for cl in cls[:-1]:
                 if cl["condition"] is None:
@@ -1333,7 +1369,7 @@ def _normalize_merge_clauses(
                         "last must carry a condition — an earlier "
                         "unconditional clause shadows the rest"
                     )
-        return matched_clauses, not_matched_clauses
+        return matched_clauses, not_matched_clauses, nbs_clauses
 
     # legacy kwargs → normal form (documented precedence preserved:
     # matched_delete_condition is Delta's FIRST matched clause)
@@ -1373,7 +1409,7 @@ def _normalize_merge_clauses(
         if when_not_matched == "insert"
         else []
     )
-    return matched_clauses, not_matched_clauses
+    return matched_clauses, not_matched_clauses, []
 
 
 def merge_into(
@@ -1420,7 +1456,18 @@ def merge_into(
         ]
 
     A matched row no clause claims is untouched; an unmatched row no
-    insert clause claims is dropped. The flat kwargs remain as sugar
+    insert clause claims is dropped. A third clause side,
+    ``{"not_matched_by_source": "update"|"delete", ...}`` (Delta's
+    WHEN NOT MATCHED BY SOURCE), claims LIVE TARGET rows whose key the
+    source does not carry — the full-snapshot-sync shape ("delete
+    rows absent from today's extract") and its soft variant ("stamp
+    them stale"). These clauses see no source row: conditions and the
+    (required, for update) ``set`` expressions read ``t_<col>`` only.
+    NOTE the cost asymmetry: not-matched-by-source classification is
+    inherently O(table) — it must inspect every target key — so the
+    bucket-pruned probe is skipped when such a clause is present (the
+    APPLY still rewrites only buckets where a clause fired). The flat
+    kwargs remain as sugar
     for the common single-clause shapes and compile to the same normal
     form (``matched_delete_condition`` is the first matched clause —
     the CDC-extract-with-delete-flag shape — then
@@ -1507,9 +1554,12 @@ def merge_into(
     reference's jobs re-derive whole artifacts; this is the
     keyed-table mutation face a warehouse user expects.
     """
-    matched_clauses, not_matched_clauses = _normalize_merge_clauses(
-        when, when_matched, matched_condition, matched_update_set,
-        matched_delete_condition, when_not_matched, not_matched_condition,
+    matched_clauses, not_matched_clauses, nbs_clauses = (
+        _normalize_merge_clauses(
+            when, when_matched, matched_condition, matched_update_set,
+            matched_delete_condition, when_not_matched,
+            not_matched_condition,
+        )
     )
     table_dir = table_dir.rstrip("/")
     man = latest_manifest(spark, table_dir)
@@ -1553,7 +1603,7 @@ def merge_into(
                 c for c in source.columns if c not in live_cols
             ]
         settable = set(live_cols) - {key_col}
-        for cl in matched_clauses:
+        for cl in matched_clauses + nbs_clauses:
             if cl.get("set") is None:
                 continue
             bad = sorted(set(cl["set"]) - settable)
@@ -1668,7 +1718,7 @@ def merge_into(
             source = source.withColumn(key_col, casted)
         return _merge_into_impl(
             spark, table_dir, source, man,
-            matched_clauses, not_matched_clauses,
+            matched_clauses, not_matched_clauses, nbs_clauses,
             key_col, live_cols, seq_col, n_buckets, epoch_id, _cond,
             payload_cols,
         )
@@ -1678,7 +1728,7 @@ def merge_into(
 
 def _merge_into_impl(
     spark, table_dir, source, man,
-    matched_clauses, not_matched_clauses,
+    matched_clauses, not_matched_clauses, nbs_clauses,
     key_col, live_cols, seq_col, n_buckets, epoch_id, _cond,
     payload_cols,
 ):
@@ -1736,9 +1786,13 @@ def _merge_into_impl(
     hint_small = n_src <= MERGE_BROADCAST_KEY_GATE
 
     # probe the touched buckets for the CURRENT rows of the source's
-    # keys — bucket-dir pruned + broadcast semi-join, O(touched buckets)
+    # keys — bucket-dir pruned + broadcast semi-join, O(touched buckets).
+    # NOT-MATCHED-BY-SOURCE clauses inspect every target row the source
+    # does NOT carry, so their classification is inherently O(table) —
+    # the prune is skipped (the docstring says so; the APPLY still
+    # rewrites only buckets where some clause actually fired)
     buckets = None
-    if "buckets" in man:
+    if "buckets" in man and not nbs_clauses:
         nb = man["n_buckets"]
         buckets = [
             r[0]
@@ -1779,6 +1833,7 @@ def _merge_into_impl(
         if BUCKET_COL in raw.columns:
             raw = raw.drop(BUCKET_COL)
     src_keys = source.select(key_col)
+    raw_all = raw  # pre-semi-join handle: the NBS pass reads it
     raw = raw.join(
         F.broadcast(src_keys) if hint_small else src_keys,
         key_col, "left_semi",
@@ -1892,6 +1947,65 @@ def _merge_into_impl(
             seq_expr.alias(seq_col),
         )
     )
+    if nbs_clauses:
+        # target rows whose key the source does NOT carry — live rows
+        # only (a tombstoned key has no row to update or delete), all
+        # columns exposed as t_<name> (there is no source row, so
+        # conditions and SET expressions read the target only)
+        nbs = raw_all.filter(~F.col(DELETED_COL)).join(
+            F.broadcast(src_keys) if hint_small else src_keys,
+            key_col, "left_anti",
+        )
+        nbs = nbs.withColumnsRenamed(
+            {c: f"t_{c}" for c in nbs.columns}
+        )
+        n_op = F.lit(None).cast("string")
+        n_idx = F.lit(None).cast("int")
+        for i in range(len(nbs_clauses) - 1, -1, -1):
+            cl = nbs_clauses[i]
+            c = F.lit(True)
+            if cl["condition"] is not None:
+                c = F.coalesce(_cond(cl["condition"]), F.lit(False))
+            n_op = F.when(c, "U" if cl["kind"] == "update" else "D")                 .otherwise(n_op)
+            n_idx = F.when(c, F.lit(i)).otherwise(n_idx)
+
+        def _nbs_col(c):
+            # an evolved column has no target value yet — null unless
+            # a SET names it
+            val = (
+                F.col(f"t_{c}") if c in types
+                else F.lit(None).cast(types.get(c))
+            )
+            if c != key_col:
+                for i in range(len(nbs_clauses) - 1, -1, -1):
+                    cl = nbs_clauses[i]
+                    if cl["kind"] != "update":
+                        continue
+                    upd = cl["set"].get(c)
+                    if upd is None:
+                        continue
+                    val = F.when(
+                        (F.col("_m_op") == "U") & (F.col("_m_cl") == i),
+                        _cond(upd),
+                    ).otherwise(val)
+            typ = types.get(c)
+            return (val.cast(typ) if typ else val).alias(c)
+
+        nbs_seq = F.greatest(
+            F.lit(seq_val).cast("long"),
+            F.col(f"t_{seq_col}").cast("long") + 1,
+        ).cast(types.get(seq_col, "long"))
+        nbs_batch = (
+            nbs.withColumn("_m_op", n_op)
+            .withColumn("_m_cl", n_idx)
+            .filter(F.col("_m_op").isNotNull())
+            .select(
+                *[_nbs_col(c) for c in live_cols],
+                F.col("_m_op"),
+                nbs_seq.alias(seq_col),
+            )
+        )
+        batch = batch.unionByName(nbs_batch)
     if "buckets" not in man:
         # flat (dimension-sized) CDC table: the O(table) rewrite is the
         # layer's contract for these — same clause semantics, no bucket

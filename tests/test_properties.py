@@ -944,11 +944,27 @@ _matched_clause = st.tuples(
     st.integers(0, len(_M_COND) - 1),
     st.integers(0, len(_M_SET) - 1),
 )
+# NBS clauses see the target only: conditions/sets over t_val
+_N_COND = [
+    (None, lambda tv: True),
+    ("t_val > 50", lambda tv: tv > 50),
+    ("t_val % 2 = 0", lambda tv: tv % 2 == 0),
+]
+_N_SET = [
+    ({"val": "t_val + 1000"}, lambda tv: tv + 1000),
+    ({"val": "t_val"}, lambda tv: tv),
+]
+_nbs_clause = st.tuples(
+    st.sampled_from(["update", "delete"]),
+    st.integers(0, len(_N_COND) - 1),
+    st.integers(0, len(_N_SET) - 1),
+)
 _clause_lists = st.tuples(
     st.lists(_matched_clause, min_size=0, max_size=3),
     st.lists(st.one_of(st.none(), st.integers(0, len(_M_COND) - 1)),
              min_size=0, max_size=2),
-).filter(lambda t: len(t[0]) + len(t[1]) >= 1)
+    st.lists(_nbs_clause, min_size=0, max_size=2),
+).filter(lambda t: len(t[0]) + len(t[1]) + len(t[2]) >= 1)
 
 
 @settings(
@@ -970,15 +986,16 @@ _clause_lists = st.tuples(
 def test_merge_into_clause_list_matches_interpreter(
     spark, tmp_path_factory, seed, step, clauses
 ):
-    """VERDICT r9 #2: a RANDOM ordered clause list (N matched
-    update/delete clauses with per-clause conditions and SET maps, plus
-    conditional inserts) applied by merge_into(when=[...]) equals a
+    """VERDICT r9 #2 (+ r10 NBS): a RANDOM ordered clause list (N
+    matched update/delete clauses with per-clause conditions and SET
+    maps, conditional inserts, and not-matched-by-source
+    update/delete clauses) applied by merge_into(when=[...]) equals a
     pure-Python first-match-wins interpreter over a dict model —
     Delta's clause semantics, property-tested rather than example-
     tested."""
     from taar_gcp_etl_spark import txn
 
-    m_raw, u_raw = clauses
+    m_raw, u_raw, n_raw = clauses
     when = []
     m_cls = []
     for i, (kind, ci, si) in enumerate(m_raw):
@@ -1009,6 +1026,22 @@ def test_merge_into_clause_list_matches_interpreter(
             when.append({"not_matched": "insert", "condition": cond_sql})
             u_cls.append(cond_fn)
 
+    n_cls = []
+    for i, (kind, ci, si) in enumerate(n_raw):
+        last = i == len(n_raw) - 1
+        if ci == 0 and not last:
+            ci = 1  # non-last clauses need a condition
+        cond_sql, cond_fn = _N_COND[ci]
+        cl = {"not_matched_by_source": kind}
+        if cond_sql is not None:
+            cl["condition"] = cond_sql
+        set_fn = None
+        if kind == "update":
+            set_sql, set_fn = _N_SET[si]
+            cl["set"] = set_sql
+        when.append(cl)
+        n_cls.append((kind, cond_fn, set_fn))
+
     t = str(tmp_path_factory.mktemp("mclause") / "t")
     model: dict[int, int] = {}
     txn.apply_cdc_batch_bucketed(
@@ -1031,6 +1064,18 @@ def test_merge_into_clause_list_matches_interpreter(
         _w.simplefilter("ignore", RuntimeWarning)
         txn.merge_into(spark, t, src, when=when)
 
+    src_keys = {k for k, _, _ in step}
+    for k in list(model):
+        if k in src_keys:
+            continue
+        tv = model[k]
+        for kind, cond_fn, set_fn in n_cls:
+            if cond_fn(tv):
+                if kind == "delete":
+                    model.pop(k)
+                else:
+                    model[k] = set_fn(tv)
+                break
     for k, v, fl in step:
         tv = model.get(k)
         if k in model:

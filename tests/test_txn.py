@@ -4876,3 +4876,144 @@ class TestStreamMergeInto:
         q.stop()
         got = txn.read_cdc_table(spark, t).collect()
         assert len(got) == 1 and got[0].attrs == {"k": "v2"}
+
+
+class TestMergeNotMatchedBySource:
+    """Delta's WHEN NOT MATCHED BY SOURCE (r10): target rows absent
+    from the source — the full-snapshot-sync shape."""
+
+    T = "id long, val string, flag boolean"
+
+    def _seed(self, spark, t, rows):
+        return txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, v, f, 1, "I") for i, v, f in rows],
+                self.T + ", seq long, op string",
+            ),
+            t, n_buckets=8,
+        )
+
+    def _live(self, spark, t):
+        return {
+            r.id: (r.val, r.flag)
+            for r in txn.read_cdc_table(spark, t).collect()
+        }
+
+    def test_snapshot_sync_delete_absent(self, spark, tmp_path):
+        """The canonical shape: source = today's full extract; rows the
+        extract no longer carries are deleted, carried rows upsert."""
+        t = str(tmp_path / "t")
+        self._seed(
+            spark, t,
+            [(1, "a", False), (2, "b", False), (3, "c", False)],
+        )
+        src = spark.createDataFrame(
+            [(2, "b2", False), (4, "d", False)], self.T
+        )
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)
+            txn.merge_into(
+                spark, t, src,
+                when=[
+                    {"matched": "update"},
+                    {"not_matched": "insert"},
+                    {"not_matched_by_source": "delete"},
+                ],
+            )
+        assert self._live(spark, t) == {
+            2: ("b2", False), 4: ("d", False),
+        }
+
+    def test_conditional_stale_stamp_first_match(self, spark, tmp_path):
+        """Two NBS clauses, first-match-wins: flagged absentees delete,
+        the rest get a stale marker via SET over t_ columns only."""
+        t = str(tmp_path / "t")
+        self._seed(
+            spark, t,
+            [(1, "a", True), (2, "b", False), (3, "c", False)],
+        )
+        src = spark.createDataFrame([(3, "c3", False)], self.T)
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"matched": "update"},
+                {"not_matched_by_source": "delete",
+                 "condition": "t_flag"},
+                {"not_matched_by_source": "update",
+                 "set": {"val": "concat(t_val, '-stale')"}},
+            ],
+        )
+        assert self._live(spark, t) == {
+            2: ("b-stale", False), 3: ("c3", False),
+        }
+
+    def test_validation(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False)])
+        src = spark.createDataFrame([(1, "a2", False)], self.T)
+        with pytest.raises(ValueError, match="'set' is required"):
+            txn.merge_into(
+                spark, t, src,
+                when=[{"not_matched_by_source": "update"}],
+            )
+        with pytest.raises(ValueError, match="must be 'update' or"):
+            txn.merge_into(
+                spark, t, src,
+                when=[{"not_matched_by_source": "insert"}],
+            )
+        with pytest.raises(ValueError, match="except the last"):
+            txn.merge_into(
+                spark, t, src,
+                when=[{"not_matched_by_source": "delete"},
+                      {"not_matched_by_source": "update",
+                       "set": {"val": "t_val"}}],
+            )
+
+    def test_tombstones_not_resurrected(self, spark, tmp_path):
+        """A tombstoned key is not a live target row — an NBS update
+        must not resurrect it, and an NBS delete must not re-stamp it
+        into the batch."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, [(1, "a", False), (2, "b", False)])
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(2, None, None, 5, "D")],
+                self.T + ", seq long, op string",
+            ),
+            t, n_buckets=None,
+        )
+        src = spark.createDataFrame([(9, "z", False)], self.T)
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"not_matched": "insert"},
+                {"not_matched_by_source": "update",
+                 "set": {"val": "concat(t_val, '!')"}},
+            ],
+        )
+        assert self._live(spark, t) == {
+            1: ("a!", False), 9: ("z", False),
+        }
+
+    def test_seq_outranks_user_scale(self, spark, tmp_path):
+        """NBS rows stamp max(version+1, current seq+1) like the main
+        path — a high user-supplied seq on the target row is outranked."""
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(1, "a", False, 1000, "I")],
+                self.T + ", seq long, op string",
+            ),
+            t, n_buckets=8,
+        )
+        src = spark.createDataFrame([(2, "b", False)], self.T)
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"not_matched": "insert"},
+                {"not_matched_by_source": "delete"},
+            ],
+        )
+        assert self._live(spark, t) == {2: ("b", False)}
