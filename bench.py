@@ -432,6 +432,25 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(sorted(runs)[1], 3)
 
+    def io_sentinel_sec() -> float:
+        """IO-side sentinel, RECORD-ONLY for now (r10 live lesson: a
+        noisy-neighbor window ran the suite 2.9x slow while the
+        CPU-bound sentinel read just 1.25x — IO/scheduler contention
+        barely moves pure-CPU work). A fixed full scan of the largest
+        fixture table samples the storage/memory-bandwidth side;
+        page-cache warmth makes it optimistic, but contention shows up
+        regardless. Recorded as `sentinel_io` in bench_full.json and
+        the trend ledger so a future round can calibrate a gate on
+        real cross-round data before wiring it into host_index."""
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+                "sum(l_extendedprice * l_quantity)", "count(*)"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 3)
+
     def run_once(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -443,6 +462,8 @@ def main() -> None:
     # hosts (review fix) — time only steady-state executions
     sentinel_sec()
     s_start = sentinel_sec()
+    io_sentinel_sec()  # plan/codegen warm-up, untimed
+    s_io_start = io_sentinel_sec()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():
@@ -457,6 +478,7 @@ def main() -> None:
         warm, prior, lambda n: run_once(SPARK_QUERIES[n])
     )
     s_end = sentinel_sec()
+    s_io_end = io_sentinel_sec()
     is_contended = _rel(s_end, s_start) > 0.5
     # the run's host-speed sentinel: mean of the start/end samples (the
     # suite ran between them); host_index > 1 = slower-than-trend host.
@@ -493,6 +515,9 @@ def main() -> None:
                     "sentinel_start": s_start,
                     "sentinel_end": s_end,
                     "sentinel": sentinel_run,
+                    "sentinel_io": round((s_io_start + s_io_end) / 2, 3),
+                    "sentinel_io_start": s_io_start,
+                    "sentinel_io_end": s_io_end,
                     "host_index": host_index,
                     "regressions_host_suspect": host_suspect,
                     "contended": is_contended,
@@ -521,6 +546,9 @@ def main() -> None:
                         "contended": is_contended,
                         "host_suspect": bool(host_suspect),
                         "sentinel": sentinel_run,
+                        "sentinel_io": round(
+                            (s_io_start + s_io_end) / 2, 3
+                        ),
                         "host_index": host_index,
                         "n_host_suspect": len(host_suspect),
                         "queries_adjusted": adjusted_map,
