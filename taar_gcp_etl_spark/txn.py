@@ -453,7 +453,8 @@ def commit_txn(
     ``manifest_extra`` adds caller metadata fields to the manifest
     (e.g. apply_cdc_batch_txn stamps ``key_col``/``seq_col`` so flat
     CDC tables stay mergeable under non-default keys — ADVICE r9);
-    reserved manifest fields cannot be overridden. ``key_col`` /
+    reserved manifest fields raise ``ValueError`` (silently dropping
+    them would hide a caller bug — ADVICE r10). ``key_col`` /
     ``seq_col`` already present on the PRIOR manifest carry forward
     automatically, so maintenance rewrites (compaction, aggregate
     refresh) never strip the key stamp a CDC apply recorded.
@@ -491,6 +492,18 @@ def commit_txn(
             raise ValueError("commit_txn: builder form requires spark=")
     else:
         spark = df.sparkSession
+    if manifest_extra:
+        # every field the layer itself interprets is reserved — a
+        # caller-supplied 'overlays' or 'file_stats' would corrupt
+        # reads; reject up front, before any snapshot write, instead
+        # of silently dropping (review r10, ADVICE r10)
+        bad = sorted(k for k in manifest_extra if k in _RESERVED_MANIFEST)
+        if bad:
+            raise ValueError(
+                f"commit_txn: manifest_extra keys {bad} are reserved "
+                "manifest fields the layer itself writes — silently "
+                "dropping them would hide the caller's bug"
+            )
     table_dir = table_dir.rstrip("/")
     token = uuid.uuid4().hex[:8]
     for attempt in range(max_attempts):
@@ -534,18 +547,9 @@ def commit_txn(
                 if k in man:
                     manifest[k] = man[k]
         if manifest_extra:
-            # every field the layer itself interprets is reserved — a
-            # caller-supplied 'overlays' or 'file_stats' would corrupt
-            # reads (review r10)
-            reserved = {
-                "version", "snapshot", "epoch_id", "parent", "schema",
-                "buckets", "n_buckets", "overlays", "file_stats",
-                "stats_types", "stats_cols", "cluster_rows",
-                "change_files", "target_file_rows",
-            }
+            # validated against _RESERVED_MANIFEST at function entry
             for k, v in manifest_extra.items():
-                if k not in reserved:
-                    manifest[k] = v
+                manifest[k] = v
         if _publish_manifest(spark, table_dir, manifest, token):
             return version
         # lost the race for this version: the orphan snapshot stays for
@@ -661,6 +665,14 @@ def vacuum_txn(
 
 DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
+# manifest fields the layer itself writes/interprets — commit_txn
+# rejects these in manifest_extra (ADVICE r10)
+_RESERVED_MANIFEST = frozenset({
+    "version", "snapshot", "epoch_id", "parent", "schema",
+    "buckets", "n_buckets", "overlays", "file_stats",
+    "stats_types", "stats_cols", "cluster_rows",
+    "change_files", "target_file_rows",
+})
 
 
 def _bucket_of(key_col: str, n_buckets: int):
@@ -1971,11 +1983,10 @@ def _merge_into_impl(
 
         def _nbs_col(c):
             # an evolved column has no target value yet — null unless
-            # a SET names it
-            val = (
-                F.col(f"t_{c}") if c in types
-                else F.lit(None).cast(types.get(c))
-            )
+            # a SET names it (uncast: the trailing types.get() cast
+            # types known columns, and unionByName coerces NullType to
+            # the source side's type for evolved ones)
+            val = F.col(f"t_{c}") if c in types else F.lit(None)
             if c != key_col:
                 for i in range(len(nbs_clauses) - 1, -1, -1):
                     cl = nbs_clauses[i]

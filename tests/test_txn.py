@@ -68,6 +68,23 @@ class TestCommitRead:
         assert txn.commit_txn(df, t, epoch_id=0) is None
         assert len(txn._list_manifest_versions(spark, t)) == 2
 
+    def test_manifest_extra_reserved_keys_rejected(self, spark, tmp_path):
+        """ADVICE r10: reserved keys in manifest_extra raise instead of
+        silently dropping — a caller passing 'file_stats' would believe
+        the field persisted. Non-reserved keys still land."""
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, "a")], "id long, val string")
+        with pytest.raises(ValueError, match="reserved"):
+            txn.commit_txn(df, t, manifest_extra={"file_stats": {}})
+        with pytest.raises(ValueError, match="overlays"):
+            txn.commit_txn(
+                df, t, manifest_extra={"overlays": [], "note": "x"}
+            )
+        # the failed attempts must not have burned a version
+        assert txn.latest_manifest(spark, t) is None
+        txn.commit_txn(df, t, manifest_extra={"note": "x"})
+        assert txn.latest_manifest(spark, t)["note"] == "x"
+
     def test_version_conflict_retries_to_next_slot(self, spark, tmp_path):
         """Optimistic concurrency: if another writer took the target
         manifest slot between log-read and publish, the commit re-reads
@@ -4970,6 +4987,33 @@ class TestMergeNotMatchedBySource:
                       {"not_matched_by_source": "update",
                        "set": {"val": "t_val"}}],
             )
+
+    def test_evolve_schema_with_nbs_clause(self, spark, tmp_path):
+        """ADVICE r10: evolve_schema=True + a new source column + an
+        NBS clause crashed at plan time (F.lit(None).cast(None) for the
+        evolved column, which the prior manifest's types don't know).
+        The absent row must survive with the evolved column null."""
+        t = str(tmp_path / "t")
+        self._seed(
+            spark, t,
+            [(1, "a", False), (2, "b", False)],
+        )
+        src = spark.createDataFrame(
+            [(2, "b2", False, "fr")], self.T + ", lang string"
+        )
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"matched": "update"},
+                {"not_matched": "insert"},
+                {"not_matched_by_source": "update",
+                 "set": {"val": "concat(t_val, '-stale')"}},
+            ],
+            evolve_schema=True,
+        )
+        live = txn.read_cdc_table(spark, t)
+        got = {r.id: (r.val, r.lang) for r in live.collect()}
+        assert got == {1: ("a-stale", None), 2: ("b2", "fr")}
 
     def test_tombstones_not_resurrected(self, spark, tmp_path):
         """A tombstoned key is not a live target row — an NBS update
