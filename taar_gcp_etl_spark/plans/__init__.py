@@ -17,6 +17,30 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable 12-hex digest of the physical plan SHAPE (round 11).
+
+    Expression ids (``#123``), plan/subquery ids, paths and size/row
+    statistics are stripped so the fingerprint survives re-planning of
+    an identical query, while operator changes (a join strategy flip,
+    a lost pushdown, a new Exchange) change it. The bench trend ledger
+    records one per query; the quarantine gate refuses to demote a
+    regression flag whose plan changed since the previous round — a
+    code change that moves a plan is exactly the flag a mass-demotion
+    must not launder (VERDICT r10 #3).
+    """
+    import hashlib
+    import re
+
+    plan = formatted_plan(df)
+    norm = re.sub(r"#\d+L?", "#", plan)
+    norm = re.sub(r"\b(plan_id|id)=\d+", r"\1=", norm)
+    norm = re.sub(r"(?i)\b(sizeInBytes|rowCount)=\S+", r"\1=", norm)
+    norm = re.sub(r"(Location|InMemoryFileIndex|file:)[^\n,\]]*", r"\1", norm)
+    norm = re.sub(r"\s+", " ", norm)
+    return hashlib.sha256(norm.encode()).hexdigest()[:12]
+
+
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     """True if the parquet scan's PushedFilters mentions `fragment`."""
     plan = formatted_plan(df)

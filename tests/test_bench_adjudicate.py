@@ -300,8 +300,8 @@ class TestLoadHistory:
             self._write(tmp_path, ledger), 0.1, prior_warm
         )
         assert hist == [
-            {"queries": {"q": 1.0}, "sentinel": None},
-            {"queries": {"q": 1.1}, "sentinel": None},
+            {"queries": {"q": 1.0}, "sentinel": None, "sentinel_io": None},
+            {"queries": {"q": 1.1}, "sentinel": None, "sentinel_io": None},
         ]
         # a real regression to 1.9 s (median 1.05) must flag — with the
         # polluted prior double-counted the median was 1.1->... 3.0 in
@@ -350,7 +350,9 @@ class TestLoadHistory:
         hist = load_history(
             self._write(tmp_path, ledger), 0.1, {"q": 9.0}
         )
-        assert hist == [{"queries": {"q": 1.0}, "sentinel": None}]
+        assert hist == [
+            {"queries": {"q": 1.0}, "sentinel": None, "sentinel_io": None}
+        ]
 
 
 class TestHostSpeedIndex:
@@ -520,9 +522,55 @@ class TestQuarantineFlags:
         flags = [f"q{i}" for i in range(33)]
         headline, suspect = quarantine_flags(flags, 133, 1.25, False)
         assert headline == [] and suspect == flags
-        # even with a fooled sentinel (index 1.0) the mass gate fires
-        headline, suspect = quarantine_flags(flags, 133, 1.0, False)
+        # with a fooled sentinel (index 1.0) the mass gate still fires,
+        # corroborated by the event's measured breadth (1.479 on the
+        # real ledger — the registry-median ratio saw what the CPU
+        # sentinel missed)
+        headline, suspect = quarantine_flags(
+            flags, 133, 1.0, False, breadth=1.479, frac15=0.87
+        )
         assert headline == [] and suspect == flags
+
+    def test_uncorroborated_mass_flag_ships(self):
+        """ADVICE r10: most bench queries share the txn core, so a
+        genuine core regression can flag dozens at once — on a quiet
+        host (index ~1.0, breadth ~1.0, non-flagged queries at trend)
+        the mass-flag heuristic must NOT demote them."""
+        from bench import quarantine_flags
+
+        flags = [f"q{i}" for i in range(30)]
+        headline, suspect = quarantine_flags(
+            flags, 134, 1.02, False, breadth=1.04, frac15=0.2
+        )
+        assert headline == flags and suspect == []
+
+    def test_mass_flag_without_history_demotes(self):
+        """No history -> no breadth/frac/index: the old demote-by-
+        default behavior holds (nothing to corroborate against, and a
+        first-ledger-entry round has no trend to regress from anyway)."""
+        from bench import quarantine_flags
+
+        flags = [f"q{i}" for i in range(30)]
+        headline, suspect = quarantine_flags(flags, 134, None, False)
+        assert headline == [] and suspect == flags
+
+    def test_plan_changed_flags_never_demoted(self):
+        """VERDICT r10 #3: a flag whose physical plan changed since the
+        previous ledger entry survives every demotion path — host-noise
+        quarantine must not launder code evidence."""
+        from bench import quarantine_flags
+
+        flags = [f"q{i}" for i in range(33)]
+        headline, suspect = quarantine_flags(
+            flags, 133, 1.30, False, plan_changed={"q7", "q12"},
+        )
+        assert headline == ["q7", "q12"]
+        assert "q7" not in suspect and len(suspect) == 31
+        # contended runs too
+        headline, suspect = quarantine_flags(
+            ["a", "b"], 133, None, True, plan_changed={"b"},
+        )
+        assert headline == ["b"] and suspect == ["a"]
 
     def test_small_flag_counts_survive(self):
         from bench import quarantine_flags
@@ -550,4 +598,288 @@ class TestQuarantineFlags:
         p = tmp_path / "trend.jsonl"
         p.write_text("".join(json.dumps(e) + "\n" for e in ledger))
         hist = load_history(str(p), 0.1, {})
-        assert hist == [{"queries": {"q": 1.0}, "sentinel": None}]
+        assert hist == [
+            {"queries": {"q": 1.0}, "sentinel": None, "sentinel_io": None}
+        ]
+
+
+class TestReplayR10Events:
+    """Round-11 replay of the REAL r10 host-noise events against the
+    new whole-registry host signals, from a snapshot of the live trend
+    ledger (tests/data/bench_replay_r10_ledger.jsonl — the actual
+    bench_trend.jsonl as of round 11 start). Two events:
+
+    - ts 1786881003: 379 s suite (quiet truth ~131 s), 33 flags, CPU
+      sentinel index exactly 1.25 — IO/scheduler contention the CPU
+      sentinel undermeasures.
+    - ts 1786891891: 269.7 s driver run (quiet rerun 145.5 s), 8 flags,
+      CPU index 1.2286, io sentinel 0.231 vs quiet 0.230 (the
+      page-cache-warm IO sentinel ALSO missed it).
+
+    The breadth signal (registry-median warm-vs-trend ratio) sees both
+    without any mass-flag heuristic."""
+
+    @pytest.fixture(scope="class")
+    def ledger(self):
+        path = os.path.join(
+            os.path.dirname(__file__), "data",
+            "bench_replay_r10_ledger.jsonl",
+        )
+        with open(path) as f:
+            return [json.loads(line) for line in f]
+
+    def _hist_before(self, ledger, ts):
+        return [
+            {"queries": e["queries_adjusted"],
+             "sentinel": e.get("sentinel"),
+             "sentinel_io": e.get("sentinel_io")}
+            for e in ledger
+            if e.get("sf") == 0.1 and e["ts"] < ts
+            and not e.get("contended") and not e.get("host_suspect")
+            and isinstance(e.get("queries_adjusted"), dict)
+        ]
+
+    def _event(self, ledger, ts):
+        return next(e for e in ledger if e.get("ts") == ts)
+
+    def test_379s_event_breadth_quarantines_alone(self, ledger):
+        """The 379 s event's breadth reads past BREADTH_QUARANTINE on
+        its real per-query map — the index-style signal quarantines it
+        WITHOUT the mass-flag heuristic (VERDICT r10 #2 done criterion,
+        adapted: the event predates the IO sentinel, and the later
+        event showed the page-cache-warm IO sentinel blind to this
+        contention class, so the whole-registry breadth is the
+        fleet-wide signal that actually separates)."""
+        from bench import BREADTH_QUARANTINE, quarantine_flags, suite_breadth
+
+        ev = self._event(ledger, 1786881003)
+        hist = self._hist_before(ledger, 1786881003)
+        breadth, frac15 = suite_breadth(ev["queries_adjusted"], hist)
+        assert breadth >= BREADTH_QUARANTINE, breadth  # measured 1.479
+        # one flag, no mass trigger, CPU index forced quiet: breadth
+        # alone demotes
+        headline, suspect = quarantine_flags(
+            ["any_query"], 133, 1.0, False, breadth=breadth, frac15=frac15
+        )
+        assert headline == [] and suspect == ["any_query"]
+
+    def test_269s_event_mass_flag_corroborated(self, ledger):
+        """The 269.7 s driver event: adjudication already substituted
+        credible values (51 ambient), so its adjusted breadth is mild
+        (~1.11) — below the standalone trigger but at/past the
+        corroboration bar, and the CPU index (1.2286) corroborates
+        independently. Its 8 flags demote; the headline stays clean."""
+        from bench import MASS_FLAG_BREADTH, quarantine_flags, suite_breadth
+
+        ev = self._event(ledger, 1786891891)
+        hist = self._hist_before(ledger, 1786891891)
+        breadth, _ = suite_breadth(ev["queries_adjusted"], hist)
+        assert breadth >= MASS_FLAG_BREADTH, breadth  # measured 1.113
+        flags = [f"q{i}" for i in range(8)]
+        headline, suspect = quarantine_flags(
+            flags, 134, ev["host_index"], False, breadth=breadth
+        )
+        assert headline == [] and suspect == flags
+
+    def test_quiet_run_family_regression_ships(self, ledger):
+        """The ADVICE r10 scenario on REAL quiet-run data: take the
+        judge's quiet run (ts 1786893412, host_index 1.0214), inflate a
+        10-query family 2x (a synthetic txn-core regression), and
+        verify the mass flag is NOT corroborated — the flags ship."""
+        from bench import quarantine_flags, suite_breadth
+
+        ev = self._event(ledger, 1786893412)
+        hist = self._hist_before(ledger, 1786893412)
+        q = dict(ev["queries_adjusted"])
+        family = sorted(q, key=q.get, reverse=True)[5:15]
+        for n in family:
+            q[n] = q[n] * 2
+        breadth, frac15 = suite_breadth(
+            q, hist, exclude=frozenset(family)
+        )
+        headline, suspect = quarantine_flags(
+            family, len(q), ev["host_index"], False,
+            breadth=breadth, frac15=frac15,
+        )
+        assert headline == family and suspect == []
+
+    def test_quiet_run_breadth_below_triggers(self, ledger):
+        """Threshold sanity on real data: the quiet judge run's breadth
+        sits below both the corroboration bar and the standalone
+        trigger."""
+        from bench import (
+            BREADTH_QUARANTINE,
+            FRAC15_CORROBORATION,
+            suite_breadth,
+        )
+
+        ev = self._event(ledger, 1786893412)
+        hist = self._hist_before(ledger, 1786893412)
+        breadth, frac15 = suite_breadth(ev["queries_adjusted"], hist)
+        assert breadth < BREADTH_QUARANTINE
+        assert frac15 < FRAC15_CORROBORATION
+
+
+class TestCombinedHostIndex:
+    def test_io_index_dominates_when_cpu_quiet(self):
+        from bench import combined_host_index
+
+        hist = [
+            {"queries": {}, "sentinel": 0.20, "sentinel_io": 0.25},
+            {"queries": {}, "sentinel": 0.21, "sentinel_io": 0.23},
+            {"queries": {}, "sentinel": 0.19, "sentinel_io": 0.24},
+        ]
+        # CPU at trend, IO 2x slow -> combined reads the IO side
+        idx = combined_host_index(0.20, 0.48, hist)
+        assert idx == 2.0
+
+    def test_cpu_only_history_degrades_gracefully(self):
+        from bench import combined_host_index
+
+        hist = [{"queries": {}, "sentinel": 0.20}]
+        assert combined_host_index(0.30, 0.99, hist) == 1.5
+
+    def test_none_without_any_history(self):
+        from bench import combined_host_index
+
+        assert combined_host_index(0.2, 0.2, []) is None
+
+
+class TestIsolatedBaselines:
+    """VERDICT r10 #1: committed fresh-JVM per-query baselines bound
+    the trend gate — suite-aging drift moves the ledger medians, not
+    the position-independent budget."""
+
+    HIST = [
+        {"queries": {"q": 1.0}, "sentinel": 0.2},
+        {"queries": {"q": 1.1}, "sentinel": 0.2},
+        {"queries": {"q": 1.2}, "sentinel": 0.2},
+    ]
+
+    def test_within_isolated_budget_never_flags(self):
+        from bench import find_regressions
+
+        # trend median 1.1; 2.0 flags without a baseline...
+        assert find_regressions(
+            {"q": 2.0}, self.HIST, sentinel=0.2
+        ) == ["q"]
+        # ...but sits within 25% of its isolated budget (1.8): no flag
+        assert find_regressions(
+            {"q": 2.0}, self.HIST, sentinel=0.2,
+            isolated={"q": {"warm_median": 1.8, "sentinel": 0.2}},
+        ) == []
+
+    def test_genuine_regression_exceeds_both(self):
+        from bench import find_regressions
+
+        assert find_regressions(
+            {"q": 3.0}, self.HIST, sentinel=0.2,
+            isolated={"q": {"warm_median": 1.8, "sentinel": 0.2}},
+        ) == ["q"]
+
+    def test_isolated_budget_not_sentinel_rescaled(self):
+        """The budget is a same-box absolute number: fresh-JVM sentinel
+        samples are JIT-transient-noisy (measured 0.17-0.58 s across
+        JVMs whose queries converged identically), so a sentinel ratio
+        would inject noise into the budget. A slow-host run rescales
+        its TREND comparison (existing behavior) but compares the
+        budget as-is."""
+        from bench import find_regressions
+
+        # sentinel 0.4 vs trend 0.2: trend medians scale 2x (2.2), so
+        # 2.6 doesn't flag the trend check at all on this host
+        assert find_regressions(
+            {"q": 2.6},
+            [{"queries": {"q": v}, "sentinel": 0.2} for v in (1.0, 1.1, 1.2)],
+            sentinel=0.4,
+            isolated={"q": {"warm_median": 1.8, "sentinel": 0.2}},
+        ) == []
+        # same-sentinel host: 4.0 exceeds trend AND the absolute budget
+        assert find_regressions(
+            {"q": 4.0},
+            [{"queries": {"q": v}, "sentinel": 0.2} for v in (1.0, 1.1, 1.2)],
+            sentinel=0.2,
+            isolated={"q": {"warm_median": 1.8, "sentinel": 0.2}},
+        ) == ["q"]
+
+    def test_missing_baseline_keeps_trend_behavior(self):
+        from bench import find_regressions
+
+        assert find_regressions(
+            {"q": 2.0}, self.HIST, sentinel=0.2, isolated={}
+        ) == ["q"]
+
+
+class TestLedgerHygiene:
+    """VERDICT r10 #6: sentinel-less pre-r10 entries drop from the
+    medians once MIN_SENTINEL_HISTORY sentinel-bearing quiet entries
+    exist for the sf."""
+
+    def _ledger(self, n_old, n_new):
+        old = [
+            {"sf": 0.1, "queries_adjusted": {"q": 9.0}}
+            for _ in range(n_old)
+        ]
+        new = [
+            {"sf": 0.1, "sentinel": 0.2, "sentinel_io": 0.23,
+             "queries_adjusted": {"q": 1.0}}
+            for _ in range(n_new)
+        ]
+        return old + new
+
+    def _load(self, tmp_path, lines):
+        from bench import load_history
+
+        p = tmp_path / "trend.jsonl"
+        p.write_text("".join(json.dumps(e) + "\n" for e in lines))
+        return load_history(str(p), 0.1, {})
+
+    def test_old_entries_dropped_past_threshold(self, tmp_path):
+        hist = self._load(tmp_path, self._ledger(3, 5))
+        assert len(hist) == 5
+        assert all(h["sentinel"] for h in hist)
+
+    def test_old_entries_kept_below_threshold(self, tmp_path):
+        hist = self._load(tmp_path, self._ledger(3, 4))
+        assert len(hist) == 7
+
+    def test_live_ledger_regenerated_gate(self):
+        """Regenerated gate run over the LIVE ledger snapshot: with only
+        2 sentinel-bearing quiet sf0.1 entries so far, the hygiene rule
+        must NOT fire yet (history unchanged), and the gate still loads
+        cleanly end to end."""
+        from bench import MIN_SENTINEL_HISTORY, load_history
+
+        path = os.path.join(
+            os.path.dirname(__file__), "data",
+            "bench_replay_r10_ledger.jsonl",
+        )
+        hist = load_history(path, 0.1, {})
+        with_s = [h for h in hist if h.get("sentinel")]
+        if len(with_s) >= MIN_SENTINEL_HISTORY:
+            assert hist == with_s
+        else:
+            assert len(hist) > len(with_s)
+
+
+class TestLatestPlanFp:
+    def test_latest_same_sf_entry_wins(self, tmp_path):
+        from bench import _latest_plan_fp
+
+        lines = [
+            {"sf": 0.1, "plan_fp": {"q": "aaa"}},
+            {"sf": 0.001, "plan_fp": {"q": "zzz"}},
+            {"sf": 0.1, "host_suspect": True, "plan_fp": {"q": "bbb"}},
+        ]
+        p = tmp_path / "trend.jsonl"
+        p.write_text("".join(json.dumps(e) + "\n" for e in lines))
+        # quarantined entries still count: plans are timing-independent
+        assert _latest_plan_fp(str(p), 0.1) == {"q": "bbb"}
+
+    def test_empty_without_fp_entries(self, tmp_path):
+        from bench import _latest_plan_fp
+
+        p = tmp_path / "trend.jsonl"
+        p.write_text(json.dumps({"sf": 0.1, "value": 1.0}) + "\n")
+        assert _latest_plan_fp(str(p), 0.1) == {}
+        assert _latest_plan_fp(str(tmp_path / "absent"), 0.1) == {}
