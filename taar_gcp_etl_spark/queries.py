@@ -2963,6 +2963,70 @@ def q_cdc_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_orderdate", "price")
 
 
+def q_merge_nbs_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bounded snapshot sync through the ZONE-MAP-PRUNED
+    not-matched-by-source path (round 11, VERDICT r10 #4): orders
+    seeded as a bucketed CDC table clustered on o_orderdate
+    (stats_cols + rolled files -> date-narrow file envelopes), then
+    ONE merge carries today's extract (o_orderkey % 3 != 0, price
+    +1.0) and DELETES absentees older than 1993-01-01 via a
+    STRUCTURED clause condition ``[("o_orderdate", "<", cutoff)]`` —
+    the absent-row classification scans only files whose envelopes
+    overlap the cutoff (~1/7 of the table at sf>=0.01) instead of
+    O(table), and the matched side keeps its bucket probe. The oracle
+    re-derives the post-merge state as plain SQL, so the driver's
+    hash compare proves the pruned classification equals the
+    unpruned semantics. Fixture builds once per content tag."""
+    import datetime
+    import hashlib
+    import os
+    import tempfile
+    import warnings
+
+    from taar_gcp_etl_spark import txn
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    n = orders.count()
+    fp = orders.select(
+        F.sum(F.xxhash64("o_orderkey", "o_orderdate")).alias("h")
+    ).collect()[0][0]
+    tag = hashlib.sha256(
+        f"{sf_dir}|{n}|{fp}|nbsprune".encode()
+    ).hexdigest()[:12]
+    t = os.path.join(tempfile.gettempdir(), f"taar-nbsprune-{tag}")
+    cutoff = datetime.datetime(1993, 1, 1)
+    if txn.latest_manifest(spark, t) is None:
+        txn.apply_cdc_batch_bucketed(
+            orders.withColumn("seq", F.lit(1).cast("long"))
+            .withColumn("op", F.lit("I")),
+            t, key_col="o_orderkey", n_buckets=4,
+            stats_cols=["o_orderdate"], target_file_rows=400,
+        )
+    if txn.latest_manifest(spark, t)["version"] == 1:
+        src = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+            "price", F.col("price") + 1.0
+        )
+        with warnings.catch_warnings():
+            # the extract touches every bucket — the full-width
+            # warning is correct and expected for a snapshot sync
+            warnings.simplefilter("ignore", RuntimeWarning)
+            txn.merge_into(
+                spark, t, src,
+                when=[
+                    {"matched": "update"},
+                    {"not_matched": "insert"},
+                    {"not_matched_by_source": "delete",
+                     "condition": [("o_orderdate", "<", cutoff)]},
+                ],
+            )
+    return txn.read_cdc_table(spark, t).select(
+        "o_orderkey", "o_orderdate", "price"
+    )
+
+
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative MERGE INTO (txn.merge_into): the customer table is
     seeded as a bucketed CDC table, then ONE merge applies a FOUR-
@@ -3221,6 +3285,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_into": q_merge_into,
     "cdc_pruned_read": q_cdc_pruned_read,
     "merge_snapshot_sync": q_merge_snapshot_sync,
+    "merge_nbs_pruned": q_merge_nbs_pruned,
     "semi_intersection": q_semi_intersection,
     "embedding_near_dup": q_embedding_near_dup,
     # --- rows-only tail: no SQL-expressible oracle ---
@@ -4255,6 +4320,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_orderdate,
                ROUND(o_totalprice, 2) AS price
         FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+    "merge_nbs_pruned": """
+        -- extract = orderkey % 3 != 0 (price +1); absentees delete
+        -- when older than the cutoff, else untouched
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 3 != 0
+                    THEN ROUND(o_totalprice, 2) + 1.0
+                    ELSE ROUND(o_totalprice, 2) END AS price
+        FROM orders
+        WHERE o_orderkey % 3 != 0
+           OR o_orderdate >= TIMESTAMP '1993-01-01'
     """,
     "merge_into": """
         -- four-clause MERGE, Delta precedence: (1) matched+is_del

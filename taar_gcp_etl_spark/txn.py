@@ -66,7 +66,7 @@ from __future__ import annotations
 import json
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG = "_log"
@@ -665,6 +665,47 @@ def vacuum_txn(
 
 DELETED_COL = "_deleted"
 BUCKET_COL = "_bucket"
+_TUPLE_OPS = ("<", "<=", ">", ">=", "=", "between", "in")
+
+
+def _tuple_pred(name: str, op: str, val) -> Column:
+    """One (col, op, val) predicate as a Column — the executable twin
+    of layout._overlaps (same op language, same null semantics: a
+    comparison never matches null)."""
+    col = F.col(name)
+    if op == "between":
+        return col.between(val[0], val[1])
+    if op == "in":
+        return col.isin(list(val))
+    if op == "=":
+        return col == val
+    return {
+        "<": col < val, "<=": col <= val,
+        ">": col > val, ">=": col >= val,
+    }[op]
+
+
+def _check_tuple_cond(cond, where: str) -> None:
+    """Validate a structured condition: non-empty list of (col, op,
+    val) with a supported op."""
+    if not cond:
+        raise ValueError(
+            f"merge_into: {where} structured condition must be a "
+            "non-empty list of (col, op, val) tuples"
+        )
+    for t in cond:
+        if not (isinstance(t, (list, tuple)) and len(t) == 3):
+            raise ValueError(
+                f"merge_into: {where} condition entry {t!r} is not a "
+                "(col, op, val) tuple"
+            )
+        if t[1] not in _TUPLE_OPS:
+            raise ValueError(
+                f"merge_into: {where} condition op {t[1]!r} not in "
+                f"{_TUPLE_OPS}"
+            )
+
+
 # manifest fields the layer itself writes/interprets — commit_txn
 # rejects these in manifest_extra (ADVICE r10)
 _RESERVED_MANIFEST = frozenset({
@@ -1305,6 +1346,17 @@ def _normalize_merge_clauses(
                     f"merge_into: when[{i}] has unknown fields "
                     f"{sorted(extra)}"
                 )
+            if (
+                isinstance(cl.get("condition"), (list, tuple))
+                and not has_n
+            ):
+                raise ValueError(
+                    f"merge_into: when[{i}] has a structured (col, op, "
+                    "val) condition — those are for "
+                    "not_matched_by_source clauses (they enable the "
+                    "zone-map prune of the absent-row scan); matched/"
+                    "not_matched clauses take SQL strings"
+                )
             if has_n:
                 kind = cl["not_matched_by_source"]
                 if kind not in ("update", "delete"):
@@ -1312,6 +1364,8 @@ def _normalize_merge_clauses(
                         f"merge_into: when[{i}]['not_matched_by_source'] "
                         f"must be 'update' or 'delete', got {kind!r}"
                     )
+                if isinstance(cl.get("condition"), (list, tuple)):
+                    _check_tuple_cond(cl["condition"], f"when[{i}]")
                 if kind == "update" and not cl.get("set"):
                     raise ValueError(
                         f"merge_into: when[{i}] is a "
@@ -1478,7 +1532,21 @@ def merge_into(
     NOTE the cost asymmetry: not-matched-by-source classification is
     inherently O(table) — it must inspect every target key — so the
     bucket-pruned probe is skipped when such a clause is present (the
-    APPLY still rewrites only buckets where a clause fired). The flat
+    APPLY still rewrites only buckets where a clause fired).
+
+    EXCEPT (round 11): when EVERY not_matched_by_source clause's
+    ``condition`` is a STRUCTURED conjunction — a list of ``(col, op,
+    val)`` tuples, ops ``< <= > >= = between in``, over target
+    columns (no ``t_`` prefix; the layer adds it) — and the table
+    carries zone maps (``stats_cols=``), the absent-row scan prunes to
+    files whose stat envelopes overlap some clause's conjunction, and
+    the matched-side probe gets its bucket pruning back. A daily
+    snapshot-sync whose absentee clauses are date-bounded
+    (``{"not_matched_by_source": "update", "condition":
+    [("updated_at", "<", cutoff)], "set": ...}``) then reads only the
+    stale slice instead of the whole table. The structured form IS the
+    executed condition (same null semantics: comparisons never match
+    null), so prune and predicate cannot disagree. The flat
     kwargs remain as sugar
     for the common single-clause shapes and compile to the same normal
     form (``matched_delete_condition`` is the first matched clause —
@@ -1686,6 +1754,16 @@ def merge_into(
         live_cols = None  # cold start: the source defines the schema
 
     def _cond(c):
+        if isinstance(c, (list, tuple)):
+            # structured NBS condition: conjunction of (col, op, val)
+            # over TARGET columns, evaluated against the t_-prefixed
+            # absent-row relation — the same predicate language the
+            # zone-map prune plans against, so condition and prune
+            # can never disagree (round 11, VERDICT r10 #4)
+            out = F.lit(True)
+            for col, op, val in c:
+                out = out & _tuple_pred(f"t_{col}", op, val)
+            return out
         return F.expr(c) if isinstance(c, str) else c
 
     # the source is traversed several times (cardinality check, bucket
@@ -1797,14 +1875,59 @@ def _merge_into_impl(
     n_src = source.count()
     hint_small = n_src <= MERGE_BROADCAST_KEY_GATE
 
+    # NBS zone-map prune plan (round 11, VERDICT r10 #4): when EVERY
+    # not_matched_by_source clause carries a structured (col, op, val)
+    # condition and the table has file stats, the absent-row scan can
+    # skip files whose stat envelopes are disjoint from every clause's
+    # conjunction — a row claimed by clause i satisfies i's whole
+    # conjunction, so its file overlaps each of i's predicates and
+    # survives in the per-clause kept set; the union over clauses is
+    # therefore a superset of every claimable row (same soundness
+    # argument as scan_cdc_pruned: skipping a file only removes rows no
+    # clause could touch). Metadata-only decision, gated on the same
+    # kept-fraction threshold as the IVM prune (a near-full keep pays
+    # the many-small-reads scan without saving IO), falling back to the
+    # honest O(table) read on pre-stats dirs.
+    nbs_kept_paths: list[str] | None = None
+    if (
+        nbs_clauses
+        and "buckets" in man
+        and "file_stats" in man
+        and all(
+            isinstance(cl["condition"], (list, tuple))
+            and cl["condition"]
+            for cl in nbs_clauses
+        )
+    ):
+        kept: set[str] = set()
+        total_files = 0
+        usable = True
+        for cl in nbs_clauses:
+            plan = _cdc_prune_plan(
+                man, table_dir.rstrip("/"), list(cl["condition"])
+            )
+            if plan["unstated_dirs"]:
+                usable = False  # pre-stats dirs: contents unknown
+                break
+            kept.update(plan["kept_paths"])
+            total_files = plan["total_files"]
+        if (
+            usable
+            and total_files
+            and len(kept) / total_files <= _IVM_PRUNE_MAX_KEPT_FRACTION
+        ):
+            nbs_kept_paths = sorted(kept)
+
     # probe the touched buckets for the CURRENT rows of the source's
     # keys — bucket-dir pruned + broadcast semi-join, O(touched buckets).
     # NOT-MATCHED-BY-SOURCE clauses inspect every target row the source
     # does NOT carry, so their classification is inherently O(table) —
     # the prune is skipped (the docstring says so; the APPLY still
-    # rewrites only buckets where some clause actually fired)
+    # rewrites only buckets where some clause actually fired) — UNLESS
+    # the NBS side reads its own zone-map-pruned scan above, in which
+    # case the matched side gets its bucket pruning back too.
     buckets = None
-    if "buckets" in man and not nbs_clauses:
+    if "buckets" in man and (not nbs_clauses or nbs_kept_paths is not None):
         nb = man["n_buckets"]
         buckets = [
             r[0]
@@ -1964,7 +2087,19 @@ def _merge_into_impl(
         # only (a tombstoned key has no row to update or delete), all
         # columns exposed as t_<name> (there is no source row, so
         # conditions and SET expressions read the target only)
-        nbs = raw_all.filter(~F.col(DELETED_COL)).join(
+        if nbs_kept_paths is not None:
+            # zone-map-pruned absent-row scan: only files whose stats
+            # overlap some clause's conjunction (resolution against
+            # overlays still applies — raw=True keeps tombstones and
+            # seq so the ~deleted filter and the seq stamp see the
+            # same state read_txn would show)
+            nbs_src = scan_cdc_pruned(
+                spark, table_dir, [], man=man,
+                kept_paths=nbs_kept_paths, raw=True,
+            )
+        else:
+            nbs_src = raw_all
+        nbs = nbs_src.filter(~F.col(DELETED_COL)).join(
             F.broadcast(src_keys) if hint_small else src_keys,
             key_col, "left_anti",
         )
@@ -3965,6 +4100,7 @@ def scan_cdc_pruned(
     version: int | None = None,
     kept_paths: list[str] | None = None,
     man: dict | None = None,
+    raw: bool = False,
 ) -> DataFrame | None:
     """Zone-map-pruned analytics scan over a BUCKETED CDC table: skip
     base files whose per-file stats are disjoint from ``filters``
@@ -3982,7 +4118,13 @@ def scan_cdc_pruned(
 
     Returns None for an empty selection. ``kept_paths`` lets a caller
     that already ran the metadata pass (_cdc_kept_files — e.g. the IVM
-    prune cost gate) hand the result over instead of recomputing it.
+    prune cost gate) hand the result over instead of recomputing it —
+    such a caller must have verified there are no unstated (pre-stats)
+    dirs, since the plan that produced the list owns that knowledge.
+    ``raw=True`` returns the RESOLVED keyed state (latest row per key,
+    overlay tombstones applied) with ``DELETED_COL`` and the seq column
+    still visible and NO residual applied — the merge_into NBS pass
+    reads this shape (round 11).
     Cost: metadata-only planning
     over O(live files), then a scan of only the intersecting files —
     the time-correlated-ingest case (each commit's dir covers a narrow
@@ -4081,6 +4223,8 @@ def scan_cdc_pruned(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    if raw:
+        return out.drop(BUCKET_COL)
     out = out.filter(~F.col(DELETED_COL)).drop(DELETED_COL, BUCKET_COL)
     return out.filter(_residual(filters))
 

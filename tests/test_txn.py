@@ -5061,3 +5061,257 @@ class TestMergeNotMatchedBySource:
             ],
         )
         assert self._live(spark, t) == {2: ("b", False)}
+
+
+class TestNbsZoneMapPrune:
+    """Round 11 (VERDICT r10 #4): structured NBS clause conditions
+    enable zone-map pruning of the absent-row scan — and restore the
+    matched side's bucket probe. Soundness: a row claimed by clause i
+    satisfies i's whole conjunction, so its file overlaps every
+    predicate of i and survives in the union of per-clause kept sets;
+    pruned files contain only rows no clause could touch."""
+
+    T = "id long, d long, val string"
+
+    def _seed(self, spark, t, n=400, n_buckets=2, target_file_rows=50):
+        """n rows, d = id // 10 (a date-like monotone column);
+        stats_cols clustering rolls each bucket into date-narrow
+        files, the shape the prune exploits."""
+        rows = [(i, i // 10, f"v{i}", 1, "I") for i in range(n)]
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, self.T + ", seq long, op string"),
+            t, key_col="id", n_buckets=n_buckets,
+            stats_cols=["d"], target_file_rows=target_file_rows,
+        )
+
+    def _live(self, spark, t):
+        return {
+            r.id: (r.d, r.val)
+            for r in txn.read_cdc_table(spark, t).collect()
+        }
+
+    def _merge(self, spark, t, cond, src_rows=None):
+        src = spark.createDataFrame(
+            src_rows
+            or [(i, i // 10, f"n{i}") for i in range(100, 400)],
+            self.T,
+        )
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"matched": "update"},
+                {"not_matched": "insert"},
+                {"not_matched_by_source": "delete", "condition": cond},
+            ],
+        )
+
+    def test_pruned_equals_unpruned(self, spark, tmp_path):
+        """The done criterion: the structured-condition (pruned) merge
+        and the string-condition (O(table)) merge land the same state.
+        Source carries keys 100..399; absentees 0..99 (d 0..9) are
+        deleted when d < 5 -> keys 0..49 go, 50..99 stay."""
+        ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+        for t in (ta, tb):
+            self._seed(spark, t)
+        self._merge(spark, ta, [("d", "<", 5)])
+        self._merge(spark, tb, "t_d < 5")
+        a, b = self._live(spark, ta), self._live(spark, tb)
+        assert a == b
+        assert set(a) == set(range(50, 400))
+        assert a[50] == (5, "v50") and a[150] == (15, "n150")
+
+    def test_prune_engages_and_falls_back(self, spark, tmp_path, monkeypatch):
+        """The pruned scan is actually taken for structured conditions
+        on a stats-bearing table (kept fraction ~2/16), and NOT taken
+        for string conditions or stats-less tables."""
+        calls = []
+        orig = txn.scan_cdc_pruned
+
+        def spy(*a, **kw):
+            if kw.get("raw"):
+                calls.append(kw.get("kept_paths"))
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(txn, "scan_cdc_pruned", spy)
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        man = txn.latest_manifest(spark, t)
+        total = sum(len(v) for v in man["file_stats"].values())
+        assert total >= 8  # clustered rolling produced narrow files
+        self._merge(spark, t, [("d", "<", 5)])
+        assert len(calls) == 1
+        # the kept set is a real prune, not the whole table
+        assert 0 < len(calls[0]) < total / 2
+        # string condition: honest O(table) read, no pruned scan
+        t2 = str(tmp_path / "t2")
+        self._seed(spark, t2)
+        self._merge(spark, t2, "t_d < 5")
+        assert len(calls) == 1
+        # stats-less table: falls back silently
+        t3 = str(tmp_path / "t3")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, i // 10, f"v{i}", 1, "I") for i in range(100)],
+                self.T + ", seq long, op string",
+            ),
+            t3, key_col="id", n_buckets=2,
+        )
+        self._merge(
+            spark, t3, [("d", "<", 5)],
+            src_rows=[(i, i // 10, f"n{i}") for i in range(50, 100)],
+        )
+        assert len(calls) == 1
+        assert set(self._live(spark, t3)) == set(range(5 * 10, 100))
+
+    def test_matched_side_bucket_probe_restored(self, spark, tmp_path):
+        """With a prunable NBS clause the matched side goes back to the
+        bucket-pruned probe: a narrow source must NOT trip the
+        full-width RuntimeWarning that the O(table) path suppressed by
+        never probing."""
+        import warnings as _w
+
+        t = str(tmp_path / "t")
+        self._seed(spark, t, n_buckets=8)
+        # one key -> one bucket; NBS clause structured -> probe runs
+        src = spark.createDataFrame([(7, 0, "x")], self.T)
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            txn.merge_into(
+                spark, t, src,
+                when=[
+                    {"matched": "update"},
+                    {"not_matched_by_source": "delete",
+                     "condition": [("d", "<", 0)]},  # claims nothing
+                ],
+            )
+        live = self._live(spark, t)
+        assert live[7] == (0, "x") and len(live) == 400
+
+    def test_overlay_tombstone_respected_through_prune(self, spark, tmp_path):
+        """A key whose base row sits in a KEPT file but was tombstoned
+        by a later overlay must not be claimed by an NBS clause — the
+        raw pruned scan resolves overlays before the ~deleted filter."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        # tombstone key 3 (d=0, inside the claimed range)
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(3, None, None, 9, "D")],
+                self.T + ", seq long, op string",
+            ),
+            t, key_col="id", n_buckets=None,
+        )
+        self._merge(spark, t, [("d", "<", 5)])
+        live = self._live(spark, t)
+        assert 3 not in live and 2 not in live  # 2 deleted by clause
+        assert set(live) == set(range(50, 400))
+
+    def test_multi_clause_union_and_first_match(self, spark, tmp_path):
+        """Two structured NBS clauses: kept set is the UNION of the
+        per-clause prunes, and first-match-wins still decides rows
+        matching both."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t)
+        src = spark.createDataFrame(
+            [(i, i // 10, f"n{i}") for i in range(100, 400)], self.T
+        )
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"matched": "update"},
+                {"not_matched_by_source": "delete",
+                 "condition": [("d", "<", 2)]},
+                {"not_matched_by_source": "update",
+                 "condition": [("d", "between", (1, 6))],
+                 "set": {"val": "concat(t_val, '-stale')"}},
+            ],
+        )
+        live = self._live(spark, t)
+        # d<2 (keys 0..19) deleted; d in [2,6] (20..69) stale-stamped
+        # (d=1 rows matched BOTH: first clause won -> deleted)
+        assert 0 not in live and 19 not in live
+        assert live[20] == (2, "v20-stale") and live[69] == (6, "v69-stale")
+        assert live[70] == (7, "v70")  # claimed by neither
+        assert live[150] == (15, "n150")
+
+    def test_structured_condition_rejected_off_nbs(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._seed(spark, t, n=20)
+        src = spark.createDataFrame([(1, 0, "x")], self.T)
+        with pytest.raises(ValueError, match="structured"):
+            txn.merge_into(
+                spark, t, src,
+                when=[{"matched": "update",
+                       "condition": [("d", "<", 5)]}],
+            )
+        with pytest.raises(ValueError, match="not in"):
+            txn.merge_into(
+                spark, t, src,
+                when=[
+                    {"matched": "update"},
+                    {"not_matched_by_source": "delete",
+                     "condition": [("d", "!=", 5)]},
+                ],
+            )
+
+    def test_null_condition_column_never_claimed(self, spark, tmp_path):
+        """Null semantics parity between prune and predicate: a row
+        with NULL in the condition column is claimed by no comparison
+        clause, pruned or not."""
+        t = str(tmp_path / "t")
+        rows = [(1, None, "a", 1, "I"), (2, 0, "b", 1, "I")]
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, self.T + ", seq long, op string"),
+            t, key_col="id", n_buckets=2,
+            stats_cols=["d"], target_file_rows=1,
+        )
+        src = spark.createDataFrame([(9, 9, "z")], self.T)
+        txn.merge_into(
+            spark, t, src,
+            when=[
+                {"not_matched": "insert"},
+                {"not_matched_by_source": "delete",
+                 "condition": [("d", "<", 5)]},
+            ],
+        )
+        live = self._live(spark, t)
+        assert 1 in live and 2 not in live and 9 in live
+
+
+class TestMergeSourcePersist:
+    """VERDICT r10 #5: merge_into traverses the source four times
+    (cardinality probe, count, bucket probe, classification join) —
+    the call-scoped persist must make a derived source's plan execute
+    ONCE, not four times. Counted with an accumulator-ticking UDF in
+    the source plan: under the persist the tick runs only during cache
+    materialization."""
+
+    def test_source_plan_executes_once_across_probes(self, spark, tmp_path):
+        from pyspark.sql.functions import udf
+
+        acc = spark.sparkContext.accumulator(0)
+
+        @udf("long")
+        def tick(v):
+            acc.add(1)
+            return v
+
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(
+                [(i, f"v{i}", 1, "I") for i in range(40)],
+                "id long, val string, seq long, op string",
+            ),
+            t, key_col="id", n_buckets=4,
+        )
+        n_src = 50
+        src = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(n_src)], "id long, val string"
+        ).select(tick(F.col("id")).alias("id"), "val")
+        txn.merge_into(spark, t, src)
+        live = {r.id: r.val for r in txn.read_cdc_table(spark, t).collect()}
+        assert live == {i: f"n{i}" for i in range(n_src)}
+        # one materialization (the persist) — not one per traversal.
+        # Exactly n_src under the cache; 4-5x that if the persist broke.
+        assert acc.value == n_src, acc.value
+
