@@ -511,3 +511,47 @@ def test_zorder_scan_pruned_file_list_and_pushdown(spark, tmp_path):
     assert has_pushed_filter(df, "o_custkey")
     # the scan's file count equals the prune report's kept set
     assert len(df.inputFiles()) == rep["kept_files"]
+
+
+class TestPlanFingerprint:
+    """plans.plan_fingerprint (round 11): the bench ledger's per-query
+    plan identity. Must be STABLE across independent plannings of the
+    same query (expression ids and paths are normalized away) and
+    SENSITIVE to real plan changes (a different filter, a lost
+    projection) — the quarantine gate's plan-change exemption rides on
+    exactly these two properties."""
+
+    def test_stable_across_replanning(self, spark):
+        from taar_gcp_etl_spark.plans import plan_fingerprint
+
+        def q():
+            return (
+                spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+                .filter("o_custkey < 100")
+                .groupBy("o_orderstatus")
+                .count()
+            )
+
+        fp1, fp2 = plan_fingerprint(q()), plan_fingerprint(q())
+        assert fp1 == fp2
+        assert len(fp1) == 12
+
+    def test_stable_for_registry_query(self, spark):
+        from taar_gcp_etl_spark.plans import plan_fingerprint
+
+        fn = SPARK_QUERIES["tpch_q1"]
+        assert plan_fingerprint(fn(spark, SF_SMOKE)) == plan_fingerprint(
+            fn(spark, SF_SMOKE)
+        )
+
+    def test_sensitive_to_plan_changes(self, spark):
+        from taar_gcp_etl_spark.plans import plan_fingerprint
+
+        base = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        a = plan_fingerprint(base.filter("o_custkey < 100"))
+        b = plan_fingerprint(base.filter("o_custkey < 200"))
+        c = plan_fingerprint(
+            base.filter("o_custkey < 100").select("o_orderkey")
+        )
+        assert a != b  # changed literal
+        assert a != c  # changed projection
