@@ -1855,7 +1855,15 @@ def _minhash_signed_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (4 hashes over 3-token shingles)."""
+    """Per-document MinHash signature (4 hashes over 3-token shingles).
+
+    SESSION-SHARED COST: reads the memoized/persisted signature
+    projection the minhash family shares (operators/dedup.py's
+    documented MinHashLSH trade), so its in-suite bench time depends
+    on whether lsh_near_dup already materialized the cache this
+    session (measured 0.05 s after vs ~1 s before — the r11
+    reversed-order experiment). Isolated cost lives in
+    docs/bench_isolated.json, not the suite map."""
     return _minhash_signed_cached(spark, sf_dir).select(
         "doc_id", "sig0", "sig1", "sig2", "sig3"
     )
