@@ -862,9 +862,9 @@ class TestLedgerHygiene:
             assert len(hist) > len(with_s)
 
 
-class TestLatestPlanFp:
-    def test_latest_same_sf_entry_wins(self, tmp_path):
-        from bench import _latest_plan_fp
+class TestPlanFpHistory:
+    def test_same_sf_entries_in_order(self, tmp_path):
+        from bench import _plan_fp_history
 
         lines = [
             {"sf": 0.1, "plan_fp": {"q": "aaa"}},
@@ -874,12 +874,196 @@ class TestLatestPlanFp:
         p = tmp_path / "trend.jsonl"
         p.write_text("".join(json.dumps(e) + "\n" for e in lines))
         # quarantined entries still count: plans are timing-independent
-        assert _latest_plan_fp(str(p), 0.1) == {"q": "bbb"}
+        assert _plan_fp_history(str(p), 0.1) == [{"q": "aaa"}, {"q": "bbb"}]
 
     def test_empty_without_fp_entries(self, tmp_path):
-        from bench import _latest_plan_fp
+        from bench import _plan_fp_history
 
         p = tmp_path / "trend.jsonl"
         p.write_text(json.dumps({"sf": 0.1, "value": 1.0}) + "\n")
-        assert _latest_plan_fp(str(p), 0.1) == {}
-        assert _latest_plan_fp(str(tmp_path / "absent"), 0.1) == {}
+        assert _plan_fp_history(str(p), 0.1) == []
+        assert _plan_fp_history(str(tmp_path / "absent"), 0.1) == []
+
+
+class TestStablePlanChanged:
+    """VERDICT r11 #1b: the plan-change demotion exemption requires the
+    fingerprint to have been STABLE across prior ledger entries."""
+
+    def test_stable_then_changed_qualifies(self):
+        from bench import stable_plan_changed
+
+        hist = [{"q": "aaa"}, {"q": "aaa"}]
+        assert stable_plan_changed({"q": "bbb"}, hist) == {"q"}
+
+    def test_churning_fingerprint_never_qualifies(self):
+        from bench import stable_plan_changed
+
+        # tokenize_ids' real r11 shape: differs in every prior pair
+        hist = [{"q": "aaa"}, {"q": "bbb"}, {"q": "ccc"}]
+        assert stable_plan_changed({"q": "ddd"}, hist) == frozenset()
+
+    def test_unchanged_fingerprint_never_qualifies(self):
+        from bench import stable_plan_changed
+
+        hist = [{"q": "aaa"}, {"q": "aaa"}]
+        assert stable_plan_changed({"q": "aaa"}, hist) == frozenset()
+
+    def test_single_prior_recording_is_not_evidence(self):
+        from bench import stable_plan_changed
+
+        assert stable_plan_changed({"q": "bbb"}, [{"q": "aaa"}]) == frozenset()
+        assert stable_plan_changed({"q": "bbb"}, []) == frozenset()
+
+    def test_only_last_two_recordings_matter(self):
+        from bench import stable_plan_changed
+
+        # old churn followed by two agreeing entries = stable now:
+        # a real code change last round settles after two quiet runs
+        hist = [{"q": "xxx"}, {"q": "aaa"}, {"q": "aaa"}]
+        assert stable_plan_changed({"q": "bbb"}, hist) == {"q"}
+
+    def test_queries_missing_from_history_skipped(self):
+        from bench import stable_plan_changed
+
+        hist = [{"other": "aaa"}, {"other": "aaa"}]
+        assert stable_plan_changed({"q": "bbb"}, hist) == frozenset()
+
+
+class TestChoosePrior:
+    """VERDICT r11 #1a: the adjudication prior must be a QUIET run."""
+
+    def _ledger(self, tmp_path, entries):
+        p = tmp_path / "trend.jsonl"
+        p.write_text("".join(json.dumps(e) + "\n" for e in entries))
+        return str(p)
+
+    def test_quiet_bench_full_wins(self, tmp_path):
+        from bench import choose_prior
+
+        prev = {"sf": 0.1, "queries": {"q": 1.0}, "sentinel": 0.14,
+                "contended": False, "host_index": 1.0, "breadth": 1.02}
+        path = self._ledger(tmp_path, [
+            {"sf": 0.1, "queries_adjusted": {"q": 9.0}, "sentinel": 0.2},
+        ])
+        assert choose_prior(prev, 0.1, path) == ({"q": 1.0}, 0.14)
+
+    def test_contended_bench_full_falls_back_to_quiet_ledger(self, tmp_path):
+        from bench import choose_prior
+
+        prev = {"sf": 0.1, "queries": {"q": 4.2}, "sentinel": 0.18,
+                "contended": True, "host_index": 1.29, "breadth": 1.13}
+        path = self._ledger(tmp_path, [
+            {"sf": 0.1, "queries_adjusted": {"q": 2.0}, "sentinel": 0.14,
+             "host_index": 0.98, "breadth": 1.07},
+            {"sf": 0.1, "queries_adjusted": {"q": 4.0}, "sentinel": 0.18,
+             "contended": True, "host_index": 1.29},
+        ])
+        assert choose_prior(prev, 0.1, path) == ({"q": 2.0}, 0.14)
+
+    def test_host_suspect_full_and_ledger_skipped(self, tmp_path):
+        from bench import choose_prior
+
+        prev = {"sf": 0.1, "queries": {"q": 4.2}, "host_index": 1.88}
+        path = self._ledger(tmp_path, [
+            {"sf": 0.1, "queries_adjusted": {"q": 2.0}, "sentinel": 0.14},
+            {"sf": 0.1, "queries_adjusted": {"q": 5.0}, "sentinel": 0.3,
+             "host_suspect": True},
+            {"sf": 0.1, "queries_adjusted": {"q": 6.0}, "sentinel": 0.3,
+             "breadth": 1.4},
+        ])
+        assert choose_prior(prev, 0.1, path) == ({"q": 2.0}, 0.14)
+
+    def test_cross_sf_full_rejected(self, tmp_path):
+        from bench import choose_prior
+
+        prev = {"sf": 0.01, "queries": {"q": 1.0}}
+        path = self._ledger(tmp_path, [])
+        assert choose_prior(prev, 0.1, path) == ({}, None)
+
+    def test_no_quiet_candidate_empty_prior(self, tmp_path):
+        from bench import choose_prior
+
+        prev = {"sf": 0.1, "queries": {"q": 1.0}, "contended": True}
+        path = self._ledger(tmp_path, [
+            {"sf": 0.1, "queries_adjusted": {"q": 2.0}, "contended": True},
+        ])
+        assert choose_prior(prev, 0.1, path) == ({}, None)
+        assert choose_prior(None, 0.1, str(tmp_path / "absent")) == ({}, None)
+
+
+class TestReplayR11Phantom:
+    """Replay of the ACTUAL r11 driver run (real artifacts committed as
+    fixtures) — the round whose official BENCH headline shipped a
+    phantom tokenize_ids regression through two gate gaps at once.
+    Both fixes must flip the outcome on the real data."""
+
+    def _fixtures(self):
+        d = os.path.join(os.path.dirname(__file__), "data")
+        with open(os.path.join(d, "bench_replay_r11_driver.json")) as f:
+            driver = json.load(f)
+        with open(os.path.join(d, "bench_replay_r11_prev_full.json")) as f:
+            prev_full = json.load(f)
+        ledger = os.path.join(d, "bench_replay_r11_ledger.jsonl")
+        return driver, prev_full, ledger
+
+    def test_prior_skips_the_contended_run(self):
+        """choose_prior must reject the contended 158 s run's artifact
+        (the actual prior the r11 driver adjudicated against) and land
+        on the quiet 151 s ledger entry instead."""
+        from bench import choose_prior
+
+        driver, prev_full, ledger = self._fixtures()
+        prior, sentinel = choose_prior(prev_full, 0.1, ledger)
+        # the quiet ts-1786913694 entry: host_index 0.98, breadth 1.07
+        assert sentinel == 0.139
+        assert prior["tokenize_ids"] == 1.986
+
+    def test_quiet_prior_kills_the_swing(self):
+        """Against the quiet prior, tokenize_ids' warm 1.62 s is within
+        the 15% adjudication threshold of 1.986 s-trend... not quite —
+        it IS a swing (18% fast), but the rerun 3.204 lands >15% from
+        warm, so the query flags ambient and credible_map charges the
+        value closest to the QUIET prior (the warm 1.62), not the
+        polluted rerun."""
+        from bench import adjudicate
+
+        driver, prev_full, ledger = self._fixtures()
+        prior = {"tokenize_ids": 1.986}
+        warm = {"tokenize_ids": driver["warm_tokenize_ids"]}
+        rerun_vals = {"tokenize_ids": driver["rerun_tokenize_ids"]}
+        rerun, ambient, adjusted, _ = adjudicate(
+            warm, prior, lambda n: rerun_vals[n]
+        )
+        assert ambient == ["tokenize_ids"]
+        assert adjusted["tokenize_ids"] == driver["warm_tokenize_ids"]
+
+    def test_unstable_fingerprint_no_longer_blocks_demotion(self):
+        """Even when the flag survives adjudication, the quarantine
+        (host_index 1.88) must now demote it: tokenize_ids' fingerprint
+        churned across every prior pair of identical-code ledger
+        entries, so the plan-change exemption does not apply."""
+        from bench import (
+            _plan_fp_history,
+            quarantine_flags,
+            stable_plan_changed,
+        )
+
+        driver, prev_full, ledger = self._fixtures()
+        # fingerprint history BEFORE the driver run = first 3 entries
+        hist = _plan_fp_history(ledger, 0.1)[:-1]
+        assert len(hist) == 3
+        fps = [h["tokenize_ids"] for h in hist]
+        assert len(set(fps)) == 3  # the real churn
+        plan_changed = stable_plan_changed(driver["plan_fp"], hist)
+        assert "tokenize_ids" not in plan_changed
+        headline, suspect = quarantine_flags(
+            ["tokenize_ids"],
+            driver["n_queries"],
+            driver["host_index"],
+            False,
+            breadth=driver["breadth"],
+            frac15=driver["frac15"],
+            plan_changed=plan_changed,
+        )
+        assert headline == []
+        assert suspect == ["tokenize_ids"]

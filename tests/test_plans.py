@@ -555,3 +555,92 @@ class TestPlanFingerprint:
         )
         assert a != b  # changed literal
         assert a != c  # changed projection
+
+
+class TestCrossSessionFingerprint:
+    """Round 12 (VERDICT r11 #1b): plan_fingerprint normalization must be
+    stable ACROSS JVM sessions — 8 registry queries churned fingerprints
+    between every pair of identical-code ledger entries in r11, turning
+    the quarantine's plan-change exemption into a permanent hole.
+
+    Fixtures are RAW formatted plans captured from two separate
+    fresh-JVM sessions running identical code (sf0.1 for the suite
+    queries, sf0.001 for the MLlib ones), committed gzipped under
+    tests/data/plans_xsession/. Each churned for a now-normalized
+    reason: RDD lineage ids + call sites (cc_clusters, interleave,
+    tokenize_ids), session-global lambda-variable counters
+    (tokenize_ids), JVM lambda identities (als_recs), FP-Growth
+    createDataFrame RDD ids (basket_rules). validate_batch's
+    grouping-set gid assignment churns SCALA-side (not textually
+    normalizable) and is instead absorbed by bench.stable_plan_changed's
+    stability precondition — pinned here as a known-unstable marker so
+    a future normalization win is noticed."""
+
+    @staticmethod
+    def _digest(name: str) -> str:
+        import gzip
+        import hashlib
+        import os
+
+        from taar_gcp_etl_spark.plans import normalize_plan
+
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "plans_xsession",
+            f"{name}.txt.gz",
+        )
+        with gzip.open(path, "rt") as f:
+            return hashlib.sha256(
+                normalize_plan(f.read()).encode()
+            ).hexdigest()[:12]
+
+    @pytest.mark.parametrize(
+        "a,b",
+        [
+            ("p01_cc_clusters_1a", "p01_cc_clusters_2a"),
+            ("p01_interleave_1a", "p01_interleave_2a"),
+            ("p01_tokenize_ids_1a", "p01_tokenize_ids_2a"),
+            ("plane_als_recs_1", "plane_als_recs_2"),
+            ("plane_basket_rules_1", "plane_basket_rules_2"),
+        ],
+    )
+    def test_identical_code_fingerprints_identically(self, a, b):
+        assert self._digest(a) == self._digest(b)
+
+    def test_validate_batch_known_unstable(self):
+        """Scala-side grouping-set gid churn — if this ever stabilizes
+        (Spark upgrade or smarter normalization), flip the assertion
+        and drop the stable_plan_changed carve-out note."""
+        assert self._digest("p01_validate_batch_1a") != self._digest(
+            "p01_validate_batch_1b"
+        )
+
+    def test_normalization_preserves_sensitivity(self):
+        """Sorting ExpressionSet lists must not erase real differences:
+        a changed operator/element still changes the digest."""
+        import gzip
+        import hashlib
+        import os
+
+        from taar_gcp_etl_spark.plans import normalize_plan
+
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "plans_xsession",
+            "p01_tokenize_ids_1a.txt.gz",
+        )
+        with gzip.open(path, "rt") as f:
+            raw = f.read()
+        mutated = raw.replace("SortMergeJoin", "BroadcastHashJoin", 1)
+        assert mutated != raw or "SortMergeJoin" not in raw
+        if "SortMergeJoin" in raw:
+            assert hashlib.sha256(
+                normalize_plan(raw).encode()
+            ).hexdigest() != hashlib.sha256(
+                normalize_plan(mutated).encode()
+            ).hexdigest()
+        # element-level sensitivity: dropping one aggregate key changes it
+        mutated2 = raw.replace("doc_id", "other_id")
+        assert hashlib.sha256(
+            normalize_plan(raw).encode()
+        ).hexdigest() != hashlib.sha256(
+            normalize_plan(mutated2).encode()
+        ).hexdigest()
