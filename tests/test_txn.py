@@ -5114,7 +5114,9 @@ class TestNbsZoneMapPrune:
         for t in (ta, tb):
             self._seed(spark, t)
         self._merge(spark, ta, [("d", "<", 5)])
-        self._merge(spark, tb, "t_d < 5")
+        # parenthesized so _parse_nbs_condition rejects it (r12): the
+        # control side must stay the honest O(table) string path
+        self._merge(spark, tb, "(t_d < 5)")
         a, b = self._live(spark, ta), self._live(spark, tb)
         assert a == b
         assert set(a) == set(range(50, 400))
@@ -5122,8 +5124,10 @@ class TestNbsZoneMapPrune:
 
     def test_prune_engages_and_falls_back(self, spark, tmp_path, monkeypatch):
         """The pruned scan is actually taken for structured conditions
-        on a stats-bearing table (kept fraction ~2/16), and NOT taken
-        for string conditions or stats-less tables."""
+        on a stats-bearing table (kept fraction ~2/16) AND for simple
+        SQL strings (r12: _parse_nbs_condition normalizes them to the
+        structured form), and NOT taken for non-parseable strings or
+        stats-less tables."""
         calls = []
         orig = txn.scan_cdc_pruned
 
@@ -5142,11 +5146,17 @@ class TestNbsZoneMapPrune:
         assert len(calls) == 1
         # the kept set is a real prune, not the whole table
         assert 0 < len(calls[0]) < total / 2
-        # string condition: honest O(table) read, no pruned scan
+        # simple SQL string (VERDICT r11 #5): parsed to the structured
+        # form at normalize time — the prune engages for string callers
         t2 = str(tmp_path / "t2")
         self._seed(spark, t2)
         self._merge(spark, t2, "t_d < 5")
-        assert len(calls) == 1
+        assert len(calls) == 2 and len(calls[1]) == len(calls[0])
+        # non-parseable string (disjunction): honest O(table) read
+        t2b = str(tmp_path / "t2b")
+        self._seed(spark, t2b)
+        self._merge(spark, t2b, "t_d < 5 OR t_d < 3")
+        assert len(calls) == 2
         # stats-less table: falls back silently
         t3 = str(tmp_path / "t3")
         txn.apply_cdc_batch_bucketed(
@@ -5160,7 +5170,7 @@ class TestNbsZoneMapPrune:
             spark, t3, [("d", "<", 5)],
             src_rows=[(i, i // 10, f"n{i}") for i in range(50, 100)],
         )
-        assert len(calls) == 1
+        assert len(calls) == 2
         assert set(self._live(spark, t3)) == set(range(5 * 10, 100))
 
     def test_matched_side_bucket_probe_restored(self, spark, tmp_path):
@@ -5276,6 +5286,137 @@ class TestNbsZoneMapPrune:
         )
         live = self._live(spark, t)
         assert 1 in live and 2 not in live and 9 in live
+
+    def test_prune_planning_type_mismatch_falls_back(self, spark, tmp_path):
+        """ADVICE r11 (medium): a condition literal whose Python type
+        can't compare against the stats-deserialized values (datetime
+        cutoff vs date-typed stats → TypeError in _overlaps) must NOT
+        crash the merge — prune planning falls back to the unpruned
+        absent-row scan with a warning, and the executed predicate
+        (Spark coerces) still lands the right state."""
+        import datetime
+        import warnings as _w
+
+        schema = "id long, d date, val string"
+        rows = [
+            (i, datetime.date(1970, 1, 1 + i // 10), f"v{i}", 1, "I")
+            for i in range(100)
+        ]
+        t = str(tmp_path / "t")
+        txn.apply_cdc_batch_bucketed(
+            spark.createDataFrame(rows, schema + ", seq long, op string"),
+            t, key_col="id", n_buckets=2,
+            stats_cols=["d"], target_file_rows=20,
+        )
+        src = spark.createDataFrame(
+            [
+                (i, datetime.date(1970, 1, 1 + i // 10), f"n{i}")
+                for i in range(50, 100)
+            ],
+            schema,
+        )
+        cutoff = datetime.datetime(1970, 1, 6)  # datetime, stats are date
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            txn.merge_into(
+                spark, t, src,
+                when=[
+                    {"matched": "update"},
+                    {"not_matched_by_source": "delete",
+                     "condition": [("d", "<", cutoff)]},
+                ],
+            )
+        assert any("prune planning failed" in str(w.message) for w in caught)
+        live = {r.id for r in txn.read_cdc_table(spark, t).collect()}
+        # absentees 0..49 have d <= Jan 5 < Jan 6 cutoff -> deleted
+        assert live == set(range(50, 100))
+
+    def test_tuple_cond_value_shape_validated(self, spark, tmp_path):
+        """ADVICE r11 (low): bad between/in value shapes must fail at
+        the documented validation point, not as an opaque TypeError
+        deep in _tuple_pred or prune planning."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, n=20)
+        src = spark.createDataFrame([(1, 0, "x")], self.T)
+
+        def merge(cond):
+            txn.merge_into(
+                spark, t, src,
+                when=[
+                    {"matched": "update"},
+                    {"not_matched_by_source": "delete", "condition": cond},
+                ],
+            )
+
+        with pytest.raises(ValueError, match="between.*2-element"):
+            merge([("d", "between", 5)])
+        with pytest.raises(ValueError, match="between.*2-element"):
+            merge([("d", "between", (1, 2, 3))])
+        with pytest.raises(ValueError, match="'in' condition"):
+            merge([("d", "in", 3)])
+        merge([("d", "between", (98, 99)), ("d", "in", [98, 99])])
+
+    def test_parse_nbs_condition_grammar(self):
+        """r12 (VERDICT r11 #5): the SQL-string → structured translator
+        accepts exactly the simple conjunctive grammar and rejects
+        everything else (parse, don't trust)."""
+        p = txn._parse_nbs_condition
+        assert p("t_d < 5") == [("d", "<", 5)]
+        assert p("  t_d  <=  5  AND  t_val = 'x'  ") == [
+            ("d", "<=", 5), ("val", "=", "x")
+        ]
+        assert p("t_score >= -1.5") == [("score", ">=", -1.5)]
+        assert p("t_a == 3 and t_b > 0") == [("a", "=", 3), ("b", ">", 0)]
+        # a quoted literal containing ' AND ' must not split
+        assert p("t_val = 'x AND y' AND t_d = 1") == [
+            ("val", "=", "x AND y"), ("d", "=", 1)
+        ]
+        # rejections: outside the grammar → None (runs as string)
+        for s in (
+            "(t_d < 5)",
+            "t_d < 5 OR t_d > 9",
+            "NOT t_d < 5",
+            "t_d BETWEEN 1 AND 5",
+            "t_d IN (1, 2)",
+            "t_d IS NULL",
+            "t_d + 1 < 5",
+            "t_d < t_other",
+            "d < 5",              # not t_-prefixed
+            "t_d < 'unclosed",
+            "t_d != 5",
+        ):
+            assert p(s) is None, s
+
+    def test_string_condition_equals_structured(self, spark, tmp_path):
+        """End-to-end equality: the parsed string path and the explicit
+        structured path land byte-identical states (both pruned), and
+        both match the unparsed-string O(table) control."""
+        ta, tb, tc = (str(tmp_path / x) for x in "abc")
+        for t in (ta, tb, tc):
+            self._seed(spark, t)
+        self._merge(spark, ta, [("d", "<", 3)])
+        self._merge(spark, tb, "t_d < 3")
+        self._merge(spark, tc, "(t_d < 3)")  # unparsed control
+        a, b, c = (self._live(spark, t) for t in (ta, tb, tc))
+        assert a == b == c
+        assert set(a) == set(range(30, 400))
+
+    def test_legacy_kwargs_reject_structured_condition(self, spark, tmp_path):
+        """ADVICE r11 (low): the legacy kwargs path must reject
+        structured conditions with the same ValueError the when=[...]
+        path raises, instead of silently evaluating them over
+        t_-prefixed columns."""
+        t = str(tmp_path / "t")
+        self._seed(spark, t, n=20)
+        src = spark.createDataFrame([(1, 0, "x")], self.T)
+        for kw in (
+            {"matched_condition": [("d", "<", 5)]},
+            {"matched_delete_condition": [("d", "<", 5)]},
+            {"when_not_matched": "insert",
+             "not_matched_condition": [("d", "<", 5)]},
+        ):
+            with pytest.raises(ValueError, match="structured"):
+                txn.merge_into(spark, t, src, **kw)
 
 
 class TestMergeSourcePersist:
