@@ -9,11 +9,14 @@ median committed to docs/bench_isolated.json as the query's
 position-independent budget.
 
 Each per-query subprocess also times the CPU contention sentinel (the
-same fixed plan bench.py uses), so the committed baselines carry the
-host-speed of the box they were measured on: a future gate comparison
-rescales the baseline into the current run's host-seconds
-(baseline * sentinel_now / sentinel_baseline) exactly like the trend
-ledger entries.
+same fixed plan bench.py uses) for AFTER-THE-FACT quietness review
+only — the gate deliberately does NOT sentinel-rescale isolated
+budgets (bench.find_regressions documents why: fresh-JVM sentinel
+samples ranged 0.17-0.58 s across JVMs whose queries converged
+identically, and a fresh JVM's sentinel runs systematically ~1.4x
+above a suite-aged JVM's, so a sentinel ratio would inject exactly the
+noise the budget exists to remove). Budgets are same-box absolute
+numbers.
 
 Usage:
     python scripts/isolate_bench.py                   # default subset
@@ -123,6 +126,31 @@ def main() -> None:
         from taar_gcp_etl_spark.queries import SPARK_QUERIES
 
         names = list(SPARK_QUERIES)
+    elif "--missing" in args:
+        # registry queries with no committed budget yet (VERDICT r11
+        # #3: extend coverage toward the full registry); an optional
+        # trailing integer caps the chunk size so a long sweep can be
+        # interleaved with other work.
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES
+
+        sf_dir_ = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        sf_ = (
+            float(sf_dir_.rstrip("/").rsplit("sf", 1)[-1])
+            if "sf" in sf_dir_ else -1.0
+        )
+        try:
+            with open(
+                os.path.join(REPO, "docs", "bench_isolated.json")
+            ) as f:
+                have = set(json.load(f).get(str(sf_), {}))
+        except (OSError, ValueError):
+            have = set()
+        names = [n for n in SPARK_QUERIES if n not in have]
+        rest = [a for a in args if a != "--missing"]
+        if rest and rest[0].isdigit():
+            names = names[: int(rest[0])]
     elif args:
         names = args
     else:

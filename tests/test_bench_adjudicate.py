@@ -1067,3 +1067,102 @@ class TestReplayR11Phantom:
         )
         assert headline == []
         assert suspect == ["tokenize_ids"]
+
+
+class TestBreadthBandRevalidation:
+    """VERDICT r11 #4: second validation of the breadth gate over the
+    FULL live ledger (snapshot fixture, 29 entries through r12's
+    start). Replays suite_breadth chronologically — each entry scored
+    against the quiet history before it — and pins the observed bands:
+
+    - quiet entries from the instrumented era replay 0.95-1.12; the two
+      pre-instrumentation drift rounds reach 1.16 — so MASS_FLAG_BREADTH
+      (1.10) cannot tighten without mis-corroborating real quiet runs,
+      and BREADTH_QUARANTINE (1.25) clears every quiet replay.
+    - the true noisy-neighbor events (379 s / 592 s suites) replay
+      1.41-1.61, comfortably past the quarantine trigger.
+    - the r9 phantom-flag round (168.8 s, 24 flags, stamped quiet
+      because it PREDATES the quarantine) replays at 1.41: today's gate
+      would have quarantined the round that burned five bench runs."""
+
+    @staticmethod
+    def _replay():
+        import bench
+
+        path = os.path.join(
+            os.path.dirname(__file__), "data",
+            "bench_replay_r12_ledger.jsonl",
+        )
+        hist: list[dict] = []
+        out = []
+        with open(path) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("sf") != 0.1 or not isinstance(
+                    e.get("queries_adjusted"), dict
+                ):
+                    continue
+                b, _ = bench.suite_breadth(e["queries_adjusted"], hist)
+                quiet = not (e.get("contended") or e.get("host_suspect"))
+                out.append((e["ts"], e["value"], quiet, b))
+                if quiet:
+                    hist.append(
+                        {
+                            "queries": e["queries_adjusted"],
+                            "sentinel": e.get("sentinel"),
+                        }
+                    )
+        return out
+
+    def test_quiet_band_clears_quarantine(self):
+        from bench import BREADTH_QUARANTINE
+
+        rows = self._replay()
+        # instrumented era = entries at/after the first sentinel-bearing
+        # stamp; the r9 drift rounds (ts <= 1786850019) predate it
+        quiet = [
+            (ts, b) for ts, _v, q, b in rows
+            if q and b is not None and ts > 1786850019
+        ]
+        assert len(quiet) >= 7
+        assert max(b for _, b in quiet) < BREADTH_QUARANTINE
+        # ...but quiet replays DO reach past 1.10: tightening
+        # MASS_FLAG_BREADTH is not supportable on this ledger
+        assert max(b for _, b in quiet) > 1.10
+
+    def test_noisy_neighbor_events_flag(self):
+        from bench import BREADTH_QUARANTINE
+
+        rows = self._replay()
+        events = {ts: b for ts, v, _q, b in rows if v > 350}
+        assert events  # the 379 s and 592 s runs
+        assert all(b >= 1.40 for b in events.values())
+        assert all(b >= BREADTH_QUARANTINE for b in events.values())
+
+    def test_r9_phantom_round_caught_retroactively(self):
+        from bench import BREADTH_QUARANTINE
+
+        rows = self._replay()
+        r9 = next((b for ts, _v, _q, b in rows if ts == 1786848483), None)
+        assert r9 is not None and r9 >= BREADTH_QUARANTINE
+
+
+class TestSubsetPrior:
+    """r12 subset mode: a partial (SPARK_GRAFT_QUERIES) run's map must
+    never become the adjudication prior for a full suite."""
+
+    def test_subset_entries_skipped(self, tmp_path):
+        from bench import choose_prior
+
+        p = tmp_path / "trend.jsonl"
+        p.write_text(
+            json.dumps({"sf": 1.0, "queries_adjusted": {"q": 2.0},
+                        "sentinel": 0.14}) + "\n"
+            + json.dumps({"sf": 1.0, "queries_adjusted": {"q": 9.0},
+                          "sentinel": 0.14, "subset": True}) + "\n"
+        )
+        prev = {"sf": 1.0, "queries": {"q": 9.5}, "subset": True}
+        assert choose_prior(prev, 1.0, str(p)) == ({"q": 2.0}, 0.14)
