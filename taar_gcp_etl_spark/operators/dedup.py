@@ -796,10 +796,16 @@ def connected_components_alternating(
     Rule of thumb: alternating for organic graphs with a large-diameter
     giant component, propagation for near-clique components (LSH
     near-dup groups converge in 2-3 rounds) and pure chains."""
+    # persist the cast edge relation: its upstream is the caller's
+    # expensive lineage (co-purchase self-joins, LSH pair generation) and
+    # it feeds THREE evaluations here — the initial oriented-distinct
+    # `e` plus the nodes union's two branches (guide §5: cache when
+    # reused and recompute is expensive; the eager checkpoint of `e`
+    # below materializes the cache, so nodes' later first use reads it)
     e0 = edges.select(
         F.col(src_col).cast("long").alias("a"),
         F.col(dst_col).cast("long").alias("b"),
-    )
+    ).persist()
     nodes = (
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
@@ -881,6 +887,7 @@ def connected_components_alternating(
     )
     out = out.localCheckpoint(eager=True)
     nodes.unpersist()
+    e0.unpersist()
     return out
 
 

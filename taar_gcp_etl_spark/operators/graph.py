@@ -46,21 +46,44 @@ def pagerank(
 
     Duplicate edges count once (distinct) so the result depends on the
     graph, not the multiplicity of its extraction."""
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct()
+    # the edge relation is the EXPENSIVE upstream (callers feed self-joins
+    # / sampled scans) and the prelude below consumes it five times
+    # (nodes union ×2, deg, ed, dangling-via-deg) — persist it once so
+    # the upstream lineage is evaluated exactly once (guide §5: cache
+    # when reused AND recompute is expensive; measured r12: the
+    # un-persisted prelude re-ran the co-purchase self-join ~5×)
+    e = (
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
+        # pre-partition on the join key: every iteration's nodes⋈contribs
+        # left join then reuses this cached partitioning instead of
+        # re-exchanging nodes per round (guide §2.4 — two operations
+        # keyed the same way share one exchange)
+        .repartition("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     if n == 0:
+        e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    ed = e.join(deg, "_src").persist(StorageLevel.MEMORY_AND_DISK)
+    ed = (
+        e.join(deg, "_src")
+        # pre-partition on _src: the per-iteration ed⋈ranks equi-join
+        # streams the cached partitioning — the O(E) edge relation is
+        # never re-shuffled inside the loop (guide §2.4)
+        .repartition("_src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     ed.count()  # materialize once; reused every iteration
 
     # the DANGLING SET is static (it's graph structure, only its mass
@@ -130,7 +153,7 @@ def pagerank(
     # return — callers get a self-contained relation and no executor
     # memory leaks across repeated pagerank calls
     out = ranks.localCheckpoint(eager=True)
-    for cached in (retired, nodes, ed, dangling_nodes):
+    for cached in (retired, nodes, ed, dangling_nodes, e):
         if cached is not None:
             cached.unpersist()
     if ranks is not out:

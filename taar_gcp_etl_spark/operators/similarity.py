@@ -232,10 +232,19 @@ def likelihood_curves(
     32 cores; the pair explosion happens AFTER the exchange, where AQE
     can't see it). Broadcasting keeps the quadratic work at the mappers'
     parallelism. The donor set is bounded (it's a sampled cohort by
-    contract), so the broadcast is bounded too; 4.3 s → 0.9 s at sf0.1."""
-    v = _l2_normalized(
-        vectors, _as_double(F.col(vec_col)), "v", id_col
-    ).join(clustered, id_col)
+    contract), so the broadcast is bounded too; 4.3 s → 0.9 s at sf0.1.
+
+    r12: the normalized+labeled relation `v` feeds FOUR consumers (the
+    same-cluster join's stream and broadcast sides, and both sides of
+    the cross-cluster rank join) — un-materialized, the normalize+join
+    lineage re-ran four times, twice inside broadcast builds. One eager
+    localCheckpoint evaluates it once; the donor set is bounded by
+    contract, so the checkpointed footprint is too (guide §5)."""
+    v = (
+        _l2_normalized(vectors, _as_double(F.col(vec_col)), "v", id_col)
+        .join(clustered, id_col)
+        .localCheckpoint(eager=True)
+    )
     a, b = v.alias("a"), v.alias("b")
     same = (
         a.join(
@@ -366,6 +375,17 @@ def semantic_dedup(
         assignments, _ = donor_index(
             corpus, k=k, id_col=id_col, vec_col=vec_col, seed=seed
         )
+        # r12: `v` (and through it the KMeans transform inside
+        # `assignments`) feeds three consumers — both pair-join sides
+        # and the final labeling join — so the per-row model transform
+        # re-ran for each. Checkpoint the NARROW (id, cluster) relation
+        # only: one transform pass, while the wide vector column keeps
+        # flowing lazily so Catalyst still prunes it out of the
+        # consumers that don't need it (a full-`v` checkpoint was
+        # measured SLOWER at sf1 — it defeated column pruning).
+        # Callers that pass `assignments` in hand us an already-cached
+        # relation (the memoized donor fit) — no second materialization.
+        assignments = assignments.localCheckpoint(eager=True)
     v = _l2_normalized(
         corpus, _as_double(F.col(vec_col)), "v", id_col
     ).join(assignments, id_col)

@@ -772,19 +772,28 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_ps = ps.join(
-        F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey")
-    )
-    min_cost = eu_ps.groupBy(
-        F.col("ps_partkey").alias("mc_partkey")
-    ).agg(F.min("ps_supplycost").alias("min_cost"))
-    return (
-        eu_ps.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
+    # r12: the decorrelated per-part MIN + equality join-back is exactly a
+    # per-part window minimum with a filter — one exchange on ps_partkey
+    # instead of a second aggregate exchange plus a join of eu_ps against
+    # it (guide §2.4). The part dim filter drops whole ps_partkey groups
+    # (it keys on the partition column), so applying it BEFORE the window
+    # leaves every surviving group intact and shrinks the windowed
+    # relation to the selective part subset (guide §2.3). min() is exact
+    # (no FP summation), so rows are bit-identical; oracle-verified.
+    from pyspark.sql import Window as W
+
+    eu_ps = (
+        ps.join(
+            F.broadcast(eu_sup), F.col("ps_suppkey") == F.col("s_suppkey")
         )
         .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+    )
+    wmin = W.partitionBy("ps_partkey")
+    return (
+        eu_ps.withColumn(
+            "min_cost", F.min("ps_supplycost").over(wmin)
+        )
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select(
             _r2(F.col("s_acctbal")).alias("s_acctbal"),
             "s_name",
@@ -801,22 +810,38 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     then supplier→nation for the grouping nation and part for the product
     filter. Dims broadcast; the fact-to-partsupp join shuffles on the
     composite key. Profit = revenue minus supply cost at traded quantity."""
-    ps = _derived_partsupp(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # r12: ps_supplycost is _derived_partsupp's MIN(price/qty) per
+    # (partkey, suppkey) — and lineitem⋈ps on that same composite key
+    # matches every row to ITS OWN group's aggregate, i.e. a window.
+    # Computing it as min().over(partitionBy(composite key)) removes the
+    # separate partsupp aggregate exchange AND the 600k×200k sort-merge
+    # join: ONE lineitem shuffle instead of two plus a join (guide §2.4);
+    # row multiset is provably identical (inner self-join on the full
+    # group key is total), oracle-verified at sf0.001/sf0.01.
+    from pyspark.sql import Window as W
+
+    # the PROMO part filter removes whole l_partkey groups, never part of
+    # a (partkey, suppkey) window partition — applying the broadcast
+    # semi-filter BEFORE the window shuffles only the surviving rows
+    # (guide §2.3: project/filter before the exchange) with the group
+    # minima unchanged.
+    wps = W.partitionBy("l_partkey", "l_suppkey")
+    li_ps = li.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    ).withColumn(
+        "ps_supplycost",
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(wps),
+    )
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("ps_supplycost") * F.col("l_quantity")
     )
     return (
-        li.join(
-            ps,
-            (F.col("l_partkey") == F.col("ps_partkey"))
-            & (F.col("l_suppkey") == F.col("ps_suppkey")),
-        )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li_ps
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
@@ -2186,7 +2211,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taar_gcp_etl_spark.operators.similarity import semantic_dedup
 
     emb = _wide(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # size probe for choosing k: count the UN-fanned read — parquet
+    # count(*) collapses to row-group metadata there, where counting the
+    # _wide relation would execute its repartition exchange first
+    # (guide §1.4's count-vs-work distinction, used in our favor)
+    n = _t(spark, sf_dir, "embeddings").count()
     if n <= 4000:
         return semantic_dedup(
             emb, threshold=0.95, assignments=_clusters(spark, sf_dir)
@@ -2295,13 +2324,20 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taar_gcp_etl_spark.operators.graph import bfs_distances
     from taar_gcp_etl_spark.operators.sampling import hash_bucket
 
-    edges = _copurchase_edges(spark, sf_dir)
+    # persist the co-purchase relation for the duration of the BFS: the
+    # seed set AND the operator's internal edge relation both consume it,
+    # and un-persisted it re-ran the orders-sampled lineitem self-join
+    # twice (guide §5). bfs_distances returns a fully-materialized
+    # (per-round checkpointed) relation, so unpersisting before return
+    # is safe — nothing lazy still references the cache.
+    edges = _copurchase_edges(spark, sf_dir).persist()
     seeds = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .filter(hash_bucket(F.col("node"), 100) < 10)
     )
     out = bfs_distances(edges, seeds, max_hops=4)
+    edges.unpersist()
     return out.select(
         F.col("node").cast("long"), F.col("hops").cast("int")
     )
