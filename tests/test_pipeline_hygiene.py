@@ -175,8 +175,9 @@ class TestValidateBatch:
 class TestColumnProfileApprox:
     def test_approx_within_tolerance_and_no_expand(self, spark):
         """approx=True must (a) track the exact distinct counts within
-        HLL++ tolerance, (b) plan WITHOUT the Expand the exact multi-column
-        count-distinct forces — the whole point of the production path."""
+        HLL++ tolerance, (b) plan WITHOUT any row fan-out (neither the
+        r12 melt Generate nor the pre-r12 multi-count-distinct Expand) —
+        the whole point of the production path."""
         from taar_gcp_etl_spark.io import read_table
         from taar_gcp_etl_spark.operators.quality import column_profile
         from tests.conftest import SF_SMOKE
@@ -195,13 +196,79 @@ class TestColumnProfileApprox:
 
         plan = approx_df._jdf.queryExecution().executedPlan().toString()
         assert "Expand" not in plan
+        # no pre-aggregation row fan-out (the stack() unpivot DOES plan a
+        # Generate, but over the single aggregated row — harmless)
+        assert "posexplode" not in plan
         exact_plan = (
             column_profile(li, cols)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
         )
-        assert "Expand" in exact_plan  # the cost approx removes
+        # r12: the exact path melts (posexplode Generate) instead of
+        # planning the multi-count-distinct Expand whose first-level
+        # aggregate keyed on every profiled column at once
+        assert "Expand" not in exact_plan
+        assert "posexplode" in exact_plan
+
+    def test_exact_melt_matches_naive_wide_agg(self, spark):
+        """r12 melt rewrite: every statistic must be IDENTICAL to the
+        naive one-agg formulation, on data with duplicates and nulls,
+        in both mean modes, with and without include_rows — and an
+        empty batch still yields one row per requested column (the
+        fail-closed contract validate_batch relies on)."""
+        from pyspark.sql import functions as F
+
+        from taar_gcp_etl_spark.operators.quality import column_profile
+
+        df = spark.createDataFrame(
+            [
+                (1.25, 10.0),
+                (1.25, None),
+                (-3.5, 2.0),
+                (None, 2.0),
+                (0.0, -0.0),
+            ],
+            "a double, b double",
+        )
+        for dec in (None, 2):
+            prof = {
+                r["column"]: r
+                for r in column_profile(
+                    df, ["a", "b"], include_rows=True, exact_decimals=dec
+                ).collect()
+            }
+            naive = df.agg(
+                F.sum(F.when(F.col("a").isNull(), 1).otherwise(0)).alias(
+                    "nn"
+                ),
+                F.count_distinct(F.col("a")).alias("nd"),
+                F.min("a").alias("mn"),
+                F.max("a").alias("mx"),
+                F.round(F.avg("a"), 6).alias("mean"),
+                F.count(F.lit(1)).alias("nr"),
+            ).collect()[0]
+            a = prof["a"]
+            assert (
+                a.n_nulls,
+                a.n_distinct,
+                a.min_val,
+                a.max_val,
+                a.n_rows,
+            ) == (naive.nn, naive.nd, naive.mn, naive.mx, naive.nr)
+            assert a.mean_val == naive.mean  # small exact doubles
+            b = prof["b"]
+            # -0.0 and 0.0 are one distinct value (normalized), as
+            # count_distinct sees it
+            assert b.n_distinct == 3 and b.n_nulls == 1
+
+        empty = column_profile(
+            df.filter(F.lit(False)), ["a", "b"], include_rows=True
+        ).collect()
+        assert {r["column"] for r in empty} == {"a", "b"}
+        for r in empty:
+            assert r.n_distinct == 0 and r.min_val is None
+            assert r.n_rows == 0
 
 
 class TestSharedCostAnnotation:
