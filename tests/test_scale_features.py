@@ -708,6 +708,77 @@ class TestFuzzyJoinHotBlock:
         assert out.count() > 0  # name000~name001 etc. within distance 2
 
 
+class TestBoundedVerifyEquivalence:
+    """r12: both fuzzy verifies use the bounded levenshtein(l, r, k)
+    (banded DP, O(k*L) cells). Its contract — exact distance when <= k,
+    -1 otherwise — makes `bounded >= 0` select exactly the rows
+    `unbounded <= k` selects, with identical dist values. Pin that on a
+    corpus whose pairs straddle the threshold (distances 0..4 at k=2),
+    for both the categorical and the segment candidate paths."""
+
+    CORPUS = [
+        (1, "abcdefgh", "b"),   # anchor
+        (2, "abcdefgh", "b"),   # dist 0
+        (3, "abcdefgX", "b"),   # dist 1
+        (4, "abcdeXYh", "b"),   # dist 2 (boundary: kept)
+        (5, "abXYZfgh", "b"),   # dist 3 (just over: dropped)
+        (6, "aWXYZegh", "b"),   # dist 4 from anchor
+    ]
+
+    def _expected(self, k=2):
+        import itertools
+
+        def lev(a, b):
+            m = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, m[0] = m[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, m[j] = m[j], min(
+                        m[j] + 1, m[j - 1] + 1, prev + (ca != cb)
+                    )
+            return m[len(b)]
+
+        out = set()
+        for (ia, ta, _), (ib, tb, _) in itertools.combinations(
+            self.CORPUS, 2
+        ):
+            d = lev(ta, tb)
+            if d <= k:
+                out.add((ia, ib, d))
+        return out
+
+    def test_categorical_path_matches_unbounded_semantics(self, spark):
+        from taar_gcp_etl_spark.operators.joins import fuzzy_self_join
+
+        df = spark.createDataFrame(
+            self.CORPUS, "id long, name string, dom string"
+        )
+        out = fuzzy_self_join(df, "name", "id", ["dom"], max_distance=2)
+        got = {(r.id_a, r.id_b, r.dist) for r in out.collect()}
+        assert got == self._expected()
+        # no -1 sentinel may ever escape the filter
+        assert all(d >= 0 for _, _, d in got)
+
+    def test_segment_path_matches_unbounded_semantics(self, spark):
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        df = spark.createDataFrame(
+            self.CORPUS, "id long, name string, dom string"
+        )
+        out = fuzzy_self_join_segments(
+            df, "name", "id", ["dom"], max_distance=2,
+            trim_common_affixes=False,
+        )
+        got = {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b), r.dist)
+            for r in out.collect()
+        }
+        assert got == self._expected()
+        assert all(d >= 0 for _, _, d in got)
+
+
 class TestPhoneticBlocking:
     def test_soundex_block_pairs_sound_alikes(self, spark):
         """Soundex blocking puts "Jon Smith"/"John Smith" in one block
