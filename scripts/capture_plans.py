@@ -1,6 +1,7 @@
 """Capture `.explain("formatted")` for named registry queries into
-plans/r12/<query>_<tag>.txt (the optimization round's before/after plan
-evidence — the judge reads these instead of running Spark).
+plans/$SPARK_GRAFT_PLANS_DIR/<query>_<tag>.txt (default plans/r13 — the
+optimization round's before/after plan evidence; the judge reads these
+instead of running Spark).
 
 Usage:
     python scripts/capture_plans.py <tag> [query ...]
@@ -31,7 +32,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")

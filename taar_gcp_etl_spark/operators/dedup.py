@@ -547,15 +547,25 @@ def connected_components(
     sym = sym.persist()
 
     # label(n) = min(n, min neighbor) — the first propagation round, fused
-    # into initialization
-    labels = (
+    # into initialization. Checkpoints are TRACKED so each superseded
+    # round's blocks are released explicitly once the next round has
+    # materialized (r13, operators/checkpoint.py — the ContextCleaner
+    # only frees them on a JVM GC, which a large heap may not run for
+    # the whole session; across a query suite the dead generations
+    # accumulate in the unified memory manager).
+    from taar_gcp_etl_spark.operators.checkpoint import (
+        checkpoint_tracked,
+        release_rdds,
+    )
+
+    spark = edges.sparkSession
+    labels, lbl_ids = checkpoint_tracked(
         sym.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
         .select(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("nbr_min")).alias("lbl"),
         )
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -583,7 +593,7 @@ def connected_components(
         parent = propagated.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("parent_lbl")
         )
-        new_labels = (
+        new_labels, new_ids = checkpoint_tracked(
             propagated.join(parent, "lbl", "left")
             .select(
                 "node",
@@ -591,7 +601,6 @@ def connected_components(
                     F.col("lbl"), F.coalesce("parent_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("lbl", "new_lbl")
@@ -600,7 +609,10 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the convergence check above was the old generation's last
+        # consumer — release its checkpoint blocks now
+        release_rdds(spark, lbl_ids)
+        labels, lbl_ids = new_labels, new_ids
         if changed == 0:
             break
     sym.unpersist()
@@ -812,13 +824,18 @@ def connected_components_alternating(
         .distinct()
         .persist()
     )
-    e = (
+    from taar_gcp_etl_spark.operators.checkpoint import (
+        checkpoint_tracked,
+        release_rdds,
+    )
+
+    spark = edges.sparkSession
+    e, e_ids = checkpoint_tracked(
         e0.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_prev = e.count()
     for _ in range(max_rounds):
@@ -833,7 +850,7 @@ def connected_components_alternating(
         m_lg = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        e1 = (
+        e1, e1_ids = checkpoint_tracked(
             sym.filter(F.col("v") > F.col("u"))
             .join(m_lg, "u")
             .filter(F.col("v") != F.col("m"))
@@ -842,13 +859,12 @@ def connected_components_alternating(
                 F.least("v", "m").alias("b"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # ---- small-star: per node u over its SMALLER neighbors; edges
         # already oriented a(big) → b(small)
         m_sm = e1.groupBy("a").agg(F.min("b").alias("m"))
         joined = e1.join(m_sm, "a")
-        e2 = (
+        e2, e2_ids = checkpoint_tracked(
             joined.filter(F.col("b") != F.col("m"))
             .select(
                 F.greatest("b", "m").alias("a"),
@@ -861,13 +877,21 @@ def connected_components_alternating(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        # e2 materialized — e1's blocks are superseded (r13 explicit
+        # lifecycle: three generations per round × up to 30 rounds
+        # otherwise accumulate until a JVM GC; operators/checkpoint.py)
+        release_rdds(spark, e1_ids)
         n_new = e2.count()
-        if n_new == n_prev and e2.subtract(e).limit(1).count() == 0:
-            e = e2
+        converged = (
+            n_new == n_prev and e2.subtract(e).limit(1).count() == 0
+        )
+        # the subtract above was the previous edge generation's last
+        # consumer — release it before rebinding
+        release_rdds(spark, e_ids)
+        e, e_ids, n_prev = e2, e2_ids, n_new
+        if converged:
             break
-        e, n_prev = e2, n_new
     # star forest → labels; isolated/self-loop-only nodes label
     # themselves. The min-aggregate (not a bare projection) keeps the
     # one-row-per-node contract even if max_rounds exhausted before the
@@ -888,6 +912,7 @@ def connected_components_alternating(
     out = out.localCheckpoint(eager=True)
     nodes.unpersist()
     e0.unpersist()
+    release_rdds(spark, e_ids)  # out materialized; final edge gen free
     return out
 
 

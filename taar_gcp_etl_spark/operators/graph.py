@@ -30,6 +30,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from taar_gcp_etl_spark.operators.checkpoint import (
+    checkpoint_tracked,
+    release_rdds,
+)
+
 
 def pagerank(
     edges: DataFrame,
@@ -72,8 +77,16 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        # checkpoint the (empty) result so BOTH function-local caches can
+        # be released before return — the main path's discipline; the
+        # bare `nodes.withColumn(...)` return leaked the nodes cache
+        # entry across repeated calls (ADVICE r12).
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(
+            eager=True
+        )
         e.unpersist()
-        return nodes.withColumn("rank", F.lit(0.0))
+        nodes.unpersist()
+        return out
 
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     ed = (
@@ -103,6 +116,8 @@ def pagerank(
     # make each materialization recompute the whole window since the
     # last checkpoint (quadratic work between checkpoints).
     retired: DataFrame | None = None
+    spark = edges.sparkSession
+    ckpt_ids: frozenset[int] = frozenset()
     for i in range(iters):
         # per-generation caching pays ONLY when something materializes
         # mid-loop (the dangling collect reads each generation); with no
@@ -144,20 +159,26 @@ def pagerank(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks, new_ids = checkpoint_tracked(ranks)
             prev.unpersist()  # checkpoint cut the lineage; safe now
+            # the PREVIOUS generation's checkpoint blocks are superseded
+            # the moment this one materialized — release them explicitly
+            # instead of waiting for a JVM GC cycle (r13, guide §5:
+            # superseded localCheckpoints otherwise accumulate for the
+            # session lifetime; see operators/checkpoint.py)
+            release_rdds(spark, ckpt_ids)
+            ckpt_ids = new_ids
         else:
             retired = prev
     # final eager checkpoint decouples the result from every cached
     # intermediate, so ALL of the operator's cache is released before
     # return — callers get a self-contained relation and no executor
     # memory leaks across repeated pagerank calls
-    out = ranks.localCheckpoint(eager=True)
+    out, _ = checkpoint_tracked(ranks)
     for cached in (retired, nodes, ed, dangling_nodes, e):
         if cached is not None:
             cached.unpersist()
-    if ranks is not out:
-        ranks.unpersist()
+    release_rdds(spark, ckpt_ids)  # the last loop checkpoint, superseded
     return out
 
 
@@ -219,11 +240,16 @@ def bfs_distances(
         )
         if nxt.limit(1).count() == 0:
             break
-        # superseded rounds' checkpoint blocks free via the
-        # ContextCleaner when the old `dist`/`frontier` references drop
-        # (localCheckpoint doesn't register with the CacheManager, so an
-        # explicit unpersist would be a no-op)
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        # r13: the accumulated distance relation stays a LAZY union of
+        # the per-round frontier checkpoints — each node's blocks are
+        # materialized exactly once (in its frontier), where the old
+        # per-round `dist` re-checkpoint wrote the whole accumulated
+        # relation again every round (O(V·hops) block volume, all of it
+        # leaked until a JVM GC). The union's lineage is a bounded
+        # max_hops-deep tree of Scan ExistingRDD leaves — no plan
+        # growth hazard; the per-round left_anti and the returned
+        # relation read the same bytes either way (guide §5).
+        dist = dist.unionByName(nxt)
         frontier = nxt
     e.unpersist()
     return dist
@@ -281,11 +307,11 @@ def label_propagation(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    spark = edges.sparkSession
+    labels, lbl_ids = checkpoint_tracked(
         sym.select(F.col("_src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(iters):
         nbr = (
@@ -297,14 +323,20 @@ def label_propagation(
         # argmax by (count DESC, label ASC): max_by over a struct whose
         # natural ordering is (n, -lbl) — single reduce-side pass, no
         # window, no row_number. The superseded round's localCheckpoint
-        # blocks are NOT unpersist-able (checkpoints don't register with
-        # the CacheManager); they free via the ContextCleaner once the
-        # previous `labels` reference drops here.
-        labels = nbr.groupBy("node").agg(
-            F.max_by(
-                F.col("lbl"), F.struct(F.col("n"), (-F.col("lbl")).alias("t"))
-            ).alias("lbl")
-        ).localCheckpoint(eager=True)
+        # blocks are released EXPLICITLY the moment the new generation
+        # has materialized (r13, operators/checkpoint.py — waiting for
+        # the ContextCleaner meant waiting for a JVM GC that a large
+        # heap may never run mid-session).
+        labels, new_ids = checkpoint_tracked(
+            nbr.groupBy("node").agg(
+                F.max_by(
+                    F.col("lbl"),
+                    F.struct(F.col("n"), (-F.col("lbl")).alias("t")),
+                ).alias("lbl")
+            )
+        )
+        release_rdds(spark, lbl_ids)
+        lbl_ids = new_ids
     sym.unpersist()
     return labels.select("node", F.col("lbl").alias("community"))
 

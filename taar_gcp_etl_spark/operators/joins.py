@@ -569,23 +569,101 @@ def _even_keyed(
     idx_keys: str,
     probe_keys: str,
     block_cols: list[str],
+    with_texts: bool = False,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Index/probe key relations for the even-split path: each side is
     (id, segment#, piece [, block_cols]); candidates are their equi-join
     on everything but the id. Shared by the candidate generator and the
     volume estimator so the guard measures EXACTLY the keys the join
-    will shuffle."""
+    will shuffle. ``with_texts`` additionally carries each side's
+    original text and trimmed length (_t_i/_l_i, _t_p/_l_p) so the
+    caller can verify INSIDE the key join (r13 restructure; the
+    estimator keeps the narrow default)."""
+    ic = (
+        [F.col("_orig").alias("_t_i"), F.col("_len").alias("_l_i")]
+        if with_texts
+        else []
+    )
+    pc = (
+        [F.col("_orig").alias("_t_p"), F.col("_len").alias("_l_p")]
+        if with_texts
+        else []
+    )
+    icn = ["_t_i", "_l_i"] if with_texts else []
+    pcn = ["_t_p", "_l_p"] if with_texts else []
     idx = base.select(
         F.col("_id").alias("_id_i"),
+        *ic,
         *block_cols,
         F.explode(F.expr(idx_keys)).alias("_k"),
-    ).select("_id_i", *block_cols, "_k.seg", "_k.piece")
+    ).select("_id_i", *icn, *block_cols, "_k.seg", "_k.piece")
     probe = base.select(
         F.col("_id").alias("_id_p"),
+        *pc,
         *block_cols,
         F.explode(F.expr(probe_keys)).alias("_k"),
-    ).select("_id_p", *block_cols, "_k.seg", "_k.piece")
+    ).select("_id_p", *pcn, *block_cols, "_k.seg", "_k.piece")
     return idx, probe, ["seg", "piece", *block_cols]
+
+
+def _verified_pairs(
+    idx: DataFrame, probe: DataFrame, keycols: list[str], d: int
+) -> DataFrame:
+    """Key-equijoin + ORIENTATION HALVING + INLINE VERIFY (r13, VERDICT
+    r12 #2 — guide §2.3 shuffle fewer bytes / §2.4 remove shuffles):
+
+    - ORIENTATION HALVING: the pigeonhole substring-selection lemma is
+      complete for EACH orientation independently — partition EITHER
+      string of a true pair into d+1 pieces and the other side's probe
+      enumeration (partner lengths ±d x shifts ±d; the even path's
+      empty-piece keys and the adaptive path's L-floor-0 cover trimmed
+      length 0) contains a matching key. The old `_id_i != _id_p` join
+      therefore found every pair TWICE (once per orientation) and
+      collapsed the duplicate downstream with least/greatest +
+      dropDuplicates; `_id_i < _id_p` keeps exactly one complete
+      orientation and HALVES the key-join output with zero recall loss
+      (sf1: 41.7M -> ~20.8M candidate rows before any verify).
+    - INLINE VERIFY: both sides carry their original text through the
+      key join, so the length window and the banded DP run inside the
+      join condition and only SURVIVORS — bounded by (d+1) x the result
+      set, one row per matching segment — ever reach the dedup. The old
+      pipeline hash-deduped the FULL candidate volume (a partial+final
+      aggregate over 41.7M rows at sf1, 35x over-generated on the
+      piece-collision floor) and then joined texts back twice.
+      Trade-off: the probe exchange now carries the text (~L bytes x
+      probe fan-out); that loses to the old narrow-rows shape only when
+      texts are long AND blocking is healthy (candidates ~ results), in
+      which regime both shapes are cheap — on the collision-floor
+      corpora where the join is actually expensive, candidate volume
+      dominates and inline verify wins.
+
+    Exactness: the candidate-pair SET entering the DP is the orientation
+    -halved superset of true pairs (complete per the lemma), the DP is
+    the same banded levenshtein, and dist is a pure function of the two
+    texts, so duplicate survivor rows are identical and dropDuplicates
+    returns the same (id_a, id_b, dist) multiset as the r12 pipeline —
+    pinned by the exceptAll snapshot check (docs/OPTIMIZATION_r13.md)
+    and the DuckDB oracle."""
+    dist = F.levenshtein(F.col("_t_i"), F.col("_t_p"), d)
+    return (
+        idx.join(probe, keycols)
+        .filter(F.col("_id_i") < F.col("_id_p"))
+        .filter(F.abs(F.col("_l_i") - F.col("_l_p")) <= d)
+        .filter(dist >= 0)
+        .select(
+            F.col("_id_i").alias("id_a"),
+            F.col("_id_p").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+        # multi-segment duplicates carry IDENTICAL dist (pure function
+        # of the two texts), so min() is exact; a plain aggregate (not
+        # dropDuplicates) keeps the pair-dedup a partial-aggregated
+        # groupBy and avoids Deduplicate's first()-rewrite, which
+        # Catalyst failed to bind under exceptAll composition
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, seen on 4.1.2).
+        .groupBy("id_a", "id_b")
+        .agg(F.min("dist").alias("dist"))
+    )
 
 
 def _even_candidates(
@@ -594,15 +672,16 @@ def _even_candidates(
     probe_keys: str,
     block_cols: list[str],
 ) -> DataFrame:
-    """Candidate pairs under even splits (the default path): equality
-    on (segment#, piece [, block_cols])."""
+    """Distinct candidate PAIR SET under even splits and the r13
+    orientation filter — the pre-verify volume the production join
+    shuffles. Kept as the tests' candidate-volume probe (the production
+    path itself verifies inline: _verified_pairs)."""
     idx, probe, keycols = _even_keyed(base, idx_keys, probe_keys, block_cols)
     return (
         idx.join(probe, keycols)
-        .filter(F.col("_id_i") != F.col("_id_p"))
+        .filter(F.col("_id_i") < F.col("_id_p"))
         .select(
-            F.least("_id_i", "_id_p").alias("id_a"),
-            F.greatest("_id_i", "_id_p").alias("id_b"),
+            F.col("_id_i").alias("id_a"), F.col("_id_p").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -613,6 +692,7 @@ def _adaptive_keyed(
     d: int,
     bmap: dict[tuple[str, int], list[int]],
     block_cols: list[str],
+    with_texts: bool = False,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Index/probe key relations for the adaptive path (see
     _adaptive_candidates); split out so the candidate-volume estimator
@@ -668,15 +748,28 @@ def _adaptive_keyed(
         f"'seg', i, 'piece', substring(_t, {start0('i', '_len')} + 1, "
         f"{end0('i', '_len')} - {start0('i', '_len')})))"
     )
+    ic = (
+        [F.col("_orig").alias("_t_i"), F.col("_len").alias("_l_i")]
+        if with_texts
+        else []
+    )
+    pc = (
+        [F.col("_orig").alias("_t_p"), F.col("_len").alias("_l_p")]
+        if with_texts
+        else []
+    )
+    icn = ["_t_i", "_l_i"] if with_texts else []
+    pcn = ["_t_p", "_l_p"] if with_texts else []
     idx = (
         with_bounds(base, "_len")
         .select(
             F.col("_id").alias("_id_i"),
+            *ic,
             F.col("_len").alias("_lk"),
             *block_cols,
             F.explode(F.expr(idx_keys)).alias("_k"),
         )
-        .select("_id_i", "_lk", *block_cols, "_k.seg", "_k.piece")
+        .select("_id_i", *icn, "_lk", *block_cols, "_k.seg", "_k.piece")
     )
     s0, e0 = start0("i", "L"), end0("i", "L")
     probe_keys = (
@@ -710,11 +803,12 @@ def _adaptive_keyed(
         )
         .select(
             F.col("_id").alias("_id_p"),
+            *pc,
             F.col("L").alias("_lk"),
             *block_cols,
             F.explode(F.expr(probe_keys)).alias("_k"),
         )
-        .select("_id_p", "_lk", *block_cols, "_k.seg", "_k.piece")
+        .select("_id_p", *pcn, "_lk", *block_cols, "_k.seg", "_k.piece")
     )
     return idx, probe, ["seg", "piece", "_lk", *block_cols]
 
@@ -725,15 +819,15 @@ def _adaptive_candidates(
     bmap: dict[tuple[str, int], list[int]],
     block_cols: list[str],
 ) -> DataFrame:
-    """Candidate pairs from the adaptive key relations (_adaptive_keyed):
-    equality on (segment#, piece, partner length [, block_cols])."""
+    """Distinct candidate PAIR SET from the adaptive key relations
+    under the r13 orientation filter — the tests' candidate-volume
+    probe; production verifies inline (_verified_pairs)."""
     idx, probe, keycols = _adaptive_keyed(base, d, bmap, block_cols)
     return (
         idx.join(probe, keycols)
-        .filter(F.col("_id_i") != F.col("_id_p"))
+        .filter(F.col("_id_i") < F.col("_id_p"))
         .select(
-            F.least("_id_i", "_id_p").alias("id_a"),
-            F.greatest("_id_i", "_id_p").alias("id_b"),
+            F.col("_id_i").alias("id_a"), F.col("_id_p").alias("id_b")
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -766,9 +860,14 @@ def _candidate_volume(
         E[cross] ≈ (S − Self) / f²
 
     Cross pairs are the quantity returned and budgeted — self matches
-    are discarded by the id_i != id_p filter, are bounded at ~(d+1)·n
-    rows, and folding their 1/f-scaled term back in would drown the
-    signal on healthy corpora (the diagonal IS ~all of S there).
+    are discarded by the id_i < id_p orientation filter, are bounded at
+    ~(d+1)·n rows, and folding their 1/f-scaled term back in would drown
+    the signal on healthy corpora (the diagonal IS ~all of S there).
+    The (S − Self) cross term counts BOTH orientations of every pair;
+    the r13 join keeps exactly one (_id_i < _id_p, complete per the
+    pigeonhole lemma — see _verified_pairs), so the estimate carries a
+    final × 0.5 to stay calibrated to what the join actually emits
+    (tests pin it within 2× of the measured join output).
     Cost: two groupBy-counts + one key-count join + one sampled equi-join
     count, all bounded by sample_rows × per-string key fan-out (~45 keys
     at d=2) — no pair materialization ever happens here."""
@@ -784,7 +883,7 @@ def _candidate_volume(
             [*keycols, "_id_i"],
         ).count()
     )
-    return max(0.0, s - self_n) * scale * scale
+    return max(0.0, s - self_n) * scale * scale * 0.5
 
 
 def _segment_base(
@@ -1004,8 +1103,15 @@ def fuzzy_self_join_segments(
     Costs: index fan-out d+1 rows/string; probe fan-out ≤
     (d+1)(2d+1)² distinct keys/string (~45 at d=2, after dedup usually
     far fewer since adjacent L/shift combinations repeat substrings).
-    Candidates carry IDS ONLY through the key join; texts join back
-    per-candidate afterwards (the LSH narrow-rows discipline). Strings
+    r13 (VERDICT r12 #2): the key join keeps only the _id_i < _id_p
+    ORIENTATION (the pigeonhole lemma is complete per orientation, so
+    the old two-orientation join emitted every pair twice — exact 2x
+    output cut) and VERIFIES INLINE — both sides carry their original
+    text, the length window + banded DP run inside the join condition,
+    and only survivors reach the pair dedup. The r12 shape hash-deduped
+    the full candidate volume (41.7M rows at sf1) and joined texts back
+    twice; see _verified_pairs for the exactness argument and the
+    narrow-rows trade-off. Strings
     shorter than d+1 produce empty pieces that key all short strings in
     a block together — correct, and bounded because such strings are by
     definition near everything their length admits.
@@ -1072,33 +1178,18 @@ def fuzzy_self_join_segments(
             base, d, block_cols, idx_keys, probe_keys, bmap,
             candidate_budget, _GUARD_SAMPLE_ROWS, _GUARD_MIN_ROWS,
         )
+    # r13: orientation-halved key join with the (length window + banded
+    # DP) verify inlined into the join condition — see _verified_pairs
+    # for the lemma and the shuffle-volume argument. The bounded DP is
+    # identical in results to `unbounded <= d` (returns the exact
+    # distance when <= d, -1 otherwise); see fuzzy_self_join's docstring
+    # for the r12 measured win and the equality argument.
     if bmap is not None:
-        cand = _adaptive_candidates(base, d, bmap, block_cols)
+        idx, probe, keycols = _adaptive_keyed(
+            base, d, bmap, block_cols, with_texts=True
+        )
     else:
-        cand = _even_candidates(base, idx_keys, probe_keys, block_cols)
-    texts = base.select("_id", F.col("_orig").alias("_t"), "_len")
-    # bounded-DP verify: identical results to `unbounded <= d` (returns
-    # the exact distance when <= d, -1 otherwise); see fuzzy_self_join's
-    # docstring for the measured win and the equality argument.
-    dist = F.levenshtein(F.col("_t_a"), F.col("_t_b"), d)
-    return (
-        cand.join(
-            texts.select(
-                F.col("_id").alias("id_a"),
-                F.col("_t").alias("_t_a"),
-                F.col("_len").alias("_l_a"),
-            ),
-            "id_a",
+        idx, probe, keycols = _even_keyed(
+            base, idx_keys, probe_keys, block_cols, with_texts=True
         )
-        .join(
-            texts.select(
-                F.col("_id").alias("id_b"),
-                F.col("_t").alias("_t_b"),
-                F.col("_len").alias("_l_b"),
-            ),
-            "id_b",
-        )
-        .filter(F.abs(F.col("_l_a") - F.col("_l_b")) <= d)
-        .filter(dist >= 0)
-        .select("id_a", "id_b", dist.cast("int").alias("dist"))
-    )
+    return _verified_pairs(idx, probe, keycols, d)

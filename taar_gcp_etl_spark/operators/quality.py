@@ -183,6 +183,14 @@ def column_profile(
         F.when(F.col("value").isNotNull(), F.col("_n")).otherwise(F.lit(0))
     )
     if exact_decimals is None:
+        # ADVICE r12 boundary note: this float mean sums value×count
+        # over DISTINCT-value groups, which equals the r11 avg-over-raw-
+        # rows only up to float summation order — a mean sitting exactly
+        # on a round-6 boundary can flip its last digit for external
+        # callers. Registry call sites are unaffected (all pass
+        # exact_decimals, whose integer-scaled sum is order-independent
+        # by construction); callers needing bit-stable float means
+        # should pass exact_decimals too.
         mean = F.round(F.sum(F.col("value") * F.col("_n")) / n_nonnull, 6)
     else:
         scale = 10 ** exact_decimals

@@ -805,11 +805,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape — product-type profit by nation and year: lineitem
-    joins the derived partsupp on the COMPOSITE (partkey, suppkey) key,
-    then supplier→nation for the grouping nation and part for the product
-    filter. Dims broadcast; the fact-to-partsupp join shuffles on the
-    composite key. Profit = revenue minus supply cost at traded quantity."""
+    """TPC-H Q9 shape — product-type profit by nation and year:
+    ps_supplycost = MIN(price/qty) per (partkey, suppkey) computed as a
+    WINDOW MINIMUM over lineitem itself (r12 — the derived-partsupp
+    aggregate + composite-key join-back it replaced matched every row to
+    its own group, i.e. exactly a window); supplier→nation for the
+    grouping nation and the PROMO part broadcast semi-filter applied
+    BEFORE the window (it keys on the partition column, so it drops
+    whole window groups). One lineitem exchange total; dims broadcast.
+    Profit = revenue minus supply cost at traded quantity (ADVICE r12:
+    docstring updated to the window-based plan)."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")

@@ -233,7 +233,40 @@ class TestNoGlobalWindows:
             # Window.partitionBy(...) spec object) is the global-sort shape
             for m in re.finditer(r"Window\s*\.\s*orderBy\s*\(", src):
                 offenders.append(f"{path}:{src[:m.start()].count(chr(10))+1}")
+            # partitionBy(F.lit(...)) LOOKS partitioned but Catalyst
+            # folds the literal out of the physical spec — a truly
+            # unpartitioned window plus Spark's scale-hazard warning
+            # (r13, VERDICT r12 #7); use a non-foldable constant like
+            # isnull(<col>) for deliberate bounded single partitions
+            for m in re.finditer(r"partitionBy\s*\(\s*F\.lit\s*\(", src):
+                offenders.append(f"{path}:{src[:m.start()].count(chr(10))+1}")
         assert not offenders, f"unpartitioned windows: {offenders}"
+
+    def test_bounded_single_partition_key_survives_to_plan(self, spark):
+        """binary_auc / skew_report sort a DOCUMENTED-BOUNDED relation in
+        one deliberate partition; the constant partition key must survive
+        into the physical window spec — a folded-away key plans a truly
+        unpartitioned window and fires Spark's "No Partition Defined for
+        Window" warning in driver logs (VERDICT r12 #7)."""
+        import re
+
+        from taar_gcp_etl_spark.queries import SPARK_QUERIES
+
+        for name in ("binary_auc", "skew_report"):
+            plan = (
+                SPARK_QUERIES[name](spark, SF_SMOKE)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            # a physical Window line reads
+            #   Window [funcs...], [partition cols], [order cols]
+            # (the constant key is projected into a _w0 attribute below)
+            # — the folded/unpartitioned shape has NO middle group.
+            specs = re.findall(r"windowspecdefinition\([^\n]*", plan)
+            assert specs, f"{name}: no window in plan?"
+            for s in specs:
+                assert s.count("], [") >= 2, (name, s)
 
 
 class TestApproxAggregates:
@@ -777,6 +810,50 @@ class TestBoundedVerifyEquivalence:
         }
         assert got == self._expected()
         assert all(d >= 0 for _, _, d in got)
+
+    def test_segment_orientation_halving_degenerate_lengths(self, spark):
+        """r13 pin for the orientation filter (_id_i < _id_p): the
+        pigeonhole lemma must hold PER ORIENTATION even for strings
+        shorter than d+1 (empty pieces, trimmed length 0) — the one
+        regime where the even path's L enumeration floors at 1 and
+        matching flows through empty-piece keys. Ground truth: python
+        all-pairs DP over a corpus of lengths 0..5, BOTH id orders
+        interleaved so the kept orientation is exercised both ways."""
+        import itertools
+
+        from taar_gcp_etl_spark.operators.joins import (
+            fuzzy_self_join_segments,
+        )
+
+        strings = ["", "a", "b", "ab", "ba", "abc", "abcd", "abcde",
+                   "zz", "az", "", "xy"]
+        # ids deliberately NOT aligned with length order
+        corpus = [(len(strings) - i, t) for i, t in enumerate(strings)]
+
+        def lev(a, b):
+            m = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, m[0] = m[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, m[j] = m[j], min(
+                        m[j] + 1, m[j - 1] + 1, prev + (ca != cb)
+                    )
+            return m[len(b)]
+
+        expected = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(corpus, 2):
+            d = lev(ta, tb)
+            if d <= 2:
+                expected.add((min(ia, ib), max(ia, ib), d))
+        df = spark.createDataFrame(corpus, "id long, t string")
+        for adaptive in (False, True):
+            out = fuzzy_self_join_segments(
+                df, "t", "id", max_distance=2,
+                trim_common_affixes=False,
+                adaptive_boundaries=adaptive,
+            )
+            got = {(r.id_a, r.id_b, r.dist) for r in out.collect()}
+            assert got == expected, (adaptive, got ^ expected)
 
 
 class TestPhoneticBlocking:
@@ -1650,18 +1727,18 @@ class TestCandidateVolumeGuard:
         )
 
     def _measured_cross_volume(self, df, sample_rows=None):
-        """Ground truth: actual key-equijoin output rows with the
-        self-match diagonal removed (what _candidate_volume estimates)."""
+        """Ground truth: actual key-equijoin output rows under the r13
+        orientation filter (_id_i < _id_p — what the join now emits and
+        what _candidate_volume's ×0.5-scaled estimate targets)."""
         from taar_gcp_etl_spark.operators import joins as J
 
         base, ik, pk = J._segment_base(df, "t", "id", [], True, 2)
         idx, probe, keycols = J._even_keyed(base, ik, pk, [])
-        total = idx.join(probe, keycols).count()
-        self_n = idx.join(
-            probe.withColumnRenamed("_id_p", "_id_i"),
-            [*keycols, "_id_i"],
-        ).count()
-        return total - self_n
+        return (
+            idx.join(probe, keycols)
+            .filter(F.col("_id_i") < F.col("_id_p"))
+            .count()
+        )
 
     def test_estimator_within_2x_of_measured_at_two_scales(self, spark):
         """The r8 VERDICT done-bar: sampled estimate within ~2x of the
