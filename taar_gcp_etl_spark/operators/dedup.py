@@ -841,23 +841,31 @@ def connected_components_alternating(
     for _ in range(max_rounds):
         if n_prev == 0:
             break
-        # ---- large-star: per node u over its FULL neighborhood
-        sym = e.select(
-            F.col("a").alias("u"), F.col("b").alias("v")
-        ).unionByName(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        # ---- large-star: every node u hangs its LARGER neighbors off
+        # m(u) = min(N(u) ∪ {u}). The relation is oriented a > b, so the
+        # full-neighborhood min splits into an a-side and a b-side
+        # partial — each a map-side-combined aggregate over the |E|-row
+        # relation, merged on the ≤|V|-row min tables — where the old
+        # symmetrized union built and aggregated a 2·|E|-row view every
+        # round for the same result (r13, guide §2.3: shuffle/scan
+        # fewer bytes; a keyed-generation variant that also removed the
+        # per-round exchanges via AQE-off checkpoints was measured 4×
+        # SLOWER at bench scale — broadcast joins degraded to static
+        # sort-merge — and reverted; see OPTIMIZATION_r13.md).
+        m1 = e.groupBy(F.col("a").alias("u")).agg(F.min("b").alias("m"))
+        m2 = e.groupBy(F.col("b").alias("u")).agg(F.min("a").alias("m2"))
+        # least() skips nulls, so a node missing one side degrades to
+        # the other side's min (∪ {u} via the key itself)
+        m_lg = m1.join(m2, "u", "full").select(
+            "u", F.least(F.col("u"), F.col("m"), F.col("m2")).alias("m")
         )
-        m_lg = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        # u's larger neighbors v are exactly the e rows with b = u
+        # (v = a), and m(u) ≤ u < v, so the emitted edge (v, m(u)) is
+        # already oriented — no greatest/least needed
         e1, e1_ids = checkpoint_tracked(
-            sym.filter(F.col("v") > F.col("u"))
-            .join(m_lg, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(
-                F.greatest("v", "m").alias("a"),
-                F.least("v", "m").alias("b"),
-            )
+            e.join(m_lg.withColumnRenamed("u", "b"), "b")
+            .filter(F.col("a") != F.col("m"))
+            .select("a", F.col("m").alias("b"))
             .distinct()
         )
         # ---- small-star: per node u over its SMALLER neighbors; edges
@@ -866,10 +874,9 @@ def connected_components_alternating(
         joined = e1.join(m_sm, "a")
         e2, e2_ids = checkpoint_tracked(
             joined.filter(F.col("b") != F.col("m"))
-            .select(
-                F.greatest("b", "m").alias("a"),
-                F.least("b", "m").alias("b"),
-            )
+            # m = min of a's smaller neighbors, so b > m: (b, m) is
+            # already oriented
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .unionByName(
                 m_sm.select(
                     F.col("a").alias("a"), F.col("m").alias("b")
@@ -883,10 +890,14 @@ def connected_components_alternating(
         # otherwise accumulate until a JVM GC; operators/checkpoint.py)
         release_rdds(spark, e1_ids)
         n_new = e2.count()
+        # set difference as an anti join: both generations are distinct
+        # (and null-free — a≠b filters drop null rows), so left_anti ≡
+        # subtract without subtract's extra left-side distinct aggregate
         converged = (
-            n_new == n_prev and e2.subtract(e).limit(1).count() == 0
+            n_new == n_prev
+            and e2.join(e, ["a", "b"], "left_anti").limit(1).count() == 0
         )
-        # the subtract above was the previous edge generation's last
+        # the anti join above was the previous edge generation's last
         # consumer — release it before rebinding
         release_rdds(spark, e_ids)
         e, e_ids, n_prev = e2, e2_ids, n_new

@@ -372,44 +372,69 @@ def graph_stats(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    # symmetric neighbor view (one scan, both directions), then degrees
-    sym = (
+    # canonical UNDIRECTED edge view: each edge once, ordered (u < v).
+    # r13: the old symmetric 2·|E| view paid its distinct, the degree
+    # aggregate and BOTH orientation joins at double width — every
+    # undirected edge only needs orienting once, so build from the
+    # half-width relation and derive degrees with a 2-way explode
+    # (map-side combined; guide §2.3 shuffle fewer bytes)
+    half = (
         e.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("src").alias("u"), F.col("dst").alias("v")
-                    ),
-                    F.struct(
-                        F.col("dst").alias("u"), F.col("src").alias("v")
-                    ),
-                )
-            ).alias("p")
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
         )
-        .select("p.u", "p.v")
         .distinct()
         .persist()
     )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
-    # orient: u → v iff (deg(u), u) < (deg(v), v)
-    du = deg.select(F.col("u").alias("_n1"), F.col("degree").alias("_d1"))
-    dv = deg.select(F.col("u").alias("_n2"), F.col("degree").alias("_d2"))
+    deg = (
+        half.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient: u → v iff (deg(u), u) < (deg(v), v) — decided per edge,
+    # swapping endpoints where the id order disagrees with degree order
+    du = deg.select(F.col("n").alias("_n1"), F.col("degree").alias("_d1"))
+    dv = deg.select(F.col("n").alias("_n2"), F.col("degree").alias("_d2"))
+    fwd = (F.col("_d1") < F.col("_d2")) | (
+        (F.col("_d1") == F.col("_d2")) & (F.col("u") < F.col("v"))
+    )
     oriented = (
-        sym.join(du, sym["u"] == du["_n1"])
-        .join(dv, sym["v"] == dv["_n2"])
-        .filter(
-            (F.col("_d1") < F.col("_d2"))
-            | ((F.col("_d1") == F.col("_d2")) & (F.col("u") < F.col("v")))
+        half.join(du, half["u"] == du["_n1"])
+        .join(dv, half["v"] == dv["_n2"])
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+            # keep the out-neighbor's degree: the wedge build below uses
+            # it to emit each wedge once, already in orientation order
+            F.when(fwd, F.col("_d2")).otherwise(F.col("_d1")).alias("_dv"),
         )
-        .select("u", "v")
+        # pre-partition on the wedge-join key so the self-join streams
+        # the cached partitioning on BOTH sides — zero Exchange into the
+        # O(E^1.5) wedge stage (r13, guide §2.4)
+        .repartition("u")
         .persist()
     )
-    # wedges between out-neighbors of the same center; (a, b) ordered by
-    # the same (degree, id) ranking because out-edges are — close with
-    # an oriented edge a → b
-    w1 = oriented.select(F.col("u").alias("c"), F.col("v").alias("a"))
-    w2 = oriented.select(F.col("u").alias("c"), F.col("v").alias("b"))
-    wedges = w1.join(w2, "c").filter(F.col("a") != F.col("b"))
+    # wedges between out-neighbors of the same center, emitted ONCE per
+    # unordered pair, directly in orientation order ((deg, id) of a <
+    # (deg, id) of b — the out-edges carry their endpoint's degree, so
+    # the ordering is decidable at build time): the closing edge a → b
+    # can only exist in that orientation, so the old both-directions
+    # emit + semi-join discard shipped 2× the wedge volume for the same
+    # triangle set (r13, guide §2.3 — halve the dominant intermediate)
+    w1 = oriented.select(
+        F.col("u").alias("c"), F.col("v").alias("a"), F.col("_dv").alias("_da")
+    )
+    w2 = oriented.select(
+        F.col("u").alias("c"), F.col("v").alias("b"), F.col("_dv").alias("_db")
+    )
+    wedges = (
+        w1.join(w2, "c")
+        .filter(
+            (F.col("_da") < F.col("_db"))
+            | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+        )
+        .select("c", "a", "b")
+    )
     closer = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     tri = wedges.join(closer, ["a", "b"], "left_semi")
     members = tri.select(
@@ -419,7 +444,7 @@ def graph_stats(
         F.count(F.lit(1)).alias("triangles")
     )
     out = (
-        deg.select(F.col("u").alias("node"), "degree")
+        deg.select(F.col("n").alias("node"), "degree")
         .join(tri_n, "node", "left")
         .select(
             "node",
@@ -438,17 +463,17 @@ def graph_stats(
             .alias("clustering"),
         )
     )
-    # wedge dedup note: (a,b) pairs from w1⋈w2 appear once per direction
-    # — the a≠b filter keeps both (a,b) and (b,a), but only ONE matches
-    # the oriented closer (orientation is a total order), so each
-    # triangle closes exactly once per center and 3 times total, one per
-    # member — which is exactly the per-node membership count.
+    # wedge dedup note: each unordered out-neighbor pair of a center is
+    # emitted exactly once, in orientation order (the filter above is
+    # the same total order the oriented edges use), so each triangle
+    # closes exactly once per center and 3 times total, one per member
+    # — which is exactly the per-node membership count.
     #
     # eager checkpoint decouples the result from the two persisted edge
     # relations so they can be released before return (the same
     # cache-lifecycle discipline as pagerank / the alternating CC —
     # function-local persists must not outlive the call)
     out = out.localCheckpoint(eager=True)
-    sym.unpersist()
+    half.unpersist()
     oriented.unpersist()
     return out
